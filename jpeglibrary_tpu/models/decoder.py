@@ -1,0 +1,329 @@
+"""Top-level JPEG decoder driver.
+
+API parity with the reference JpegDecoder
+(/root/reference/src/JpegLibrary/JpegDecoder.cs:19-978:
+ SetInput/Identify/Decode/LoadTables/TryEstimateQuanlity/Reset*),
+re-architected for the TPU pipeline:
+
+- The host walks the container once (io.reader), maintaining the table
+  registries in stream order and snapshotting per-scan state into a
+  plan.
+- Entropy decode runs per scan into dense coefficient planes (native
+  C++ scanner when available, Python reference scanner otherwise).
+- The transform stage (dequant + IDCT + level shift + upsample) runs
+  once at the end as batched device ops — for *every* mode, which
+  generalizes the reference's progressive IDCT-on-Dispose contract
+  (JpegHuffmanProgressiveScanDecoder.cs:421-470) into an explicit
+  finalize step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..io import reader as io_reader
+from ..ops import decode_stage
+from ..syntax import quantization as quant_mod
+from ..syntax.frame import FrameHeader, ScanHeader
+from ..syntax.huffman import HuffmanDecodingTable, parse_dht_segment
+from ..syntax.markers import Marker, SUPPORTED_SOF_MARKERS, ALL_SOF_MARKERS
+from ..syntax.quantization import QuantizationTable, parse_dqt_segment
+from . import huffman_baseline
+from .geometry import FrameGeometry, allocate_coefficient_planes, frame_geometry
+
+
+class JpegUnsupportedError(ValueError):
+    pass
+
+
+@dataclasses.dataclass
+class DecodeResult:
+    """Decoded output: per-component full-resolution sample planes.
+
+    ``planes`` are int32 [H, W], *unclamped* level-shifted samples, i.e.
+    exactly what the reference pushes into a JpegBlockOutputWriter.
+    Output formatting (8-bit clamp, 16-bit extension) happens on top.
+    """
+
+    frame: FrameHeader
+    geometry: FrameGeometry
+    planes: Dict[int, np.ndarray]
+
+    @property
+    def width(self) -> int:
+        return self.geometry.width
+
+    @property
+    def height(self) -> int:
+        return self.geometry.height
+
+    @property
+    def precision(self) -> int:
+        return self.geometry.precision
+
+    def to_uint8(self) -> np.ndarray:
+        """[H, W, C] uint8, clamp-[0,255] writer semantics."""
+        planes = [decode_stage.clamp_to_uint8(self.planes[i]) for i in sorted(self.planes)]
+        return np.stack(planes, axis=-1)
+
+    def to_uint16_extended(self) -> np.ndarray:
+        """[H, W, C] uint16, JpegExtendingOutputWriter semantics — the
+        format of the committed golden fixtures."""
+        planes = [
+            decode_stage.extend_to_uint16(self.planes[i], self.precision)
+            for i in sorted(self.planes)
+        ]
+        return np.stack(planes, axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class ImageInfo:
+    """Identify() output (JpegDecoder.cs:75-167)."""
+
+    width: int
+    height: int
+    precision: int
+    number_of_components: int
+    marker: int
+    consumed_bytes: int
+
+
+class JpegDecoder:
+    """Host orchestrator for JPEG decoding."""
+
+    def __init__(self):
+        self._data: Optional[bytes] = None
+        self._stream: Optional[io_reader.JpegStream] = None
+        self.reset()
+
+    # -- input management (SetInput / Reset* parity) --
+
+    def reset(self) -> None:
+        self.reset_frame_header()
+        self.reset_tables()
+        self._restart_interval = 0
+
+    def reset_frame_header(self) -> None:
+        self._frame: Optional[FrameHeader] = None
+
+    def reset_tables(self) -> None:
+        self.reset_huffman_tables()
+        self.reset_quantization_tables()
+
+    def reset_huffman_tables(self) -> None:
+        self._dc_tables: Dict[int, HuffmanDecodingTable] = {}
+        self._ac_tables: Dict[int, HuffmanDecodingTable] = {}
+
+    def reset_quantization_tables(self) -> None:
+        self._quant_tables: Dict[int, QuantizationTable] = {}
+
+    def set_input(self, data: bytes) -> None:
+        self._data = bytes(data)
+        self._stream = None
+
+    def _parsed(self) -> io_reader.JpegStream:
+        if self._data is None:
+            raise ValueError("Input data is not specified.")
+        if self._stream is None:
+            self._stream = io_reader.parse_stream(self._data)
+        return self._stream
+
+    # -- table registries --
+
+    def set_quantization_table(self, table: QuantizationTable) -> None:
+        self._quant_tables[table.identifier] = table
+
+    def get_quantization_table(self, identifier: int) -> Optional[QuantizationTable]:
+        return self._quant_tables.get(identifier)
+
+    def set_huffman_table(self, table: HuffmanDecodingTable) -> None:
+        registry = self._dc_tables if table.table_class == 0 else self._ac_tables
+        registry[table.identifier] = table
+
+    def get_huffman_table(self, is_dc: bool, identifier: int) -> Optional[HuffmanDecodingTable]:
+        return (self._dc_tables if is_dc else self._ac_tables).get(identifier)
+
+    def get_restart_interval(self) -> int:
+        return self._restart_interval
+
+    def load_tables(self, data: bytes) -> None:
+        """Load tables from an abbreviated (tables-only) stream
+        (JpegDecoder.LoadTables, JpegDecoder.cs:313-405)."""
+        stream = io_reader.parse_stream(data, require_soi=False)
+        for seg in stream.segments:
+            self._process_table_segment(seg, data)
+
+    def _process_table_segment(self, seg: io_reader.Segment, data: bytes) -> None:
+        if seg.marker == Marker.DQT:
+            for table in parse_dqt_segment(seg.payload(data)):
+                self.set_quantization_table(table)
+        elif seg.marker == Marker.DHT:
+            for htable in parse_dht_segment(seg.payload(data)):
+                self.set_huffman_table(htable)
+        elif seg.marker == Marker.DRI:
+            payload = seg.payload(data)
+            if len(payload) >= 2:
+                self._restart_interval = (payload[0] << 8) | payload[1]
+
+    # -- identify --
+
+    def identify(self, *, load_quantization_tables: bool = False) -> ImageInfo:
+        """Metadata-only scan (JpegDecoder.Identify, JpegDecoder.cs:75-114)."""
+        data = self._data
+        stream = self._parsed()
+        frame = None
+        marker = 0
+        for seg in stream.segments:
+            if seg.marker in ALL_SOF_MARKERS:
+                frame = FrameHeader.parse(seg.payload(data), seg.marker)
+                marker = seg.marker
+            elif load_quantization_tables and seg.marker == Marker.DQT:
+                for table in parse_dqt_segment(seg.payload(data)):
+                    self.set_quantization_table(table)
+        if frame is None:
+            raise ValueError("Failed to parse JPEG data: no frame header found.")
+        self._frame = frame
+        return ImageInfo(
+            width=frame.samples_per_line,
+            height=frame.number_of_lines,
+            precision=frame.sample_precision,
+            number_of_components=frame.number_of_components,
+            marker=marker,
+            consumed_bytes=stream.consumed,
+        )
+
+    def estimate_quality(self) -> Optional[float]:
+        """IJG-style quality estimate (JpegDecoder.TryEstimateQuanlity,
+        JpegDecoder.cs:169-195). Requires quantization tables loaded
+        (identify(load_quantization_tables=True) or load_tables)."""
+        return quant_mod.estimate_quality(self._quant_tables)
+
+    # -- decode --
+
+    def decode(self, *, use_native: bool = True, xp=np) -> DecodeResult:
+        """Full decode: walk segments in order, decode every scan, then
+        run the batched transform stage."""
+        data = self._data
+        stream = self._parsed()
+
+        frame: Optional[FrameHeader] = None
+        sof_marker: Optional[int] = None
+        geometry: Optional[FrameGeometry] = None
+        coefficient_planes: Optional[Dict[int, np.ndarray]] = None
+        # Quant table snapshot per component, captured at scan time the
+        # way the reference dequantizes mid-scan.
+        component_quant: Dict[int, np.ndarray] = {}
+        scan_iter = iter(stream.scans)
+
+        for seg in stream.segments:
+            if seg.marker in (Marker.DQT, Marker.DHT, Marker.DRI):
+                self._process_table_segment(seg, data)
+            elif seg.marker in ALL_SOF_MARKERS:
+                if seg.marker not in SUPPORTED_SOF_MARKERS:
+                    raise JpegUnsupportedError(
+                        f"This type of JPEG stream is not supported ({Marker(seg.marker).name})."
+                    )
+                frame = FrameHeader.parse(seg.payload(data), seg.marker)
+                sof_marker = seg.marker
+                geometry = frame_geometry(frame)
+                coefficient_planes = allocate_coefficient_planes(geometry)
+            elif seg.marker == Marker.SOS:
+                if frame is None:
+                    raise ValueError("Frame header was not found before SOS.")
+                scan = next(scan_iter)
+                scan_header = ScanHeader.parse(seg.payload(data))
+                self._decode_scan(
+                    data,
+                    scan,
+                    scan_header,
+                    frame,
+                    sof_marker,
+                    geometry,
+                    coefficient_planes,
+                    component_quant,
+                    use_native=use_native,
+                )
+            elif seg.marker == Marker.EOI:
+                break
+
+        if frame is None or coefficient_planes is None:
+            raise ValueError("No image data decoded.")
+
+        quant_by_comp = {
+            idx: component_quant[idx].astype(np.int32) for idx in component_quant
+        }
+        planes = decode_stage.decode_components_to_planes(
+            coefficient_planes, quant_by_comp, geometry, xp=xp
+        )
+        planes = {k: np.asarray(v) for k, v in planes.items()}
+        return DecodeResult(frame=frame, geometry=geometry, planes=planes)
+
+    def _decode_scan(
+        self,
+        data: bytes,
+        scan: io_reader.Scan,
+        scan_header: ScanHeader,
+        frame: FrameHeader,
+        sof_marker: int,
+        geometry: FrameGeometry,
+        coefficient_planes: Dict[int, np.ndarray],
+        component_quant: Dict[int, np.ndarray],
+        *,
+        use_native: bool,
+    ) -> None:
+        # Snapshot quantization tables for the scan's components.
+        from ..syntax.frame import resolve_scan_components
+
+        for comp_index, fc, _sc in resolve_scan_components(frame, scan_header):
+            qt = self._quant_tables.get(fc.quantization_table_selector)
+            if qt is None or qt.is_empty:
+                raise ValueError(
+                    f"Quantization table of component {comp_index} is not defined."
+                )
+            component_quant[comp_index] = qt.elements.copy()
+
+        if sof_marker in (Marker.SOF0, Marker.SOF1):
+            decoded_native = False
+            if use_native:
+                try:
+                    from ..native import scanner as native_scanner
+
+                    decoded_native = native_scanner.decode_baseline_scan(
+                        data,
+                        scan.spans,
+                        frame,
+                        scan_header,
+                        self._dc_tables,
+                        self._ac_tables,
+                        self._restart_interval,
+                        coefficient_planes,
+                        geometry,
+                    )
+                except ImportError:
+                    decoded_native = False
+            if not decoded_native:
+                huffman_baseline.decode_baseline_scan(
+                    data,
+                    scan.spans,
+                    frame,
+                    scan_header,
+                    self._dc_tables,
+                    self._ac_tables,
+                    self._restart_interval,
+                    coefficient_planes,
+                    geometry,
+                )
+        else:
+            raise JpegUnsupportedError(
+                f"Scan decoding for {Marker(sof_marker).name} is not implemented yet."
+            )
+
+
+def decode(data: bytes, **kwargs) -> DecodeResult:
+    """One-shot decode convenience function."""
+    decoder = JpegDecoder()
+    decoder.set_input(data)
+    return decoder.decode(**kwargs)

@@ -1,0 +1,147 @@
+"""Device-side decode transform stage: zig-zag coefficient planes ->
+full-resolution sample planes / interleaved output.
+
+This replaces the per-block pipeline of the reference hot loop
+(JpegHuffmanBaselineScanDecoder.cs:99-137: dequantize -> IDCT ->
+level-shift -> WriteBlock with duplication upsampling,
+JpegHuffmanBaselineScanDecoder.cs:238-271) with batched tensor ops:
+
+  coeffs int16 [Hb, Wb, 64] (zig-zag)
+    -> dequantize (int32 product, exact) + un-zigzag gather
+    -> float32 AAN IDCT (ops.dct, bit-matching the reference)
+    -> round-half-even + level shift (int32)
+    -> reshape to plane [Hb*8, Wb*8]
+    -> nearest (duplication) chroma upsample
+    -> crop to [H, W]
+
+All steps are jax.jit-compatible; the same code runs under NumPy for
+host golden tests (pass xp=numpy).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Sequence
+
+import numpy as np
+
+from ..models.geometry import FrameGeometry
+from . import dct
+from .zigzag import BLOCK_TO_ZIGZAG
+
+
+def dequantize_idct_shift(coeffs_zz, quant_zz, level_shift: int, xp=np):
+    """[..., 64] zig-zag int16 coeffs + zig-zag quant -> int32 samples [..., 8, 8].
+
+    Matches DequantizeBlockAndUnZigZag (JpegScanDecoder.cs:50-62: the
+    int product converted to float32) followed by TransformIDCT and
+    ShiftDataLevel (JpegScanDecoder.cs:64-73: MathF.Round — round half
+    to even — plus the level shift).
+    """
+    deq = coeffs_zz.astype(xp.int32) * quant_zz.astype(xp.int32)  # exact int32
+    # natural[j] = zigzag[BLOCK_TO_ZIGZAG[j]]
+    if xp is np:
+        natural = deq[..., BLOCK_TO_ZIGZAG]
+    else:
+        natural = xp.take(deq, xp.asarray(BLOCK_TO_ZIGZAG), axis=-1)
+    blocks = natural.reshape(natural.shape[:-1] + (8, 8)).astype(xp.float32)
+    pixels = dct.idct8x8(blocks, xp=xp)
+    return xp.rint(pixels).astype(xp.int32) + level_shift
+
+
+def blocks_to_plane(samples, xp=np):
+    """[Hb, Wb, 8, 8] -> [Hb*8, Wb*8]."""
+    hb, wb = samples.shape[0], samples.shape[1]
+    return xp.transpose(samples, (0, 2, 1, 3)).reshape(hb * 8, wb * 8)
+
+
+def upsample_duplicate(plane, hs: int, vs: int, xp=np):
+    """Nearest-neighbor duplication upsample, the exact semantics of
+    WriteBlockSlow (JpegHuffmanBaselineScanDecoder.cs:238-271)."""
+    if vs != 1:
+        plane = xp.repeat(plane, vs, axis=0)
+    if hs != 1:
+        plane = xp.repeat(plane, hs, axis=1)
+    return plane
+
+
+def component_plane(coeffs_zz, quant_zz, level_shift: int, hs: int, vs: int,
+                    height: int, width: int, xp=np):
+    """Full decode transform for one component: coeffs -> cropped int32 plane."""
+    samples = dequantize_idct_shift(coeffs_zz, quant_zz, level_shift, xp=xp)
+    plane = blocks_to_plane(samples, xp=xp)
+    plane = upsample_duplicate(plane, hs, vs, xp=xp)
+    return plane[:height, :width]
+
+
+def decode_components_to_planes(
+    coefficient_planes: Dict[int, "np.ndarray"],
+    quant_tables_zz: Dict[int, "np.ndarray"],
+    geometry: FrameGeometry,
+    xp=np,
+) -> Dict[int, "np.ndarray"]:
+    """All components -> cropped int32 sample planes [H, W]."""
+    out = {}
+    for cg in geometry.components:
+        out[cg.component_index] = component_plane(
+            coefficient_planes[cg.component_index],
+            quant_tables_zz[cg.component_index],
+            geometry.level_shift,
+            cg.hs,
+            cg.vs,
+            geometry.height,
+            geometry.width,
+            xp=xp,
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Output formats (the reference keeps these in pluggable writers; we
+# provide them as pure functions over the assembled planes)
+# ---------------------------------------------------------------------------
+
+def clamp_to_uint8(plane, xp=np):
+    """8-bit output writer semantics (apps/JpegDecode/JpegBufferOutputWriter8Bit.cs:28-60):
+    clamp int sample to [0, 255]."""
+    return xp.clip(plane, 0, 255).astype(xp.uint8)
+
+
+def expand_bits_fast(bits, precision: int, xp=np):
+    """FastExpandBits (apps/JpegDebugDump/JpegExtendingOutputWriter.cs:92-99):
+    for precision >= 8: (bits << r) | (bits & ((1 << r) - 1)), r = 16 - p."""
+    r = 16 - precision
+    return (bits << r) | (bits & ((1 << r) - 1))
+
+
+def expand_bits_slow(bits, precision: int, xp=np):
+    """ExpandBits for precision < 8 (JpegExtendingOutputWriter.cs:101-118)."""
+    current = precision
+    while current < 16:
+        bits = (bits << precision) | bits
+        current += precision
+    if current > 16:
+        bits = bits >> precision
+        current -= precision
+        bits = (bits << (16 - current)) | (bits & ((1 << (16 - current)) - 1))
+    return bits
+
+
+def extend_to_uint16(plane, precision: int, xp=np):
+    """JpegExtendingOutputWriter.WriteBlock semantics
+    (JpegExtendingOutputWriter.cs:40-118): the int16 sample is cast to
+    ushort (so negatives wrap high and clamp to max), clamped to
+    [0, 2^p - 1], then bit-expanded to 16 bits."""
+    max_value = (1 << precision) - 1
+    as_ushort = plane.astype(xp.int32) & 0xFFFF
+    clamped = xp.minimum(as_ushort, max_value)
+    if precision >= 8:
+        expanded = expand_bits_fast(clamped, precision, xp=xp)
+    else:
+        expanded = expand_bits_slow(clamped, precision, xp=xp)
+    return expanded.astype(xp.uint16)
+
+
+def interleave_planes(planes: Sequence, xp=np):
+    """[H, W] planes -> [H, W, C]."""
+    return xp.stack(list(planes), axis=-1)
