@@ -39,18 +39,31 @@ class JpegUnsupportedError(ValueError):
     pass
 
 
-@dataclasses.dataclass
 class DecodeResult:
-    """Decoded output: per-component full-resolution sample planes.
+    """Decoded output: coefficient planes plus lazily computed sample
+    planes.
 
     ``planes`` are int32 [H, W], *unclamped* level-shifted samples, i.e.
     exactly what the reference pushes into a JpegBlockOutputWriter.
-    Output formatting (8-bit clamp, 16-bit extension) happens on top.
+    Output formatting (8-bit clamp, 16-bit extension, RGB) happens on
+    top — either via the host xp backend (golden-parity path) or the
+    jitted fused device pipeline (throughput path).
     """
 
-    frame: FrameHeader
-    geometry: FrameGeometry
-    planes: Dict[int, np.ndarray]
+    def __init__(
+        self,
+        frame: FrameHeader,
+        geometry: FrameGeometry,
+        coefficients: Dict[int, np.ndarray],
+        quant: Dict[int, np.ndarray],
+        xp=np,
+    ):
+        self.frame = frame
+        self.geometry = geometry
+        self.coefficients = coefficients
+        self.quant = quant
+        self._xp = xp
+        self._planes: Optional[Dict[int, np.ndarray]] = None
 
     @property
     def width(self) -> int:
@@ -63,6 +76,33 @@ class DecodeResult:
     @property
     def precision(self) -> int:
         return self.geometry.precision
+
+    @property
+    def planes(self) -> Dict[int, np.ndarray]:
+        if self._planes is None:
+            planes = decode_stage.decode_components_to_planes(
+                self.coefficients, self.quant, self.geometry, xp=self._xp
+            )
+            self._planes = {k: np.asarray(v) for k, v in planes.items()}
+        return self._planes
+
+    def _device_inputs(self):
+        import jax.numpy as jnp
+
+        coeffs = tuple(self.coefficients[c.component_index] for c in self.geometry.components)
+        quants = tuple(
+            jnp.asarray(self.quant[c.component_index], dtype=jnp.int32)
+            for c in self.geometry.components
+        )
+        return tuple(jnp.asarray(c) for c in coeffs), quants
+
+    def to_rgb8(self) -> np.ndarray:
+        """[H, W, 3] uint8 RGB via the fused jitted device pipeline
+        (clamp writer + fixed-point YCbCr->RGB, grayscale Cb=Cr=128)."""
+        from ..ops.pipeline import jitted_transform
+
+        coeffs, quants = self._device_inputs()
+        return np.asarray(jitted_transform(self.geometry, "rgb8")(coeffs, quants))
 
     def to_uint8(self) -> np.ndarray:
         """[H, W, C] uint8, clamp-[0,255] writer semantics."""
@@ -255,11 +295,13 @@ class JpegDecoder:
         quant_by_comp = {
             idx: component_quant[idx].astype(np.int32) for idx in component_quant
         }
-        planes = decode_stage.decode_components_to_planes(
-            coefficient_planes, quant_by_comp, geometry, xp=xp
+        return DecodeResult(
+            frame=frame,
+            geometry=geometry,
+            coefficients=coefficient_planes,
+            quant=quant_by_comp,
+            xp=xp,
         )
-        planes = {k: np.asarray(v) for k, v in planes.items()}
-        return DecodeResult(frame=frame, geometry=geometry, planes=planes)
 
     def _decode_scan(
         self,

@@ -1,0 +1,81 @@
+"""On-demand build of the native scanner shared library.
+
+The .so is compiled once per source hash into the package's _build
+directory (or JPX_NATIVE_BUILD_DIR) and loaded with ctypes — no
+pybind11 dependency, no install step.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+import threading
+from typing import Optional
+
+_SRC = pathlib.Path(__file__).with_name("scanner.cpp")
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_FAILED: Optional[Exception] = None
+
+
+def _build_dir() -> pathlib.Path:
+    env = os.environ.get("JPX_NATIVE_BUILD_DIR")
+    if env:
+        return pathlib.Path(env)
+    return pathlib.Path(__file__).with_name("_build")
+
+
+def build_library() -> pathlib.Path:
+    """Compile (if needed) and return the shared-library path."""
+    src = _SRC.read_bytes()
+    digest = hashlib.sha256(src).hexdigest()[:16]
+    out_dir = _build_dir()
+    out_dir.mkdir(parents=True, exist_ok=True)
+    so_path = out_dir / f"libjpxscan-{digest}.so"
+    if so_path.exists():
+        return so_path
+    tmp = so_path.with_suffix(".so.tmp")
+    cmd = [
+        "g++", "-std=c++17", "-O3", "-march=native", "-fPIC", "-shared",
+        "-pthread", "-o", str(tmp), str(_SRC),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, so_path)
+    return so_path
+
+
+def load_library() -> ctypes.CDLL:
+    """Build + load the scanner library (cached; raises on failure)."""
+    global _LIB, _FAILED
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if _FAILED is not None:
+            raise _FAILED
+        try:
+            lib = ctypes.CDLL(str(build_library()))
+        except Exception as exc:  # compiler missing, etc.
+            _FAILED = ImportError(f"native scanner unavailable: {exc}")
+            raise _FAILED
+        _configure(lib)
+        _LIB = lib
+        return lib
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    c = ctypes
+    lib.jpx_decode_baseline_scan.restype = c.c_int32
+    lib.jpx_decode_baseline_scan.argtypes = [
+        c.c_void_p,                      # data
+        c.POINTER(c.c_int64), c.POINTER(c.c_int64), c.c_int32,  # spans
+        c.c_int64,                       # restart_interval
+        c.c_int64, c.c_int64,            # mcus per line / column
+        c.c_int32,                       # n_comps
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # comp_h, comp_v
+        c.c_void_p, c.c_void_p,          # dc_blob, ac_blob
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, plane_wb
+        c.c_int32,                       # n_threads
+    ]

@@ -1,0 +1,15 @@
+"""Multi-device sharding for the TPU JPEG engine.
+
+The reference library is strictly single-threaded (SURVEY.md §2.4); this
+package is where the new framework's first-class parallelism lives:
+
+- image-batch data parallelism (mesh axis ``data``)
+- MCU-row stripe parallelism for the transform stages (axis ``stripe``)
+- restart-segment parallel entropy decode (host prepass + per-segment
+  scanners)
+- global histogram reduction (psum) for encoder/optimizer table building
+"""
+
+from .sharding import make_mesh, batched_transform_rgb, full_step
+
+__all__ = ["make_mesh", "batched_transform_rgb", "full_step"]

@@ -8,12 +8,19 @@ are also far faster for the many small test workloads.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the image pre-sets JAX_PLATFORMS=axon (the TPU tunnel), so
+# this must be an overwrite, not a setdefault, and must also go through
+# jax.config (the axon plugin wins over the env var otherwise).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

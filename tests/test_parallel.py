@@ -1,0 +1,78 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+The project test strategy (SURVEY.md §4.5): assert bit-exact equality of
+sharded vs single-device execution — the distributed analogue of the
+reference's golden-file discipline.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _example(batch=4, hb=8, wb=16):
+    rng = np.random.default_rng(7)
+    y = rng.integers(-128, 128, size=(batch, hb, wb, 64), dtype=np.int16)
+    cb = rng.integers(-64, 64, size=(batch, hb // 2, wb // 2, 64), dtype=np.int16)
+    cr = rng.integers(-64, 64, size=(batch, hb // 2, wb // 2, 64), dtype=np.int16)
+    from jpeglibrary_tpu.syntax.quantization import (
+        STANDARD_CHROMINANCE_ZIGZAG,
+        STANDARD_LUMINANCE_ZIGZAG,
+    )
+
+    return (
+        y, cb, cr,
+        STANDARD_LUMINANCE_ZIGZAG.astype(np.int32),
+        STANDARD_CHROMINANCE_ZIGZAG.astype(np.int32),
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("n_devices,stripe", [(8, 2), (4, 1), (2, 2)])
+def test_sharded_full_step_matches_single_device(n_devices, stripe):
+    from jpeglibrary_tpu.parallel.sharding import (
+        full_step,
+        make_mesh,
+        make_sharded_full_step,
+    )
+
+    args = _example()
+    ref = jax.jit(full_step)(*args)
+
+    mesh = make_mesh(n_devices, stripe=stripe)
+    out = make_sharded_full_step(mesh)(*args)
+
+    for a, b in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_graft_entry_and_dryrun():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, example = ge.entry()
+    out = jax.jit(fn)(*example)
+    jax.block_until_ready(out)
+    ge.dryrun_multichip(8)
+
+
+def test_batched_transform_rgb_matches_loop(assets_dir):
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.parallel.sharding import batched_transform_rgb, make_mesh
+
+    data = (assets_dir / "baseline/lake.jpg").read_bytes()
+    r = jt.decode(data)
+    coeffs = [
+        tuple(r.coefficients[c.component_index] for c in r.geometry.components)
+    ] * 4
+    quants = tuple(
+        r.quant[c.component_index].astype(np.int32) for c in r.geometry.components
+    )
+    mesh = make_mesh(4, stripe=1)
+    batch = batched_transform_rgb(coeffs, quants, r.geometry, mesh=mesh)
+    single = r.to_rgb8()
+    for i in range(4):
+        np.testing.assert_array_equal(np.asarray(batch[i]), single)
