@@ -84,5 +84,16 @@ class BitReader:
         self._pos += length
         return bits
 
+    def try_read_bits(self, length: int) -> int:
+        """Read ``length`` bits, or return 0 without consuming anything
+        when not enough real bits remain — the out-value semantics of
+        TryReadBits (JpegBitReader.cs:190-206) that the arithmetic
+        decoder relies on for zero-padding past the data end."""
+        if self._pos + length > self._nbits:
+            return 0
+        bits, _ = self.peek_bits(length)
+        self._pos += length
+        return bits
+
     def align_to_byte(self) -> None:
         self._pos = (self._pos + 7) & ~7

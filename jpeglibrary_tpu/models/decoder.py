@@ -54,14 +54,17 @@ class DecodeResult:
         self,
         frame: FrameHeader,
         geometry: FrameGeometry,
-        coefficients: Dict[int, np.ndarray],
-        quant: Dict[int, np.ndarray],
+        coefficients: Optional[Dict[int, np.ndarray]] = None,
+        quant: Optional[Dict[int, np.ndarray]] = None,
+        samples: Optional[Dict[int, np.ndarray]] = None,
         xp=np,
     ):
         self.frame = frame
         self.geometry = geometry
         self.coefficients = coefficients
         self.quant = quant
+        #: lossless mode: sub-resolution raw sample planes (no IDCT)
+        self.samples = samples
         self._xp = xp
         self._planes: Optional[Dict[int, np.ndarray]] = None
 
@@ -80,10 +83,25 @@ class DecodeResult:
     @property
     def planes(self) -> Dict[int, np.ndarray]:
         if self._planes is None:
-            planes = decode_stage.decode_components_to_planes(
-                self.coefficients, self.quant, self.geometry, xp=self._xp
-            )
-            self._planes = {k: np.asarray(v) for k, v in planes.items()}
+            if self.samples is not None:
+                # Lossless: duplication-upsample the raw sample planes
+                # (JpegPartialScanlineAllocator.WriteBlock semantics,
+                # JpegPartialScanlineAllocator.cs:185-222) and crop.
+                from .lossless import component_sizes
+
+                sizes = component_sizes(self.frame)
+                out = {}
+                for cg in self.geometry.components:
+                    hc, wc = sizes[cg.component_index]
+                    plane = self.samples[cg.component_index][:hc, :wc].astype(np.int32)
+                    plane = decode_stage.upsample_duplicate(plane, cg.hs, cg.vs)
+                    out[cg.component_index] = plane[: self.height, : self.width]
+                self._planes = out
+            else:
+                planes = decode_stage.decode_components_to_planes(
+                    self.coefficients, self.quant, self.geometry, xp=self._xp
+                )
+                self._planes = {k: np.asarray(v) for k, v in planes.items()}
         return self._planes
 
     def _device_inputs(self):
@@ -99,6 +117,19 @@ class DecodeResult:
     def to_rgb8(self) -> np.ndarray:
         """[H, W, 3] uint8 RGB via the fused jitted device pipeline
         (clamp writer + fixed-point YCbCr->RGB, grayscale Cb=Cr=128)."""
+        if self.coefficients is None:
+            # Lossless path: no transform stage; convert the sample planes.
+            from ..ops import color as color_ops
+
+            u8 = [decode_stage.clamp_to_uint8(self.planes[i]) for i in sorted(self.planes)]
+            if len(u8) == 1:
+                half = np.full_like(u8[0], 128)
+                r, g, b = color_ops.ycbcr_to_rgb(u8[0], half, half)
+            elif len(u8) == 3:
+                r, g, b = color_ops.ycbcr_to_rgb(u8[0], u8[1], u8[2])
+            else:
+                raise ValueError(f"RGB output needs 1 or 3 components, got {len(u8)}.")
+            return np.stack([r, g, b], axis=-1)
         from ..ops.pipeline import jitted_transform
 
         coeffs, quants = self._device_inputs()
@@ -145,6 +176,7 @@ class JpegDecoder:
         self.reset_frame_header()
         self.reset_tables()
         self._restart_interval = 0
+        self._arithmetic_state = None
 
     def reset_frame_header(self) -> None:
         self._frame: Optional[FrameHeader] = None
@@ -152,6 +184,7 @@ class JpegDecoder:
     def reset_tables(self) -> None:
         self.reset_huffman_tables()
         self.reset_quantization_tables()
+        self.reset_arithmetic_tables()
 
     def reset_huffman_tables(self) -> None:
         self._dc_tables: Dict[int, HuffmanDecodingTable] = {}
@@ -159,6 +192,10 @@ class JpegDecoder:
 
     def reset_quantization_tables(self) -> None:
         self._quant_tables: Dict[int, QuantizationTable] = {}
+
+    def reset_arithmetic_tables(self) -> None:
+        self._dac_dc = {}
+        self._dac_ac = {}
 
     def set_input(self, data: bytes) -> None:
         self._data = bytes(data)
@@ -203,6 +240,12 @@ class JpegDecoder:
         elif seg.marker == Marker.DHT:
             for htable in parse_dht_segment(seg.payload(data)):
                 self.set_huffman_table(htable)
+        elif seg.marker == Marker.DAC:
+            from .arithmetic import parse_dac_segment
+
+            for table in parse_dac_segment(seg.payload(data)):
+                registry = self._dac_dc if table.table_class == 0 else self._dac_ac
+                registry[table.identifier] = table
         elif seg.marker == Marker.DRI:
             payload = seg.payload(data)
             if len(payload) >= 2:
@@ -253,13 +296,14 @@ class JpegDecoder:
         sof_marker: Optional[int] = None
         geometry: Optional[FrameGeometry] = None
         coefficient_planes: Optional[Dict[int, np.ndarray]] = None
+        sample_planes: Optional[Dict[int, np.ndarray]] = None
         # Quant table snapshot per component, captured at scan time the
         # way the reference dequantizes mid-scan.
         component_quant: Dict[int, np.ndarray] = {}
         scan_iter = iter(stream.scans)
 
         for seg in stream.segments:
-            if seg.marker in (Marker.DQT, Marker.DHT, Marker.DRI):
+            if seg.marker in (Marker.DQT, Marker.DHT, Marker.DAC, Marker.DRI):
                 self._process_table_segment(seg, data)
             elif seg.marker in ALL_SOF_MARKERS:
                 if seg.marker not in SUPPORTED_SOF_MARKERS:
@@ -269,29 +313,54 @@ class JpegDecoder:
                 frame = FrameHeader.parse(seg.payload(data), seg.marker)
                 sof_marker = seg.marker
                 geometry = frame_geometry(frame)
-                coefficient_planes = allocate_coefficient_planes(geometry)
+                # Fresh per-frame entropy state (the reference creates a
+                # new scan decoder per SOF, JpegDecoder.cs:558-590).
+                self._arithmetic_state = None
+                if sof_marker == Marker.SOF3:
+                    from .lossless import allocate_sample_planes
+
+                    sample_planes = allocate_sample_planes(frame)
+                else:
+                    coefficient_planes = allocate_coefficient_planes(geometry)
             elif seg.marker == Marker.SOS:
                 if frame is None:
                     raise ValueError("Frame header was not found before SOS.")
                 scan = next(scan_iter)
                 scan_header = ScanHeader.parse(seg.payload(data))
-                self._decode_scan(
-                    data,
-                    scan,
-                    scan_header,
-                    frame,
-                    sof_marker,
-                    geometry,
-                    coefficient_planes,
-                    component_quant,
-                    use_native=use_native,
-                )
+                if sof_marker == Marker.SOF3:
+                    from .lossless import decode_lossless_scan
+
+                    decode_lossless_scan(
+                        data,
+                        scan.spans,
+                        frame,
+                        scan_header,
+                        self._dc_tables,
+                        self._restart_interval,
+                        sample_planes,
+                    )
+                else:
+                    self._decode_scan(
+                        data,
+                        scan,
+                        scan_header,
+                        frame,
+                        sof_marker,
+                        geometry,
+                        coefficient_planes,
+                        component_quant,
+                        use_native=use_native,
+                    )
             elif seg.marker == Marker.EOI:
                 break
 
-        if frame is None or coefficient_planes is None:
+        if frame is None or (coefficient_planes is None and sample_planes is None):
             raise ValueError("No image data decoded.")
 
+        if sample_planes is not None:
+            return DecodeResult(
+                frame=frame, geometry=geometry, samples=sample_planes, xp=xp
+            )
         quant_by_comp = {
             idx: component_quant[idx].astype(np.int32) for idx in component_quant
         }
@@ -327,7 +396,43 @@ class JpegDecoder:
                 )
             component_quant[comp_index] = qt.elements.copy()
 
-        if sof_marker in (Marker.SOF0, Marker.SOF1):
+        if sof_marker in (Marker.SOF9, Marker.SOF10):
+            from . import arithmetic
+
+            if self._arithmetic_state is None:
+                self._arithmetic_state = arithmetic.ArithmeticDecoder()
+            fn = (
+                arithmetic.decode_sequential_scan
+                if sof_marker == Marker.SOF9
+                else arithmetic.decode_progressive_scan
+            )
+            fn(
+                data,
+                scan.spans,
+                frame,
+                scan_header,
+                self._dac_dc,
+                self._dac_ac,
+                self._arithmetic_state,
+                self._restart_interval,
+                coefficient_planes,
+                geometry,
+            )
+        elif sof_marker == Marker.SOF2:
+            from . import huffman_progressive
+
+            huffman_progressive.decode_progressive_scan(
+                data,
+                scan.spans,
+                frame,
+                scan_header,
+                self._dc_tables,
+                self._ac_tables,
+                self._restart_interval,
+                coefficient_planes,
+                geometry,
+            )
+        elif sof_marker in (Marker.SOF0, Marker.SOF1):
             decoded_native = False
             if use_native:
                 try:
