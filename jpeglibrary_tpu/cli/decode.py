@@ -1,0 +1,33 @@
+"""jpx-decode: JPEG -> PNG.
+
+CLI parity with the reference JpegDecode app
+(/root/reference/apps/JpegDecode/Program.cs:12-47, DecodeAction.cs:17-99):
+decode to YCbCr samples, convert to RGB with the fixed-point converter
+(grayscale fills Cb=Cr=128), write PNG.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="jpx-decode", description="Decode JPEG to PNG.")
+    parser.add_argument("source", help="input JPEG file")
+    parser.add_argument("output", help="output PNG file")
+    args = parser.parse_args(argv)
+
+    from PIL import Image
+
+    import jpeglibrary_tpu as jt
+
+    data = open(args.source, "rb").read()
+    result = jt.decode(data)
+    rgb = result.to_rgb8()
+    Image.fromarray(rgb, mode="RGB").save(args.output)
+    print(f"{args.source}: {result.width}x{result.height} -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

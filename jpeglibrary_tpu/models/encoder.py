@@ -1,0 +1,353 @@
+"""Baseline (SOF0) JPEG encoder.
+
+API parity with the reference JpegEncoder
+(/root/reference/src/JpegLibrary/JpegEncoder.cs:15-997:
+ SetQuantizationTable / SetHuffmanTable / AddComponent / SetInputReader /
+ SetOutput / Encode / MostOptimalCoding), re-architected for the TPU
+pipeline:
+
+- The sample->coefficient transform (zero-pad, box subsample, level
+  shift, AAN FDCT, zig-zag quantize) runs as one batched device stage
+  (ops.encode_stage), replacing the per-block loop of
+  TransformBlocks/WriteScanData (JpegEncoder.cs:414-489,:662-741).
+- Symbol statistics for optimize-coding are vectorized histograms
+  (mesh-reducible via psum) instead of the serial
+  GatherBlockStatistics walk (:551-601).
+- Table construction (Annex K standard or package-merge when
+  MostOptimalCoding) happens on host (models.huffman_builder).
+- Bit emission packs the entropy stream on host (io.writer), in the
+  same interleaved MCU order with identical DC-diff/run-length symbols
+  (EncodeBlock/EncodeRunLength, :828-936).
+
+The encoder never emits restart markers, like the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..io.writer import JpegWriter
+from ..ops import encode_stage
+from ..syntax import huffman_standard
+from ..syntax.frame import FrameComponent, FrameHeader, ScanComponent, ScanHeader
+from ..syntax.huffman import HuffmanEncodingTable
+from ..syntax.markers import Marker
+from ..syntax.quantization import (
+    QuantizationTable,
+    scale_by_quality,
+    standard_chrominance_table,
+    standard_luminance_table,
+)
+from .geometry import ceil_div
+from .huffman_builder import HuffmanTableBuilder
+
+
+@dataclasses.dataclass
+class _EncodeComponent:
+    """AddComponent record (JpegEncoder.AddComponent, JpegEncoder.cs:175-253)."""
+
+    identifier: int
+    quantization_table_id: int
+    dc_table_id: int
+    ac_table_id: int
+    h: int
+    v: int
+
+
+class JpegEncodeError(ValueError):
+    pass
+
+
+class JpegEncoder:
+    def __init__(self):
+        self.most_optimal_coding = False
+        self._quant_tables: List[QuantizationTable] = []
+        #: (is_dc, identifier) -> HuffmanEncodingTable or None (None = build)
+        self._huffman_tables: Dict[tuple, Optional[HuffmanEncodingTable]] = {}
+        self._components: List[_EncodeComponent] = []
+        self._input_planes: Optional[List[np.ndarray]] = None
+        self._width = 0
+        self._height = 0
+
+    # -- configuration --
+
+    def set_quantization_table(self, table: QuantizationTable) -> None:
+        self._quant_tables = [
+            t for t in self._quant_tables if t.identifier != table.identifier
+        ]
+        self._quant_tables.append(table)
+
+    def set_huffman_table(
+        self, is_dc: bool, identifier: int, table: Optional[HuffmanEncodingTable] = None
+    ) -> None:
+        """With table=None, registers a table *builder* — any builder
+        present switches Encode() into 2-pass optimize-coding mode
+        (JpegEncoder.cs:137-173,:257)."""
+        self._huffman_tables[(is_dc, identifier)] = table
+
+    def add_component(
+        self, identifier: int, quantization_table_id: int,
+        dc_table_id: int, ac_table_id: int, h: int, v: int,
+    ) -> None:
+        self._components.append(
+            _EncodeComponent(identifier, quantization_table_id, dc_table_id, ac_table_id, h, v)
+        )
+
+    def set_input(self, planes, width: Optional[int] = None, height: Optional[int] = None) -> None:
+        """Input samples: [H, W, C] uint8 array or a list of [H, W] planes."""
+        if isinstance(planes, np.ndarray) and planes.ndim == 3:
+            self._input_planes = [planes[..., i] for i in range(planes.shape[-1])]
+            self._height, self._width = planes.shape[:2]
+        else:
+            self._input_planes = list(planes)
+            self._height, self._width = self._input_planes[0].shape
+        if width is not None:
+            self._width = width
+        if height is not None:
+            self._height = height
+
+    # -- encode --
+
+    def encode(self, xp=np) -> bytes:
+        if self._input_planes is None:
+            raise JpegEncodeError("Input is not specified.")
+        if not self._components:
+            raise JpegEncodeError("No component is specified.")
+        if len(self._input_planes) != len(self._components):
+            raise JpegEncodeError("Component count does not match input planes.")
+
+        optimize = any(t is None for t in self._huffman_tables.values())
+
+        quant_by_id = {t.identifier: t for t in self._quant_tables}
+        max_h = max(c.h for c in self._components)
+        max_v = max(c.v for c in self._components)
+        mcus_per_line = ceil_div(self._width, 8 * max_h)
+        mcus_per_column = ceil_div(self._height, 8 * max_v)
+
+        # --- device transform stage: all components -> MCU-ordered blocks
+        comp_blocks: List[np.ndarray] = []
+        for comp, plane in zip(self._components, self._input_planes):
+            qt = quant_by_id.get(comp.quantization_table_id)
+            if qt is None or qt.is_empty:
+                raise JpegEncodeError(
+                    f"Quantization table {comp.quantization_table_id} is not defined."
+                )
+            coeffs = encode_stage.forward_component(
+                np.asarray(plane),
+                qt.elements,
+                comp.h, comp.v,
+                max_h // comp.h, max_v // comp.v,
+                mcus_per_line, mcus_per_column,
+                xp=xp,
+            )
+            coeffs = np.asarray(coeffs)
+            comp_blocks.append(encode_stage.mcu_order_blocks(coeffs, comp.h, comp.v))
+
+        # --- table build (2-pass optimize-coding) or fixed tables
+        tables: Dict[tuple, HuffmanEncodingTable] = {}
+        if optimize:
+            builders: Dict[tuple, HuffmanTableBuilder] = {}
+            for comp, blocks in zip(self._components, comp_blocks):
+                dc_freq, ac_freq = encode_stage.dc_ac_symbol_frequencies(blocks)
+                dkey, akey = (True, comp.dc_table_id), (False, comp.ac_table_id)
+                if self._huffman_tables.get(dkey, "absent") is None:
+                    builders.setdefault(dkey, HuffmanTableBuilder()).add_frequencies(dc_freq)
+                if self._huffman_tables.get(akey, "absent") is None:
+                    builders.setdefault(akey, HuffmanTableBuilder()).add_frequencies(ac_freq)
+            for key, builder in builders.items():
+                tables[key] = builder.build(optimal=self.most_optimal_coding)
+        for key, table in self._huffman_tables.items():
+            if table is not None:
+                tables[key] = table
+
+        # --- container emission
+        writer = JpegWriter()
+        writer.write_marker(Marker.SOI)
+
+        dqt_payload = b"".join(t.serialize() for t in self._quant_tables)
+        writer.write_segment(Marker.DQT, dqt_payload)
+
+        frame = FrameHeader(
+            marker=Marker.SOF0,
+            sample_precision=8,
+            number_of_lines=self._height,
+            samples_per_line=self._width,
+            components=tuple(
+                FrameComponent(c.identifier, c.h, c.v, c.quantization_table_id)
+                for c in self._components
+            ),
+        )
+        writer.write_segment(Marker.SOF0, frame.serialize())
+
+        dht_payload = b"".join(
+            tables[key].serialize(0 if key[0] else 1, key[1])
+            for key in sorted(tables, key=lambda k: (not k[0], k[1]))
+        )
+        writer.write_segment(Marker.DHT, dht_payload)
+
+        scan = ScanHeader(
+            components=tuple(
+                ScanComponent(c.identifier, c.dc_table_id, c.ac_table_id)
+                for c in self._components
+            ),
+            start_of_spectral_selection=0,
+            end_of_spectral_selection=63,
+            successive_approximation_bit_position_high=0,
+            successive_approximation_bit_position_low=0,
+        )
+        writer.write_segment(Marker.SOS, scan.serialize())
+
+        self._emit_scan(writer, comp_blocks, tables)
+
+        writer.write_marker(Marker.EOI)
+        return writer.to_bytes()
+
+    def _emit_scan(self, writer: JpegWriter, comp_blocks, tables) -> None:
+        """Interleaved MCU emission (WritePreparedScanData,
+        JpegEncoder.cs:605-660). comp_blocks are per-component [N, 64]
+        arrays already in MCU walk order."""
+        comps = []
+        for comp, blocks in zip(self._components, comp_blocks):
+            dc = tables.get((True, comp.dc_table_id))
+            ac = tables.get((False, comp.ac_table_id))
+            if dc is None or ac is None:
+                raise JpegEncodeError("Huffman table is not defined.")
+            comps.append(
+                {
+                    "blocks": blocks,
+                    "per_mcu": comp.h * comp.v,
+                    "dc_codes": dc.codes, "dc_sizes": dc.sizes,
+                    "ac_codes": ac.codes, "ac_sizes": ac.sizes,
+                    "predictor": 0,
+                    "cursor": 0,
+                }
+            )
+
+        n_mcus = comp_blocks[0].shape[0] // comps[0]["per_mcu"]
+        writer.enter_bit_mode()
+        write_bits = writer.write_bits
+
+        for _ in range(n_mcus):
+            for c in comps:
+                blocks = c["blocks"]
+                for _ in range(c["per_mcu"]):
+                    block = blocks[c["cursor"]]
+                    c["cursor"] += 1
+                    _encode_block(write_bits, c, block)
+
+        writer.exit_bit_mode()
+
+
+def _encode_block(write_bits, c, block) -> None:
+    """EncodeBlock (JpegEncoder.cs:828-890): DC diff + AC run-length."""
+    dc_codes, dc_sizes = c["dc_codes"], c["dc_sizes"]
+    ac_codes, ac_sizes = c["ac_codes"], c["ac_sizes"]
+
+    value = int(block[0])
+    t = value - c["predictor"]
+    c["predictor"] = value
+    _encode_run_length(write_bits, dc_codes, dc_sizes, 0, t)
+
+    run = 0
+    for i in range(1, 64):
+        t = int(block[i])
+        if t == 0:
+            run += 1
+        else:
+            while run > 15:
+                write_bits(int(ac_codes[0xF0]), int(ac_sizes[0xF0]))
+                run -= 16
+            _encode_run_length(write_bits, ac_codes, ac_sizes, run, t)
+            run = 0
+    if run > 0:
+        write_bits(int(ac_codes[0]), int(ac_sizes[0]))
+
+
+def _encode_run_length(write_bits, codes, sizes, run: int, value: int) -> None:
+    """EncodeRunLength (JpegEncoder.cs:893-936)."""
+    a = value
+    b = value
+    if a < 0:
+        a = -value
+        b = value - 1
+    bit_count = a.bit_length()
+    symbol = (run << 4) | bit_count
+    size = int(sizes[symbol])
+    if size == 0:
+        raise JpegEncodeError(f"Huffman table has no code for symbol {symbol:#x}.")
+    write_bits(int(codes[symbol]), size)
+    if bit_count > 0:
+        write_bits(b & ((1 << bit_count) - 1), bit_count)
+
+
+# ---------------------------------------------------------------------------
+# High-level convenience mirroring the JpegEncode app
+# (apps/JpegEncode/EncodeAction.cs:17-72)
+# ---------------------------------------------------------------------------
+
+def encode_rgb(
+    rgb: np.ndarray,
+    quality: int = 75,
+    *,
+    subsampling: str = "420",
+    optimize_coding: bool = False,
+    most_optimal_coding: bool = False,
+    xp=np,
+) -> bytes:
+    """RGB [H, W, 3] uint8 -> baseline JPEG bytes.
+
+    Fixed-point RGB->YCbCr (ops.color, bit-exact vs the reference app
+    converter), quality-scaled Annex-K quantization tables, 4:2:0 or
+    4:4:4 subsampling.
+    """
+    from ..ops import color as color_ops
+
+    y, cb, cr = color_ops.rgb_to_ycbcr(rgb[..., 0], rgb[..., 1], rgb[..., 2], xp=np)
+
+    encoder = JpegEncoder()
+    encoder.most_optimal_coding = most_optimal_coding
+    encoder.set_quantization_table(scale_by_quality(standard_luminance_table(0), quality))
+    encoder.set_quantization_table(scale_by_quality(standard_chrominance_table(1), quality))
+    if optimize_coding or most_optimal_coding:
+        encoder.set_huffman_table(True, 0)
+        encoder.set_huffman_table(False, 0)
+        encoder.set_huffman_table(True, 1)
+        encoder.set_huffman_table(False, 1)
+    else:
+        encoder.set_huffman_table(True, 0, huffman_standard.dc_luminance())
+        encoder.set_huffman_table(False, 0, huffman_standard.ac_luminance())
+        encoder.set_huffman_table(True, 1, huffman_standard.dc_chrominance())
+        encoder.set_huffman_table(False, 1, huffman_standard.ac_chrominance())
+    if subsampling == "420":
+        encoder.add_component(1, 0, 0, 0, 2, 2)
+        encoder.add_component(2, 1, 1, 1, 1, 1)
+        encoder.add_component(3, 1, 1, 1, 1, 1)
+    elif subsampling == "444":
+        encoder.add_component(1, 0, 0, 0, 1, 1)
+        encoder.add_component(2, 1, 1, 1, 1, 1)
+        encoder.add_component(3, 1, 1, 1, 1, 1)
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+
+    encoder.set_input([y, cb, cr])
+    return encoder.encode(xp=xp)
+
+
+def encode_gray(plane: np.ndarray, quality: int = 75, *, optimize_coding: bool = False,
+                most_optimal_coding: bool = False, xp=np) -> bytes:
+    """Grayscale [H, W] uint8 -> baseline JPEG bytes."""
+    encoder = JpegEncoder()
+    encoder.most_optimal_coding = most_optimal_coding
+    encoder.set_quantization_table(scale_by_quality(standard_luminance_table(0), quality))
+    if optimize_coding or most_optimal_coding:
+        encoder.set_huffman_table(True, 0)
+        encoder.set_huffman_table(False, 0)
+    else:
+        encoder.set_huffman_table(True, 0, huffman_standard.dc_luminance())
+        encoder.set_huffman_table(False, 0, huffman_standard.ac_luminance())
+    encoder.add_component(1, 0, 0, 0, 1, 1)
+    encoder.set_input([plane])
+    return encoder.encode(xp=xp)

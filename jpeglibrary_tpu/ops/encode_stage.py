@@ -1,0 +1,153 @@
+"""Device-side encode transform stage: sample planes -> quantized
+zig-zag coefficient planes.
+
+The batched-tensor replacement for the reference per-block encode
+pipeline (JpegEncoder.cs:414-489 TransformBlocks and :756-810
+ReadBlockWithSubsample / ShiftDataLevel / ZigZagAndQuantizeBlock):
+
+  [H, W] uint8 sample plane
+    -> zero-pad to the MCU grid (edge zero-fill semantics of
+       JpegBufferInputReader.ReadBlock, JpegBufferInputReader.cs:27-51)
+    -> box-filter subsample with round-half-up: (sum + 2^(s-1)) >> s
+    -> level shift to float32 (sample - 128)
+    -> batched float32 AAN FDCT (ops.dct, the reference butterfly)
+    -> zig-zag + quantize: rint(coef / q) per element, float32 division
+  -> int16 [Hb, Wb, 64] zig-zag coefficient planes
+
+All steps run under jax.jit on device (or NumPy on host for tests).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..models.geometry import ceil_div
+from . import dct
+from .zigzag import ZIGZAG_TO_BLOCK
+
+
+def pad_to_grid(plane, height_padded: int, width_padded: int, xp=np):
+    """Zero-pad a [H, W] plane to the MCU-aligned size."""
+    h, w = plane.shape
+    if h == height_padded and w == width_padded:
+        return plane
+    if xp is np:
+        out = np.zeros((height_padded, width_padded), dtype=plane.dtype)
+        out[:h, :w] = plane
+        return out
+    return xp.pad(plane, ((0, height_padded - h), (0, width_padded - w)))
+
+
+def subsample_box(plane, hs: int, vs: int, xp=np):
+    """Box-filter downsample by (hs, vs) with the reference rounding:
+    (sum + 2^(shift-1)) >> shift (ReadBlockWithSubsample,
+    JpegEncoder.cs:756-787). Input dims must divide evenly."""
+    if hs == 1 and vs == 1:
+        return plane.astype(xp.int32) if plane.dtype != xp.int32 else plane
+    h, w = plane.shape
+    x = plane.astype(xp.int32).reshape(h // vs, vs, w // hs, hs)
+    total = xp.sum(x, axis=(1, 3))
+    shift = (hs.bit_length() - 1) + (vs.bit_length() - 1)
+    return (total + (1 << (shift - 1))) >> shift
+
+
+def fdct_quantize(plane, quant_zz, xp=np):
+    """[Hb*8, Wb*8] int samples -> [Hb, Wb, 64] int16 zig-zag coeffs.
+
+    Level shift, AAN FDCT, zig-zag gather, rint(c / q) — float32
+    division then round-half-even, matching ZigZagAndQuantizeBlock
+    (JpegEncoder.cs:812-827 with JpegMathHelper.RoundToInt16)."""
+    h, w = plane.shape
+    hb, wb = h // 8, w // 8
+    blocks = plane.reshape(hb, 8, wb, 8)
+    blocks = xp.transpose(blocks, (0, 2, 1, 3)).astype(xp.float32) - xp.float32(128.0)
+    coef = dct.fdct8x8(blocks, xp=xp)  # [hb, wb, 8, 8] natural order
+    flat = coef.reshape(hb, wb, 64)
+    if xp is np:
+        zz = flat[..., ZIGZAG_TO_BLOCK]
+    else:
+        zz = xp.take(flat, xp.asarray(ZIGZAG_TO_BLOCK), axis=-1)
+    q = quant_zz.astype(xp.float32)
+    return xp.rint(zz / q).astype(xp.int16)
+
+
+def forward_component(
+    plane, quant_zz, h: int, v: int, hs: int, vs: int,
+    mcus_per_line: int, mcus_per_column: int, xp=np,
+):
+    """Full encode transform for one component: [H, W] samples ->
+    [mcus_per_column*v, mcus_per_line*h, 64] int16 zig-zag coeffs."""
+    full_h = mcus_per_column * v * 8 * vs
+    full_w = mcus_per_line * h * 8 * hs
+    padded = pad_to_grid(plane, full_h, full_w, xp=xp)
+    sub = subsample_box(padded, hs, vs, xp=xp)
+    return fdct_quantize(sub, quant_zz, xp=xp)
+
+
+def mcu_order_blocks(coeffs_zz: np.ndarray, h: int, v: int) -> np.ndarray:
+    """[Hb, Wb, 64] -> [N, 64] in the interleaved MCU walk order the
+    scan uses (per MCU: v rows x h cols of blocks,
+    JpegEncoder.cs:512-536)."""
+    hb, wb, _ = coeffs_zz.shape
+    mc, ml = hb // v, wb // h
+    x = coeffs_zz.reshape(mc, v, ml, h, 64)
+    return np.transpose(x, (0, 2, 1, 3, 4)).reshape(-1, 64)
+
+
+def dc_ac_symbol_frequencies(blocks_mcu_order: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized symbol statistics for one component's blocks (already
+    in MCU walk order — DC differences depend on it) — the
+    device/psum-able analogue of GatherBlockStatistics
+    (JpegEncoder.cs:551-601).
+
+    Returns (dc_freq[256], ac_freq[256]) int64 symbol histograms.
+    """
+    blocks = blocks_mcu_order.reshape(-1, 64).astype(np.int32)
+
+    # DC: category of successive differences
+    dc = blocks[:, 0]
+    diffs = np.empty_like(dc)
+    diffs[0] = dc[0]
+    diffs[1:] = dc[1:] - dc[:-1]
+    dc_syms = bit_count(np.abs(diffs))
+    dc_freq = np.bincount(dc_syms, minlength=256).astype(np.int64)
+
+    # AC: run-length symbols. Vectorized per block via nonzero scan.
+    ac_freq = np.zeros(256, dtype=np.int64)
+    ac = blocks[:, 1:]
+    nz_rows, nz_cols = np.nonzero(ac)
+    sizes = bit_count(np.abs(ac[nz_rows, nz_cols]))
+    # run length before each nonzero: distance to previous nonzero in
+    # the same row (or to position 0).
+    prev_col = np.full(len(nz_cols), -1, dtype=np.int64)
+    if len(nz_cols) > 0:
+        same_row = np.zeros(len(nz_cols), dtype=bool)
+        same_row[1:] = nz_rows[1:] == nz_rows[:-1]
+        prev_col[same_row] = nz_cols[np.flatnonzero(same_row) - 1]
+    runs = nz_cols - prev_col - 1
+    # ZRL symbols for runs > 15
+    zrl_count = int(np.sum(runs // 16))
+    ac_freq[0xF0] += zrl_count
+    symbols = ((runs % 16) << 4) | sizes
+    ac_freq += np.bincount(symbols, minlength=256).astype(np.int64)
+    # EOB per block whose trailing coefficients are zero
+    has_nz = np.zeros(len(blocks), dtype=bool)
+    last_nz = np.full(len(blocks), -1, dtype=np.int64)
+    if len(nz_rows) > 0:
+        np.maximum.at(last_nz, nz_rows, nz_cols)
+        has_nz[nz_rows] = True
+    eob_count = int(np.sum(last_nz < 62))  # 62 == index 63 in full block
+    ac_freq[0] += eob_count
+    return dc_freq, ac_freq
+
+
+def bit_count(a):
+    """Number of bits to represent |value| (BitCountTable semantics,
+    JpegEncoder.cs:938-996); 0 -> 0."""
+    a = np.asarray(a)
+    out = np.zeros(a.shape, dtype=np.int64)
+    nz = a > 0
+    out[nz] = np.floor(np.log2(a[nz])).astype(np.int64) + 1
+    return out

@@ -1,0 +1,102 @@
+"""Encoder tests: round-trip PSNR through our own decoder, external
+cross-validation via PIL, and optimize-coding size gains.
+
+The reference has no committed encoder goldens (SURVEY.md §4: the
+encoder is exercised via benchmarks and the optimizer round-trip), so
+the gates here are behavioral: valid streams, high round-trip PSNR,
+optimized tables strictly smaller, package-merge cost <= Annex-K cost.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+import jpeglibrary_tpu as jt
+from jpeglibrary_tpu.models.encoder import encode_gray, encode_rgb
+from jpeglibrary_tpu.models.huffman_builder import (
+    HuffmanTableBuilder,
+    _package_merge_lengths,
+    _standard_lengths,
+)
+
+
+@pytest.fixture(scope="module")
+def lake_rgb(assets_dir):
+    data = (assets_dir / "baseline/lake.jpg").read_bytes()
+    return jt.decode(data).to_rgb8()
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0**2 / mse)
+
+
+@pytest.mark.parametrize("subsampling", ["420", "444"])
+def test_roundtrip_psnr(lake_rgb, subsampling):
+    enc = encode_rgb(lake_rgb, 75, subsampling=subsampling)
+    rgb2 = jt.decode(enc).to_rgb8()
+    assert rgb2.shape == lake_rgb.shape
+    assert _psnr(rgb2, lake_rgb) > 30.0
+
+
+def test_pil_cross_validation(lake_rgb):
+    """Streams must decode identically in an independent decoder."""
+    from PIL import Image
+
+    enc = encode_rgb(lake_rgb, 75)
+    ours = jt.decode(enc).to_rgb8()
+    pil = np.asarray(Image.open(io.BytesIO(enc)).convert("RGB"))
+    # Different IDCT/upsampling implementations: allow small deviation
+    assert _psnr(ours, pil) > 40.0
+
+
+def test_optimize_coding_smaller(lake_rgb):
+    fixed = encode_rgb(lake_rgb, 75, optimize_coding=False)
+    optimized = encode_rgb(lake_rgb, 75, optimize_coding=True)
+    assert len(optimized) < len(fixed)
+    # both decode to the identical pixels (same coefficients)
+    np.testing.assert_array_equal(
+        jt.decode(fixed).to_uint16_extended(), jt.decode(optimized).to_uint16_extended()
+    )
+
+
+def test_gray_roundtrip(assets_dir):
+    data = (assets_dir / "baseline/cramps.jpg").read_bytes()
+    gray = jt.decode(data).to_uint8()[..., 0]
+    enc = encode_gray(gray, 90, optimize_coding=True)
+    out = jt.decode(enc).to_uint8()[..., 0]
+    assert _psnr(out, gray) > 45.0
+
+
+def test_quality_scaling_monotonic(lake_rgb):
+    sizes = [len(encode_rgb(lake_rgb, q)) for q in (25, 50, 75, 95)]
+    assert sizes == sorted(sizes)
+
+
+def test_package_merge_optimal():
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        freqs = np.zeros(256, dtype=np.int64)
+        n = int(rng.integers(2, 200))
+        idx = rng.choice(256, n, replace=False)
+        freqs[idx] = rng.zipf(1.5, n)
+        std = _standard_lengths(freqs)
+        pm = _package_merge_lengths(freqs)
+        cost_std = sum(int(freqs[s]) * l for s, l in std.items())
+        cost_pm = sum(int(freqs[s]) * l for s, l in pm.items())
+        assert cost_pm <= cost_std
+        assert max(pm.values()) <= 16
+        assert sum(2.0 ** -l for l in pm.values()) < 1.0  # all-ones reserved
+
+
+def test_jax_encode_matches_numpy(lake_rgb):
+    """The device (XLA:CPU) transform produces a decodable stream whose
+    pixels match the numpy-path stream."""
+    import jax.numpy as jnp
+
+    a = encode_rgb(lake_rgb[:128, :128], 75)
+    b = encode_rgb(lake_rgb[:128, :128], 75, xp=jnp)
+    np.testing.assert_array_equal(
+        jt.decode(a).to_uint16_extended(), jt.decode(b).to_uint16_extended()
+    )
