@@ -114,6 +114,39 @@ class DecodeResult:
         )
         return tuple(jnp.asarray(c) for c in coeffs), quants
 
+    def to_rgb8_device(self, *, sparse: bool = True):
+        """Decode to device-resident RGB (the serving path: output stays
+        in HBM for a downstream TPU consumer). With ``sparse``, only the
+        nonzero coefficients ship to the device (scatter-add densify),
+        cutting host->device bytes ~4x on typical quality levels."""
+        if self.coefficients is None:
+            raise ValueError("lossless results have no device transform stage")
+        from ..ops.pipeline import (
+            jitted_transform,
+            jitted_transform_delta,
+            jitted_transform_packed,
+            pack_sparse,
+        )
+
+        if sparse:
+            quants = np.stack(
+                [self.quant[c.component_index] for c in self.geometry.components]
+            ).astype(np.int32)
+            planes = [
+                self.coefficients[c.component_index] for c in self.geometry.components
+            ]
+            try:
+                from ..native import scanner as native_scanner
+
+                packed = native_scanner.pack_sparse(planes)
+                # numpy args: the transfer rides the single jit dispatch
+                return jitted_transform_delta(self.geometry, "rgb8")(packed, quants)
+            except ImportError:
+                packed = pack_sparse(self.coefficients, self.geometry)
+                return jitted_transform_packed(self.geometry, "rgb8")(packed, quants)
+        coeffs, quants = self._device_inputs()
+        return jitted_transform(self.geometry, "rgb8")(coeffs, quants)
+
     def to_rgb8(self) -> np.ndarray:
         """[H, W, 3] uint8 RGB via the fused jitted device pipeline
         (clamp writer + fixed-point YCbCr->RGB, grayscale Cb=Cr=128)."""

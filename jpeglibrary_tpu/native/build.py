@@ -79,3 +79,8 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, plane_wb
         c.c_int32,                       # n_threads
     ]
+    lib.jpx_pack_sparse.restype = c.c_int64
+    lib.jpx_pack_sparse.argtypes = [
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int64), c.c_int32,  # planes
+        c.c_void_p, c.c_int64,           # out, capacity
+    ]

@@ -39,7 +39,8 @@ def default_threads() -> int:
     env = os.environ.get("JPX_SCAN_THREADS")
     if env:
         return int(env)
-    return os.cpu_count() or 1
+    # Leave headroom for the JAX runtime/transfer threads.
+    return max(1, (os.cpu_count() or 2) - 2)
 
 
 def decode_baseline_scan(
@@ -117,3 +118,34 @@ def decode_baseline_scan(
     if rc != 0:
         raise JpegDecodeError(f"native scanner error {rc}")
     return True
+
+
+def pack_sparse(planes: Sequence[np.ndarray], *, bucket_factor: float = 1.15) -> np.ndarray:
+    """Pack dense int16 coefficient planes into interleaved
+    (delta uint16, value int16) entries — the 4-byte sparse wire format
+    the device unpacks with cumsum + scatter-add. Returns int16 [n, 2]
+    (bucket-padded with (0, 0) no-op entries)."""
+    lib = build.load_library()
+    n = len(planes)
+    ptrs = (ctypes.c_void_p * n)()
+    sizes = (ctypes.c_int64 * n)()
+    keepalive = []
+    total = 0
+    for i, p in enumerate(planes):
+        flat = np.ascontiguousarray(p).reshape(-1)
+        keepalive.append(flat)
+        ptrs[i] = flat.ctypes.data_as(ctypes.c_void_p)
+        sizes[i] = flat.shape[0]
+        total += flat.shape[0]
+    cap = total + 1024  # worst case: every coefficient nonzero
+    out = np.empty((cap, 2), dtype=np.int16)
+    written = lib.jpx_pack_sparse(ptrs, sizes, n, out.ctypes.data_as(ctypes.c_void_p), cap)
+    if written < 0:
+        raise RuntimeError("sparse pack capacity exceeded")
+    n_entries = int(written)
+    bucket = 1024
+    while bucket < n_entries:
+        bucket = (int(bucket * bucket_factor) + 1023) & ~1023
+    packed = np.zeros((bucket, 2), dtype=np.int16)
+    packed[:n_entries] = out[:n_entries]
+    return packed

@@ -22,16 +22,41 @@ from . import color as color_ops
 from . import decode_stage
 
 
+def _use_pallas() -> bool:
+    """Use the fused Pallas kernel on TPU (override with JPX_PALLAS=0/1)."""
+    import os
+
+    env = os.environ.get("JPX_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "")
+    try:
+        import jax
+
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def _transform_planes(coeffs: Tuple, quants: Tuple, geometry: FrameGeometry, xp):
     """Per-component: zig-zag coeffs [Hb,Wb,64] -> cropped int32 plane [H,W]."""
+    use_pallas = xp is not np and _use_pallas()
     planes = []
     for cg, cz, qz in zip(geometry.components, coeffs, quants):
-        planes.append(
-            decode_stage.component_plane(
+        if use_pallas:
+            from . import pallas_kernels
+
+            samples = pallas_kernels.dequantize_idct_shift_pallas(
+                cz, qz, geometry.level_shift
+            )
+            plane = decode_stage.blocks_to_plane(samples, xp=xp)
+            plane = decode_stage.upsample_duplicate(plane, cg.hs, cg.vs, xp=xp)
+            plane = plane[: geometry.height, : geometry.width]
+        else:
+            plane = decode_stage.component_plane(
                 cz, qz, geometry.level_shift, cg.hs, cg.vs,
                 geometry.height, geometry.width, xp=xp,
             )
-        )
+        planes.append(plane)
     return tuple(planes)
 
 
@@ -62,6 +87,98 @@ def transform_to_u16(coeffs: Tuple, quants: Tuple, geometry: FrameGeometry, xp=n
     planes = _transform_planes(coeffs, quants, geometry, xp)
     ext = [decode_stage.extend_to_uint16(p, geometry.precision, xp=xp) for p in planes]
     return xp.stack(ext, axis=-1)
+
+
+def pack_sparse(coefficients, geometry: FrameGeometry, *, bucket_factor: float = 1.15) -> np.ndarray:
+    """All components' nonzero coefficients packed into ONE [n, 2]
+    int32 array of (global flat index, value) — a single host->device
+    transfer per image (each transfer over a remote-attached chip costs
+    ~30 ms of round-trip latency regardless of size, so fewer, larger
+    transfers win). Bucketed zero padding keeps shapes stable
+    (scatter-ADD of 0 at index 0 is a no-op)."""
+    idx_parts = []
+    val_parts = []
+    base = 0
+    for cg in geometry.components:
+        flat = coefficients[cg.component_index].reshape(-1)
+        idx = np.flatnonzero(flat)
+        idx_parts.append(idx + base)
+        val_parts.append(flat[idx])
+        base += flat.shape[0]
+    idx_all = np.concatenate(idx_parts)
+    val_all = np.concatenate(val_parts)
+    n = len(idx_all)
+    bucket = 1024
+    while bucket < n:
+        bucket = (int(bucket * bucket_factor) + 1023) & ~1023
+    packed = np.zeros((bucket, 2), dtype=np.int32)
+    packed[:n, 0] = idx_all
+    packed[:n, 1] = val_all
+    return packed
+
+
+@functools.lru_cache(maxsize=64)
+def jitted_transform_delta(geometry: FrameGeometry, output: str = "rgb8"):
+    """Compiled transform taking the native 4-byte sparse wire format:
+    int16 [n, 2] of (delta uint16, value int16) entries in
+    concatenated-plane flat order (native scanner.pack_sparse).
+    Reconstruction is a cumsum over the deltas + one scatter-add;
+    escape entries (delta 0xFFFF, value 0) and (0, 0) padding add zero.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    shapes = [
+        (c.blocks_per_column, c.blocks_per_line, 64) for c in geometry.components
+    ]
+    sizes = [s[0] * s[1] * s[2] for s in shapes]
+    total = sum(sizes)
+
+    def fn(packed, quants_stacked):
+        deltas = packed[:, 0].astype(jnp.int32) & 0xFFFF  # uint16 bits
+        vals = packed[:, 1].astype(jnp.int32)
+        pos = jnp.cumsum(deltas) - 1  # the packer starts from index -1
+        dense = jnp.zeros((total,), dtype=jnp.int32).at[pos].add(vals)
+        coeffs = []
+        off = 0
+        for shape, size in zip(shapes, sizes):
+            coeffs.append(jax.lax.dynamic_slice_in_dim(dense, off, size).reshape(shape))
+            off += size
+        quants = tuple(quants_stacked[i] for i in range(len(shapes)))
+        if output == "rgb8":
+            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp)
+        return transform_to_u16(tuple(coeffs), quants, geometry, xp=jnp)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def jitted_transform_packed(geometry: FrameGeometry, output: str = "rgb8"):
+    """Compiled transform taking the single packed sparse array;
+    densification is a device scatter-add. jax.jit re-specializes per
+    bucket size."""
+    import jax
+    import jax.numpy as jnp
+
+    shapes = [
+        (c.blocks_per_column, c.blocks_per_line, 64) for c in geometry.components
+    ]
+    sizes = [s[0] * s[1] * s[2] for s in shapes]
+    total = sum(sizes)
+
+    def fn(packed, quants_stacked):
+        dense = jnp.zeros((total,), dtype=jnp.int32).at[packed[:, 0]].add(packed[:, 1])
+        coeffs = []
+        off = 0
+        for shape, size in zip(shapes, sizes):
+            coeffs.append(jax.lax.dynamic_slice_in_dim(dense, off, size).reshape(shape))
+            off += size
+        quants = tuple(quants_stacked[i] for i in range(len(shapes)))
+        if output == "rgb8":
+            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp)
+        return transform_to_u16(tuple(coeffs), quants, geometry, xp=jnp)
+
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=64)

@@ -1,0 +1,110 @@
+"""Batched multi-image decode pipeline.
+
+The serving-oriented decode path: many JPEGs -> host entropy scan
+(threaded native scanner, restart-segment parallel) -> grouped by frame
+geometry -> ONE stacked device transform per group (vmapped fused
+pipeline) -> RGB batch.
+
+This is where the per-image host/device round trips of the single-image
+API amortize away; it is also the unit that shards across a mesh
+(axis ``data``) for multi-chip/multi-host scaling (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..models.decoder import DecodeResult, JpegDecoder
+
+
+def scan_images(datas: Sequence[bytes], *, max_workers: Optional[int] = None) -> List[DecodeResult]:
+    """Host stage: parse + entropy-decode each image (no transform)."""
+    def one(data: bytes) -> DecodeResult:
+        dec = JpegDecoder()
+        dec.set_input(data)
+        return dec.decode()
+
+    if len(datas) == 1:
+        return [one(datas[0])]
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(one, datas))
+
+
+def _group_key(r: DecodeResult):
+    return r.geometry
+
+
+def decode_batch_rgb(
+    datas: Sequence[bytes],
+    *,
+    mesh=None,
+    max_workers: Optional[int] = None,
+) -> List[np.ndarray]:
+    """Decode a batch of JPEGs to RGB uint8 arrays.
+
+    Images with identical geometry transform in one stacked jitted
+    call; with a mesh, the batch dimension shards over axis ``data``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pipeline import transform_to_rgb8
+
+    results = scan_images(datas, max_workers=max_workers)
+
+    groups: Dict[object, List[int]] = {}
+    for i, r in enumerate(results):
+        groups.setdefault(_group_key(r), []).append(i)
+
+    out: List[Optional[np.ndarray]] = [None] * len(results)
+    for geometry, indices in groups.items():
+        batch = [results[i] for i in indices]
+        if batch[0].coefficients is None:
+            # lossless: no device transform stage; host path per image
+            for i in indices:
+                out[i] = results[i].to_rgb8()
+            continue
+        coeffs = tuple(
+            jnp.asarray(
+                np.stack([r.coefficients[c.component_index] for r in batch])
+            )
+            for c in geometry.components
+        )
+        quants = tuple(
+            jnp.asarray(batch[0].quant[c.component_index], dtype=jnp.int32)
+            for c in geometry.components
+        )
+        fn = _batched_transform(geometry)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(mesh, P("data"))
+            coeffs = tuple(jax.device_put(c, sharding) for c in coeffs)
+        rgb = np.asarray(fn(coeffs, quants))
+        for j, i in enumerate(indices):
+            out[i] = rgb[j]
+    return out
+
+
+_TRANSFORM_CACHE: Dict[object, object] = {}
+
+
+def _batched_transform(geometry):
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pipeline import transform_to_rgb8
+
+    fn = _TRANSFORM_CACHE.get(geometry)
+    if fn is None:
+        fn = jax.jit(
+            jax.vmap(
+                lambda cs, qs: transform_to_rgb8(cs, qs, geometry, xp=jnp),
+                in_axes=(0, None),
+            )
+        )
+        _TRANSFORM_CACHE[geometry] = fn
+    return fn

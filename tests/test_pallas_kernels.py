@@ -1,0 +1,111 @@
+"""Pallas fused-kernel tests (interpreter mode on the CPU test
+platform; the real-TPU path is exercised by bench.py and covered by the
+same code).
+
+The interpreter executes via XLA:CPU, which contracts mul+add chains
+into FMAs, so float32 results may drift by 1 ulp pre-rounding — hence
+the |diff| <= 1 tolerance here. On TPU hardware the kernel matches the
+numpy reference bit-for-bit (no contraction observed on axon runs).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from jpeglibrary_tpu.ops import decode_stage
+from jpeglibrary_tpu.ops.pallas_kernels import dequantize_idct_shift_pallas
+
+
+@pytest.mark.parametrize("n_blocks", [1, 64, 513])
+def test_fused_kernel_matches_reference(n_blocks):
+    rng = np.random.default_rng(5)
+    coeffs = rng.integers(-1024, 1024, size=(n_blocks, 64)).astype(np.int16)
+    quant = rng.integers(1, 255, size=64).astype(np.int32)
+    ref = decode_stage.dequantize_idct_shift(coeffs, quant, 128)
+    out = np.asarray(
+        dequantize_idct_shift_pallas(
+            jnp.asarray(coeffs), jnp.asarray(quant), 128, interpret=True
+        )
+    )
+    assert out.shape == ref.shape
+    assert np.abs(out.astype(np.int64) - ref.astype(np.int64)).max() <= 1
+
+
+def test_fused_kernel_plane_shape():
+    rng = np.random.default_rng(6)
+    coeffs = rng.integers(-64, 64, size=(12, 10, 64)).astype(np.int16)
+    quant = np.full(64, 16, dtype=np.int32)
+    out = np.asarray(
+        dequantize_idct_shift_pallas(
+            jnp.asarray(coeffs), jnp.asarray(quant), 128, interpret=True
+        )
+    )
+    assert out.shape == (12, 10, 8, 8)
+
+
+def test_device_sparse_paths_match_dense(assets_dir):
+    """Both sparse wire formats (native delta-packed and numpy
+    index-packed) must reproduce the dense transform exactly."""
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.ops.pipeline import (
+        jitted_transform_packed,
+        pack_sparse,
+    )
+
+    data = (assets_dir / "baseline/lake.jpg").read_bytes()
+    r = jt.decode(data)
+    dense = r.to_rgb8()
+    # default device path (native delta packing when available)
+    np.testing.assert_array_equal(np.asarray(r.to_rgb8_device(sparse=True)), dense)
+    np.testing.assert_array_equal(np.asarray(r.to_rgb8_device(sparse=False)), dense)
+    # numpy fallback packed path
+    quants = np.stack(
+        [r.quant[c.component_index] for c in r.geometry.components]
+    ).astype(np.int32)
+    packed = pack_sparse(r.coefficients, r.geometry)
+    out = jitted_transform_packed(r.geometry, "rgb8")(packed, quants)
+    np.testing.assert_array_equal(np.asarray(out), dense)
+
+
+def test_native_pack_sparse_roundtrip(assets_dir):
+    """The native 4-byte delta format reconstructs the exact planes."""
+    pytest.importorskip("jpeglibrary_tpu.native.build")
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.native import build as nbuild
+
+    try:
+        nbuild.load_library()
+    except ImportError:
+        pytest.skip("native library unavailable")
+    from jpeglibrary_tpu.native.scanner import pack_sparse as native_pack
+
+    data = (assets_dir / "baseline/lake.jpg").read_bytes()
+    r = jt.decode(data)
+    planes = [r.coefficients[c.component_index] for c in r.geometry.components]
+    packed = native_pack(planes)
+    # host reconstruction
+    deltas = packed[:, 0].astype(np.int64) & 0xFFFF
+    vals = packed[:, 1].astype(np.int64)
+    pos = np.cumsum(deltas) - 1
+    total = sum(p.size for p in planes)
+    dense = np.zeros(total, dtype=np.int64)
+    np.add.at(dense, pos, vals)
+    expected = np.concatenate([p.reshape(-1).astype(np.int64) for p in planes])
+    np.testing.assert_array_equal(dense, expected)
+
+
+def test_batch_decode_rgb(assets_dir):
+    """decode_batch_rgb groups same-geometry images into one stacked
+    transform and matches the per-image path."""
+    from jpeglibrary_tpu.parallel.batch import decode_batch_rgb
+    import jpeglibrary_tpu as jt
+
+    lake = (assets_dir / "baseline/lake.jpg").read_bytes()
+    cramps = (assets_dir / "baseline/cramps.jpg").read_bytes()
+    out = decode_batch_rgb([lake, cramps, lake])
+    single_lake = jt.decode(lake).to_rgb8()
+    single_cramps = jt.decode(cramps).to_rgb8()
+    np.testing.assert_array_equal(out[0], single_lake)
+    np.testing.assert_array_equal(out[1], single_cramps)
+    np.testing.assert_array_equal(out[2], single_lake)
