@@ -361,17 +361,34 @@ class JpegDecoder:
                 scan = next(scan_iter)
                 scan_header = ScanHeader.parse(seg.payload(data))
                 if sof_marker == Marker.SOF3:
-                    from .lossless import decode_lossless_scan
+                    decoded_native = False
+                    if use_native:
+                        try:
+                            from ..native import scanner as native_scanner
 
-                    decode_lossless_scan(
-                        data,
-                        scan.spans,
-                        frame,
-                        scan_header,
-                        self._dc_tables,
-                        self._restart_interval,
-                        sample_planes,
-                    )
+                            decoded_native = native_scanner.decode_lossless_scan(
+                                data,
+                                scan.spans,
+                                frame,
+                                scan_header,
+                                self._dc_tables,
+                                self._restart_interval,
+                                sample_planes,
+                            )
+                        except ImportError:
+                            decoded_native = False
+                    if not decoded_native:
+                        from .lossless import decode_lossless_scan
+
+                        decode_lossless_scan(
+                            data,
+                            scan.spans,
+                            frame,
+                            scan_header,
+                            self._dc_tables,
+                            self._restart_interval,
+                            sample_planes,
+                        )
                 else:
                     self._decode_scan(
                         data,
@@ -432,39 +449,78 @@ class JpegDecoder:
         if sof_marker in (Marker.SOF9, Marker.SOF10):
             from . import arithmetic
 
-            if self._arithmetic_state is None:
-                self._arithmetic_state = arithmetic.ArithmeticDecoder()
-            fn = (
-                arithmetic.decode_sequential_scan
-                if sof_marker == Marker.SOF9
-                else arithmetic.decode_progressive_scan
-            )
-            fn(
-                data,
-                scan.spans,
-                frame,
-                scan_header,
-                self._dac_dc,
-                self._dac_ac,
-                self._arithmetic_state,
-                self._restart_interval,
-                coefficient_planes,
-                geometry,
-            )
-        elif sof_marker == Marker.SOF2:
-            from . import huffman_progressive
+            decoded_native = False
+            if use_native:
+                try:
+                    from ..native import scanner as native_scanner
 
-            huffman_progressive.decode_progressive_scan(
-                data,
-                scan.spans,
-                frame,
-                scan_header,
-                self._dc_tables,
-                self._ac_tables,
-                self._restart_interval,
-                coefficient_planes,
-                geometry,
-            )
+                    decoded_native = native_scanner.decode_arithmetic_scan(
+                        data,
+                        scan.spans,
+                        frame,
+                        scan_header,
+                        self._dac_dc,
+                        self._dac_ac,
+                        self._restart_interval,
+                        coefficient_planes,
+                        geometry,
+                        progressive=sof_marker == Marker.SOF10,
+                    )
+                except ImportError:
+                    decoded_native = False
+            if not decoded_native:
+                if self._arithmetic_state is None:
+                    self._arithmetic_state = arithmetic.ArithmeticDecoder()
+                fn = (
+                    arithmetic.decode_sequential_scan
+                    if sof_marker == Marker.SOF9
+                    else arithmetic.decode_progressive_scan
+                )
+                fn(
+                    data,
+                    scan.spans,
+                    frame,
+                    scan_header,
+                    self._dac_dc,
+                    self._dac_ac,
+                    self._arithmetic_state,
+                    self._restart_interval,
+                    coefficient_planes,
+                    geometry,
+                )
+        elif sof_marker == Marker.SOF2:
+            decoded_native = False
+            if use_native:
+                try:
+                    from ..native import scanner as native_scanner
+
+                    decoded_native = native_scanner.decode_progressive_scan(
+                        data,
+                        scan.spans,
+                        frame,
+                        scan_header,
+                        self._dc_tables,
+                        self._ac_tables,
+                        self._restart_interval,
+                        coefficient_planes,
+                        geometry,
+                    )
+                except ImportError:
+                    decoded_native = False
+            if not decoded_native:
+                from . import huffman_progressive
+
+                huffman_progressive.decode_progressive_scan(
+                    data,
+                    scan.spans,
+                    frame,
+                    scan_header,
+                    self._dc_tables,
+                    self._ac_tables,
+                    self._restart_interval,
+                    coefficient_planes,
+                    geometry,
+                )
         elif sof_marker in (Marker.SOF0, Marker.SOF1):
             decoded_native = False
             if use_native:

@@ -79,7 +79,53 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, plane_wb
         c.c_int32,                       # n_threads
     ]
-    lib.jpx_pack_sparse.restype = c.c_int64
+    lib.jpx_decode_progressive_scan.restype = c.c_int32
+    lib.jpx_decode_progressive_scan.argtypes = [
+        c.c_void_p,
+        c.POINTER(c.c_int64), c.POINTER(c.c_int64), c.c_int32,  # spans
+        c.c_int64,                       # restart_interval
+        c.c_int64, c.c_int64, c.c_int64, # total_units, mcus_per_line, hbc
+        c.c_int32,                       # n_comps
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # comp_h, comp_v
+        c.c_void_p, c.c_void_p,          # dc_blob, ac_blob
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, plane_wb
+        c.c_int32, c.c_int32, c.c_int32, c.c_int32,   # ss, se, ah, al
+        c.c_int32,                       # n_threads
+    ]
+    lib.jpx_decode_lossless_scan.restype = c.c_int32
+    lib.jpx_decode_lossless_scan.argtypes = [
+        c.c_void_p,
+        c.POINTER(c.c_int64), c.POINTER(c.c_int64), c.c_int32,  # spans
+        c.c_int64,                       # restart_interval
+        c.c_int64, c.c_int64,            # mcus per line / column
+        c.c_int32,                       # n_comps
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # comp_h, comp_v
+        c.c_void_p,                      # table_blob
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, widths
+        c.c_int32, c.c_int32,            # predictor_sel, initial_prediction
+    ]
+    lib.jpx_decode_arithmetic_scan.restype = c.c_int32
+    lib.jpx_decode_arithmetic_scan.argtypes = [
+        c.c_void_p,
+        c.POINTER(c.c_int64), c.POINTER(c.c_int64), c.c_int32,  # spans
+        c.c_int64,                       # restart_interval
+        c.c_int64, c.c_int64, c.c_int64, # total_units, mcus_per_line, hbc
+        c.c_int32,                       # n_comps
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # comp_h, comp_v
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # dc_ids, ac_ids
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # dc_l, dc_u, ac_kx
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, plane_wb
+        c.c_int32,                       # progressive
+        c.c_int32, c.c_int32, c.c_int32, c.c_int32,   # ss, se, ah, al
+        c.c_int32,                       # n_threads
+    ]
+    lib.jpx_set_qe_table.restype = None
+    lib.jpx_set_qe_table.argtypes = [c.POINTER(c.c_int32)]
+    from ..models.arithmetic import QE_TABLE
+
+    qe = (c.c_int32 * 114)(*[v - 0x100000000 if v >= 0x80000000 else v for v in QE_TABLE])
+    lib.jpx_set_qe_table(qe)
+    lib._qe_keepalive = qe
     lib.jpx_pack_sparse.argtypes = [
         c.POINTER(c.c_void_p), c.POINTER(c.c_int64), c.c_int32,  # planes
         c.c_void_p, c.c_int64,           # out, capacity

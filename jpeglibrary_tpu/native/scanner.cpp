@@ -371,3 +371,888 @@ int64_t jpx_pack_sparse(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Progressive (SOF2) Huffman scan decode
+// ---------------------------------------------------------------------------
+//
+// Mirrors jpeglibrary_tpu/models/huffman_progressive.py (itself parity
+// with JpegHuffmanProgressiveScanDecoder.cs:57-419): DC first/refine,
+// AC first with EOB runs, AC refinement. Restart segments decode in
+// parallel (each starts with fresh predictors and eobrun = 0).
+
+namespace {
+
+struct ScanParams {
+    int ss, se, ah, al;
+};
+
+// DC first/refine for one block; predictor updated. Returns 0 ok,
+// 1 premature end, 2 invalid code.
+static inline int read_block_prog_dc(BitReader& br, const HuffTable* dc,
+                                     const ScanParams& sp, int32_t& predictor,
+                                     int16_t* block) {
+    if (sp.ah == 0) {
+        int s = decode_huffman(br, dc);
+        if (s < 0) return 2;
+        int err = 0;
+        if (s != 0) {
+            s = receive_extend(br, s, &err);
+            if (err) return 1;
+        }
+        s += predictor;
+        predictor = s;
+        block[0] = (int16_t)(s << sp.al);
+    } else {
+        int32_t bit = br.read(1);
+        if (bit < 0) return 1;
+        block[0] = (int16_t)(block[0] | (bit << sp.al));
+    }
+    return 0;
+}
+
+// AC first scan for one block; eobrun updated.
+static inline int read_block_prog_ac(BitReader& br, const HuffTable* ac,
+                                     const ScanParams& sp, int64_t& eobrun,
+                                     int16_t* block) {
+    if (eobrun != 0) {
+        --eobrun;
+        return 0;
+    }
+    int err = 0;
+    int i = sp.ss;
+    while (i <= sp.se) {
+        int s = decode_huffman(br, ac);
+        if (s < 0) return 2;
+        int r = s >> 4;
+        s &= 15;
+        i += r;
+        if (s != 0) {
+            int32_t v = receive_extend(br, s, &err);
+            if (err) return 1;
+            block[i < 63 ? i : 63] = (int16_t)(v << sp.al);
+        } else {
+            if (r != 15) {
+                eobrun = (int64_t)1 << r;
+                if (r != 0) {
+                    int32_t bits = br.read(r);
+                    if (bits < 0) return 1;
+                    eobrun += bits;
+                }
+                --eobrun;
+                break;
+            }
+        }
+        ++i;
+    }
+    return 0;
+}
+
+// AC refinement (JpegHuffmanProgressiveScanDecoder.cs:313-419 incl. the
+// coef >= 0 vs coef > 0 asymmetry).
+static inline int read_block_prog_ac_refined(BitReader& br, const HuffTable* ac,
+                                             const ScanParams& sp, int64_t& eobrun,
+                                             int16_t* block) {
+    int start = sp.ss, end = sp.se;
+    int p1 = 1 << sp.al;
+    int m1 = -1 << sp.al;
+    int k = start;
+
+    if (eobrun == 0) {
+        while (k <= end) {
+            int s = decode_huffman(br, ac);
+            if (s < 0) return 2;
+            int r = s >> 4;
+            s &= 15;
+            if (s != 0) {
+                int32_t bit = br.read(1);
+                if (bit < 0) return 1;
+                s = bit != 0 ? p1 : m1;
+            } else {
+                if (r != 15) {
+                    eobrun = (int64_t)1 << r;
+                    if (r != 0) {
+                        int32_t bits = br.read(r);
+                        if (bits < 0) return 1;
+                        eobrun += bits;
+                    }
+                    break;
+                }
+            }
+
+            while (k <= end) {
+                int coef = block[k];
+                if (coef != 0) {
+                    int32_t bit = br.read(1);
+                    if (bit < 0) return 1;
+                    if (bit != 0 && (coef & p1) == 0) {
+                        block[k] = (int16_t)(coef + (coef >= 0 ? p1 : m1));
+                    }
+                } else {
+                    if (--r < 0) break;
+                }
+                ++k;
+            }
+
+            if (s != 0 && k < 64) {
+                block[k] = (int16_t)s;
+            }
+            ++k;
+        }
+    }
+
+    if (eobrun > 0) {
+        for (; k <= end; ++k) {
+            int coef = block[k];
+            if (coef != 0) {
+                int32_t bit = br.read(1);
+                if (bit < 0) return 1;
+                if (bit != 0 && (coef & p1) == 0) {
+                    block[k] = (int16_t)(coef + (coef > 0 ? p1 : m1));
+                }
+            }
+        }
+        --eobrun;
+    }
+    return 0;
+}
+
+struct ProgSpanTask {
+    const uint8_t* data;
+    int64_t len;
+    int64_t first_unit;  // MCU index (interleaved) or block index (non-interleaved)
+    int64_t n_units;
+};
+
+// One progressive span: interleaved DC walk over the frame MCU grid.
+static int prog_decode_span_interleaved(const ProgSpanTask& task, Component* comps,
+                                        int n_comps, const ScanParams& sp,
+                                        int64_t mcus_per_line) {
+    BitReader br;
+    br.init(task.data, task.len);
+    std::vector<int32_t> pred(n_comps, 0);
+    for (int64_t m = 0; m < task.n_units; ++m) {
+        int64_t mcu = task.first_unit + m;
+        int64_t row = mcu / mcus_per_line;
+        int64_t col = mcu % mcus_per_line;
+        for (int ci = 0; ci < n_comps; ++ci) {
+            Component& c = comps[ci];
+            for (int y = 0; y < c.v; ++y) {
+                int64_t by = row * c.v + y;
+                for (int x = 0; x < c.h; ++x) {
+                    int64_t bx = col * c.h + x;
+                    int rc = read_block_prog_dc(br, c.dc, sp, pred[ci],
+                                                c.plane + (by * c.wb + bx) * 64);
+                    if (rc) return rc;
+                }
+            }
+        }
+    }
+    return 0;
+}
+
+// One progressive span: non-interleaved walk over one component's grid.
+static int prog_decode_span_single(const ProgSpanTask& task, Component& c,
+                                   const ScanParams& sp, int64_t hbc) {
+    BitReader br;
+    br.init(task.data, task.len);
+    int32_t pred = 0;
+    int64_t eobrun = 0;
+    const bool is_dc = sp.ss == 0;
+    for (int64_t u = 0; u < task.n_units; ++u) {
+        int64_t unit = task.first_unit + u;
+        int64_t by = unit / hbc;
+        int64_t bx = unit % hbc;
+        int16_t* block = c.plane + (by * c.wb + bx) * 64;
+        int rc;
+        if (is_dc) {
+            rc = read_block_prog_dc(br, c.dc, sp, pred, block);
+        } else if (sp.ah == 0) {
+            rc = read_block_prog_ac(br, c.ac, sp, eobrun, block);
+        } else {
+            rc = read_block_prog_ac_refined(br, c.ac, sp, eobrun, block);
+        }
+        if (rc) return rc;
+    }
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one progressive scan. For interleaved scans (n_comps > 1),
+// units are MCUs on the frame grid; for single-component scans, units
+// are blocks on the component's own grid of width `hbc`.
+int jpx_decode_progressive_scan(
+    const uint8_t* data,
+    const int64_t* span_starts, const int64_t* span_ends, int32_t n_spans,
+    int64_t restart_interval,
+    int64_t total_units, int64_t mcus_per_line, int64_t hbc,
+    int32_t n_comps,
+    const int32_t* comp_h, const int32_t* comp_v,
+    const uint8_t* dc_blob, const uint8_t* ac_blob,
+    int16_t** planes, const int64_t* plane_wb,
+    int32_t ss, int32_t se, int32_t ah, int32_t al,
+    int32_t n_threads) {
+    if (n_comps <= 0 || n_spans <= 0) return 3;
+    ScanParams sp{ss, se, ah, al};
+
+    std::vector<Component> comps(n_comps);
+    for (int i = 0; i < n_comps; ++i) {
+        comps[i].h = comp_h[i];
+        comps[i].v = comp_v[i];
+        comps[i].dc = reinterpret_cast<const HuffTable*>(dc_blob) + i;
+        comps[i].ac = reinterpret_cast<const HuffTable*>(ac_blob) + i;
+        comps[i].plane = planes[i];
+        comps[i].wb = plane_wb[i];
+    }
+
+    std::vector<ProgSpanTask> tasks;
+    if (restart_interval <= 0) {
+        tasks.push_back({data + span_starts[0], span_ends[0] - span_starts[0], 0, total_units});
+    } else {
+        int64_t unit = 0;
+        for (int32_t s = 0; s < n_spans && unit < total_units; ++s) {
+            int64_t n = std::min<int64_t>(restart_interval, total_units - unit);
+            tasks.push_back({data + span_starts[s], span_ends[s] - span_starts[s], unit, n});
+            unit += n;
+        }
+    }
+
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+    n_threads = std::min<int32_t>(n_threads, (int32_t)tasks.size());
+
+    auto run_task = [&](const ProgSpanTask& t, std::vector<Component>& cv) -> int {
+        if (n_comps > 1) {
+            return prog_decode_span_interleaved(t, cv.data(), n_comps, sp, mcus_per_line);
+        }
+        return prog_decode_span_single(t, cv[0], sp, hbc);
+    };
+
+    if (n_threads <= 1) {
+        for (const auto& t : tasks) {
+            int rc = run_task(t, comps);
+            if (rc) return rc;
+        }
+        return 0;
+    }
+
+    std::vector<int> results(tasks.size(), 0);
+    std::vector<std::thread> pool;
+    std::vector<std::vector<Component>> copies(n_threads, comps);
+    for (int tid = 0; tid < n_threads; ++tid) {
+        pool.emplace_back([&, tid]() {
+            for (size_t k = tid; k < tasks.size(); k += n_threads) {
+                results[k] = run_task(tasks[k], copies[tid]);
+            }
+        });
+    }
+    for (auto& th : pool) th.join();
+    for (int rc : results)
+        if (rc) return rc;
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Lossless (SOF3) Huffman predictive decode
+// ---------------------------------------------------------------------------
+//
+// Mirrors jpeglibrary_tpu/models/lossless.py (parity with
+// JpegHuffmanLosslessScanDecoder.cs:52-223). The predictor chain makes
+// rows sequentially dependent, so spans decode sequentially — native
+// speed is the win here, not threading.
+
+namespace {
+
+static inline int predict_lossless(int sel, int ra, int rb, int rc) {
+    switch (sel) {
+        case 1: return ra;
+        case 2: return rb;
+        case 3: return rc;
+        case 4: return ra + rb - rc;
+        case 5: return ra + ((rb - rc) >> 1);
+        case 6: return rb + ((ra - rc) >> 1);
+        case 7: return (ra + rb) >> 1;
+        default: return 0;
+    }
+}
+
+struct LosslessComp {
+    int h, v;
+    const HuffTable* table;
+    int16_t* plane;   // [rows, width] int16 sample plane (padded grid)
+    int64_t width;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Decode a lossless frame's scan. Returns 0 ok, 1 premature end,
+// 2 invalid code, 3 bad args.
+int jpx_decode_lossless_scan(
+    const uint8_t* data,
+    const int64_t* span_starts, const int64_t* span_ends, int32_t n_spans,
+    int64_t restart_interval,
+    int64_t mcus_per_line, int64_t mcus_per_column,
+    int32_t n_comps,
+    const int32_t* comp_h, const int32_t* comp_v,
+    const uint8_t* table_blob,           // n_comps HuffTables (DC selectors)
+    int16_t** planes, const int64_t* plane_widths,
+    int32_t predictor_sel, int32_t initial_prediction) {
+    if (n_comps <= 0 || n_spans <= 0) return 3;
+
+    std::vector<LosslessComp> comps(n_comps);
+    for (int i = 0; i < n_comps; ++i) {
+        comps[i].h = comp_h[i];
+        comps[i].v = comp_v[i];
+        comps[i].table = reinterpret_cast<const HuffTable*>(table_blob) + i;
+        comps[i].plane = planes[i];
+        comps[i].width = plane_widths[i];
+    }
+
+    int span_idx = 0;
+    BitReader br;
+    br.init(data + span_starts[0], span_ends[0] - span_starts[0]);
+    int64_t mcus_before_restart = restart_interval;
+
+    for (int64_t row_mcu = 0; row_mcu < mcus_per_column; ++row_mcu) {
+        for (int64_t col_mcu = 0; col_mcu < mcus_per_line; ++col_mcu) {
+            bool at_restart_start =
+                restart_interval > 0 && mcus_before_restart == restart_interval;
+            for (int ci = 0; ci < n_comps; ++ci) {
+                LosslessComp& c = comps[ci];
+                int64_t offset_x = col_mcu * c.h;
+                int64_t offset_y = row_mcu * c.v;
+                for (int y = 0; y < c.v; ++y) {
+                    int64_t row = offset_y + y;
+                    int16_t* scanline = c.plane + row * c.width;
+                    const int16_t* lastline =
+                        (y == 0 && row_mcu == 0) ? nullptr : c.plane + (row - 1) * c.width;
+                    for (int x = 0; x < c.h; ++x) {
+                        // ReadSampleLossless (t==16 -> 32768)
+                        int t = decode_huffman(br, c.table);
+                        if (t < 0) return 2;
+                        int32_t diff;
+                        if (t == 16) {
+                            diff = 32768;
+                        } else if (t != 0) {
+                            int err = 0;
+                            diff = receive_extend(br, t, &err);
+                            if (err) return 1;
+                        } else {
+                            diff = 0;
+                        }
+                        int64_t cx = offset_x + x;
+                        if (row_mcu == 0 || at_restart_start) {
+                            if (col_mcu == 0 && x == 0) {
+                                diff += initial_prediction;
+                            } else {
+                                int ra = scanline[cx - 1];
+                                int rb = y == 0 ? initial_prediction : lastline[cx];
+                                int rc = y == 0 ? initial_prediction : lastline[cx - 1];
+                                diff += predict_lossless(predictor_sel, ra, rb, rc);
+                            }
+                        } else if (col_mcu == 0) {
+                            diff += lastline[cx];
+                        } else {
+                            int ra = scanline[cx - 1];
+                            int rb = lastline[cx];
+                            int rc = lastline[cx - 1];
+                            diff += predict_lossless(predictor_sel, ra, rb, rc);
+                        }
+                        scanline[cx] = (int16_t)diff;
+                    }
+                }
+            }
+
+            if (restart_interval > 0) {
+                if (--mcus_before_restart == 0) {
+                    ++span_idx;
+                    if (span_idx >= n_spans) return 0;  // tolerated truncation
+                    br.init(data + span_starts[span_idx],
+                            span_ends[span_idx] - span_starts[span_idx]);
+                    mcus_before_restart = restart_interval;
+                }
+            }
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Arithmetic-coded (SOF9/SOF10) scan decode
+// ---------------------------------------------------------------------------
+//
+// Mirrors jpeglibrary_tpu/models/arithmetic.py (parity with
+// JpegArithmeticScanDecoder.cs:117-324 and the sequential/progressive
+// subclasses): Annex D/F Qe probability state machine with adaptive
+// statistics bins, DC context conditioning (DcL/DcU), AC Kx
+// conditioning, progressive first/refinement scans with EOBx backscan.
+// Restart segments reset statistics + registers, so they decode in
+// parallel across threads.
+
+namespace {
+
+// The packed Qe table (Table D.3 + the fixed-0.5 bin) is supplied by
+// the Python wrapper from models/arithmetic.QE_TABLE so there is a
+// single source of truth for the 114 entries.
+static int32_t g_qe_table[114];
+
+
+struct ArithState {
+    int32_t c, a, ct;
+    uint8_t fixed_bin;
+
+    void reset() {
+        c = 0;
+        a = 0;
+        ct = -16;
+    }
+
+    // DecodeBinaryDecision (JpegArithmeticScanDecoder.cs:117-186).
+    inline int decode(BitReader& br, uint8_t* st) {
+        while (a < 0x8000) {
+            if (--ct < 0) {
+                int32_t data = br.read(8);
+                if (data < 0) data = 0;  // zero-pad past the end
+                c = (int32_t)(((uint32_t)c << 8) | (uint32_t)data);
+                if ((ct += 8) < 0) {
+                    if (++ct == 0) {
+                        a = 0x8000;
+                    }
+                }
+            }
+            a <<= 1;
+        }
+
+        int sv = *st;
+        int32_t qe = g_qe_table[sv & 0x7f];
+        uint8_t nl = (uint8_t)qe; qe >>= 8;
+        uint8_t nm = (uint8_t)qe; qe >>= 8;
+
+        int32_t temp = a - qe;
+        a = temp;
+        temp <<= ct;
+        if (c >= temp) {
+            c -= temp;
+            if (a < qe) {
+                a = qe;
+                *st = (uint8_t)((sv & 0x80) ^ nm);
+            } else {
+                a = qe;
+                *st = (uint8_t)((sv & 0x80) ^ nl);
+                sv ^= 0x80;
+            }
+        } else if (a < 0x8000) {
+            if (a < qe) {
+                *st = (uint8_t)((sv & 0x80) ^ nl);
+                sv ^= 0x80;
+            } else {
+                *st = (uint8_t)((sv & 0x80) ^ nm);
+            }
+        }
+        return sv >> 7;
+    }
+};
+
+struct ArithComp {
+    int h, v;
+    int dc_l, dc_u, ac_kx;       // conditioning (DAC)
+    bool has_dc, has_ac;
+    uint8_t* dc_stats;           // shared per table id (64 B)
+    uint8_t* ac_stats;           // shared per table id (256 B)
+    int32_t predictor;
+    int32_t dc_context;
+    int16_t* plane;
+    int64_t wb;
+};
+
+// DC difference decode, Figures F.19-F.24
+// (JpegArithmeticSequentialScanDecoder.cs:185-246). Returns 0/2.
+static inline int arith_decode_dc(ArithState& s, BitReader& br, ArithComp& c) {
+    uint8_t* st = c.dc_stats;
+    int base = c.dc_context;
+    if (s.decode(br, st + base) == 0) {
+        c.dc_context = 0;
+        return 0;
+    }
+    int sign = s.decode(br, st + base + 1);
+    int pos = base + 2 + sign;
+    int m = s.decode(br, st + pos);
+    if (m != 0) {
+        pos = 20;
+        while (s.decode(br, st + pos) != 0) {
+            m <<= 1;
+            if (m == 0x8000) return 2;
+            ++pos;
+        }
+    }
+    if (m < ((1 << c.dc_l) >> 1)) {
+        c.dc_context = 0;
+    } else if (m > ((1 << c.dc_u) >> 1)) {
+        c.dc_context = 12 + sign * 4;
+    } else {
+        c.dc_context = 4 + sign * 4;
+    }
+    int v = m;
+    pos += 14;
+    m >>= 1;
+    while (m != 0) {
+        if (s.decode(br, st + pos) != 0) v |= m;
+        m >>= 1;
+    }
+    v += 1;
+    if (sign != 0) v = -v;
+    c.predictor = (int16_t)(c.predictor + v);
+    return 0;
+}
+
+// Shared AC magnitude decode after the nonzero decision (F.21-F.24).
+static inline int arith_decode_ac_value(ArithState& s, BitReader& br, ArithComp& c,
+                                        uint8_t* st, int pos, int k, int* out) {
+    int sign = s.decode(br, &s.fixed_bin);
+    pos += 2;
+    int m = s.decode(br, st + pos);
+    if (m != 0) {
+        if (s.decode(br, st + pos) != 0) {
+            m <<= 1;
+            pos = k <= c.ac_kx ? 189 : 217;
+            while (s.decode(br, st + pos) != 0) {
+                m <<= 1;
+                if (m == 0x8000) return 2;
+                ++pos;
+            }
+        }
+    }
+    int v = m;
+    pos += 14;
+    m >>= 1;
+    while (m != 0) {
+        if (s.decode(br, st + pos) != 0) v |= m;
+        m >>= 1;
+    }
+    v += 1;
+    if (sign != 0) v = -v;
+    *out = v;
+    return 0;
+}
+
+// Sequential block (JpegArithmeticSequentialScanDecoder.cs:181-307).
+static inline int arith_read_block_sequential(ArithState& s, BitReader& br,
+                                              ArithComp& c, int16_t* block) {
+    std::memset(block, 0, 64 * sizeof(int16_t));
+    int rc = arith_decode_dc(s, br, c);
+    if (rc) return rc;
+    block[0] = (int16_t)c.predictor;
+
+    uint8_t* st = c.ac_stats;
+    int k = 1;
+    while (k <= 63) {
+        int pos = 3 * (k - 1);
+        if (s.decode(br, st + pos) != 0) break;  // EOB
+        while (s.decode(br, st + pos + 1) == 0) {
+            pos += 3;
+            ++k;
+            if (k > 63) return 2;
+        }
+        int v;
+        rc = arith_decode_ac_value(s, br, c, st, pos, k, &v);
+        if (rc) return rc;
+        block[k] = (int16_t)v;
+        ++k;
+    }
+    return 0;
+}
+
+// Progressive DC (JpegArithmeticProgressiveScanDecoder.cs:243-321).
+static inline int arith_read_block_prog_dc(ArithState& s, BitReader& br,
+                                           ArithComp& c, const ScanParams& sp,
+                                           int16_t* block) {
+    if (sp.ah == 0) {
+        int rc = arith_decode_dc(s, br, c);
+        if (rc) return rc;
+        block[0] = (int16_t)(c.predictor << sp.al);
+    } else {
+        int bit = s.decode(br, &s.fixed_bin);
+        block[0] = (int16_t)(block[0] | (bit << sp.al));
+    }
+    return 0;
+}
+
+// Progressive AC refined (:402-470).
+static inline int arith_read_block_prog_ac_refined(ArithState& s, BitReader& br,
+                                                   uint8_t* st_arr, const ScanParams& sp,
+                                                   int16_t* block) {
+    int start = sp.ss, end = sp.se;
+    int p1 = 1 << sp.al;
+    int m1 = -1 << sp.al;
+
+    int kex = end;
+    for (; kex > 0; --kex) {
+        if (block[kex] != 0) break;
+    }
+
+    for (int k = start; k <= end; ++k) {
+        int pos = 3 * (k - 1);
+        if (k > kex) {
+            if (s.decode(br, st_arr + pos) != 0) break;
+        }
+        while (true) {
+            int coef = block[k];
+            if (coef != 0) {
+                if (s.decode(br, st_arr + pos + 2) != 0) {
+                    block[k] = (int16_t)(coef + (coef < 0 ? m1 : p1));
+                }
+                break;
+            }
+            if (s.decode(br, st_arr + pos + 1) != 0) {
+                if (s.decode(br, &s.fixed_bin) != 0) {
+                    block[k] = (int16_t)(coef + m1);
+                } else {
+                    block[k] = (int16_t)(coef + p1);
+                }
+                break;
+            }
+            pos += 3;
+            ++k;
+            if (k > end) return 2;
+        }
+    }
+    return 0;
+}
+
+// Progressive AC first (:323-400).
+static inline int arith_read_block_prog_ac(ArithState& s, BitReader& br,
+                                           ArithComp& c, const ScanParams& sp,
+                                           int16_t* block) {
+    uint8_t* st = c.ac_stats;
+    if (sp.ah != 0) {
+        return arith_read_block_prog_ac_refined(s, br, st, sp, block);
+    }
+    int k = sp.ss;
+    while (k <= sp.se) {
+        int pos = 3 * (k - 1);
+        if (s.decode(br, st + pos) != 0) break;
+        while (s.decode(br, st + pos + 1) == 0) {
+            pos += 3;
+            ++k;
+            if (k > 63) return 2;
+        }
+        int v;
+        int rc = arith_decode_ac_value(s, br, c, st, pos, k, &v);
+        if (rc) return rc;
+        block[k] = (int16_t)(v << sp.al);
+        ++k;
+    }
+    return 0;
+}
+
+struct ArithStatsPool {
+    // one 64 B DC bin per dc table id, one 256 B AC bin per ac table id
+    uint8_t dc[16][64];
+    uint8_t ac[16][256];
+    void clear() { std::memset(this, 0, sizeof(*this)); }
+};
+
+struct ArithSpanTask {
+    const uint8_t* data;
+    int64_t len;
+    int64_t first_unit;
+    int64_t n_units;
+};
+
+// One span of a sequential (SOF9) scan: fresh stats + registers.
+static int arith_decode_span_sequential(const ArithSpanTask& task, ArithComp* comps,
+                                        const int32_t* dc_ids, const int32_t* ac_ids,
+                                        int n_comps, int64_t mcus_per_line) {
+    ArithStatsPool pool;
+    pool.clear();
+    ArithState s;
+    s.reset();
+    s.fixed_bin = 113;
+    std::vector<ArithComp> local(comps, comps + n_comps);
+    for (int i = 0; i < n_comps; ++i) {
+        local[i].predictor = 0;
+        local[i].dc_context = 0;
+        local[i].dc_stats = pool.dc[dc_ids[i] & 15];
+        local[i].ac_stats = pool.ac[ac_ids[i] & 15];
+    }
+    BitReader br;
+    br.init(task.data, task.len);
+    int16_t block[64];
+
+    for (int64_t m = 0; m < task.n_units; ++m) {
+        int64_t mcu = task.first_unit + m;
+        int64_t row = mcu / mcus_per_line;
+        int64_t col = mcu % mcus_per_line;
+        for (int ci = 0; ci < n_comps; ++ci) {
+            ArithComp& c = local[ci];
+            for (int y = 0; y < c.v; ++y) {
+                int64_t by = row * c.v + y;
+                for (int x = 0; x < c.h; ++x) {
+                    int64_t bx = col * c.h + x;
+                    int rc = arith_read_block_sequential(s, br, c, block);
+                    if (rc) return rc;
+                    std::memcpy(c.plane + (by * c.wb + bx) * 64, block,
+                                64 * sizeof(int16_t));
+                }
+            }
+        }
+    }
+    return 0;
+}
+
+// One span of a progressive (SOF10) scan.
+static int arith_decode_span_progressive(const ArithSpanTask& task, ArithComp* comps,
+                                         const int32_t* dc_ids, const int32_t* ac_ids,
+                                         int n_comps, const ScanParams& sp,
+                                         int64_t mcus_per_line, int64_t hbc) {
+    ArithStatsPool pool;
+    pool.clear();
+    ArithState s;
+    s.reset();
+    s.fixed_bin = 113;
+    std::vector<ArithComp> local(comps, comps + n_comps);
+    for (int i = 0; i < n_comps; ++i) {
+        local[i].predictor = 0;
+        local[i].dc_context = 0;
+        local[i].dc_stats = pool.dc[dc_ids[i] & 15];
+        local[i].ac_stats = pool.ac[ac_ids[i] & 15];
+    }
+    BitReader br;
+    br.init(task.data, task.len);
+
+    if (n_comps > 1) {
+        for (int64_t m = 0; m < task.n_units; ++m) {
+            int64_t mcu = task.first_unit + m;
+            int64_t row = mcu / mcus_per_line;
+            int64_t col = mcu % mcus_per_line;
+            for (int ci = 0; ci < n_comps; ++ci) {
+                ArithComp& c = local[ci];
+                for (int y = 0; y < c.v; ++y) {
+                    int64_t by = row * c.v + y;
+                    for (int x = 0; x < c.h; ++x) {
+                        int64_t bx = col * c.h + x;
+                        int rc = arith_read_block_prog_dc(
+                            s, br, c, sp, c.plane + (by * c.wb + bx) * 64);
+                        if (rc) return rc;
+                    }
+                }
+            }
+        }
+        return 0;
+    }
+
+    ArithComp& c = local[0];
+    const bool is_dc = sp.ss == 0;
+    for (int64_t u = 0; u < task.n_units; ++u) {
+        int64_t unit = task.first_unit + u;
+        int64_t by = unit / hbc;
+        int64_t bx = unit % hbc;
+        int16_t* block = c.plane + (by * c.wb + bx) * 64;
+        int rc = is_dc ? arith_read_block_prog_dc(s, br, c, sp, block)
+                       : arith_read_block_prog_ac(s, br, c, sp, block);
+        if (rc) return rc;
+    }
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one arithmetic-coded scan (sequential when `progressive` == 0).
+// Statistics bins are shared per table id across components, reset at
+// scan start and every restart — which makes restart segments
+// independent and thread-parallel.
+int jpx_decode_arithmetic_scan(
+    const uint8_t* data,
+    const int64_t* span_starts, const int64_t* span_ends, int32_t n_spans,
+    int64_t restart_interval,
+    int64_t total_units, int64_t mcus_per_line, int64_t hbc,
+    int32_t n_comps,
+    const int32_t* comp_h, const int32_t* comp_v,
+    const int32_t* dc_ids, const int32_t* ac_ids,
+    const int32_t* dc_l, const int32_t* dc_u, const int32_t* ac_kx,
+    int16_t** planes, const int64_t* plane_wb,
+    int32_t progressive,
+    int32_t ss, int32_t se, int32_t ah, int32_t al,
+    int32_t n_threads) {
+    if (n_comps <= 0 || n_spans <= 0) return 3;
+    ScanParams sp{ss, se, ah, al};
+
+    std::vector<ArithComp> comps(n_comps);
+    for (int i = 0; i < n_comps; ++i) {
+        comps[i].h = comp_h[i];
+        comps[i].v = comp_v[i];
+        comps[i].dc_l = dc_l[i];
+        comps[i].dc_u = dc_u[i];
+        comps[i].ac_kx = ac_kx[i];
+        comps[i].plane = planes[i];
+        comps[i].wb = plane_wb[i];
+    }
+
+    std::vector<ArithSpanTask> tasks;
+    if (restart_interval <= 0) {
+        tasks.push_back({data + span_starts[0], span_ends[0] - span_starts[0], 0, total_units});
+    } else {
+        int64_t unit = 0;
+        for (int32_t sidx = 0; sidx < n_spans && unit < total_units; ++sidx) {
+            int64_t n = std::min<int64_t>(restart_interval, total_units - unit);
+            tasks.push_back({data + span_starts[sidx], span_ends[sidx] - span_starts[sidx], unit, n});
+            unit += n;
+        }
+    }
+
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+    n_threads = std::min<int32_t>(n_threads, (int32_t)tasks.size());
+
+    auto run_task = [&](const ArithSpanTask& t) -> int {
+        if (progressive) {
+            return arith_decode_span_progressive(t, comps.data(), dc_ids, ac_ids,
+                                                 n_comps, sp, mcus_per_line, hbc);
+        }
+        return arith_decode_span_sequential(t, comps.data(), dc_ids, ac_ids,
+                                            n_comps, mcus_per_line);
+    };
+
+    if (n_threads <= 1) {
+        for (const auto& t : tasks) {
+            int rc = run_task(t);
+            if (rc) return rc;
+        }
+        return 0;
+    }
+
+    std::vector<int> results(tasks.size(), 0);
+    std::vector<std::thread> pool;
+    for (int tid = 0; tid < n_threads; ++tid) {
+        pool.emplace_back([&, tid]() {
+            for (size_t k = tid; k < tasks.size(); k += n_threads) {
+                results[k] = run_task(tasks[k]);
+            }
+        });
+    }
+    for (auto& th : pool) th.join();
+    for (int rc : results)
+        if (rc) return rc;
+    return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
+// Install the 114-entry packed Qe table (must be called once before
+// jpx_decode_arithmetic_scan).
+void jpx_set_qe_table(const int32_t* table) {
+    std::memcpy(g_qe_table, table, 114 * sizeof(int32_t));
+}
+}  // extern "C"

@@ -120,6 +120,277 @@ def decode_baseline_scan(
     return True
 
 
+def decode_progressive_scan(
+    data: bytes,
+    spans: Sequence[EntropySpan],
+    frame: FrameHeader,
+    scan: ScanHeader,
+    dc_tables: Dict[int, HuffmanDecodingTable],
+    ac_tables: Dict[int, HuffmanDecodingTable],
+    restart_interval: int,
+    coefficient_planes: Dict[int, np.ndarray],
+    geometry: FrameGeometry = None,
+) -> bool:
+    """Native progressive scan decode; returns True when handled.
+
+    Same semantics as models.huffman_progressive.decode_progressive_scan
+    (bit-identical coefficient updates); restart segments decode in
+    parallel across threads.
+    """
+    lib = build.load_library()
+    from ..models.geometry import ceil_div
+    from ..models.huffman_baseline import JpegDecodeError
+
+    geo = geometry or frame_geometry(frame)
+    resolved = resolve_scan_components(frame, scan)
+    is_dc_scan = scan.start_of_spectral_selection == 0
+    if len(resolved) > 1 and not is_dc_scan:
+        raise JpegDecodeError("Progressive AC scans must be non-interleaved.")
+
+    n = len(resolved)
+    comp_h = (ctypes.c_int32 * n)()
+    comp_v = (ctypes.c_int32 * n)()
+    plane_ptrs = (ctypes.c_void_p * n)()
+    plane_wb = (ctypes.c_int64 * n)()
+    dc_blob = bytearray()
+    ac_blob = bytearray()
+    empty = pack_huffman_table(
+        HuffmanDecodingTable.build(0, 0, np.zeros(16, np.uint8), np.zeros(0, np.uint8))
+    )
+    keepalive = []
+    hbc = 1
+    total_units = geo.mcus_per_line * geo.mcus_per_column
+    for i, (comp_index, fc, sc) in enumerate(resolved):
+        dc = dc_tables.get(sc.dc_table_selector)
+        ac = ac_tables.get(sc.ac_table_selector)
+        if is_dc_scan and dc is None:
+            raise JpegDecodeError(
+                f"Huffman table of component {comp_index} is not defined."
+            )
+        if not is_dc_scan and ac is None:
+            raise JpegDecodeError(
+                f"Huffman table of component {comp_index} is not defined."
+            )
+        cg = geo.components[comp_index]
+        comp_h[i] = cg.h
+        comp_v[i] = cg.v
+        plane = coefficient_planes[comp_index]
+        assert plane.dtype == np.int16 and plane.flags.c_contiguous
+        keepalive.append(plane)
+        plane_ptrs[i] = plane.ctypes.data_as(ctypes.c_void_p)
+        plane_wb[i] = plane.shape[1]
+        dc_blob += pack_huffman_table(dc) if dc is not None else empty
+        ac_blob += pack_huffman_table(ac) if ac is not None else empty
+        if n == 1:
+            # Non-interleaved: the component's own block grid
+            # (JpegHuffmanProgressiveScanDecoder.cs:146-147).
+            hbc = ceil_div(geo.width, 8 * cg.hs)
+            vbc = ceil_div(geo.height, 8 * cg.vs)
+            total_units = hbc * vbc
+
+    n_spans = len(spans)
+    starts = (ctypes.c_int64 * n_spans)(*[s.start for s in spans])
+    ends = (ctypes.c_int64 * n_spans)(*[s.end for s in spans])
+    buf = np.frombuffer(data, dtype=np.uint8)
+
+    rc = lib.jpx_decode_progressive_scan(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        starts, ends, n_spans,
+        restart_interval,
+        total_units, geo.mcus_per_line, hbc,
+        n,
+        comp_h, comp_v,
+        bytes(dc_blob), bytes(ac_blob),
+        plane_ptrs, plane_wb,
+        scan.start_of_spectral_selection,
+        scan.end_of_spectral_selection,
+        scan.successive_approximation_bit_position_high,
+        scan.successive_approximation_bit_position_low,
+        default_threads(),
+    )
+    if rc == 2:
+        from ..syntax.huffman import JpegHuffmanError
+
+        raise JpegHuffmanError("Invalid Huffman code encountered.")
+    if rc == 1:
+        raise JpegDecodeError("Unexpected end of JPEG data stream.")
+    if rc != 0:
+        raise JpegDecodeError(f"native scanner error {rc}")
+    return True
+
+
+def decode_lossless_scan(
+    data: bytes,
+    spans: Sequence[EntropySpan],
+    frame: FrameHeader,
+    scan: ScanHeader,
+    dc_tables: Dict[int, HuffmanDecodingTable],
+    restart_interval: int,
+    sample_planes: Dict[int, np.ndarray],
+) -> bool:
+    """Native lossless scan decode; returns True when handled. Same
+    bit-exact semantics as models.lossless.decode_lossless_scan."""
+    lib = build.load_library()
+    from ..models.geometry import ceil_div
+    from ..models.huffman_baseline import JpegDecodeError
+
+    resolved = resolve_scan_components(frame, scan)
+    n = len(resolved)
+    comp_h = (ctypes.c_int32 * n)()
+    comp_v = (ctypes.c_int32 * n)()
+    plane_ptrs = (ctypes.c_void_p * n)()
+    widths = (ctypes.c_int64 * n)()
+    blob = bytearray()
+    keepalive = []
+    for i, (comp_index, fc, sc) in enumerate(resolved):
+        table = dc_tables.get(sc.dc_table_selector)
+        if table is None:
+            raise JpegDecodeError(
+                f"Huffman table of component {comp_index} is not defined."
+            )
+        comp_h[i] = fc.horizontal_sampling_factor
+        comp_v[i] = fc.vertical_sampling_factor
+        plane = sample_planes[comp_index]
+        assert plane.dtype == np.int16 and plane.flags.c_contiguous
+        keepalive.append(plane)
+        plane_ptrs[i] = plane.ctypes.data_as(ctypes.c_void_p)
+        widths[i] = plane.shape[1]
+        blob += pack_huffman_table(table)
+
+    max_h = frame.max_horizontal_sampling
+    max_v = frame.max_vertical_sampling
+    pt = scan.successive_approximation_bit_position_low
+    n_spans = len(spans)
+    starts = (ctypes.c_int64 * n_spans)(*[s.start for s in spans])
+    ends = (ctypes.c_int64 * n_spans)(*[s.end for s in spans])
+    buf = np.frombuffer(data, dtype=np.uint8)
+
+    rc = lib.jpx_decode_lossless_scan(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        starts, ends, n_spans,
+        restart_interval,
+        ceil_div(frame.samples_per_line, max_h),
+        ceil_div(frame.number_of_lines, max_v),
+        n,
+        comp_h, comp_v,
+        bytes(blob),
+        plane_ptrs, widths,
+        scan.start_of_spectral_selection,
+        1 << (frame.sample_precision - pt - 1),
+    )
+    if rc == 2:
+        from ..syntax.huffman import JpegHuffmanError
+
+        raise JpegHuffmanError("Invalid Huffman code encountered.")
+    if rc == 1:
+        raise JpegDecodeError("The bit stream ended prematurely.")
+    if rc != 0:
+        raise JpegDecodeError(f"native scanner error {rc}")
+    return True
+
+
+def decode_arithmetic_scan(
+    data: bytes,
+    spans: Sequence[EntropySpan],
+    frame: FrameHeader,
+    scan: ScanHeader,
+    dac_dc: Dict[int, object],
+    dac_ac: Dict[int, object],
+    restart_interval: int,
+    coefficient_planes: Dict[int, np.ndarray],
+    geometry: FrameGeometry = None,
+    *,
+    progressive: bool,
+) -> bool:
+    """Native arithmetic scan decode (SOF9 sequential / SOF10
+    progressive); returns True when handled. Same bit-exact semantics as
+    models.arithmetic; restart segments decode in parallel.
+
+    Adaptive statistics never carry across scans in the reference
+    contract (DC-first scans reset DC bins, AC scans reset AC bins, DC
+    refinement uses only the fixed bin), so per-scan/per-segment fresh
+    bins are equivalent — which is what makes this scan-at-a-time
+    native call valid.
+    """
+    lib = build.load_library()
+    from ..models.geometry import ceil_div
+    from ..models.huffman_baseline import JpegDecodeError
+
+    geo = geometry or frame_geometry(frame)
+    resolved = resolve_scan_components(frame, scan)
+    is_dc_scan = scan.start_of_spectral_selection == 0
+    needs_dc = (not progressive) or is_dc_scan
+    needs_ac = (not progressive) or not is_dc_scan
+
+    n = len(resolved)
+    comp_h = (ctypes.c_int32 * n)()
+    comp_v = (ctypes.c_int32 * n)()
+    dc_ids = (ctypes.c_int32 * n)()
+    ac_ids = (ctypes.c_int32 * n)()
+    dc_l = (ctypes.c_int32 * n)()
+    dc_u = (ctypes.c_int32 * n)()
+    ac_kx = (ctypes.c_int32 * n)()
+    plane_ptrs = (ctypes.c_void_p * n)()
+    plane_wb = (ctypes.c_int64 * n)()
+    keepalive = []
+    hbc = 1
+    total_units = geo.mcus_per_line * geo.mcus_per_column
+    for i, (comp_index, fc, sc) in enumerate(resolved):
+        dc = dac_dc.get(sc.dc_table_selector)
+        ac = dac_ac.get(sc.ac_table_selector)
+        if needs_dc and dc is None:
+            raise JpegDecodeError("DC table is missing.")
+        if needs_ac and ac is None:
+            raise JpegDecodeError("AC table is missing")
+        cg = geo.components[comp_index]
+        comp_h[i] = cg.h
+        comp_v[i] = cg.v
+        dc_ids[i] = dc.identifier if dc is not None else 0
+        ac_ids[i] = ac.identifier if ac is not None else 0
+        dc_l[i] = dc.dc_l if dc is not None else 0
+        dc_u[i] = dc.dc_u if dc is not None else 0
+        ac_kx[i] = ac.ac_kx if ac is not None else 0
+        plane = coefficient_planes[comp_index]
+        assert plane.dtype == np.int16 and plane.flags.c_contiguous
+        keepalive.append(plane)
+        plane_ptrs[i] = plane.ctypes.data_as(ctypes.c_void_p)
+        plane_wb[i] = plane.shape[1]
+        if progressive and n == 1:
+            hbc = ceil_div(geo.width, 8 * cg.hs)
+            vbc = ceil_div(geo.height, 8 * cg.vs)
+            total_units = hbc * vbc
+
+    n_spans = len(spans)
+    starts = (ctypes.c_int64 * n_spans)(*[s.start for s in spans])
+    ends = (ctypes.c_int64 * n_spans)(*[s.end for s in spans])
+    buf = np.frombuffer(data, dtype=np.uint8)
+
+    rc = lib.jpx_decode_arithmetic_scan(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        starts, ends, n_spans,
+        restart_interval,
+        total_units, geo.mcus_per_line, hbc,
+        n,
+        comp_h, comp_v,
+        dc_ids, ac_ids,
+        dc_l, dc_u, ac_kx,
+        plane_ptrs, plane_wb,
+        1 if progressive else 0,
+        scan.start_of_spectral_selection,
+        scan.end_of_spectral_selection,
+        scan.successive_approximation_bit_position_high,
+        scan.successive_approximation_bit_position_low,
+        default_threads(),
+    )
+    if rc == 2:
+        raise JpegDecodeError("Invalid arithmetic code.")
+    if rc == 1:
+        raise JpegDecodeError("The bit stream ended prematurely.")
+    if rc != 0:
+        raise JpegDecodeError(f"native scanner error {rc}")
+    return True
+
+
 def pack_sparse(planes: Sequence[np.ndarray], *, bucket_factor: float = 1.15) -> np.ndarray:
     """Pack dense int16 coefficient planes into interleaved
     (delta uint16, value int16) entries — the 4-byte sparse wire format

@@ -1,5 +1,5 @@
-"""Native C++ scanner parity: bit-identical coefficients vs the
-pure-Python reference scanner on every baseline asset."""
+"""Native C++ scanner parity: bit-identical coefficients/samples vs the
+pure-Python reference scanners across every entropy-coding mode."""
 
 import numpy as np
 import pytest
@@ -10,6 +10,15 @@ CASES = [
     "baseline/cramps.jpg",
     "baseline/lake.jpg",
     "baseline/HETissueSlide.jpg",
+    "huffman_sequential/testorig12.jpg",
+    "huffman_progressive/progress.jpg",
+    "huffman_progressive/yellowcat_progressive_restart.jpg",
+    "huffman_lossless/lossless1_s22.jpg",
+    "huffman_lossless/lossless7_s22.jpg",
+    "arithmetic_sequential/zackthecat_arith.jpg",
+    "arithmetic_sequential/yellowcat_arith_restart.jpg",
+    "arithmetic_progressive/yellowcat_progressive_arith.jpg",
+    "arithmetic_progressive/yellowcat_progressive_arith_restart.jpg",
 ]
 
 
@@ -28,9 +37,15 @@ def test_native_matches_python(assets_dir, native_lib, rel):
     data = (assets_dir / rel).read_bytes()
     r_native = jt.decode(data, use_native=True)
     r_py = jt.decode(data, use_native=False)
-    assert set(r_native.coefficients) == set(r_py.coefficients)
-    for k in r_native.coefficients:
-        np.testing.assert_array_equal(r_native.coefficients[k], r_py.coefficients[k])
+    if r_native.coefficients is not None:
+        assert set(r_native.coefficients) == set(r_py.coefficients)
+        for k in r_native.coefficients:
+            np.testing.assert_array_equal(
+                r_native.coefficients[k], r_py.coefficients[k]
+            )
+    else:  # lossless: sample planes
+        for k in r_native.samples:
+            np.testing.assert_array_equal(r_native.samples[k], r_py.samples[k])
 
 
 def test_native_single_thread_matches(assets_dir, native_lib, monkeypatch):
