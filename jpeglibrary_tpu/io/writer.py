@@ -11,7 +11,7 @@ exit (ExitBitMode, JpegWriter.cs:141-167).
 
 from __future__ import annotations
 
-from ..syntax.markers import Marker
+
 
 
 class JpegWriter:

@@ -27,7 +27,6 @@ import numpy as np
 from ..io.bitreader import BitReader
 from ..io.reader import EntropySpan
 from ..syntax.frame import FrameHeader, ScanHeader, resolve_scan_components
-from ..syntax.markers import Marker
 from .geometry import FrameGeometry, ceil_div, frame_geometry
 from .huffman_baseline import JpegDecodeError
 from .huffman_progressive import _SpanCursor, _wrap_int16

@@ -208,7 +208,9 @@ class JpegEncoder:
     def _emit_scan(self, writer: JpegWriter, comp_blocks, tables) -> None:
         """Interleaved MCU emission (WritePreparedScanData,
         JpegEncoder.cs:605-660). comp_blocks are per-component [N, 64]
-        arrays already in MCU walk order."""
+        arrays already in MCU walk order. Uses the native segment
+        emitter when available; the Python path is the semantic
+        reference."""
         comps = []
         for comp, blocks in zip(self._components, comp_blocks):
             dc = tables.get((True, comp.dc_table_id))
@@ -227,9 +229,16 @@ class JpegEncoder:
             )
 
         n_mcus = comp_blocks[0].shape[0] // comps[0]["per_mcu"]
+        try:
+            from ..native import scanner as native_scanner
+
+            writer.write_bytes(native_scanner.encode_segment(comps, n_mcus))
+            return
+        except ImportError:
+            pass
+
         writer.enter_bit_mode()
         write_bits = writer.write_bits
-
         for _ in range(n_mcus):
             for c in comps:
                 blocks = c["blocks"]
@@ -237,7 +246,6 @@ class JpegEncoder:
                     block = blocks[c["cursor"]]
                     c["cursor"] += 1
                     _encode_block(write_bits, c, block)
-
         writer.exit_bit_mode()
 
 

@@ -17,8 +17,6 @@ host.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from ..syntax.huffman import HuffmanEncodingTable

@@ -15,7 +15,7 @@ Bit-exactness vs the reference is the gate for this mode (BASELINE.md).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -236,36 +236,61 @@ class JpegOptimizer:
 
         total_mcus = geo.mcus_per_line * geo.mcus_per_column
         restart_interval = record.restart_interval
-        writer.enter_bit_mode()
-        write_bits = writer.write_bits
 
-        mcus_before_restart = restart_interval
-        segment_index = 0
-        for _ in range(total_mcus):
+        native_emit = None
+        try:
+            from ..native import scanner as native_scanner
+
+            native_emit = native_scanner.encode_segment
+        except ImportError:
+            pass
+
+        def emit_segment(first_mcu: int, n_mcus: int) -> None:
+            """One byte-aligned entropy segment (fresh DC predictors)."""
+            if native_emit is not None:
+                seg_comps = [
+                    {
+                        **c,
+                        "blocks": c["blocks"][first_mcu * c["per_mcu"]:],
+                    }
+                    for c in comps
+                ]
+                writer.write_bytes(native_emit(seg_comps, n_mcus))
+                return
+            writer.enter_bit_mode()
+            write_bits = writer.write_bits
             for c in comps:
-                blocks = c["blocks"]
-                for _ in range(c["per_mcu"]):
-                    _encode_block(write_bits, c, blocks[c["cursor"]])
-                    c["cursor"] += 1
-            if restart_interval > 0:
-                mcus_before_restart -= 1
-                if mcus_before_restart == 0:
-                    terminator = (
-                        record.terminators[segment_index]
-                        if segment_index < len(record.terminators)
-                        else None
-                    )
-                    segment_index += 1
-                    if terminator is None or not is_restart_marker(terminator):
-                        break  # truncated input scan: stop like the decoder did
-                    writer.exit_bit_mode()
-                    writer.write_marker(terminator)
-                    writer.enter_bit_mode()
-                    mcus_before_restart = restart_interval
-                    for c in comps:
-                        c["predictor"] = 0
+                c["predictor"] = 0
+                c["cursor"] = first_mcu * c["per_mcu"]
+            for _ in range(n_mcus):
+                for c in comps:
+                    blocks = c["blocks"]
+                    for _ in range(c["per_mcu"]):
+                        _encode_block(write_bits, c, blocks[c["cursor"]])
+                        c["cursor"] += 1
+            writer.exit_bit_mode()
 
-        writer.exit_bit_mode()
+        if restart_interval <= 0:
+            emit_segment(0, total_mcus)
+            return
+
+        mcu = 0
+        segment_index = 0
+        while mcu < total_mcus:
+            n = min(restart_interval, total_mcus - mcu)
+            emit_segment(mcu, n)
+            mcu += n
+            if mcu >= total_mcus:
+                break
+            terminator = (
+                record.terminators[segment_index]
+                if segment_index < len(record.terminators)
+                else None
+            )
+            segment_index += 1
+            if terminator is None or not is_restart_marker(terminator):
+                break  # truncated input scan: stop like the decoder did
+            writer.write_marker(terminator)
 
 
 def parse_all_quant_tables(stream: io_reader.JpegStream, data: bytes) -> List[QuantizationTable]:

@@ -126,7 +126,17 @@ def _configure(lib: ctypes.CDLL) -> None:
     qe = (c.c_int32 * 114)(*[v - 0x100000000 if v >= 0x80000000 else v for v in QE_TABLE])
     lib.jpx_set_qe_table(qe)
     lib._qe_keepalive = qe
+    lib.jpx_pack_sparse.restype = c.c_int64
     lib.jpx_pack_sparse.argtypes = [
         c.POINTER(c.c_void_p), c.POINTER(c.c_int64), c.c_int32,  # planes
+        c.c_void_p, c.c_int64,           # out, capacity
+    ]
+    lib.jpx_encode_segment.restype = c.c_int64
+    lib.jpx_encode_segment.argtypes = [
+        c.c_int32,
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int32),   # blocks, per_mcu
+        c.POINTER(c.c_void_p), c.POINTER(c.c_void_p),  # dc codes/sizes
+        c.POINTER(c.c_void_p), c.POINTER(c.c_void_p),  # ac codes/sizes
+        c.c_int64,                       # n_mcus
         c.c_void_p, c.c_int64,           # out, capacity
     ]

@@ -1256,3 +1256,154 @@ void jpx_set_qe_table(const int32_t* table) {
     std::memcpy(g_qe_table, table, 114 * sizeof(int32_t));
 }
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Entropy segment emission (encoder / optimizer hot path)
+// ---------------------------------------------------------------------------
+//
+// Mirrors models/encoder.py::_encode_block/_encode_run_length (parity
+// with JpegEncoder.EncodeBlock/EncodeRunLength, JpegEncoder.cs:828-936)
+// and io/writer.py::JpegWriter bit mode (0xFF -> 0xFF 0x00 stuffing,
+// 1-padding on exit). Emits ONE byte-aligned entropy segment: DC
+// predictors start at 0, exactly the reference's per-scan /
+// per-restart-segment contract, so the optimizer emits restart streams
+// by calling this once per segment.
+
+namespace {
+
+struct BitPacker {
+    uint8_t* out;
+    int64_t cap;
+    int64_t n;
+    uint64_t reg;
+    int bits;
+
+    bool put_byte(uint8_t b) {
+        if (n >= cap) return false;
+        out[n++] = b;
+        if (b == 0xFF) {
+            if (n >= cap) return false;
+            out[n++] = 0x00;
+        }
+        return true;
+    }
+
+    inline bool write(uint32_t value, int length) {
+        if (length == 0) return true;
+        reg = (reg << length) | (value & ((1u << length) - 1));
+        bits += length;
+        while (bits >= 8) {
+            bits -= 8;
+            if (!put_byte((uint8_t)(reg >> bits))) return false;
+        }
+        reg &= (1u << bits) - 1;
+        return true;
+    }
+
+    bool finish() {
+        if (bits > 0) {
+            int pad = 8 - bits;
+            return write((1u << pad) - 1, pad);
+        }
+        return true;
+    }
+};
+
+struct EncComp {
+    const int16_t* blocks;   // MCU-ordered [n, 64]
+    int per_mcu;
+    const uint16_t* dc_codes;
+    const uint8_t* dc_sizes;
+    const uint16_t* ac_codes;
+    const uint8_t* ac_sizes;
+    int32_t predictor;
+    int64_t cursor;
+};
+
+static inline bool emit_run_length(BitPacker& bp, const uint16_t* codes,
+                                   const uint8_t* sizes, int run, int value,
+                                   bool* missing) {
+    int a = value, b = value;
+    if (a < 0) {
+        a = -value;
+        b = value - 1;
+    }
+    int bit_count = 0;
+    while ((a >> bit_count) != 0) ++bit_count;
+    int symbol = (run << 4) | bit_count;
+    int size = sizes[symbol];
+    if (size == 0) { *missing = true; return false; }
+    if (!bp.write(codes[symbol], size)) return false;
+    if (bit_count > 0) {
+        if (!bp.write((uint32_t)b & ((1u << bit_count) - 1), bit_count)) return false;
+    }
+    return true;
+}
+
+static inline bool emit_block(BitPacker& bp, EncComp& c, const int16_t* block,
+                              bool* missing) {
+    int value = block[0];
+    int t = value - c.predictor;
+    c.predictor = value;
+    if (!emit_run_length(bp, c.dc_codes, c.dc_sizes, 0, t, missing)) return false;
+
+    int run = 0;
+    for (int i = 1; i < 64; ++i) {
+        int v = block[i];
+        if (v == 0) {
+            ++run;
+        } else {
+            while (run > 15) {
+                if (c.ac_sizes[0xF0] == 0) { *missing = true; return false; }
+                if (!bp.write(c.ac_codes[0xF0], c.ac_sizes[0xF0])) return false;
+                run -= 16;
+            }
+            if (!emit_run_length(bp, c.ac_codes, c.ac_sizes, run, v, missing)) return false;
+            run = 0;
+        }
+    }
+    if (run > 0) {
+        if (c.ac_sizes[0] == 0) { *missing = true; return false; }
+        if (!bp.write(c.ac_codes[0], c.ac_sizes[0])) return false;
+    }
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Emit one entropy segment covering `n_mcus` MCUs. `blocks[i]` points
+// at component i's first block OF THIS SEGMENT (MCU order). Returns
+// bytes written, -1 on capacity overflow, -2 on missing Huffman code.
+int64_t jpx_encode_segment(
+    int32_t n_comps,
+    const int16_t** blocks, const int32_t* per_mcu,
+    const uint16_t** dc_codes, const uint8_t** dc_sizes,
+    const uint16_t** ac_codes, const uint8_t** ac_sizes,
+    int64_t n_mcus,
+    uint8_t* out, int64_t capacity) {
+    std::vector<EncComp> comps(n_comps);
+    for (int i = 0; i < n_comps; ++i) {
+        comps[i] = EncComp{blocks[i], per_mcu[i], dc_codes[i], dc_sizes[i],
+                           ac_codes[i], ac_sizes[i], 0, 0};
+    }
+    BitPacker bp{out, capacity, 0, 0, 0};
+    bool missing = false;
+    for (int64_t m = 0; m < n_mcus; ++m) {
+        for (int ci = 0; ci < n_comps; ++ci) {
+            EncComp& c = comps[ci];
+            for (int b = 0; b < c.per_mcu; ++b) {
+                const int16_t* block = c.blocks + c.cursor * 64;
+                ++c.cursor;
+                if (!emit_block(bp, c, block, &missing)) {
+                    return missing ? -2 : -1;
+                }
+            }
+        }
+    }
+    if (!bp.finish()) return -1;
+    return bp.n;
+}
+
+}  // extern "C"

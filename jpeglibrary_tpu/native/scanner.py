@@ -391,6 +391,59 @@ def decode_arithmetic_scan(
     return True
 
 
+def encode_segment(comps: Sequence[dict], n_mcus: int) -> bytes:
+    """Emit one byte-aligned entropy segment natively.
+
+    ``comps``: per-component dicts with keys ``blocks`` (int16 [n, 64]
+    MCU-ordered, positioned at this segment's first block), ``per_mcu``,
+    ``dc_codes``/``dc_sizes``/``ac_codes``/``ac_sizes`` (the
+    HuffmanEncodingTable arrays). DC predictors start at zero — the
+    per-scan / per-restart-segment contract.
+    """
+    lib = build.load_library()
+    n = len(comps)
+    block_ptrs = (ctypes.c_void_p * n)()
+    per_mcu = (ctypes.c_int32 * n)()
+    dc_code_ptrs = (ctypes.c_void_p * n)()
+    dc_size_ptrs = (ctypes.c_void_p * n)()
+    ac_code_ptrs = (ctypes.c_void_p * n)()
+    ac_size_ptrs = (ctypes.c_void_p * n)()
+    keepalive = []
+    total_blocks = 0
+    for i, c in enumerate(comps):
+        blocks = np.ascontiguousarray(c["blocks"], dtype=np.int16)
+        dc_codes = np.ascontiguousarray(c["dc_codes"], dtype=np.uint16)
+        dc_sizes = np.ascontiguousarray(c["dc_sizes"], dtype=np.uint8)
+        ac_codes = np.ascontiguousarray(c["ac_codes"], dtype=np.uint16)
+        ac_sizes = np.ascontiguousarray(c["ac_sizes"], dtype=np.uint8)
+        keepalive += [blocks, dc_codes, dc_sizes, ac_codes, ac_sizes]
+        block_ptrs[i] = blocks.ctypes.data_as(ctypes.c_void_p)
+        per_mcu[i] = int(c["per_mcu"])
+        dc_code_ptrs[i] = dc_codes.ctypes.data_as(ctypes.c_void_p)
+        dc_size_ptrs[i] = dc_sizes.ctypes.data_as(ctypes.c_void_p)
+        ac_code_ptrs[i] = ac_codes.ctypes.data_as(ctypes.c_void_p)
+        ac_size_ptrs[i] = ac_sizes.ctypes.data_as(ctypes.c_void_p)
+        total_blocks += n_mcus * int(c["per_mcu"])
+
+    cap = total_blocks * 288 + 1024  # worst case incl. stuffing
+    out = np.empty(cap, dtype=np.uint8)
+    written = lib.jpx_encode_segment(
+        n,
+        block_ptrs, per_mcu,
+        dc_code_ptrs, dc_size_ptrs,
+        ac_code_ptrs, ac_size_ptrs,
+        n_mcus,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+    )
+    if written == -2:
+        from ..models.encoder import JpegEncodeError
+
+        raise JpegEncodeError("Huffman table has no code for an emitted symbol.")
+    if written < 0:
+        raise RuntimeError("native encode capacity exceeded")
+    return out[: int(written)].tobytes()
+
+
 def pack_sparse(planes: Sequence[np.ndarray], *, bucket_factor: float = 1.15) -> np.ndarray:
     """Pack dense int16 coefficient planes into interleaved
     (delta uint16, value int16) entries — the 4-byte sparse wire format

@@ -20,7 +20,6 @@ host golden tests (pass xp=numpy).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Sequence
 
 import numpy as np

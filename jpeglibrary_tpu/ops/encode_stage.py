@@ -19,11 +19,10 @@ All steps run under jax.jit on device (or NumPy on host for tests).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 
-from ..models.geometry import ceil_div
 from . import dct
 from .zigzag import ZIGZAG_TO_BLOCK
 
