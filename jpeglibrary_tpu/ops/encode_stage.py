@@ -52,23 +52,53 @@ def subsample_box(plane, hs: int, vs: int, xp=np):
     return (total + (1 << (shift - 1))) >> shift
 
 
-def fdct_quantize(plane, quant_zz, xp=np):
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def fdct_zigzag_matrix() -> np.ndarray:
+    """[64, 64] f32: the 2-D AAN FDCT + 0.125 scale + zig-zag output
+    permutation folded into one matrix — the forward twin of the decode
+    Pallas kernel's formulation: one GEMM per block tile instead of the
+    30-step butterfly chain (same transform, f32 summation order
+    differs, so a quantized coefficient can shift by 1 LSB vs the
+    butterfly; the encoder has no bit-exact gate)."""
+    f = dct._fdct_1d(np.eye(8, dtype=np.float64), np)  # 1-D pass matrix
+    k = np.zeros((64, 64), dtype=np.float64)
+    for zz in range(64):
+        nat = int(ZIGZAG_TO_BLOCK[zz])
+        r, c = nat // 8, nat % 8
+        for a in range(8):
+            for b in range(8):
+                k[8 * a + b, zz] = 0.125 * f[r, a] * f[c, b]
+    return k.astype(np.float32)
+
+
+def fdct_quantize(plane, quant_zz, xp=np, *, use_matmul: bool = True):
     """[Hb*8, Wb*8] int samples -> [Hb, Wb, 64] int16 zig-zag coeffs.
 
-    Level shift, AAN FDCT, zig-zag gather, rint(c / q) — float32
-    division then round-half-even, matching ZigZagAndQuantizeBlock
-    (JpegEncoder.cs:812-827 with JpegMathHelper.RoundToInt16)."""
+    Level shift, AAN FDCT, zig-zag, rint(c / q) — float32 division then
+    round-half-even, matching ZigZagAndQuantizeBlock
+    (JpegEncoder.cs:812-827 with JpegMathHelper.RoundToInt16).
+    ``use_matmul`` selects the folded-GEMM formulation (default, ~15x
+    faster on host BLAS and MXU-shaped on device); False runs the
+    reference butterfly dataflow."""
     h, w = plane.shape
     hb, wb = h // 8, w // 8
     blocks = plane.reshape(hb, 8, wb, 8)
     blocks = xp.transpose(blocks, (0, 2, 1, 3)).astype(xp.float32) - xp.float32(128.0)
+    q = quant_zz.astype(xp.float32)
+    if use_matmul:
+        flat = blocks.reshape(hb * wb, 64)
+        k = fdct_zigzag_matrix() if xp is np else xp.asarray(fdct_zigzag_matrix())
+        zz = (flat @ k).reshape(hb, wb, 64)
+        return xp.rint(zz / q).astype(xp.int16)
     coef = dct.fdct8x8(blocks, xp=xp)  # [hb, wb, 8, 8] natural order
     flat = coef.reshape(hb, wb, 64)
     if xp is np:
         zz = flat[..., ZIGZAG_TO_BLOCK]
     else:
         zz = xp.take(flat, xp.asarray(ZIGZAG_TO_BLOCK), axis=-1)
-    q = quant_zz.astype(xp.float32)
     return xp.rint(zz / q).astype(xp.int16)
 
 

@@ -67,29 +67,76 @@ def decode_batch_rgb(
             for i in indices:
                 out[i] = results[i].to_rgb8()
             continue
-        coeffs = tuple(
-            jnp.asarray(
-                np.stack([r.coefficients[c.component_index] for r in batch])
-            )
-            for c in geometry.components
-        )
-        quants = tuple(
-            jnp.asarray(batch[0].quant[c.component_index], dtype=jnp.int32)
-            for c in geometry.components
-        )
-        fn = _batched_transform(geometry)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
 
-            sharding = NamedSharding(mesh, P("data"))
-            coeffs = tuple(jax.device_put(c, sharding) for c in coeffs)
-        rgb = np.asarray(fn(coeffs, quants))
+        # Ship the batch in the 4-byte sparse wire format when the
+        # native packer is available: one [B, n, 2] int16 upload.
+        packed_batch = None
+        try:
+            from ..native import scanner as native_scanner
+
+            packs = [
+                native_scanner.pack_sparse(
+                    [r.coefficients[c.component_index] for c in geometry.components]
+                )
+                for r in batch
+            ]
+            width = max(p.shape[0] for p in packs)
+            packed_batch = np.zeros((len(packs), width, 2), dtype=np.int16)
+            for j, p in enumerate(packs):
+                packed_batch[j, : p.shape[0]] = p
+        except ImportError:
+            pass
+
+        if packed_batch is not None:
+            quants = np.stack(
+                [batch[0].quant[c.component_index] for c in geometry.components]
+            ).astype(np.int32)
+            fn = _batched_transform_delta(geometry)
+            inp = packed_batch
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                inp = jax.device_put(inp, NamedSharding(mesh, P("data")))
+        else:
+            quants = tuple(
+                jnp.asarray(batch[0].quant[c.component_index], dtype=jnp.int32)
+                for c in geometry.components
+            )
+            fn = _batched_transform(geometry)
+            inp = tuple(
+                jnp.asarray(
+                    np.stack([r.coefficients[c.component_index] for r in batch])
+                )
+                for c in geometry.components
+            )
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sharding = NamedSharding(mesh, P("data"))
+                inp = tuple(jax.device_put(c, sharding) for c in inp)
+        rgb = np.asarray(fn(inp, quants))
         for j, i in enumerate(indices):
             out[i] = rgb[j]
     return out
 
 
 _TRANSFORM_CACHE: Dict[object, object] = {}
+_DELTA_CACHE: Dict[object, object] = {}
+
+
+def _batched_transform_delta(geometry):
+    """vmapped delta-sparse transform: [B, n, 2] int16 packed batch ->
+    [B, H, W, 3] RGB."""
+    import jax
+
+    fn = _DELTA_CACHE.get(geometry)
+    if fn is None:
+        from ..ops.pipeline import jitted_transform_delta
+
+        inner = jitted_transform_delta(geometry, "rgb8")
+        fn = jax.jit(jax.vmap(inner, in_axes=(0, None)))
+        _DELTA_CACHE[geometry] = fn
+    return fn
 
 
 def _batched_transform(geometry):
