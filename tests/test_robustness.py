@@ -1,0 +1,124 @@
+"""Malformed-input and API-surface tests.
+
+The reference's failure-handling discipline (SURVEY.md §5): parsers
+fail with offset-carrying errors, bit reads past EOF serve 1-padding
+(leading to invalid-code errors rather than crashes), truncation at
+restart boundaries is tolerated, unsupported SOFs raise. Plus the
+abbreviated-stream (LoadTables) and Reset* API families.
+"""
+
+import numpy as np
+import pytest
+
+import jpeglibrary_tpu as jt
+from jpeglibrary_tpu.io.reader import JpegStreamError
+from jpeglibrary_tpu.models.decoder import JpegDecoder, JpegUnsupportedError
+from jpeglibrary_tpu.models.huffman_baseline import JpegDecodeError
+from jpeglibrary_tpu.syntax.huffman import JpegHuffmanError
+
+
+def test_garbage_input():
+    with pytest.raises(JpegStreamError, match="Marker SOI expected"):
+        jt.decode(b"not a jpeg at all")
+
+
+def test_empty_input():
+    with pytest.raises(JpegStreamError):
+        jt.decode(b"")
+
+
+def test_truncated_segment(assets_dir):
+    data = (assets_dir / "baseline/lake.jpg").read_bytes()
+    # cut inside the SOF segment
+    with pytest.raises(JpegStreamError):
+        jt.decode(data[:200])
+
+
+def test_truncated_entropy_stream(assets_dir):
+    """Cutting mid-ECS: the 1-padded bit reader eventually decodes an
+    invalid Huffman code (the reference's fuzz-resilient failure mode),
+    on both the native and the Python scanner."""
+    data = (assets_dir / "baseline/lake.jpg").read_bytes()
+    cut = data[: len(data) // 2]
+    for native in (True, False):
+        with pytest.raises((JpegHuffmanError, JpegDecodeError, ValueError)):
+            jt.decode(cut, use_native=native)
+
+
+def test_unsupported_sof(assets_dir):
+    """A differential SOF (0xC5) must raise the not-supported error."""
+    data = bytearray((assets_dir / "baseline/lake.jpg").read_bytes())
+    # find the SOF0 marker and rewrite to SOF5
+    i = bytes(data).find(b"\xff\xc0")
+    assert i > 0
+    data[i + 1] = 0xC5
+    with pytest.raises(JpegUnsupportedError, match="not supported"):
+        jt.decode(bytes(data))
+
+
+def test_missing_huffman_table(assets_dir):
+    """Dropping the DHT segment must fail with a table-missing error."""
+    data = (assets_dir / "baseline/cramps.jpg").read_bytes()
+    from jpeglibrary_tpu.io import reader as io_reader
+    from jpeglibrary_tpu.syntax.markers import Marker
+
+    stream = io_reader.parse_stream(data)
+    dht = next(s for s in stream.segments if s.marker == Marker.DHT)
+    stripped = data[: dht.offset] + data[dht.payload_end :]
+    with pytest.raises(JpegDecodeError, match="not defined"):
+        jt.decode(stripped)
+
+
+def test_load_tables_abbreviated_stream(assets_dir):
+    """LoadTables parity (JpegDecoder.cs:313-405): feed tables from a
+    tables-only stream, then decode an image whose own tables were
+    stripped."""
+    data = (assets_dir / "baseline/cramps.jpg").read_bytes()
+    from jpeglibrary_tpu.io import reader as io_reader
+    from jpeglibrary_tpu.syntax.markers import Marker
+
+    stream = io_reader.parse_stream(data)
+    # build a tables-only stream (DQT + DHT + DRI segments)
+    tables = bytearray(b"\xff\xd8")  # SOI
+    body = bytearray(data)
+    for seg in reversed(stream.segments):
+        if seg.marker in (Marker.DQT, Marker.DHT, Marker.DRI):
+            tables_payload = data[seg.offset : seg.payload_end]
+            tables += tables_payload
+            del body[seg.offset : seg.payload_end]
+    tables += b"\xff\xd9"  # EOI
+
+    decoder = JpegDecoder()
+    decoder.set_input(bytes(body))
+    with pytest.raises(ValueError):
+        decoder.decode()  # tables stripped -> must fail
+
+    decoder2 = JpegDecoder()
+    decoder2.load_tables(bytes(tables))
+    decoder2.set_input(bytes(body))
+    result = decoder2.decode()
+    expected = jt.decode(data).to_uint16_extended()
+    np.testing.assert_array_equal(result.to_uint16_extended(), expected)
+
+
+def test_reset_family(assets_dir):
+    decoder = JpegDecoder()
+    decoder.set_input((assets_dir / "baseline/cramps.jpg").read_bytes())
+    decoder.identify(load_quantization_tables=True)
+    assert decoder.estimate_quality() is not None
+    decoder.reset_quantization_tables()
+    assert decoder.estimate_quality() is None
+    decoder.reset()
+    assert decoder.get_restart_interval() == 0
+
+
+def test_decode_twice_same_result(assets_dir):
+    """Decoder instances are reusable (the reference's Reset contract)."""
+    data = (assets_dir / "baseline/cramps.jpg").read_bytes()
+    decoder = JpegDecoder()
+    decoder.set_input(data)
+    a = decoder.decode().to_uint16_extended()
+    decoder.reset()
+    decoder.set_input(data)
+    b = decoder.decode().to_uint16_extended()
+    np.testing.assert_array_equal(a, b)
