@@ -48,6 +48,36 @@ def test_native_matches_python(assets_dir, native_lib, rel):
             np.testing.assert_array_equal(r_native.samples[k], r_py.samples[k])
 
 
+def test_native_baseline_restart_parallel(native_lib):
+    """No committed baseline asset uses restart markers, so generate one
+    (PIL emits DRI + RSTn) and assert the threaded restart-parallel
+    native path matches the sequential Python scanner bit-for-bit, and
+    an independent decoder agrees on the pixels."""
+    import io
+
+    from PIL import Image
+
+    # smooth gradient: keeps the PIL comparison meaningful (PIL uses
+    # fancy chroma upsampling; we match the reference's duplication)
+    yy, xx = np.mgrid[0:128, 0:160]
+    rgb = np.stack([(yy * 2) % 256, (xx * 3) % 256, ((yy + xx)) % 256], -1).astype(np.uint8)
+    img = Image.fromarray(rgb, "RGB")
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=80, restart_marker_rows=2)
+    data = buf.getvalue()
+    assert b"\xff\xdd" in data  # DRI present
+
+    r_native = jt.decode(data, use_native=True)
+    r_py = jt.decode(data, use_native=False)
+    for k in r_native.coefficients:
+        np.testing.assert_array_equal(r_native.coefficients[k], r_py.coefficients[k])
+
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    ours = r_native.to_rgb8()
+    mse = np.mean((pil.astype(np.float64) - ours.astype(np.float64)) ** 2)
+    assert 10 * np.log10(255.0**2 / max(mse, 1e-9)) > 30
+
+
 def test_native_single_thread_matches(assets_dir, native_lib, monkeypatch):
     monkeypatch.setenv("JPX_SCAN_THREADS", "1")
     data = (assets_dir / "baseline/HETissueSlide.jpg").read_bytes()
