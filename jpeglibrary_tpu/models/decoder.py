@@ -127,6 +127,7 @@ class DecodeResult:
             jitted_transform_packed,
             pack_sparse,
         )
+        from ..utils import metrics
 
         if sparse:
             quants = np.stack(
@@ -138,9 +139,11 @@ class DecodeResult:
             try:
                 from ..native import scanner as native_scanner
 
-                packed = native_scanner.pack_sparse(planes)
-                # numpy args: the transfer rides the single jit dispatch
-                return jitted_transform_delta(self.geometry, "rgb8")(packed, quants)
+                with metrics.stage("transform.pack_sparse"):
+                    packed = native_scanner.pack_sparse(planes)
+                with metrics.stage("transform.dispatch"):
+                    # numpy args: the transfer rides the single jit dispatch
+                    return jitted_transform_delta(self.geometry, "rgb8")(packed, quants)
             except ImportError:
                 packed = pack_sparse(self.coefficients, self.geometry)
                 return jitted_transform_packed(self.geometry, "rgb8")(packed, quants)
@@ -238,7 +241,10 @@ class JpegDecoder:
         if self._data is None:
             raise ValueError("Input data is not specified.")
         if self._stream is None:
-            self._stream = io_reader.parse_stream(self._data)
+            from ..utils import metrics
+
+            with metrics.stage("decode.parse_container"):
+                self._stream = io_reader.parse_stream(self._data)
         return self._stream
 
     # -- table registries --
@@ -322,6 +328,8 @@ class JpegDecoder:
     def decode(self, *, use_native: bool = True, xp=np) -> DecodeResult:
         """Full decode: walk segments in order, decode every scan, then
         run the batched transform stage."""
+        from ..utils import metrics
+
         data = self._data
         stream = self._parsed()
 
@@ -360,13 +368,28 @@ class JpegDecoder:
                     raise ValueError("Frame header was not found before SOS.")
                 scan = next(scan_iter)
                 scan_header = ScanHeader.parse(seg.payload(data))
-                if sof_marker == Marker.SOF3:
-                    decoded_native = False
-                    if use_native:
-                        try:
-                            from ..native import scanner as native_scanner
+                with metrics.stage("decode.entropy_scan"):
+                    if sof_marker == Marker.SOF3:
+                        decoded_native = False
+                        if use_native:
+                            try:
+                                from ..native import scanner as native_scanner
 
-                            decoded_native = native_scanner.decode_lossless_scan(
+                                decoded_native = native_scanner.decode_lossless_scan(
+                                    data,
+                                    scan.spans,
+                                    frame,
+                                    scan_header,
+                                    self._dc_tables,
+                                    self._restart_interval,
+                                    sample_planes,
+                                )
+                            except ImportError:
+                                decoded_native = False
+                        if not decoded_native:
+                            from .lossless import decode_lossless_scan
+
+                            decode_lossless_scan(
                                 data,
                                 scan.spans,
                                 frame,
@@ -375,37 +398,28 @@ class JpegDecoder:
                                 self._restart_interval,
                                 sample_planes,
                             )
-                        except ImportError:
-                            decoded_native = False
-                    if not decoded_native:
-                        from .lossless import decode_lossless_scan
-
-                        decode_lossless_scan(
+                    else:
+                        self._decode_scan(
                             data,
-                            scan.spans,
-                            frame,
+                            scan,
                             scan_header,
-                            self._dc_tables,
-                            self._restart_interval,
-                            sample_planes,
+                            frame,
+                            sof_marker,
+                            geometry,
+                            coefficient_planes,
+                            component_quant,
+                            use_native=use_native,
                         )
-                else:
-                    self._decode_scan(
-                        data,
-                        scan,
-                        scan_header,
-                        frame,
-                        sof_marker,
-                        geometry,
-                        coefficient_planes,
-                        component_quant,
-                        use_native=use_native,
-                    )
             elif seg.marker == Marker.EOI:
                 break
 
         if frame is None or (coefficient_planes is None and sample_planes is None):
             raise ValueError("No image data decoded.")
+
+        metrics.count("decode.images")
+        metrics.count(
+            "decode.megapixels", frame.samples_per_line * frame.number_of_lines / 1e6
+        )
 
         if sample_planes is not None:
             return DecodeResult(

@@ -11,5 +11,12 @@ package is where the new framework's first-class parallelism lives:
 """
 
 from .sharding import make_mesh, batched_transform_rgb, full_step
+from .batch import decode_batch_rgb, decode_stream_rgb
 
-__all__ = ["make_mesh", "batched_transform_rgb", "full_step"]
+__all__ = [
+    "make_mesh",
+    "batched_transform_rgb",
+    "full_step",
+    "decode_batch_rgb",
+    "decode_stream_rgb",
+]

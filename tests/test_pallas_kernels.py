@@ -95,6 +95,39 @@ def test_native_pack_sparse_roundtrip(assets_dir):
     np.testing.assert_array_equal(dense, expected)
 
 
+def test_decode_stream_rgb(assets_dir):
+    """The pipelined streaming decoder yields in-order results identical
+    to the per-image path."""
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.parallel.batch import decode_stream_rgb
+
+    lake = (assets_dir / "baseline/lake.jpg").read_bytes()
+    cramps = (assets_dir / "baseline/cramps.jpg").read_bytes()
+    expected = [jt.decode(d).to_rgb8() for d in (lake, cramps, lake)]
+    outs = list(decode_stream_rgb([lake, cramps, lake]))
+    assert len(outs) == 3
+    for o, e in zip(outs, expected):
+        np.testing.assert_array_equal(np.asarray(o), e)
+
+
+def test_batch_decode_rgb_with_mesh(assets_dir):
+    """Sparse batch path under a data-parallel mesh matches unsharded."""
+    import jax
+
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.parallel.batch import decode_batch_rgb
+    from jpeglibrary_tpu.parallel.sharding import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    lake = (assets_dir / "baseline/lake.jpg").read_bytes()
+    single = jt.decode(lake).to_rgb8()
+    mesh = make_mesh(4, stripe=1)
+    outs = decode_batch_rgb([lake] * 4, mesh=mesh)
+    for o in outs:
+        np.testing.assert_array_equal(np.asarray(o), single)
+
+
 def test_batch_decode_rgb(assets_dir):
     """decode_batch_rgb groups same-geometry images into one stacked
     transform and matches the per-image path."""
