@@ -40,43 +40,48 @@ ASSET = "/root/reference/tests/Assets/baseline/HETissueSlide.jpg"
 def main() -> None:
     sys.path.insert(0, "/root/repo")
     import jax
+    import numpy as np
 
     import jpeglibrary_tpu as jt
 
     data = open(ASSET, "rb").read()
 
-    # Warmup: parse/scan + compile the sparse fused transform.
-    result = jt.decode(data)
-    mp = result.width * result.height / 1e6
-    out = result.to_rgb8_device(sparse=True)
-    jax.block_until_ready(out)
+    # Build a working set of DISTINCT images (flips/rolls of the asset,
+    # re-encoded at q75): decoding one image repeatedly would let the
+    # remote-device transport dedupe identical uploads and flatter the
+    # numbers. The reference benchmark's workload is likewise distinct
+    # content (a 2x2 tiling, ~16.8 MP per iteration).
+    from jpeglibrary_tpu.models.encoder import encode_rgb
 
-    # Pipelined steady-state throughput: the host scans image i+1 while
-    # a worker thread transfers + transforms image i (the serving
+    base = jt.decode(data)
+    rgb = base.to_rgb8()
+    mp = base.width * base.height / 1e6
+    variants = [
+        data,
+        encode_rgb(rgb[::-1], 75),
+        encode_rgb(rgb[:, ::-1], 75),
+        encode_rgb(np.roll(rgb, rgb.shape[0] // 2, axis=0), 75),
+    ]
+
+    # Warmup: compile the sparse fused transform on every bucket size.
+    for v in variants:
+        r = jt.decode(v)
+        jax.block_until_ready(r.to_rgb8_device(sparse=True))
+
+    # Pipelined steady-state throughput via the streaming API (scan
+    # threads overlap the device transfer/transform worker — the serving
     # pattern). Median over windows rides out noise on the shared host.
-    from concurrent.futures import ThreadPoolExecutor
+    from jpeglibrary_tpu.parallel.batch import decode_stream_rgb
 
-    pool = ThreadPoolExecutor(max_workers=1)
-
-    def transform(res):
-        o = res.to_rgb8_device(sparse=True)
-        jax.block_until_ready(o)
-        return o
-
-    window = 8
+    window = 3  # x len(variants) images per window
     n_windows = 5
     rates = []
-    fut = None
     for _ in range(n_windows):
+        batch = variants * window
         t0 = time.perf_counter()
-        for _ in range(window):
-            r = jt.decode(data)
-            if fut is not None:
-                fut.result()
-            fut = pool.submit(transform, r)
-        fut.result()
-        fut = None
-        rates.append(mp * window / (time.perf_counter() - t0))
+        for _ in decode_stream_rgb(batch):
+            pass
+        rates.append(mp * len(batch) / (time.perf_counter() - t0))
     rates.sort()
     mps = rates[len(rates) // 2]
     print(

@@ -115,10 +115,12 @@ class DecodeResult:
         return tuple(jnp.asarray(c) for c in coeffs), quants
 
     def to_rgb8_device(self, *, sparse: bool = True):
-        """Decode to device-resident RGB (the serving path: output stays
-        in HBM for a downstream TPU consumer). With ``sparse``, only the
-        nonzero coefficients ship to the device (scatter-add densify),
-        cutting host->device bytes ~4x on typical quality levels."""
+        """Decode to device-resident **planar [3, H, W]** RGB (the
+        serving path: output stays in HBM for a downstream TPU
+        consumer; CHW keeps W on the lane dimension — an interleaved
+        [H, W, 3] device buffer lane-pads 3 -> 128, a ~42x memory and
+        wire blowup). With ``sparse``, only the nonzero coefficients
+        ship to the device as one flat (delta, value) stream."""
         if self.coefficients is None:
             raise ValueError("lossless results have no device transform stage")
         from ..ops.pipeline import (
@@ -140,7 +142,7 @@ class DecodeResult:
                 from ..native import scanner as native_scanner
 
                 with metrics.stage("transform.pack_sparse"):
-                    packed = native_scanner.pack_sparse(planes)
+                    packed = native_scanner.pack_sparse(planes).reshape(-1)
                 with metrics.stage("transform.dispatch"):
                     # numpy args: the transfer rides the single jit dispatch
                     return jitted_transform_delta(self.geometry, "rgb8")(packed, quants)
@@ -148,7 +150,7 @@ class DecodeResult:
                 packed = pack_sparse(self.coefficients, self.geometry)
                 return jitted_transform_packed(self.geometry, "rgb8")(packed, quants)
         coeffs, quants = self._device_inputs()
-        return jitted_transform(self.geometry, "rgb8")(coeffs, quants)
+        return jitted_transform(self.geometry, "rgb8p")(coeffs, quants)
 
     def to_rgb8(self) -> np.ndarray:
         """[H, W, 3] uint8 RGB via the fused jitted device pipeline
@@ -166,10 +168,10 @@ class DecodeResult:
             else:
                 raise ValueError(f"RGB output needs 1 or 3 components, got {len(u8)}.")
             return np.stack([r, g, b], axis=-1)
-        from ..ops.pipeline import jitted_transform
-
-        coeffs, quants = self._device_inputs()
-        return np.asarray(jitted_transform(self.geometry, "rgb8")(coeffs, quants))
+        # Fetch the planar device output (lane-friendly wire layout) and
+        # interleave on host.
+        chw = np.asarray(self.to_rgb8_device(sparse=True))
+        return np.ascontiguousarray(np.moveaxis(chw, 0, -1))
 
     def to_uint8(self) -> np.ndarray:
         """[H, W, C] uint8, clamp-[0,255] writer semantics."""

@@ -60,13 +60,19 @@ def _transform_planes(coeffs: Tuple, quants: Tuple, geometry: FrameGeometry, xp)
     return tuple(planes)
 
 
-def transform_to_rgb8(coeffs: Tuple, quants: Tuple, geometry: FrameGeometry, xp=np):
-    """Coefficient planes -> [H, W, 3] uint8 RGB.
+def transform_to_rgb8(coeffs: Tuple, quants: Tuple, geometry: FrameGeometry, xp=np,
+                      *, layout: str = "hwc"):
+    """Coefficient planes -> uint8 RGB ([H, W, 3] or planar [3, H, W]).
 
     Matches the reference JpegDecode app output path: 8-bit clamp writer
     (JpegBufferOutputWriter8Bit.cs:28-60) then the fixed-point YCbCr->RGB
     converter; grayscale images replicate Y with Cb=Cr=128
     (DecodeAction.cs:58-66).
+
+    ``layout="chw"`` keeps channels as the major axis — on TPU the minor
+    (lane) dimension is padded to 128, so a [H, W, 3] device buffer
+    inflates ~42x in memory and on the transfer wire; the planar form
+    keeps W minor and transfers at true size.
     """
     planes = _transform_planes(coeffs, quants, geometry, xp)
     u8 = [decode_stage.clamp_to_uint8(p, xp=xp) for p in planes]
@@ -78,7 +84,8 @@ def transform_to_rgb8(coeffs: Tuple, quants: Tuple, geometry: FrameGeometry, xp=
         r, g, b = color_ops.ycbcr_to_rgb(u8[0], u8[1], u8[2], xp=xp)
     else:
         raise ValueError(f"RGB output needs 1 or 3 components, got {len(u8)}.")
-    return xp.stack([r, g, b], axis=-1)
+    axis = -1 if layout == "hwc" else 0
+    return xp.stack([r, g, b], axis=axis)
 
 
 def transform_to_u16(coeffs: Tuple, quants: Tuple, geometry: FrameGeometry, xp=np):
@@ -120,10 +127,13 @@ def pack_sparse(coefficients, geometry: FrameGeometry, *, bucket_factor: float =
 @functools.lru_cache(maxsize=64)
 def jitted_transform_delta(geometry: FrameGeometry, output: str = "rgb8"):
     """Compiled transform taking the native 4-byte sparse wire format:
-    int16 [n, 2] of (delta uint16, value int16) entries in
-    concatenated-plane flat order (native scanner.pack_sparse).
+    a FLAT int16 [2n] buffer of interleaved (delta uint16, value int16)
+    entries in concatenated-plane flat order (native
+    scanner.pack_sparse). 1-D so the transfer isn't lane-padded (a
+    [n, 2] device layout pads the minor dim to 128 — a 64x wire blowup).
     Reconstruction is a cumsum over the deltas + one scatter-add;
     escape entries (delta 0xFFFF, value 0) and (0, 0) padding add zero.
+    Output is planar CHW (see transform_to_rgb8).
     """
     import jax
     import jax.numpy as jnp
@@ -134,7 +144,8 @@ def jitted_transform_delta(geometry: FrameGeometry, output: str = "rgb8"):
     sizes = [s[0] * s[1] * s[2] for s in shapes]
     total = sum(sizes)
 
-    def fn(packed, quants_stacked):
+    def fn(packed_flat, quants_stacked):
+        packed = packed_flat.reshape(-1, 2)
         deltas = packed[:, 0].astype(jnp.int32) & 0xFFFF  # uint16 bits
         vals = packed[:, 1].astype(jnp.int32)
         pos = jnp.cumsum(deltas) - 1  # the packer starts from index -1
@@ -146,7 +157,7 @@ def jitted_transform_delta(geometry: FrameGeometry, output: str = "rgb8"):
             off += size
         quants = tuple(quants_stacked[i] for i in range(len(shapes)))
         if output == "rgb8":
-            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp)
+            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp, layout="chw")
         return transform_to_u16(tuple(coeffs), quants, geometry, xp=jnp)
 
     return jax.jit(fn)
@@ -175,7 +186,7 @@ def jitted_transform_packed(geometry: FrameGeometry, output: str = "rgb8"):
             off += size
         quants = tuple(quants_stacked[i] for i in range(len(shapes)))
         if output == "rgb8":
-            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp)
+            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp, layout="chw")
         return transform_to_u16(tuple(coeffs), quants, geometry, xp=jnp)
 
     return jax.jit(fn)
@@ -185,13 +196,17 @@ def jitted_transform_packed(geometry: FrameGeometry, output: str = "rgb8"):
 def jitted_transform(geometry: FrameGeometry, output: str = "rgb8"):
     """Compile (and cache) the transform for one frame geometry.
 
-    Returns a jitted callable(coeffs_tuple, quants_tuple) -> device array.
+    Returns a jitted callable(coeffs_tuple, quants_tuple) -> device
+    array. ``output="rgb8p"`` produces planar [3, H, W] (lane-friendly
+    on TPU); "rgb8" produces interleaved [H, W, 3].
     """
     import jax
     import jax.numpy as jnp
 
     if output == "rgb8":
         fn = lambda c, q: transform_to_rgb8(c, q, geometry, xp=jnp)
+    elif output == "rgb8p":
+        fn = lambda c, q: transform_to_rgb8(c, q, geometry, xp=jnp, layout="chw")
     elif output == "u16":
         fn = lambda c, q: transform_to_u16(c, q, geometry, xp=jnp)
     else:

@@ -77,11 +77,11 @@ def decode_batch_rgb(
             packs = [
                 native_scanner.pack_sparse(
                     [r.coefficients[c.component_index] for c in geometry.components]
-                )
+                ).reshape(-1)
                 for r in batch
             ]
             width = max(p.shape[0] for p in packs)
-            packed_batch = np.zeros((len(packs), width, 2), dtype=np.int16)
+            packed_batch = np.zeros((len(packs), width), dtype=np.int16)
             for j, p in enumerate(packs):
                 packed_batch[j, : p.shape[0]] = p
         except ImportError:
@@ -115,39 +115,51 @@ def decode_batch_rgb(
                 sharding = NamedSharding(mesh, P("data"))
                 inp = tuple(jax.device_put(c, sharding) for c in inp)
         rgb = np.asarray(fn(inp, quants))
+        if packed_batch is not None:  # delta path outputs planar CHW
+            rgb = np.moveaxis(rgb, 1, -1)
         for j, i in enumerate(indices):
             out[i] = rgb[j]
     return out
 
 
-def decode_stream_rgb(datas, *, depth: int = 2):
+def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2):
     """Pipelined streaming decode: yields device-resident RGB arrays in
     input order while the host scans ahead.
 
-    The host stages (container parse + entropy scan + sparse pack) of
-    image i+1 overlap the device transfer/transform of image i on a
-    worker thread — the steady-state serving pipeline bench.py measures.
-    ``depth`` bounds the number of in-flight device transforms.
+    Two levels of overlap (the steady-state serving pipeline bench.py
+    measures): ``scan_workers`` host threads run the per-image stages
+    (container parse + entropy scan — independent across images, and the
+    native calls release the GIL) while a single device thread runs the
+    sparse pack + transfer + transform; ``depth`` bounds in-flight work.
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     import jax
 
-    def transform(res):
+    def scan(data):
+        dec = JpegDecoder()
+        dec.set_input(data)
+        return dec.decode()
+
+    def transform(scan_future):
+        """Yields planar [3, H, W] uint8 (device-resident for DCT modes;
+        see DecodeResult.to_rgb8_device on why CHW)."""
+        res = scan_future.result()
         if res.coefficients is None:  # lossless: host path
-            return res.to_rgb8()
+            import numpy as np
+
+            return np.moveaxis(res.to_rgb8(), -1, 0)
         out = res.to_rgb8_device(sparse=True)
         jax.block_until_ready(out)
         return out
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    with ThreadPoolExecutor(max_workers=scan_workers) as scan_pool, \
+            ThreadPoolExecutor(max_workers=1) as device_pool:
         inflight = deque()
         for data in datas:
-            dec = JpegDecoder()
-            dec.set_input(data)
-            res = dec.decode()
-            inflight.append(pool.submit(transform, res))
+            scan_fut = scan_pool.submit(scan, data)
+            inflight.append(device_pool.submit(transform, scan_fut))
             while len(inflight) > depth:
                 yield inflight.popleft().result()
         while inflight:

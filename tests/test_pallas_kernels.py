@@ -56,16 +56,17 @@ def test_device_sparse_paths_match_dense(assets_dir):
     data = (assets_dir / "baseline/lake.jpg").read_bytes()
     r = jt.decode(data)
     dense = r.to_rgb8()
-    # default device path (native delta packing when available)
-    np.testing.assert_array_equal(np.asarray(r.to_rgb8_device(sparse=True)), dense)
-    np.testing.assert_array_equal(np.asarray(r.to_rgb8_device(sparse=False)), dense)
+    dense_chw = np.moveaxis(dense, -1, 0)
+    # device paths yield planar CHW (lane-friendly wire layout)
+    np.testing.assert_array_equal(np.asarray(r.to_rgb8_device(sparse=True)), dense_chw)
+    np.testing.assert_array_equal(np.asarray(r.to_rgb8_device(sparse=False)), dense_chw)
     # numpy fallback packed path
     quants = np.stack(
         [r.quant[c.component_index] for c in r.geometry.components]
     ).astype(np.int32)
     packed = pack_sparse(r.coefficients, r.geometry)
     out = jitted_transform_packed(r.geometry, "rgb8")(packed, quants)
-    np.testing.assert_array_equal(np.asarray(out), dense)
+    np.testing.assert_array_equal(np.asarray(out), dense_chw)
 
 
 def test_native_pack_sparse_roundtrip(assets_dir):
@@ -107,7 +108,8 @@ def test_decode_stream_rgb(assets_dir):
     outs = list(decode_stream_rgb([lake, cramps, lake]))
     assert len(outs) == 3
     for o, e in zip(outs, expected):
-        np.testing.assert_array_equal(np.asarray(o), e)
+        # the stream yields planar CHW
+        np.testing.assert_array_equal(np.moveaxis(np.asarray(o), 0, -1), e)
 
 
 def test_batch_decode_rgb_with_mesh(assets_dir):
