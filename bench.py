@@ -73,8 +73,8 @@ def main() -> None:
     # pattern). Median over windows rides out noise on the shared host.
     from jpeglibrary_tpu.parallel.batch import decode_stream_rgb
 
-    window = 3  # x len(variants) images per window
-    n_windows = 5
+    window = 2  # x len(variants) images per window
+    n_windows = 3
     rates = []
     for _ in range(n_windows):
         batch = variants * window

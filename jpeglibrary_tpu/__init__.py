@@ -16,6 +16,48 @@ scanner / restart-segment parallel) -> batched device transform kernels
 (dequant + IDCT + upsample + color) -> output formatting.
 """
 
+_COMPILE_CACHE_CHECKED = False
+
+
+def enable_compile_cache() -> None:
+    """Persistent XLA compilation cache, TPU backends only
+    (JPX_COMPILE_CACHE=0 disables; JPX_COMPILE_CACHE_DIR overrides the
+    location). Remote-compile TPU backends take minutes per program;
+    the disk cache makes every process after the first start hot.
+    Restricted to TPU because XLA:CPU caches AOT machine code whose
+    machine-feature assumptions don't transfer across hosts (observed
+    producing wrong numerics when loaded elsewhere).
+
+    Called lazily from the device pipeline factories, after the backend
+    is known; safe to call repeatedly."""
+    global _COMPILE_CACHE_CHECKED
+    if _COMPILE_CACHE_CHECKED:
+        return
+    _COMPILE_CACHE_CHECKED = True
+    import os
+
+    if os.environ.get("JPX_COMPILE_CACHE", "1") in ("0", "false", ""):
+        return
+    try:
+        import jax
+
+        if jax.devices()[0].platform not in ("tpu", "axon"):
+            return
+        if jax.config.jax_compilation_cache_dir is None:
+            cache_dir = os.environ.get(
+                "JPX_COMPILE_CACHE_DIR",
+                os.path.join(
+                    os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+                    "jpeglibrary_tpu",
+                    "jax-tpu",
+                ),
+            )
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 from .models.decoder import DecodeResult, ImageInfo, JpegDecoder, decode
 
 __all__ = [

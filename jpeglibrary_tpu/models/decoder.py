@@ -153,25 +153,24 @@ class DecodeResult:
         return jitted_transform(self.geometry, "rgb8p")(coeffs, quants)
 
     def to_rgb8(self) -> np.ndarray:
-        """[H, W, 3] uint8 RGB via the fused jitted device pipeline
-        (clamp writer + fixed-point YCbCr->RGB, grayscale Cb=Cr=128)."""
-        if self.coefficients is None:
-            # Lossless path: no transform stage; convert the sample planes.
-            from ..ops import color as color_ops
+        """[H, W, 3] uint8 RGB on host: clamp writer + fixed-point
+        YCbCr->RGB (grayscale fills Cb=Cr=128, DecodeAction.cs:58-66).
 
-            u8 = [decode_stage.clamp_to_uint8(self.planes[i]) for i in sorted(self.planes)]
-            if len(u8) == 1:
-                half = np.full_like(u8[0], 128)
-                r, g, b = color_ops.ycbcr_to_rgb(u8[0], half, half)
-            elif len(u8) == 3:
-                r, g, b = color_ops.ycbcr_to_rgb(u8[0], u8[1], u8[2])
-            else:
-                raise ValueError(f"RGB output needs 1 or 3 components, got {len(u8)}.")
-            return np.stack([r, g, b], axis=-1)
-        # Fetch the planar device output (lane-friendly wire layout) and
-        # interleave on host.
-        chw = np.asarray(self.to_rgb8_device(sparse=True))
-        return np.ascontiguousarray(np.moveaxis(chw, 0, -1))
+        Pure host computation with the bit-exact reference semantics —
+        the device-resident serving output is ``to_rgb8_device()``
+        (planar, stays in HBM; avoids the device->host hop, which over a
+        remote-attached chip can cost more than the whole decode)."""
+        from ..ops import color as color_ops
+
+        u8 = [decode_stage.clamp_to_uint8(self.planes[i]) for i in sorted(self.planes)]
+        if len(u8) == 1:
+            half = np.full_like(u8[0], 128)
+            r, g, b = color_ops.ycbcr_to_rgb(u8[0], half, half)
+        elif len(u8) == 3:
+            r, g, b = color_ops.ycbcr_to_rgb(u8[0], u8[1], u8[2])
+        else:
+            raise ValueError(f"RGB output needs 1 or 3 components, got {len(u8)}.")
+        return np.stack([r, g, b], axis=-1)
 
     def to_uint8(self) -> np.ndarray:
         """[H, W, C] uint8, clamp-[0,255] writer semantics."""

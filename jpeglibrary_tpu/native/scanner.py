@@ -444,7 +444,21 @@ def encode_segment(comps: Sequence[dict], n_mcus: int) -> bytes:
     return out[: int(written)].tobytes()
 
 
-def pack_sparse(planes: Sequence[np.ndarray], *, bucket_factor: float = 1.15) -> np.ndarray:
+_PACK_SCRATCH = __import__("threading").local()
+
+
+def _pack_scratch(cap: int) -> np.ndarray:
+    """Reusable per-thread scratch for the worst-case pack output —
+    fresh 25 MB allocations per image cost ~10 ms in page faults (the
+    MemoryPool discipline of the reference, JpegDecoder.cs:38)."""
+    buf = getattr(_PACK_SCRATCH, "buf", None)
+    if buf is None or buf.shape[0] < cap:
+        buf = np.empty((cap, 2), dtype=np.int16)
+        _PACK_SCRATCH.buf = buf
+    return buf
+
+
+def pack_sparse(planes: Sequence[np.ndarray], *, bucket_factor: float = 1.5) -> np.ndarray:
     """Pack dense int16 coefficient planes into interleaved
     (delta uint16, value int16) entries — the 4-byte sparse wire format
     the device unpacks with cumsum + scatter-add. Returns int16 [n, 2]
@@ -462,7 +476,7 @@ def pack_sparse(planes: Sequence[np.ndarray], *, bucket_factor: float = 1.15) ->
         sizes[i] = flat.shape[0]
         total += flat.shape[0]
     cap = total + 1024  # worst case: every coefficient nonzero
-    out = np.empty((cap, 2), dtype=np.int16)
+    out = _pack_scratch(cap)
     written = lib.jpx_pack_sparse(ptrs, sizes, n, out.ctypes.data_as(ctypes.c_void_p), cap)
     if written < 0:
         raise RuntimeError("sparse pack capacity exceeded")

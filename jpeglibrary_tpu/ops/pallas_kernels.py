@@ -73,6 +73,10 @@ def _kernel(coeff_ref, quant_ref, matrix_ref, out_ref, *, level_shift: int):
 
 @functools.lru_cache(maxsize=16)
 def _build_call(n_blocks: int, level_shift: int, tile: int, interpret: bool):
+    from .. import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     from jax.experimental import pallas as pl
 

@@ -96,7 +96,7 @@ def transform_to_u16(coeffs: Tuple, quants: Tuple, geometry: FrameGeometry, xp=n
     return xp.stack(ext, axis=-1)
 
 
-def pack_sparse(coefficients, geometry: FrameGeometry, *, bucket_factor: float = 1.15) -> np.ndarray:
+def pack_sparse(coefficients, geometry: FrameGeometry, *, bucket_factor: float = 1.5) -> np.ndarray:
     """All components' nonzero coefficients packed into ONE [n, 2]
     int32 array of (global flat index, value) — a single host->device
     transfer per image (each transfer over a remote-attached chip costs
@@ -135,6 +135,10 @@ def jitted_transform_delta(geometry: FrameGeometry, output: str = "rgb8"):
     escape entries (delta 0xFFFF, value 0) and (0, 0) padding add zero.
     Output is planar CHW (see transform_to_rgb8).
     """
+    from .. import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -168,6 +172,10 @@ def jitted_transform_packed(geometry: FrameGeometry, output: str = "rgb8"):
     """Compiled transform taking the single packed sparse array;
     densification is a device scatter-add. jax.jit re-specializes per
     bucket size."""
+    from .. import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -200,6 +208,10 @@ def jitted_transform(geometry: FrameGeometry, output: str = "rgb8"):
     array. ``output="rgb8p"`` produces planar [3, H, W] (lane-friendly
     on TPU); "rgb8" produces interleaved [H, W, 3].
     """
+    from .. import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

