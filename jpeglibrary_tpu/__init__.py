@@ -59,12 +59,20 @@ def enable_compile_cache() -> None:
 
 
 from .models.decoder import DecodeResult, ImageInfo, JpegDecoder, decode
+from .models.encoder import JpegEncoder, encode_gray, encode_rgb
+from .models.optimizer import JpegOptimizer, optimize
 
 __all__ = [
     "JpegDecoder",
     "DecodeResult",
     "ImageInfo",
     "decode",
+    "JpegEncoder",
+    "encode_rgb",
+    "encode_gray",
+    "JpegOptimizer",
+    "optimize",
+    "enable_compile_cache",
 ]
 
 __version__ = "0.1.0"
