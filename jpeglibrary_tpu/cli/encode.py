@@ -25,6 +25,10 @@ def main(argv=None) -> int:
         help="use package-merge optimal length-limited tables",
     )
     parser.add_argument("--subsampling", choices=["420", "444"], default="420")
+    parser.add_argument(
+        "--restart-interval", type=int, default=0, metavar="MCUS",
+        help="emit DRI + RSTn every N MCUs (enables restart-parallel decode)",
+    )
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -40,6 +44,7 @@ def main(argv=None) -> int:
         subsampling=args.subsampling,
         optimize_coding=args.optimize_coding,
         most_optimal_coding=args.most_optimal,
+        restart_interval=args.restart_interval,
     )
     open(args.output, "wb").write(blob)
     print(f"{args.source}: {rgb.shape[1]}x{rgb.shape[0]} -> {args.output} ({len(blob)} bytes)")

@@ -64,6 +64,11 @@ class JpegEncodeError(ValueError):
 class JpegEncoder:
     def __init__(self):
         self.most_optimal_coding = False
+        #: MCUs per restart interval; 0 emits no DRI/RSTn like the
+        #: reference encoder (JpegEncoder.cs never writes DRI). Setting
+        #: it makes the output restart-segment-parallel decodable — the
+        #: parallel seam this framework's scanners exploit.
+        self.restart_interval = 0
         self._quant_tables: List[QuantizationTable] = []
         #: (is_dc, identifier) -> HuffmanEncodingTable or None (None = build)
         self._huffman_tables: Dict[tuple, Optional[HuffmanEncodingTable]] = {}
@@ -188,6 +193,10 @@ class JpegEncoder:
         )
         writer.write_segment(Marker.DHT, dht_payload)
 
+        if self.restart_interval > 0:
+            ri = self.restart_interval
+            writer.write_segment(Marker.DRI, bytes([(ri >> 8) & 0xFF, ri & 0xFF]))
+
         scan = ScanHeader(
             components=tuple(
                 ScanComponent(c.identifier, c.dc_table_id, c.ac_table_id)
@@ -229,24 +238,49 @@ class JpegEncoder:
             )
 
         n_mcus = comp_blocks[0].shape[0] // comps[0]["per_mcu"]
+        native_emit = None
         try:
             from ..native import scanner as native_scanner
 
-            writer.write_bytes(native_scanner.encode_segment(comps, n_mcus))
-            return
+            native_emit = native_scanner.encode_segment
         except ImportError:
             pass
 
-        writer.enter_bit_mode()
-        write_bits = writer.write_bits
-        for _ in range(n_mcus):
+        def emit_segment(first_mcu: int, count: int) -> None:
+            if native_emit is not None:
+                seg_comps = [
+                    {**c, "blocks": c["blocks"][first_mcu * c["per_mcu"]:]}
+                    for c in comps
+                ]
+                writer.write_bytes(native_emit(seg_comps, count))
+                return
+            writer.enter_bit_mode()
+            write_bits = writer.write_bits
             for c in comps:
-                blocks = c["blocks"]
-                for _ in range(c["per_mcu"]):
-                    block = blocks[c["cursor"]]
-                    c["cursor"] += 1
-                    _encode_block(write_bits, c, block)
-        writer.exit_bit_mode()
+                c["predictor"] = 0
+                c["cursor"] = first_mcu * c["per_mcu"]
+            for _ in range(count):
+                for c in comps:
+                    blocks = c["blocks"]
+                    for _ in range(c["per_mcu"]):
+                        block = blocks[c["cursor"]]
+                        c["cursor"] += 1
+                        _encode_block(write_bits, c, block)
+            writer.exit_bit_mode()
+
+        ri = self.restart_interval
+        if ri <= 0:
+            emit_segment(0, n_mcus)
+            return
+        mcu = 0
+        rst = 0
+        while mcu < n_mcus:
+            n = min(ri, n_mcus - mcu)
+            emit_segment(mcu, n)
+            mcu += n
+            if mcu < n_mcus:
+                writer.write_marker(Marker.RST0 + rst)
+                rst = (rst + 1) & 7
 
 
 def _encode_block(write_bits, c, block) -> None:
@@ -303,6 +337,7 @@ def encode_rgb(
     subsampling: str = "420",
     optimize_coding: bool = False,
     most_optimal_coding: bool = False,
+    restart_interval: int = 0,
     xp=np,
 ) -> bytes:
     """RGB [H, W, 3] uint8 -> baseline JPEG bytes.
@@ -317,6 +352,7 @@ def encode_rgb(
 
     encoder = JpegEncoder()
     encoder.most_optimal_coding = most_optimal_coding
+    encoder.restart_interval = restart_interval
     encoder.set_quantization_table(scale_by_quality(standard_luminance_table(0), quality))
     encoder.set_quantization_table(scale_by_quality(standard_chrominance_table(1), quality))
     if optimize_coding or most_optimal_coding:

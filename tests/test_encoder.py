@@ -61,6 +61,33 @@ def test_optimize_coding_smaller(lake_rgb):
     )
 
 
+@pytest.mark.parametrize("ri", [4, 64])
+def test_restart_interval_emission(lake_rgb, ri):
+    """restart_interval emits DRI + cycling RSTn; output decodes
+    identically via the restart-parallel native scanner, the sequential
+    Python scanner, and an external decoder — and pixel-identical to
+    the restart-free stream (restarts are lossless structure)."""
+    import io as _io
+
+    from PIL import Image
+
+    import jpeglibrary_tpu as jt
+
+    plain = encode_rgb(lake_rgb, 75)
+    enc = encode_rgb(lake_rgb, 75, restart_interval=ri)
+    assert b"\xff\xdd" in enc
+    assert any(enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7 for i in range(len(enc) - 1))
+
+    rn = jt.decode(enc, use_native=True).to_uint16_extended()
+    rp = jt.decode(enc, use_native=False).to_uint16_extended()
+    np.testing.assert_array_equal(rn, rp)
+    np.testing.assert_array_equal(rn, jt.decode(plain).to_uint16_extended())
+
+    pil = np.asarray(Image.open(_io.BytesIO(enc)).convert("RGB"))
+    ours = jt.decode(enc).to_rgb8()
+    assert _psnr(pil, ours) > 40
+
+
 def test_gray_roundtrip(assets_dir):
     data = (assets_dir / "baseline/cramps.jpg").read_bytes()
     gray = jt.decode(data).to_uint8()[..., 0]
