@@ -162,7 +162,10 @@ class DecodeResult:
         remote-attached chip can cost more than the whole decode)."""
         from ..ops import color as color_ops
 
-        u8 = [decode_stage.clamp_to_uint8(self.planes[i]) for i in sorted(self.planes)]
+        u8 = [
+            decode_stage.normalize_to_uint8(self.planes[i], self.precision)
+            for i in sorted(self.planes)
+        ]
         if len(u8) == 1:
             half = np.full_like(u8[0], 128)
             r, g, b = color_ops.ycbcr_to_rgb(u8[0], half, half)
@@ -173,8 +176,12 @@ class DecodeResult:
         return np.stack([r, g, b], axis=-1)
 
     def to_uint8(self) -> np.ndarray:
-        """[H, W, C] uint8, clamp-[0,255] writer semantics."""
-        planes = [decode_stage.clamp_to_uint8(self.planes[i]) for i in sorted(self.planes)]
+        """[H, W, C] uint8, precision-aware writer semantics (8-bit
+        clamp; >8-bit shift; <8-bit bit-expand — DecodeAction.cs:41-54)."""
+        planes = [
+            decode_stage.normalize_to_uint8(self.planes[i], self.precision)
+            for i in sorted(self.planes)
+        ]
         return np.stack(planes, axis=-1)
 
     def to_uint16_extended(self) -> np.ndarray:

@@ -106,6 +106,29 @@ def clamp_to_uint8(plane, xp=np):
     return xp.clip(plane, 0, 255).astype(xp.uint8)
 
 
+def normalize_to_uint8(plane, precision: int, xp=np):
+    """Precision-aware 8-bit output, matching the app's writer choice
+    (DecodeAction.cs:41-54): 8-bit clamps; >8-bit shifts right by p-8
+    then clamps (JpegBufferOutputWriterGreaterThan8Bit.cs:34-61); <8-bit
+    clamps to [0, 2^p - 1] then bit-expands to 8 bits
+    (JpegBufferOutputWriterLessThan8Bit.cs:35-94)."""
+    if precision == 8:
+        return clamp_to_uint8(plane, xp=xp)
+    if precision > 8:
+        return xp.clip(plane >> (precision - 8), 0, 255).astype(xp.uint8)
+    bits = xp.clip(plane, 0, (1 << precision) - 1)
+    current = precision
+    while current < 8:
+        bits = (bits << precision) | bits
+        current += precision
+    if current > 8:
+        bits = bits >> precision
+        current -= precision
+        remaining = 8 - current
+        bits = (bits << remaining) | (bits & ((1 << remaining) - 1))
+    return bits.astype(xp.uint8)
+
+
 def expand_bits_fast(bits, precision: int, xp=np):
     """FastExpandBits (apps/JpegDebugDump/JpegExtendingOutputWriter.cs:92-99):
     for precision >= 8: (bits << r) | (bits & ((1 << r) - 1)), r = 16 - p."""

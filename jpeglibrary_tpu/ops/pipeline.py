@@ -75,7 +75,9 @@ def transform_to_rgb8(coeffs: Tuple, quants: Tuple, geometry: FrameGeometry, xp=
     keeps W minor and transfers at true size.
     """
     planes = _transform_planes(coeffs, quants, geometry, xp)
-    u8 = [decode_stage.clamp_to_uint8(p, xp=xp) for p in planes]
+    u8 = [
+        decode_stage.normalize_to_uint8(p, geometry.precision, xp=xp) for p in planes
+    ]
     if len(u8) == 1:
         y = u8[0]
         half = xp.full_like(y, 128)
