@@ -114,6 +114,26 @@ class DecodeResult:
         )
         return tuple(jnp.asarray(c) for c in coeffs), quants
 
+    def prepack(self) -> None:
+        """Precompute the sparse device payload on the calling thread.
+
+        Lets a pipeline run the pack stage inside its scan workers (it
+        parallelizes across images) so the single device thread only
+        dispatches; to_rgb8_device reuses the cached payload."""
+        if self.coefficients is None or getattr(self, "_packed", None) is not None:
+            return
+        try:
+            from ..native import scanner as native_scanner
+        except ImportError:
+            return
+        from ..utils import metrics
+
+        planes = [
+            self.coefficients[c.component_index] for c in self.geometry.components
+        ]
+        with metrics.stage("transform.pack_sparse"):
+            self._packed = native_scanner.pack_sparse(planes).reshape(-1)
+
     def to_rgb8_device(self, *, sparse: bool = True):
         """Decode to device-resident **planar [3, H, W]** RGB (the
         serving path: output stays in HBM for a downstream TPU
@@ -141,8 +161,10 @@ class DecodeResult:
             try:
                 from ..native import scanner as native_scanner
 
-                with metrics.stage("transform.pack_sparse"):
-                    packed = native_scanner.pack_sparse(planes).reshape(-1)
+                packed = getattr(self, "_packed", None)
+                if packed is None:
+                    with metrics.stage("transform.pack_sparse"):
+                        packed = native_scanner.pack_sparse(planes).reshape(-1)
                 with metrics.stage("transform.dispatch"):
                     # numpy args: the transfer rides the single jit dispatch
                     return jitted_transform_delta(self.geometry, "rgb8")(packed, quants)

@@ -140,7 +140,9 @@ def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2):
     def scan(data):
         dec = JpegDecoder()
         dec.set_input(data)
-        return dec.decode()
+        res = dec.decode()
+        res.prepack()  # pack in the scan worker: parallel across images
+        return res
 
     def transform(scan_future):
         """Yields planar [3, H, W] uint8 (device-resident for DCT modes;
