@@ -348,7 +348,12 @@ def encode_rgb(
     """
     from ..ops import color as color_ops
 
-    y, cb, cr = color_ops.rgb_to_ycbcr(rgb[..., 0], rgb[..., 1], rgb[..., 2], xp=np)
+    try:
+        from ..native import scanner as native_scanner
+
+        y, cb, cr = native_scanner.rgb_to_ycbcr(np.asarray(rgb, dtype=np.uint8))
+    except ImportError:
+        y, cb, cr = color_ops.rgb_to_ycbcr(rgb[..., 0], rgb[..., 1], rgb[..., 2], xp=np)
 
     encoder = JpegEncoder()
     encoder.most_optimal_coding = most_optimal_coding

@@ -131,6 +131,12 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.POINTER(c.c_void_p), c.POINTER(c.c_int64), c.c_int32,  # planes
         c.c_void_p, c.c_int64,           # out, capacity
     ]
+    lib.jpx_rgb_to_ycbcr.restype = None
+    lib.jpx_rgb_to_ycbcr.argtypes = [
+        c.c_void_p, c.c_int64,           # rgb, n
+        c.c_void_p, c.c_void_p, c.c_void_p,  # y, cb, cr
+        c.POINTER(c.c_int32),            # constants
+    ]
     lib.jpx_encode_segment.restype = c.c_int64
     lib.jpx_encode_segment.argtypes = [
         c.c_int32,

@@ -1534,3 +1534,61 @@ int64_t jpx_encode_segment(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fixed-point RGB -> YCbCr (encoder host path)
+// ---------------------------------------------------------------------------
+//
+// Same 16-bit fixed-point arithmetic as ops/color.rgb_to_ycbcr (parity
+// with JpegRgbToYCbCrConverter.cs:37-95 incl. the 0.5-epsilon rounding
+// fudge); multithreaded over row chunks.
+
+namespace {
+
+struct RgbYcc {
+    int32_t yr, yg, yb, cbr, cbg, cbb, crg, crb;
+};
+
+static int32_t fix16(double v) { return (int32_t)(v * 65536.0 + 0.5); }
+
+}  // namespace
+
+extern "C" {
+
+// rgb: interleaved uint8 [n, 3]; y/cb/cr: uint8 [n] outputs.
+void jpx_rgb_to_ycbcr(const uint8_t* rgb, int64_t n,
+                      uint8_t* y_out, uint8_t* cb_out, uint8_t* cr_out,
+                      const int32_t* consts /* yr yg yb cbr cbg cbb crg crb */) {
+    const int32_t yr = consts[0], yg = consts[1], yb = consts[2];
+    const int32_t cbr = consts[3], cbg = consts[4], cbb = consts[5];
+    const int32_t crg = consts[6], crb = consts[7];
+    const int32_t half = 1 << 15;
+    const int32_t fudge = (128 << 16) + half - 1;
+
+    int hw = (int)std::thread::hardware_concurrency();
+    int nt = hw > 2 ? hw - 2 : 1;
+    if (n < (int64_t)1 << 18) nt = 1;
+
+    auto work = [&](int64_t begin, int64_t end) {
+        for (int64_t i = begin; i < end; ++i) {
+            int32_t r = rgb[3 * i], g = rgb[3 * i + 1], b = rgb[3 * i + 2];
+            y_out[i] = (uint8_t)((yr * r + yg * g + (yb * b + half)) >> 16);
+            cb_out[i] = (uint8_t)((cbr * r + cbg * g + (cbb * b + fudge)) >> 16);
+            cr_out[i] = (uint8_t)(((cbb * r + fudge) + crg * g + crb * b) >> 16);
+        }
+    };
+    if (nt <= 1) {
+        work(0, n);
+        return;
+    }
+    std::vector<std::thread> pool;
+    int64_t step = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+        int64_t b = t * step;
+        if (b >= n) break;
+        pool.emplace_back(work, b, std::min(n, b + step));
+    }
+    for (auto& th : pool) th.join();
+}
+
+}  // extern "C"

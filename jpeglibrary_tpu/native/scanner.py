@@ -391,6 +391,34 @@ def decode_arithmetic_scan(
     return True
 
 
+def rgb_to_ycbcr(rgb: np.ndarray):
+    """Native fixed-point RGB->YCbCr, bit-identical to
+    ops.color.rgb_to_ycbcr (JpegRgbToYCbCrConverter parity),
+    multithreaded. rgb: uint8 [..., 3]; returns (y, cb, cr) uint8."""
+    lib = build.load_library()
+    from ..ops import color as color_ops
+
+    flat = np.ascontiguousarray(rgb.reshape(-1, 3), dtype=np.uint8)
+    n = flat.shape[0]
+    y = np.empty(n, dtype=np.uint8)
+    cb = np.empty(n, dtype=np.uint8)
+    cr = np.empty(n, dtype=np.uint8)
+    consts = (ctypes.c_int32 * 8)(
+        color_ops._Y_R, color_ops._Y_G, color_ops._Y_B,
+        color_ops._CB_R, color_ops._CB_G, color_ops._CB_B,
+        color_ops._CR_G, color_ops._CR_B,
+    )
+    lib.jpx_rgb_to_ycbcr(
+        flat.ctypes.data_as(ctypes.c_void_p), n,
+        y.ctypes.data_as(ctypes.c_void_p),
+        cb.ctypes.data_as(ctypes.c_void_p),
+        cr.ctypes.data_as(ctypes.c_void_p),
+        consts,
+    )
+    shape = rgb.shape[:-1]
+    return y.reshape(shape), cb.reshape(shape), cr.reshape(shape)
+
+
 def encode_segment(comps: Sequence[dict], n_mcus: int) -> bytes:
     """Emit one byte-aligned entropy segment natively.
 

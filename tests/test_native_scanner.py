@@ -78,6 +78,21 @@ def test_native_baseline_restart_parallel(native_lib):
     assert 10 * np.log10(255.0**2 / max(mse, 1e-9)) > 30
 
 
+def test_native_rgb_to_ycbcr_parity(native_lib):
+    """Native fixed-point color conversion is bit-identical to the
+    numpy reference (JpegRgbToYCbCrConverter parity)."""
+    from jpeglibrary_tpu.native import scanner as ns
+    from jpeglibrary_tpu.ops import color
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(257, 123, 3), dtype=np.uint8)
+    y1, cb1, cr1 = ns.rgb_to_ycbcr(rgb)
+    y2, cb2, cr2 = color.rgb_to_ycbcr(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+    np.testing.assert_array_equal(y1, y2)
+    np.testing.assert_array_equal(cb1, cb2)
+    np.testing.assert_array_equal(cr1, cr2)
+
+
 def test_native_single_thread_matches(assets_dir, native_lib, monkeypatch):
     monkeypatch.setenv("JPX_SCAN_THREADS", "1")
     data = (assets_dir / "baseline/HETissueSlide.jpg").read_bytes()
