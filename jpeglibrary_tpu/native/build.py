@@ -131,6 +131,12 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.POINTER(c.c_void_p), c.POINTER(c.c_int64), c.c_int32,  # planes
         c.c_void_p, c.c_int64,           # out, capacity
     ]
+    lib.jpx_box_subsample.restype = None
+    lib.jpx_box_subsample.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int64,  # in, h, w
+        c.c_int32, c.c_int32,              # hs, vs
+        c.c_void_p,                        # out
+    ]
     lib.jpx_rgb_to_ycbcr.restype = None
     lib.jpx_rgb_to_ycbcr.argtypes = [
         c.c_void_p, c.c_int64,           # rgb, n

@@ -1592,3 +1592,44 @@ void jpx_rgb_to_ycbcr(const uint8_t* rgb, int64_t n,
 }
 
 }  // extern "C"
+
+// Box-filter subsample with the reference rounding
+// ((sum + 2^(s-1)) >> s, ReadBlockWithSubsample, JpegEncoder.cs:756-787).
+// in: uint8 [h, w] (h % vs == 0, w % hs == 0); out: int32 [h/vs, w/hs].
+extern "C" void jpx_box_subsample(const uint8_t* in, int64_t h, int64_t w,
+                                  int32_t hs, int32_t vs, int32_t* out) {
+    int shift = 0;
+    for (int v = hs; v > 1; v >>= 1) ++shift;
+    for (int v = vs; v > 1; v >>= 1) ++shift;
+    const int32_t delta = shift > 0 ? (1 << (shift - 1)) : 0;
+    const int64_t oh = h / vs, ow = w / hs;
+
+    int hw = (int)std::thread::hardware_concurrency();
+    int nt = hw > 2 ? hw - 2 : 1;
+    if (oh * ow < (int64_t)1 << 17) nt = 1;
+
+    auto work = [&](int64_t r0, int64_t r1) {
+        for (int64_t oy = r0; oy < r1; ++oy) {
+            for (int64_t ox = 0; ox < ow; ++ox) {
+                int32_t sum = 0;
+                for (int32_t dy = 0; dy < vs; ++dy) {
+                    const uint8_t* row = in + (oy * vs + dy) * w + ox * hs;
+                    for (int32_t dx = 0; dx < hs; ++dx) sum += row[dx];
+                }
+                out[oy * ow + ox] = shift > 0 ? ((sum + delta) >> shift) : sum;
+            }
+        }
+    };
+    if (nt <= 1) {
+        work(0, oh);
+        return;
+    }
+    std::vector<std::thread> pool;
+    int64_t step = (oh + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+        int64_t b = t * step;
+        if (b >= oh) break;
+        pool.emplace_back(work, b, std::min(oh, b + step));
+    }
+    for (auto& th : pool) th.join();
+}

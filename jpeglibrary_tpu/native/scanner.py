@@ -391,6 +391,20 @@ def decode_arithmetic_scan(
     return True
 
 
+def box_subsample(plane: np.ndarray, hs: int, vs: int) -> np.ndarray:
+    """Native box-filter subsample; bit-identical to
+    ops.encode_stage.subsample_box (same (sum + 2^(s-1)) >> s rounding)."""
+    lib = build.load_library()
+    plane = np.ascontiguousarray(plane, dtype=np.uint8)
+    h, w = plane.shape
+    out = np.empty((h // vs, w // hs), dtype=np.int32)
+    lib.jpx_box_subsample(
+        plane.ctypes.data_as(ctypes.c_void_p), h, w, hs, vs,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out
+
+
 def rgb_to_ycbcr(rgb: np.ndarray):
     """Native fixed-point RGB->YCbCr, bit-identical to
     ops.color.rgb_to_ycbcr (JpegRgbToYCbCrConverter parity),

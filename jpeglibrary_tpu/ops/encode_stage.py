@@ -45,6 +45,13 @@ def subsample_box(plane, hs: int, vs: int, xp=np):
     JpegEncoder.cs:756-787). Input dims must divide evenly."""
     if hs == 1 and vs == 1:
         return plane.astype(xp.int32) if plane.dtype != xp.int32 else plane
+    if xp is np and plane.dtype == np.uint8:
+        try:
+            from ..native import scanner as native_scanner
+
+            return native_scanner.box_subsample(plane, hs, vs)
+        except ImportError:
+            pass
     h, w = plane.shape
     x = plane.astype(xp.int32).reshape(h // vs, vs, w // hs, hs)
     total = xp.sum(x, axis=(1, 3))
