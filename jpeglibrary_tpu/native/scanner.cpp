@@ -24,6 +24,7 @@
 // Build: see native/build.py (g++ -O3 -shared, cached by source hash).
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <algorithm>
 #include <atomic>
@@ -244,6 +245,252 @@ static int decode_span(const SpanTask& task, Component* comps, int n_comps,
     return 0;
 }
 
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// Speculative self-synchronizing parallel decode (no restart markers)
+// ---------------------------------------------------------------------------
+//
+// Baseline scans without RSTn markers have no built-in parallel seam,
+// so we make one: Huffman codes self-synchronize, and a decoder
+// started at an arbitrary byte offset almost always locks onto the
+// true symbol stream within a few hundred bytes (see the GPU JPEG
+// decompression literature). Two phases:
+//
+//  Phase A (parallel): thread k speculatively decodes from its chunk's
+//    byte boundary (retrying at the next byte on invalid codes),
+//    recording at every MCU start a CANONICAL reader state: after a
+//    forced refill the (next-raw-byte, buffered-bit-count) pair is a
+//    pure function of the logical unstuffed bit position, so equal
+//    records mean equal positions AND equal future decodes. Records
+//    also carry the 64-bit buffer and per-component DC predictors
+//    (relative to the thread's arbitrary start).
+//
+//  Stitch (sequential, cheap): adjacent threads share a first common
+//    record in the overlap window; the chain from thread 0 (which
+//    starts at the true stream start) assigns every sync point its
+//    true global MCU index and true DC predictors (relative predictors
+//    compose additively). Any failure falls back to sequential decode,
+//    so correctness never depends on synchronization succeeding.
+//
+//  Phase B (parallel): each chunk re-decodes exactly from its restored
+//    canonical state with true predictors, writing blocks straight to
+//    the coefficient planes. Output is bit-identical to the sequential
+//    decode by construction.
+
+namespace {
+
+struct McuRecord {
+    int64_t byte_off;   // canonical next-raw-byte offset from span start
+    int32_t bit_count;  // canonical buffered-bit count
+    uint64_t bits;      // buffer contents (left-justified)
+    int32_t preds[4];   // per-component DC predictors BEFORE this MCU
+};
+
+static inline bool rec_key_less(const McuRecord& a, const McuRecord& b) {
+    return a.byte_off != b.byte_off ? a.byte_off < b.byte_off
+                                    : a.bit_count > b.bit_count;  // more bits == earlier
+}
+
+static inline bool rec_key_eq(const McuRecord& a, const McuRecord& b) {
+    return a.byte_off == b.byte_off && a.bit_count == b.bit_count;
+}
+
+// Decode one MCU worth of blocks without storing output.
+// Returns 0 ok, nonzero error.
+static inline int scan_one_mcu(BitReader& br, Component* comps, int n_comps,
+                               int32_t* pred, int16_t* scratch) {
+    for (int ci = 0; ci < n_comps; ++ci) {
+        Component& c = comps[ci];
+        int nb = c.h * c.v;
+        for (int b = 0; b < nb; ++b) {
+            int rc = read_block_baseline(br, c, pred[ci], scratch);
+            if (rc) return rc;
+        }
+    }
+    return 0;
+}
+
+// Phase A for one thread: record canonical MCU-start states from
+// byte offset `from` until the canonical position passes `until`.
+static void speculative_scan(const uint8_t* base, int64_t span_len,
+                             int64_t from, int64_t until,
+                             Component* comps, int n_comps,
+                             int64_t max_mcus, std::vector<McuRecord>& out) {
+    int16_t scratch[64];
+    const int kMaxRetries = 64;
+    for (int attempt = 0; attempt < kMaxRetries; ++attempt) {
+        int64_t start = from + attempt;
+        if (start >= span_len) return;
+        out.clear();
+        BitReader br;
+        br.init(base + start, span_len - start);
+        int32_t pred[4] = {0, 0, 0, 0};
+        bool failed = false;
+        for (int64_t m = 0; m < max_mcus; ++m) {
+            br.fill();  // canonicalize
+            McuRecord rec;
+            rec.byte_off = (br.p - base);
+            rec.bit_count = br.count;
+            rec.bits = br.bits;
+            for (int ci = 0; ci < n_comps; ++ci) rec.preds[ci] = pred[ci];
+            out.push_back(rec);
+            if (rec.byte_off > until + 8) {
+                return;  // covered the overlap window
+            }
+            int rc = scan_one_mcu(br, comps, n_comps, pred, scratch);
+            if (rc == 2) { failed = true; break; }
+            if (rc == 1) return;  // ran off the end: keep records
+        }
+        if (!failed) return;
+        // Invalid code: mis-aligned start. Retry one byte later unless
+        // we already recorded a healthy run (sync then late corruption
+        // would also fail sequentially — keep what we have).
+        if (out.size() > 16) return;
+    }
+    out.clear();
+}
+
+struct SpecEntry {
+    int64_t byte_off;
+    int32_t bit_count;
+    uint64_t bits;
+    int64_t first_mcu;
+    int64_t n_mcus;
+    int32_t preds[4];
+};
+
+// Phase B: exact re-decode of one chunk from a restored state.
+static int spec_decode_chunk(const uint8_t* base, int64_t span_len,
+                             const SpecEntry& e, Component* comps, int n_comps,
+                             int64_t mcus_per_line) {
+    BitReader br;
+    br.p = base + e.byte_off;
+    br.end = base + span_len;
+    br.bits = e.bits;
+    br.count = e.bit_count;
+    br.exhausted = false;
+    std::vector<int32_t> pred(e.preds, e.preds + n_comps);
+    int16_t block[64];
+    for (int64_t m = 0; m < e.n_mcus; ++m) {
+        int64_t mcu = e.first_mcu + m;
+        int64_t row = mcu / mcus_per_line;
+        int64_t col = mcu % mcus_per_line;
+        for (int ci = 0; ci < n_comps; ++ci) {
+            Component& c = comps[ci];
+            for (int y = 0; y < c.v; ++y) {
+                int64_t by = row * c.v + y;
+                for (int x = 0; x < c.h; ++x) {
+                    int64_t bx = col * c.h + x;
+                    int rc = read_block_baseline(br, c, pred[ci], block);
+                    if (rc) return rc;
+                    std::memcpy(c.plane + (by * c.wb + bx) * 64, block,
+                                64 * sizeof(int16_t));
+                }
+            }
+        }
+    }
+    return 0;
+}
+
+// Full speculative pipeline. Returns 0 on success, -1 when it could
+// not synchronize (caller falls back to sequential), >0 decode error.
+static int decode_span_speculative(const uint8_t* data, int64_t len,
+                                   int64_t total_mcus, int64_t mcus_per_line,
+                                   Component* comps, int n_comps, int n_threads) {
+    if (n_comps > 4) return -1;
+    int T = n_threads;
+    if ((int64_t)T > len / 65536) T = (int)(len / 65536);
+    if (T < 2) return -1;
+    const int64_t kOverlap = 16384;
+
+    std::vector<std::vector<McuRecord>> records(T);
+    std::vector<std::vector<Component>> comp_copies(T,
+        std::vector<Component>(comps, comps + n_comps));
+    {
+        std::vector<std::thread> pool;
+        int64_t chunk = len / T;
+        for (int t = 0; t < T; ++t) {
+            int64_t from = t * chunk;
+            int64_t until = (t + 1 < T) ? (t + 1) * chunk + kOverlap : len;
+            pool.emplace_back([&, t, from, until]() {
+                speculative_scan(data, len, from, until,
+                                 comp_copies[t].data(), n_comps,
+                                 total_mcus + 16, records[t]);
+            });
+        }
+        for (auto& th : pool) th.join();
+    }
+
+    // Stitch the chain of sync points.
+    std::vector<SpecEntry> entries;
+    SpecEntry cur;
+    if (records[0].empty()) return -1;
+    cur.byte_off = records[0][0].byte_off;
+    cur.bit_count = records[0][0].bit_count;
+    cur.bits = records[0][0].bits;
+    cur.first_mcu = 0;
+    for (int ci = 0; ci < n_comps; ++ci) cur.preds[ci] = 0;
+
+    int prev_thread = 0;
+    size_t prev_sync_idx = 0;       // index in records[prev] of cur's MCU
+    int32_t delta[4] = {0, 0, 0, 0};
+
+    for (int t = 1; t < T; ++t) {
+        const auto& a = records[prev_thread];
+        const auto& b = records[t];
+        // find first common record (both sorted by construction)
+        size_t i = prev_sync_idx, j = 0;
+        bool found = false;
+        while (i < a.size() && j < b.size()) {
+            if (rec_key_eq(a[i], b[j])) { found = true; break; }
+            if (rec_key_less(a[i], b[j])) ++i; else ++j;
+        }
+        if (!found || b[j].byte_off >= len) return -1;
+        int64_t sync_mcu = cur.first_mcu + (int64_t)(i - prev_sync_idx);
+        if (sync_mcu >= total_mcus) break;
+        cur.n_mcus = sync_mcu - cur.first_mcu;
+        entries.push_back(cur);
+
+        // new entry from thread t's record j, with composed predictors
+        SpecEntry e;
+        e.byte_off = b[j].byte_off;
+        e.bit_count = b[j].bit_count;
+        e.bits = b[j].bits;
+        e.first_mcu = sync_mcu;
+        for (int ci = 0; ci < n_comps; ++ci) {
+            int32_t true_pred = a[i].preds[ci] + delta[ci];
+            e.preds[ci] = true_pred;
+        }
+        // delta for thread t's later records
+        for (int ci = 0; ci < n_comps; ++ci)
+            delta[ci] = e.preds[ci] - b[j].preds[ci];
+        cur = e;
+        prev_thread = t;
+        prev_sync_idx = j;
+    }
+    cur.n_mcus = total_mcus - cur.first_mcu;
+    entries.push_back(cur);
+
+    // Phase B: parallel exact re-decode.
+    std::vector<int> results(entries.size(), 0);
+    std::vector<std::thread> pool;
+    std::vector<std::vector<Component>> copies(entries.size(),
+        std::vector<Component>(comps, comps + n_comps));
+    for (size_t k = 0; k < entries.size(); ++k) {
+        pool.emplace_back([&, k]() {
+            results[k] = spec_decode_chunk(data, len, entries[k],
+                                           copies[k].data(), n_comps,
+                                           mcus_per_line);
+        });
+    }
+    for (auto& th : pool) th.join();
+    for (int rc : results)
+        if (rc) return rc;
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -281,6 +528,19 @@ int jpx_decode_baseline_scan(
     std::vector<SpanTask> tasks;
     if (restart_interval <= 0) {
         SpanTask t{data + span_starts[0], span_ends[0] - span_starts[0], 0, total_mcus};
+        // No restart seam: try the speculative self-sync parallel path
+        // (JPX_SPECULATIVE=0 disables; falls back to sequential when
+        // synchronization fails).
+        const char* spec_env = std::getenv("JPX_SPECULATIVE");
+        bool allow_spec = !(spec_env && spec_env[0] == '0');
+        int hw0 = (int)std::thread::hardware_concurrency();
+        int nt0 = n_threads > 0 ? n_threads : (hw0 > 0 ? hw0 : 1);
+        if (allow_spec && nt0 > 2) {
+            int rc = decode_span_speculative(t.data, t.len, total_mcus,
+                                             mcus_per_line, comps.data(),
+                                             n_comps, nt0);
+            if (rc >= 0) return rc;
+        }
         tasks.push_back(t);
     } else {
         int64_t mcu = 0;

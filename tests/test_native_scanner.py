@@ -78,6 +78,36 @@ def test_native_baseline_restart_parallel(native_lib):
     assert 10 * np.log10(255.0**2 / max(mse, 1e-9)) > 30
 
 
+@pytest.mark.parametrize(
+    "rel", ["baseline/cramps.jpg", "baseline/lake.jpg", "baseline/HETissueSlide.jpg"]
+)
+def test_speculative_parallel_decode_parity(assets_dir, native_lib, monkeypatch, rel):
+    """The speculative self-sync parallel path (no restart markers)
+    must be bit-identical to the sequential Python scanner."""
+    monkeypatch.setenv("JPX_SCAN_THREADS", "4")
+    monkeypatch.setenv("JPX_SPECULATIVE", "1")
+    data = (assets_dir / rel).read_bytes()
+    r_native = jt.decode(data, use_native=True)
+    r_py = jt.decode(data, use_native=False)
+    for k in r_native.coefficients:
+        np.testing.assert_array_equal(r_native.coefficients[k], r_py.coefficients[k])
+
+
+def test_speculative_fuzz_own_encodes(assets_dir, native_lib, monkeypatch):
+    """Speculative decode across quality levels of restart-free streams
+    our encoder produced."""
+    monkeypatch.setenv("JPX_SCAN_THREADS", "4")
+    rgb = jt.decode((assets_dir / "baseline/lake.jpg").read_bytes()).to_rgb8()
+    from jpeglibrary_tpu.models.encoder import encode_rgb
+
+    for q in (30, 60, 90):
+        enc = encode_rgb(rgb, q)
+        a = jt.decode(enc, use_native=True)
+        b = jt.decode(enc, use_native=False)
+        for k in a.coefficients:
+            np.testing.assert_array_equal(a.coefficients[k], b.coefficients[k])
+
+
 def test_native_rgb_to_ycbcr_parity(native_lib):
     """Native fixed-point color conversion is bit-identical to the
     numpy reference (JpegRgbToYCbCrConverter parity)."""
