@@ -82,7 +82,7 @@ def main() -> None:
     window = 2  # x len(variants) images per window
     n_windows = 3
     best = 0.0
-    for workers, scan_threads in ((2, 2), (1, 3)):
+    for workers, scan_threads in ((2, 2), (3, 1)):
         os.environ["JPX_SCAN_THREADS"] = str(scan_threads)
         rates = []
         for _ in range(n_windows):
