@@ -355,6 +355,13 @@ class JpegDecoder:
 
     # -- decode --
 
+    def _make_arithmetic_state(self):
+        from . import arithmetic
+
+        if self._arithmetic_state is None:
+            self._arithmetic_state = arithmetic.ArithmeticDecoder()
+        return self._arithmetic_state
+
     def decode(self, *, use_native: bool = True, xp=np) -> DecodeResult:
         """Full decode: walk segments in order, decode every scan, then
         run the batched transform stage."""
@@ -371,6 +378,7 @@ class JpegDecoder:
         # Quant table snapshot per component, captured at scan time the
         # way the reference dequantizes mid-scan.
         component_quant: Dict[int, np.ndarray] = {}
+        progressive_jobs = []
         scan_iter = iter(stream.scans)
 
         for seg in stream.segments:
@@ -398,6 +406,37 @@ class JpegDecoder:
                     raise ValueError("Frame header was not found before SOS.")
                 scan = next(scan_iter)
                 scan_header = ScanHeader.parse(seg.payload(data))
+                if (
+                    use_native
+                    and sof_marker in (Marker.SOF2, Marker.SOF10)
+                ):
+                    # Progressive scans: collect jobs and run them after
+                    # the walk — independent (component, band) scans
+                    # decode in parallel threads.
+                    from ..syntax.frame import resolve_scan_components
+
+                    for comp_index, fc, _sc in resolve_scan_components(
+                        frame, scan_header
+                    ):
+                        qt = self._quant_tables.get(fc.quantization_table_selector)
+                        if qt is None or qt.is_empty:
+                            raise ValueError(
+                                f"Quantization table of component {comp_index} is not defined."
+                            )
+                        component_quant[comp_index] = qt.elements.copy()
+                    progressive_jobs.append(
+                        {
+                            "scan": scan,
+                            "scan_header": scan_header,
+                            "dc_tables": dict(self._dc_tables),
+                            "ac_tables": dict(self._ac_tables),
+                            "dac_dc": dict(self._dac_dc),
+                            "dac_ac": dict(self._dac_ac),
+                            "restart_interval": self._restart_interval,
+                            "arithmetic": sof_marker == Marker.SOF10,
+                        }
+                    )
+                    continue
                 with metrics.stage("decode.entropy_scan"):
                     if sof_marker == Marker.SOF3:
                         decoded_native = False
@@ -442,6 +481,13 @@ class JpegDecoder:
                         )
             elif seg.marker == Marker.EOI:
                 break
+
+        if progressive_jobs:
+            with metrics.stage("decode.entropy_scan"):
+                _run_progressive_jobs(
+                    data, frame, geometry, coefficient_planes, progressive_jobs,
+                    arithmetic_state_factory=lambda: self._make_arithmetic_state(),
+                )
 
         if frame is None or (coefficient_planes is None and sample_planes is None):
             raise ValueError("No image data decoded.")
@@ -600,6 +646,100 @@ class JpegDecoder:
             raise JpegUnsupportedError(
                 f"Scan decoding for {Marker(sof_marker).name} is not implemented yet."
             )
+
+
+
+def _scan_bands_overlap(a, b) -> bool:
+    return max(a[0], b[0]) <= min(a[1], b[1])
+
+
+def _run_progressive_jobs(data, frame, geometry, coefficient_planes, jobs,
+                          *, arithmetic_state_factory):
+    """Run progressive scan jobs, in parallel where the data allows.
+
+    Scans touching disjoint (component, spectral band) pairs are
+    independent (DC first/refine chains and AC band refinements overlap
+    and stay ordered); the native scanners release the GIL, so
+    independent scans decode concurrently. Falls back to the sequential
+    Python scanners when the native library is unavailable.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..syntax.frame import resolve_scan_components
+
+    try:
+        from ..native import scanner as native_scanner
+
+        native_scanner.build.load_library()
+        native = native_scanner
+    except ImportError:
+        native = None
+
+    if native is None:
+        # Sequential Python fallback in stream order.
+        from . import arithmetic as arith_mod
+        from . import huffman_progressive
+
+        arith_state = arithmetic_state_factory()
+        for job in jobs:
+            if job["arithmetic"]:
+                arith_mod.decode_progressive_scan(
+                    data, job["scan"].spans, frame, job["scan_header"],
+                    job["dac_dc"], job["dac_ac"], arith_state,
+                    job["restart_interval"], coefficient_planes, geometry,
+                )
+            else:
+                huffman_progressive.decode_progressive_scan(
+                    data, job["scan"].spans, frame, job["scan_header"],
+                    job["dc_tables"], job["ac_tables"],
+                    job["restart_interval"], coefficient_planes, geometry,
+                )
+        return
+
+    # Dependency edges: earlier job i -> job j when they share a
+    # component and their spectral bands overlap.
+    touches = []
+    for job in jobs:
+        hdr = job["scan_header"]
+        comps = frozenset(
+            ci for ci, _fc, _sc in resolve_scan_components(frame, hdr)
+        )
+        band = (hdr.start_of_spectral_selection, hdr.end_of_spectral_selection)
+        touches.append((comps, band))
+
+    deps = [
+        [
+            i
+            for i in range(j)
+            if (touches[i][0] & touches[j][0])
+            and _scan_bands_overlap(touches[i][1], touches[j][1])
+        ]
+        for j in range(len(jobs))
+    ]
+
+    def run(j, futures):
+        for i in deps[j]:
+            futures[i].result()
+        job = jobs[j]
+        if job["arithmetic"]:
+            native.decode_arithmetic_scan(
+                data, job["scan"].spans, frame, job["scan_header"],
+                job["dac_dc"], job["dac_ac"], job["restart_interval"],
+                coefficient_planes, geometry, progressive=True,
+            )
+        else:
+            native.decode_progressive_scan(
+                data, job["scan"].spans, frame, job["scan_header"],
+                job["dc_tables"], job["ac_tables"], job["restart_interval"],
+                coefficient_planes, geometry,
+            )
+
+    with ThreadPoolExecutor(max_workers=min(4, len(jobs))) as pool:
+        futures = {}
+        for j in range(len(jobs)):
+            futures[j] = pool.submit(run, j, futures)
+        for j in range(len(jobs)):
+            futures[j].result()
 
 
 def decode(data: bytes, **kwargs) -> DecodeResult:
