@@ -99,12 +99,11 @@ def transform_to_u16(coeffs: Tuple, quants: Tuple, geometry: FrameGeometry, xp=n
 
 
 def pack_sparse(coefficients, geometry: FrameGeometry, *, bucket_factor: float = 1.5) -> np.ndarray:
-    """All components' nonzero coefficients packed into ONE [n, 2]
-    int32 array of (global flat index, value) — a single host->device
-    transfer per image (each transfer over a remote-attached chip costs
-    ~30 ms of round-trip latency regardless of size, so fewer, larger
-    transfers win). Bucketed zero padding keeps shapes stable
-    (scatter-ADD of 0 at index 0 is a no-op)."""
+    """All components' nonzero coefficients packed into ONE FLAT int32
+    buffer of interleaved (global flat index, value) pairs — a single
+    host->device transfer per image, 1-D so the device layout isn't
+    lane-padded. Bucketed zero padding keeps shapes stable (scatter-ADD
+    of 0 at index 0 is a no-op)."""
     idx_parts = []
     val_parts = []
     base = 0
@@ -123,7 +122,7 @@ def pack_sparse(coefficients, geometry: FrameGeometry, *, bucket_factor: float =
     packed = np.zeros((bucket, 2), dtype=np.int32)
     packed[:n, 0] = idx_all
     packed[:n, 1] = val_all
-    return packed
+    return packed.reshape(-1)
 
 
 @functools.lru_cache(maxsize=64)
@@ -171,9 +170,9 @@ def jitted_transform_delta(geometry: FrameGeometry, output: str = "rgb8"):
 
 @functools.lru_cache(maxsize=64)
 def jitted_transform_packed(geometry: FrameGeometry, output: str = "rgb8"):
-    """Compiled transform taking the single packed sparse array;
-    densification is a device scatter-add. jax.jit re-specializes per
-    bucket size."""
+    """Compiled transform taking the flat packed sparse buffer (numpy
+    fallback wire format); densification is a device scatter-add.
+    jax.jit re-specializes per bucket size."""
     from .. import enable_compile_cache
 
     enable_compile_cache()
@@ -187,7 +186,8 @@ def jitted_transform_packed(geometry: FrameGeometry, output: str = "rgb8"):
     sizes = [s[0] * s[1] * s[2] for s in shapes]
     total = sum(sizes)
 
-    def fn(packed, quants_stacked):
+    def fn(packed_flat, quants_stacked):
+        packed = packed_flat.reshape(-1, 2)
         dense = jnp.zeros((total,), dtype=jnp.int32).at[packed[:, 0]].add(packed[:, 1])
         coeffs = []
         off = 0
