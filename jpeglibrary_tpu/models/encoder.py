@@ -132,24 +132,46 @@ class JpegEncoder:
         mcus_per_line = ceil_div(self._width, 8 * max_h)
         mcus_per_column = ceil_div(self._height, 8 * max_v)
 
-        # --- device transform stage: all components -> MCU-ordered blocks
-        comp_blocks: List[np.ndarray] = []
-        for comp, plane in zip(self._components, self._input_planes):
+        # --- transform stage: all components -> MCU-ordered blocks
+        quants = []
+        for comp in self._components:
             qt = quant_by_id.get(comp.quantization_table_id)
             if qt is None or qt.is_empty:
                 raise JpegEncodeError(
                     f"Quantization table {comp.quantization_table_id} is not defined."
                 )
-            coeffs = encode_stage.forward_component(
-                np.asarray(plane),
-                qt.elements,
-                comp.h, comp.v,
-                max_h // comp.h, max_v // comp.v,
-                mcus_per_line, mcus_per_column,
-                xp=xp,
+            quants.append(qt.elements)
+
+        comp_blocks: List[np.ndarray] = []
+        if xp is not np:
+            # Device path: ONE jitted program for every component's
+            # pad + subsample + FDCT + quantize.
+            comp_params = tuple(
+                (c.h, c.v, max_h // c.h, max_v // c.v) for c in self._components
             )
-            coeffs = np.asarray(coeffs)
-            comp_blocks.append(encode_stage.mcu_order_blocks(coeffs, comp.h, comp.v))
+            fwd = encode_stage.jitted_forward(comp_params, mcus_per_line, mcus_per_column)
+            quants_stacked = np.stack([q.astype(np.int32) for q in quants])
+            outs = fwd(
+                tuple(np.asarray(p, dtype=np.uint8) for p in self._input_planes),
+                quants_stacked,
+            )
+            for comp, coeffs in zip(self._components, outs):
+                comp_blocks.append(
+                    encode_stage.mcu_order_blocks(np.asarray(coeffs), comp.h, comp.v)
+                )
+        else:
+            for comp, plane, q in zip(self._components, self._input_planes, quants):
+                coeffs = encode_stage.forward_component(
+                    np.asarray(plane),
+                    q,
+                    comp.h, comp.v,
+                    max_h // comp.h, max_v // comp.v,
+                    mcus_per_line, mcus_per_column,
+                    xp=np,
+                )
+                comp_blocks.append(
+                    encode_stage.mcu_order_blocks(np.asarray(coeffs), comp.h, comp.v)
+                )
 
         # --- table build (2-pass optimize-coding) or fixed tables
         tables: Dict[tuple, HuffmanEncodingTable] = {}

@@ -132,6 +132,37 @@ def mcu_order_blocks(coeffs_zz: np.ndarray, h: int, v: int) -> np.ndarray:
     return np.transpose(x, (0, 2, 1, 3, 4)).reshape(-1, 64)
 
 
+@functools.lru_cache(maxsize=32)
+def jitted_forward(
+    comp_params: Tuple,  # ((h, v, hs, vs), ...) per component
+    mcus_per_line: int,
+    mcus_per_column: int,
+):
+    """One compiled device program for the encode transform of all
+    components: zero-pad, box subsample, level shift, folded-GEMM FDCT
+    and quantization — the TPU-native encode path (eager jnp over a
+    remote chip pays a dispatch round trip per op; this is one program).
+
+    Returns fn(planes_tuple uint8, quants_stacked int32 [C, 64]) ->
+    tuple of zig-zag int16 coefficient planes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def fn(planes, quants_stacked):
+        outs = []
+        for i, (h, v, hs, vs) in enumerate(comp_params):
+            outs.append(
+                forward_component(
+                    planes[i], quants_stacked[i], h, v, hs, vs,
+                    mcus_per_line, mcus_per_column, xp=jnp,
+                )
+            )
+        return tuple(outs)
+
+    return jax.jit(fn)
+
+
 def dc_ac_symbol_frequencies(blocks_mcu_order: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Vectorized symbol statistics for one component's blocks (already
     in MCU walk order — DC differences depend on it) — the

@@ -118,12 +118,15 @@ def test_package_merge_optimal():
 
 
 def test_jax_encode_matches_numpy(lake_rgb):
-    """The device (XLA:CPU) transform produces a decodable stream whose
-    pixels match the numpy-path stream."""
+    """The jitted device transform (one XLA program for pad + subsample
+    + FDCT + quantize) produces a decodable stream matching the
+    numpy-path stream (within a rare 1-LSB GEMM-rounding coefficient
+    difference across backends)."""
     import jax.numpy as jnp
 
     a = encode_rgb(lake_rgb[:128, :128], 75)
     b = encode_rgb(lake_rgb[:128, :128], 75, xp=jnp)
-    np.testing.assert_array_equal(
-        jt.decode(a).to_uint16_extended(), jt.decode(b).to_uint16_extended()
-    )
+    da = jt.decode(a).to_uint16_extended().astype(np.int64)
+    db = jt.decode(b).to_uint16_extended().astype(np.int64)
+    d = np.abs(da - db)
+    assert (d > 1024).mean() < 1e-3 and _psnr(da >> 8, db >> 8) > 45
