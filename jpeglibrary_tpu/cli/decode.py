@@ -15,17 +15,25 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="jpx-decode", description="Decode JPEG to PNG.")
     parser.add_argument("source", help="input JPEG file")
     parser.add_argument("output", help="output PNG file")
+    parser.add_argument(
+        "--metrics", action="store_true", help="print per-stage timing counters"
+    )
     args = parser.parse_args(argv)
 
     from PIL import Image
 
     import jpeglibrary_tpu as jt
+    from ..utils import metrics
 
+    if args.metrics:
+        metrics.enable()
     data = open(args.source, "rb").read()
     result = jt.decode(data)
     rgb = result.to_rgb8()
     Image.fromarray(rgb, mode="RGB").save(args.output)
     print(f"{args.source}: {result.width}x{result.height} -> {args.output}")
+    if args.metrics:
+        print(metrics.report())
     return 0
 
 

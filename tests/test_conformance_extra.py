@@ -40,6 +40,26 @@ def test_12bit_to_uint8_precision_normalized(assets_dir):
     )
 
 
+def test_odd_dimensions_roundtrip():
+    """Encode+decode at awkward sizes (1x1 up to non-multiple-of-MCU):
+    padding, box subsample and crop must all agree between the native
+    and Python scanners and produce the exact requested dimensions."""
+    rng = np.random.default_rng(0)
+    for (h, w) in [(1, 1), (1, 8), (7, 5), (17, 33), (64, 63), (65, 66)]:
+        for sub in ("420", "444"):
+            rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            enc = jt.encode_rgb(rgb, 80, subsampling=sub)
+            rn = jt.decode(enc, use_native=True)
+            rp = jt.decode(enc, use_native=False)
+            assert rn.to_uint16_extended().shape == (h, w, 3)
+            np.testing.assert_array_equal(
+                rn.to_uint16_extended(), rp.to_uint16_extended()
+            )
+    gray = rng.integers(0, 256, size=(7, 5), dtype=np.uint8)
+    r = jt.decode(jt.encode_gray(gray, 80))
+    assert r.to_uint8().shape == (7, 5, 1)
+
+
 def test_stream_mixed_modes(assets_dir):
     """The streaming decoder handles DCT + lossless modes in one batch."""
     from jpeglibrary_tpu.parallel.batch import decode_stream_rgb
