@@ -842,7 +842,7 @@ static inline int read_block_prog_ac_refined(BitReader& br, const HuffTable* ac,
                                              int16_t* block) {
     int start = sp.ss, end = sp.se;
     int p1 = 1 << sp.al;
-    int m1 = -1 << sp.al;
+    int m1 = -(1 << sp.al);  // == (-1) << al for al < 31, without UB
     int k = start;
 
     if (eobrun == 0) {
@@ -1379,7 +1379,7 @@ static inline int arith_read_block_prog_ac_refined(ArithState& s, BitReader& br,
                                                    int16_t* block) {
     int start = sp.ss, end = sp.se;
     int p1 = 1 << sp.al;
-    int m1 = -1 << sp.al;
+    int m1 = -(1 << sp.al);  // == (-1) << al for al < 31, without UB
 
     int kex = end;
     for (; kex > 0; --kex) {

@@ -11,7 +11,7 @@ package is where the new framework's first-class parallelism lives:
 """
 
 from .sharding import make_mesh, batched_transform_rgb, full_step
-from .batch import decode_batch_rgb, decode_stream_rgb
+from .batch import decode_batch_rgb, decode_stream_rgb, encode_batch_rgb
 
 __all__ = [
     "make_mesh",
@@ -19,4 +19,5 @@ __all__ = [
     "full_step",
     "decode_batch_rgb",
     "decode_stream_rgb",
+    "encode_batch_rgb",
 ]

@@ -168,6 +168,27 @@ def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2):
             yield inflight.popleft().result()
 
 
+def encode_batch_rgb(images, quality: int = 75, *, subsampling: str = "420",
+                     optimize_coding: bool = False, max_workers: Optional[int] = None):
+    """Encode a batch of RGB arrays concurrently (the DP-encode analogue
+    of decode_batch_rgb): the per-image native transform + emission
+    stages release the GIL, so images parallelize across host threads.
+    Returns the JPEG byte strings in input order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..models.encoder import encode_rgb
+
+    def one(rgb):
+        return encode_rgb(
+            rgb, quality, subsampling=subsampling, optimize_coding=optimize_coding
+        )
+
+    if len(images) == 1:
+        return [one(images[0])]
+    with ThreadPoolExecutor(max_workers=max_workers or 2) as pool:
+        return list(pool.map(one, images))
+
+
 _TRANSFORM_CACHE: Dict[object, object] = {}
 _DELTA_CACHE: Dict[object, object] = {}
 

@@ -141,6 +141,18 @@ def test_batch_decode_rgb_with_mesh(assets_dir):
         _assert_rgb_close(o, single)
 
 
+def test_encode_batch_rgb(assets_dir):
+    """Batch encode matches per-image encode byte-for-byte."""
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.parallel.batch import encode_batch_rgb
+
+    rgb = jt.decode((assets_dir / "baseline/lake.jpg").read_bytes()).to_rgb8()
+    images = [rgb[:256, :256], rgb[256:512, :256], rgb[:256, 256:512]]
+    batch = encode_batch_rgb(images, 75)
+    for img, blob in zip(images, batch):
+        assert blob == jt.encode_rgb(img, 75)
+
+
 def test_batch_decode_rgb(assets_dir):
     """decode_batch_rgb groups same-geometry images into one stacked
     transform and matches the per-image path."""
