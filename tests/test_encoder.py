@@ -29,6 +29,8 @@ def lake_rgb(assets_dir):
 
 def _psnr(a, b):
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
     return 10 * np.log10(255.0**2 / mse)
 
 
