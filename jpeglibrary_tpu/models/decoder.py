@@ -57,16 +57,61 @@ class DecodeResult:
         coefficients: Optional[Dict[int, np.ndarray]] = None,
         quant: Optional[Dict[int, np.ndarray]] = None,
         samples: Optional[Dict[int, np.ndarray]] = None,
+        packed_mcu: Optional[np.ndarray] = None,
         xp=np,
     ):
         self.frame = frame
         self.geometry = geometry
-        self.coefficients = coefficients
+        self._coefficients = coefficients
         self.quant = quant
         #: lossless mode: sub-resolution raw sample planes (no IDCT)
         self.samples = samples
+        #: merged-scan sparse payload (MCU decode order, flat int16) —
+        #: the zero-copy serving path; dense planes materialize lazily
+        #: on first host access via the ``coefficients`` property.
+        self.packed_mcu = packed_mcu
         self._xp = xp
         self._planes: Optional[Dict[int, np.ndarray]] = None
+
+    @property
+    def coefficients(self) -> Optional[Dict[int, np.ndarray]]:
+        """Dense zig-zag coefficient planes (lazily reconstructed from
+        the sparse payload when the merged scan path produced one)."""
+        if self._coefficients is None and self.packed_mcu is not None:
+            self._coefficients = self._densify_packed()
+        return self._coefficients
+
+    def _densify_packed(self) -> Dict[int, np.ndarray]:
+        """Reconstruct dense coefficient planes from the MCU-order
+        sparse payload on host (only non-serving paths need this; the
+        device transform consumes the payload directly)."""
+        geo = self.geometry
+        packed = self.packed_mcu.reshape(-1, 2)
+        deltas = packed[:, 0].astype(np.int64) & 0xFFFF
+        vals = packed[:, 1]
+        # (0, 0) entries are bucket padding: real entries always carry a
+        # nonzero value (only nonzero coefficients are emitted) or are
+        # escapes with delta 0xFFFF.
+        keep = vals != 0
+        pos = np.cumsum(deltas) - 1
+        cpm = 64 * sum(c.h * c.v for c in geo.components)
+        total = geo.mcus_per_line * geo.mcus_per_column * cpm
+        dense = np.zeros(total, dtype=np.int16)
+        dense[pos[keep]] = vals[keep]
+        per_mcu = dense.reshape(geo.mcus_per_column * geo.mcus_per_line, cpm)
+        out: Dict[int, np.ndarray] = {}
+        off = 0
+        for c in geo.components:
+            size = c.h * c.v * 64
+            blk = (
+                per_mcu[:, off : off + size]
+                .reshape(geo.mcus_per_column, geo.mcus_per_line, c.v, c.h, 64)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(c.blocks_per_column, c.blocks_per_line, 64)
+            )
+            out[c.component_index] = np.ascontiguousarray(blk)
+            off += size
+        return out
 
     @property
     def width(self) -> int:
@@ -119,8 +164,13 @@ class DecodeResult:
 
         Lets a pipeline run the pack stage inside its scan workers (it
         parallelizes across images) so the single device thread only
-        dispatches; to_rgb8_device reuses the cached payload."""
-        if self.coefficients is None or getattr(self, "_packed", None) is not None:
+        dispatches; to_rgb8_device reuses the cached payload. A no-op
+        when the merged scan path already produced the payload."""
+        if (
+            self.samples is not None
+            or self.packed_mcu is not None
+            or getattr(self, "_packed", None) is not None
+        ):
             return
         try:
             from ..native import scanner as native_scanner
@@ -141,16 +191,26 @@ class DecodeResult:
         [H, W, 3] device buffer lane-pads 3 -> 128, a ~42x memory and
         wire blowup). With ``sparse``, only the nonzero coefficients
         ship to the device as one flat (delta, value) stream."""
-        if self.coefficients is None:
+        if self.samples is not None:
             raise ValueError("lossless results have no device transform stage")
         from ..ops.pipeline import (
             jitted_transform,
             jitted_transform_delta,
+            jitted_transform_mcu,
             jitted_transform_packed,
             pack_sparse,
         )
         from ..utils import metrics
 
+        if self.packed_mcu is not None:
+            # Merged-scan payload: zero host work left, one transfer.
+            quants = np.stack(
+                [self.quant[c.component_index] for c in self.geometry.components]
+            ).astype(np.int32)
+            with metrics.stage("transform.dispatch"):
+                return jitted_transform_mcu(self.geometry, "rgb8")(
+                    self.packed_mcu, quants
+                )
         if sparse:
             quants = np.stack(
                 [self.quant[c.component_index] for c in self.geometry.components]
@@ -362,9 +422,19 @@ class JpegDecoder:
             self._arithmetic_state = arithmetic.ArithmeticDecoder()
         return self._arithmetic_state
 
-    def decode(self, *, use_native: bool = True, xp=np) -> DecodeResult:
+    def decode(
+        self, *, use_native: bool = True, sparse_direct: bool = False, xp=np
+    ) -> DecodeResult:
         """Full decode: walk segments in order, decode every scan, then
-        run the batched transform stage."""
+        run the batched transform stage.
+
+        ``sparse_direct`` (serving fast path): for single-scan baseline
+        images, run the merged native decode+sparse-pack and return a
+        result carrying the device wire payload instead of dense
+        coefficient planes (which then materialize lazily if a host
+        path asks for them). Ineligible streams fall back to the dense
+        path transparently.
+        """
         from ..utils import metrics
 
         data = self._data
@@ -375,6 +445,7 @@ class JpegDecoder:
         geometry: Optional[FrameGeometry] = None
         coefficient_planes: Optional[Dict[int, np.ndarray]] = None
         sample_planes: Optional[Dict[int, np.ndarray]] = None
+        sparse_payload: Optional[np.ndarray] = None
         # Quant table snapshot per component, captured at scan time the
         # way the reference dequantizes mid-scan.
         component_quant: Dict[int, np.ndarray] = {}
@@ -468,6 +539,47 @@ class JpegDecoder:
                                 sample_planes,
                             )
                     else:
+                        if (
+                            sparse_direct
+                            and use_native
+                            and sof_marker in (Marker.SOF0, Marker.SOF1)
+                            and len(stream.scans) == 1
+                        ):
+                            try:
+                                from ..native import scanner as native_scanner
+
+                                sparse_payload = (
+                                    native_scanner.decode_baseline_scan_sparse(
+                                        data,
+                                        scan.spans,
+                                        frame,
+                                        scan_header,
+                                        self._dc_tables,
+                                        self._ac_tables,
+                                        self._restart_interval,
+                                        geometry,
+                                    )
+                                )
+                            except ImportError:
+                                sparse_payload = None
+                            if sparse_payload is not None:
+                                # Snapshot quantization tables the way
+                                # _decode_scan does, then skip the dense
+                                # scan entirely.
+                                from ..syntax.frame import resolve_scan_components
+
+                                for comp_index, fc, _sc in resolve_scan_components(
+                                    frame, scan_header
+                                ):
+                                    qt = self._quant_tables.get(
+                                        fc.quantization_table_selector
+                                    )
+                                    if qt is None or qt.is_empty:
+                                        raise ValueError(
+                                            f"Quantization table of component {comp_index} is not defined."
+                                        )
+                                    component_quant[comp_index] = qt.elements.copy()
+                                continue
                         self._decode_scan(
                             data,
                             scan,
@@ -507,8 +619,9 @@ class JpegDecoder:
         return DecodeResult(
             frame=frame,
             geometry=geometry,
-            coefficients=coefficient_planes,
+            coefficients=None if sparse_payload is not None else coefficient_planes,
             quant=quant_by_comp,
+            packed_mcu=sparse_payload,
             xp=xp,
         )
 

@@ -126,6 +126,18 @@ def _configure(lib: ctypes.CDLL) -> None:
     qe = (c.c_int32 * 114)(*[v - 0x100000000 if v >= 0x80000000 else v for v in QE_TABLE])
     lib.jpx_set_qe_table(qe)
     lib._qe_keepalive = qe
+    lib.jpx_decode_baseline_scan_sparse.restype = c.c_int64
+    lib.jpx_decode_baseline_scan_sparse.argtypes = [
+        c.c_void_p,                      # data
+        c.POINTER(c.c_int64), c.POINTER(c.c_int64), c.c_int32,  # spans
+        c.c_int64,                       # restart_interval
+        c.c_int64, c.c_int64,            # mcus per line / column
+        c.c_int32,                       # n_comps
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # comp_h, comp_v
+        c.c_void_p, c.c_void_p,          # dc_blob, ac_blob
+        c.c_void_p, c.c_int64,           # out, capacity (entries)
+        c.c_int32,                       # n_threads
+    ]
     lib.jpx_pack_sparse.restype = c.c_int64
     lib.jpx_pack_sparse.argtypes = [
         c.POINTER(c.c_void_p), c.POINTER(c.c_int64), c.c_int32,  # planes

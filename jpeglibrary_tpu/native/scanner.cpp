@@ -72,8 +72,31 @@ struct BitReader {
     // Refill to >= 48 bits, emulating JpegBitReader.FillBuffer
     // (JpegBitReader.cs:95-138): 0xFF00 -> 0xFF, 0xFF-fill runs
     // collapse, end pads with 1-bits (without counting them).
+    //
+    // Fast path: when the next 8 raw bytes contain no 0xFF (detected
+    // with one SWAR test), bulk-insert as many whole bytes as fit —
+    // this serves the vast majority of refills at ~1 load per 7 bytes
+    // instead of a branchy per-byte loop.
     inline void fill() {
         while (count <= 56) {
+            if (end - p >= 8) {
+                uint64_t v;
+                std::memcpy(&v, p, 8);
+#if defined(__BYTE_ORDER__) && __BYTE_ORDER__ == __ORDER_LITTLE_ENDIAN__
+                v = __builtin_bswap64(v);
+#endif
+                // any byte == 0xFF  <=>  ~v has a zero byte
+                uint64_t inv = ~v;
+                if ((((inv - 0x0101010101010101ULL) & ~inv) &
+                     0x8080808080808080ULL) == 0) {
+                    int s = (64 - count) >> 3;  // whole bytes that fit (>=1)
+                    uint64_t w = v & (~0ULL << (64 - 8 * s));
+                    bits |= w >> count;
+                    count += 8 * s;
+                    p += s;
+                    continue;  // count is now > 56
+                }
+            }
             if (p >= end) { exhausted = true; break; }
             uint8_t b = *p;
             if (b != 0xFF) {
@@ -755,6 +778,287 @@ int64_t jpx_pack_sparse(
         }
     }
     return total;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Merged baseline decode + sparse emission
+// ---------------------------------------------------------------------------
+//
+// The decode-throughput hot path. Baseline Huffman block decode already
+// produces the nonzero coefficients in strictly increasing position
+// order (DC, then AC at increasing zig-zag index), so the sparse
+// (delta uint16, value int16) wire entries can be emitted straight from
+// the symbol loop — no dense plane writes (memset + memcpy per block)
+// and no separate whole-plane packing pass. Entry positions are in
+// MCU-interleaved decode order: MCU m contributes coefficients
+// [m*cpm, (m+1)*cpm) where cpm = 64 * sum(h*v); the device transform
+// undoes the interleave with a reshape+transpose (free in XLA layout
+// assignment). See ops/pipeline.jitted_transform_mcu.
+//
+// Restart spans emit into disjoint worst-case regions of the output in
+// parallel, then a cheap sequential compaction stitches them with
+// boundary-delta patches.
+
+namespace {
+
+struct SparseEmitter {
+    int16_t* out;       // interleaved (delta, value) entries
+    int64_t n;          // entries emitted
+    int64_t cap;        // entry capacity
+    int64_t last_pos;   // position of last emitted nonzero
+    int64_t first_pos;  // position of first nonzero (-1 until set)
+    bool overflow;
+
+    void init(int16_t* buf, int64_t capacity) {
+        out = buf;
+        n = 0;
+        cap = capacity;
+        last_pos = -1;
+        first_pos = -1;
+        overflow = false;
+    }
+
+    inline void emit(int64_t pos, int32_t val) {
+        if (first_pos < 0) {
+            // First entry: delta is patched at compaction (the true
+            // gap depends on the previous span's last nonzero).
+            if (n >= cap) { overflow = true; return; }
+            first_pos = pos;
+            out[2 * n] = 0;
+            out[2 * n + 1] = (int16_t)val;
+            ++n;
+            last_pos = pos;
+            return;
+        }
+        int64_t gap = pos - last_pos;
+        while (gap >= 0xFFFF) {
+            if (n >= cap) { overflow = true; return; }
+            out[2 * n] = (int16_t)0xFFFF;  // escape: advance without value
+            out[2 * n + 1] = 0;
+            ++n;
+            gap -= 0xFFFF;
+        }
+        if (n >= cap) { overflow = true; return; }
+        out[2 * n] = (int16_t)(uint16_t)gap;
+        out[2 * n + 1] = (int16_t)val;
+        ++n;
+        last_pos = pos;
+    }
+};
+
+// Baseline block decode emitting nonzeros directly (same bitstream
+// semantics as read_block_baseline — positions strictly increase and
+// the corrupt-stream Min(i, 63) clamp can produce at most one write at
+// 63 as the block's final write, so add-scatter equals dense stores).
+static inline int read_block_baseline_sparse(BitReader& br, const Component& c,
+                                             int32_t& predictor,
+                                             SparseEmitter& em,
+                                             int64_t block_base) {
+    int err = 0;
+    int t = decode_huffman(br, c.dc);
+    if (t < 0) return 2;
+    if (t != 0) {
+        int32_t diff = receive_extend(br, t, &err);
+        if (err) return 1;
+        predictor += diff;
+    }
+    if (predictor != 0) em.emit(block_base, predictor);
+
+    int i = 1;
+    while (i < 64) {
+        int s = decode_huffman(br, c.ac);
+        if (s < 0) return 2;
+        int r = s >> 4;
+        s &= 15;
+        if (s != 0) {
+            i += r;
+            int32_t val = receive_extend(br, s, &err);
+            if (err) return 1;
+            em.emit(block_base + (i < 63 ? i : 63), val);
+            ++i;
+        } else {
+            if (r == 0) break;
+            i += 16;
+        }
+    }
+    return 0;
+}
+
+// Decode one span's MCUs, emitting sparse entries.
+static int decode_span_sparse(const SpanTask& task, Component* comps, int n_comps,
+                              int64_t cpm, const int64_t* comp_off,
+                              SparseEmitter& em) {
+    BitReader br;
+    br.init(task.data, task.len);
+    int32_t pred[4] = {0, 0, 0, 0};
+    for (int64_t m = 0; m < task.n_mcus; ++m) {
+        int64_t base = (task.first_mcu + m) * cpm;
+        for (int ci = 0; ci < n_comps; ++ci) {
+            Component& c = comps[ci];
+            int64_t boff = base + comp_off[ci];
+            int nb = c.h * c.v;
+            for (int b = 0; b < nb; ++b) {
+                int rc = read_block_baseline_sparse(br, c, pred[ci], em,
+                                                    boff + (int64_t)b * 64);
+                if (rc) return rc;
+                if (em.overflow) return 4;
+            }
+        }
+    }
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Merged baseline scan decode + sparse pack. Emits interleaved
+// (delta uint16, value int16) entries in MCU decode order into `out`.
+// Only for scans whose component set matches the frame (interleaved
+// full-frame scan, or a single-component frame) — the Python wrapper
+// gates eligibility. Returns the entry count, or a negative error:
+// -1 capacity exceeded, -2 invalid Huffman code, -3 premature end,
+// -4 bad arguments.
+int64_t jpx_decode_baseline_scan_sparse(
+    const uint8_t* data,
+    const int64_t* span_starts, const int64_t* span_ends, int32_t n_spans,
+    int64_t restart_interval,
+    int64_t mcus_per_line, int64_t mcus_per_column,
+    int32_t n_comps,
+    const int32_t* comp_h, const int32_t* comp_v,
+    const uint8_t* dc_blob, const uint8_t* ac_blob,
+    int16_t* out, int64_t capacity,
+    int32_t n_threads) {
+    if (n_comps <= 0 || n_comps > 4 || n_spans <= 0) return -4;
+
+    std::vector<Component> comps(n_comps);
+    int64_t comp_off[4];
+    int64_t cpm = 0;  // coefficients per MCU
+    for (int i = 0; i < n_comps; ++i) {
+        comps[i].h = comp_h[i];
+        comps[i].v = comp_v[i];
+        comps[i].dc = reinterpret_cast<const HuffTable*>(dc_blob) + i;
+        comps[i].ac = reinterpret_cast<const HuffTable*>(ac_blob) + i;
+        comps[i].plane = nullptr;
+        comps[i].wb = 0;
+        comp_off[i] = cpm;
+        cpm += (int64_t)comp_h[i] * comp_v[i] * 64;
+    }
+    const int64_t total_mcus = mcus_per_line * mcus_per_column;
+
+    if (restart_interval <= 0 || n_spans == 1) {
+        // Single span: sequential decode straight into `out`.
+        SpanTask t{data + span_starts[0], span_ends[0] - span_starts[0],
+                   0, total_mcus};
+        SparseEmitter em;
+        em.init(out, capacity);
+        int rc = decode_span_sparse(t, comps.data(), n_comps, cpm, comp_off, em);
+        if (rc == 4 || em.overflow) return -1;
+        if (rc == 2) return -2;
+        if (rc == 1) return -3;
+        if (em.n > 0) {
+            // Patch the first delta: position relative to -1.
+            int64_t gap = em.first_pos + 1;
+            // Leading escapes would break the in-place layout; redo the
+            // head by shifting if needed (pathological all-zero head).
+            int64_t n_esc = gap / 0xFFFF;
+            if (n_esc > 0) {
+                if (em.n + n_esc > capacity) return -1;
+                std::memmove(out + 2 * n_esc, out, (size_t)(2 * em.n) * sizeof(int16_t));
+                for (int64_t e = 0; e < n_esc; ++e) {
+                    out[2 * e] = (int16_t)0xFFFF;
+                    out[2 * e + 1] = 0;
+                }
+                em.n += n_esc;
+                gap -= n_esc * 0xFFFF;
+            }
+            out[2 * n_esc] = (int16_t)(uint16_t)gap;
+        }
+        return em.n;
+    }
+
+    // Restart spans: parallel emission into disjoint worst-case
+    // regions, then sequential compaction with boundary patches.
+    struct SpanOut {
+        SpanTask task;
+        int64_t region_off;   // entry offset of this span's region
+        SparseEmitter em;
+        int rc;
+    };
+    std::vector<SpanOut> spans_out;
+    {
+        int64_t mcu = 0;
+        int64_t off = 0;
+        for (int32_t s = 0; s < n_spans && mcu < total_mcus; ++s) {
+            int64_t n = std::min<int64_t>(restart_interval, total_mcus - mcu);
+            int64_t span_coefs = n * cpm;
+            SpanOut so;
+            so.task = SpanTask{data + span_starts[s],
+                               span_ends[s] - span_starts[s], mcu, n};
+            so.region_off = off;
+            so.rc = 0;
+            spans_out.push_back(so);
+            off += span_coefs + span_coefs / 0xFFFF + 8;  // worst case + escape slack
+            mcu += n;
+        }
+        if (off > capacity) return -1;
+    }
+
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+    n_threads = std::min<int32_t>(n_threads, (int32_t)spans_out.size());
+
+    auto run_one = [&](SpanOut& so, Component* cv) {
+        so.em.init(out + 2 * so.region_off,
+                   (so.task.n_mcus * cpm) + (so.task.n_mcus * cpm) / 0xFFFF + 8);
+        so.rc = decode_span_sparse(so.task, cv, n_comps, cpm, comp_off, so.em);
+    };
+
+    if (n_threads <= 1) {
+        for (auto& so : spans_out) run_one(so, comps.data());
+    } else {
+        std::vector<std::thread> pool;
+        std::vector<std::vector<Component>> copies(n_threads, comps);
+        for (int tid = 0; tid < n_threads; ++tid) {
+            pool.emplace_back([&, tid]() {
+                for (size_t k = tid; k < spans_out.size(); k += n_threads) {
+                    run_one(spans_out[k], copies[tid].data());
+                }
+            });
+        }
+        for (auto& th : pool) th.join();
+    }
+    for (const auto& so : spans_out) {
+        if (so.rc == 4 || so.em.overflow) return -1;
+        if (so.rc == 2) return -2;
+        if (so.rc == 1) return -3;
+    }
+
+    // Compaction: stitch regions left-to-right. Destination offsets
+    // never exceed source offsets (regions are sized worst-case), so
+    // overlapping moves are safe with memmove.
+    int64_t out_n = 0;
+    int64_t prev_last = -1;
+    for (auto& so : spans_out) {
+        if (so.em.n == 0) continue;
+        int64_t gap = so.em.first_pos - prev_last;
+        int64_t n_esc = gap / 0xFFFF;
+        if (out_n + n_esc + so.em.n > capacity) return -1;
+        for (int64_t e = 0; e < n_esc; ++e) {
+            out[2 * out_n] = (int16_t)0xFFFF;
+            out[2 * out_n + 1] = 0;
+            ++out_n;
+        }
+        gap -= n_esc * 0xFFFF;
+        std::memmove(out + 2 * out_n, out + 2 * so.region_off,
+                     (size_t)(2 * so.em.n) * sizeof(int16_t));
+        out[2 * out_n] = (int16_t)(uint16_t)gap;  // patch first delta
+        out_n += so.em.n;
+        prev_last = so.em.last_pos;
+    }
+    return out_n;
 }
 
 }  // extern "C"

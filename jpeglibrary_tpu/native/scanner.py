@@ -120,6 +120,98 @@ def decode_baseline_scan(
     return True
 
 
+def decode_baseline_scan_sparse(
+    data: bytes,
+    spans: Sequence[EntropySpan],
+    frame: FrameHeader,
+    scan: ScanHeader,
+    dc_tables: Dict[int, HuffmanDecodingTable],
+    ac_tables: Dict[int, HuffmanDecodingTable],
+    restart_interval: int,
+    geometry: FrameGeometry = None,
+    *,
+    bucket_factor: float = 1.5,
+):
+    """Merged baseline decode + sparse pack: entropy-decode the scan and
+    emit the 4-byte (delta uint16, value int16) wire entries directly —
+    no dense coefficient planes, no separate packing pass. Entries are
+    in MCU-interleaved decode order (ops.pipeline.jitted_transform_mcu
+    is the matching device unpack).
+
+    Returns the bucket-padded flat int16 payload, or ``None`` when the
+    scan is not eligible (the caller falls back to the dense path):
+    eligibility is a scan covering all frame components in frame order,
+    or a 1x1-sampled single-component frame.
+    """
+    lib = build.load_library()
+    from ..models.huffman_baseline import JpegDecodeError
+
+    geo = geometry or frame_geometry(frame)
+    resolved = resolve_scan_components(frame, scan)
+    if [ci for ci, _, _ in resolved] != list(range(len(frame.components))):
+        return None
+    if len(resolved) == 1:
+        cg = geo.components[0]
+        if cg.h != 1 or cg.v != 1:
+            # Single-component scans walk the component's own block
+            # grid; it only matches the MCU grid at 1x1 sampling.
+            return None
+
+    n = len(resolved)
+    comp_h = (ctypes.c_int32 * n)()
+    comp_v = (ctypes.c_int32 * n)()
+    dc_blob = bytearray()
+    ac_blob = bytearray()
+    total = 0
+    for i, (comp_index, fc, sc) in enumerate(resolved):
+        dc = dc_tables.get(sc.dc_table_selector)
+        ac = ac_tables.get(sc.ac_table_selector)
+        if dc is None or ac is None:
+            raise JpegDecodeError(
+                f"Huffman table of component {comp_index} is not defined."
+            )
+        cg = geo.components[comp_index]
+        comp_h[i] = cg.h
+        comp_v[i] = cg.v
+        dc_blob += pack_huffman_table(dc)
+        ac_blob += pack_huffman_table(ac)
+        total += cg.blocks_per_column * cg.blocks_per_line * 64
+
+    n_spans = len(spans)
+    starts = (ctypes.c_int64 * n_spans)(*[s.start for s in spans])
+    ends = (ctypes.c_int64 * n_spans)(*[s.end for s in spans])
+    buf = np.frombuffer(data, dtype=np.uint8)
+
+    cap = total + total // 0xFFFF + 16 * (n_spans + 1) + 1024
+    out = _pack_scratch(cap)
+    written = lib.jpx_decode_baseline_scan_sparse(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        starts, ends, n_spans,
+        restart_interval,
+        geo.mcus_per_line, geo.mcus_per_column,
+        n,
+        comp_h, comp_v,
+        bytes(dc_blob), bytes(ac_blob),
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+        default_threads(),
+    )
+    if written == -2:
+        from ..syntax.huffman import JpegHuffmanError
+
+        raise JpegHuffmanError("Invalid Huffman code encountered.")
+    if written == -3:
+        raise JpegDecodeError("The bit stream ended prematurely.")
+    if written < 0:
+        return None  # capacity/arg problem: dense fallback
+    n_entries = int(written)
+    bucket = 1024
+    while bucket < n_entries:
+        bucket = (int(bucket * bucket_factor) + 1023) & ~1023
+    packed = np.zeros((bucket, 2), dtype=np.int16)
+    packed[:n_entries] = out[:n_entries]
+    return packed.reshape(-1)
+
+
 def decode_progressive_scan(
     data: bytes,
     spans: Sequence[EntropySpan],

@@ -169,6 +169,57 @@ def jitted_transform_delta(geometry: FrameGeometry, output: str = "rgb8"):
 
 
 @functools.lru_cache(maxsize=64)
+def jitted_transform_mcu(geometry: FrameGeometry, output: str = "rgb8"):
+    """Compiled transform for the MCU-interleaved sparse wire format
+    produced by the merged native decode+pack
+    (native.scanner.decode_baseline_scan_sparse): a FLAT int16 [2n]
+    buffer of (delta uint16, value int16) entries whose positions run in
+    entropy-decode order — MCU m owns [m*cpm, (m+1)*cpm) with each
+    component's h*v blocks consecutive inside the MCU. The un-interleave
+    to per-component [Hb, Wb, 64] planes is a reshape+transpose, which
+    XLA folds into layout assignment (no gather). Output is planar CHW.
+    """
+    from .. import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    mr = geometry.mcus_per_column
+    mc = geometry.mcus_per_line
+    comps = geometry.components
+    cpm = 64 * sum(c.h * c.v for c in comps)
+    total = mr * mc * cpm
+
+    def fn(packed_flat, quants_stacked):
+        packed = packed_flat.reshape(-1, 2)
+        deltas = packed[:, 0].astype(jnp.int32) & 0xFFFF  # uint16 bits
+        vals = packed[:, 1].astype(jnp.int32)
+        pos = jnp.cumsum(deltas) - 1  # emitter starts from position -1
+        dense = jnp.zeros((total,), dtype=jnp.int32).at[pos].add(vals)
+        per_mcu = dense.reshape(mr * mc, cpm)
+        coeffs = []
+        off = 0
+        for c in comps:
+            size = c.h * c.v * 64
+            blk = jax.lax.slice_in_dim(per_mcu, off, off + size, axis=1)
+            blk = (
+                blk.reshape(mr, mc, c.v, c.h, 64)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(mr * c.v, mc * c.h, 64)
+            )
+            coeffs.append(blk)
+            off += size
+        quants = tuple(quants_stacked[i] for i in range(len(comps)))
+        if output == "rgb8":
+            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp, layout="chw")
+        return transform_to_u16(tuple(coeffs), quants, geometry, xp=jnp)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
 def jitted_transform_packed(geometry: FrameGeometry, output: str = "rgb8"):
     """Compiled transform taking the flat packed sparse buffer (numpy
     fallback wire format); densification is a device scatter-add.

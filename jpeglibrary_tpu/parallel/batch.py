@@ -62,7 +62,7 @@ def decode_batch_rgb(
     out: List[Optional[np.ndarray]] = [None] * len(results)
     for geometry, indices in groups.items():
         batch = [results[i] for i in indices]
-        if batch[0].coefficients is None:
+        if batch[0].samples is not None:
             # lossless: no device transform stage; host path per image
             for i in indices:
                 out[i] = results[i].to_rgb8()
@@ -140,15 +140,17 @@ def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2):
     def scan(data):
         dec = JpegDecoder()
         dec.set_input(data)
-        res = dec.decode()
-        res.prepack()  # pack in the scan worker: parallel across images
+        # Merged decode+sparse-pack when eligible (single-scan
+        # baseline); otherwise dense decode + pack in this worker.
+        res = dec.decode(sparse_direct=True)
+        res.prepack()  # no-op when the merged path produced the payload
         return res
 
     def transform(scan_future):
         """Yields planar [3, H, W] uint8 (device-resident for DCT modes;
         see DecodeResult.to_rgb8_device on why CHW)."""
         res = scan_future.result()
-        if res.coefficients is None:  # lossless: host path
+        if res.samples is not None:  # lossless: host path
             import numpy as np
 
             return np.moveaxis(res.to_rgb8(), -1, 0)

@@ -1,0 +1,93 @@
+"""Merged decode+sparse-pack fast path (sparse_direct): the native
+scanner emits the 4-byte wire entries straight from the symbol loop in
+MCU decode order (native/scanner.cpp jpx_decode_baseline_scan_sparse),
+and the device transform un-interleaves with a reshape+transpose
+(ops/pipeline.jitted_transform_mcu). These tests pin bit-exactness
+against the dense path and the fallback behavior for ineligible
+streams."""
+
+import numpy as np
+import pytest
+
+import jpeglibrary_tpu as jt
+from jpeglibrary_tpu.models.decoder import JpegDecoder
+
+BASELINE_CASES = [
+    "baseline/cramps.jpg",  # grayscale, 1x1 single component
+    "baseline/lake.jpg",
+    "baseline/HETissueSlide.jpg",
+]
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    from jpeglibrary_tpu.native import build
+
+    try:
+        return build.load_library()
+    except ImportError as exc:
+        pytest.skip(f"native scanner unavailable: {exc}")
+
+
+def _decode_pair(data):
+    d1 = JpegDecoder()
+    d1.set_input(data)
+    dense = d1.decode()
+    d2 = JpegDecoder()
+    d2.set_input(data)
+    sparse = d2.decode(sparse_direct=True)
+    return dense, sparse
+
+
+@pytest.mark.parametrize("rel", BASELINE_CASES, ids=BASELINE_CASES)
+def test_sparse_direct_matches_dense(assets_dir, native_lib, rel):
+    dense, sparse = _decode_pair((assets_dir / rel).read_bytes())
+    assert sparse.packed_mcu is not None
+    # coefficients densify lazily from the payload; must be bit-exact
+    for k in dense.coefficients:
+        np.testing.assert_array_equal(dense.coefficients[k], sparse.coefficients[k])
+
+
+def test_sparse_direct_restart_segments(assets_dir, native_lib):
+    """Restart spans emit in parallel regions and compact with boundary
+    delta patches — must still be bit-exact."""
+    from jpeglibrary_tpu.models.encoder import encode_rgb
+
+    rgb = jt.decode((assets_dir / "baseline/lake.jpg").read_bytes()).to_rgb8()
+    data = encode_rgb(rgb, 75, restart_interval=5)
+    dense, sparse = _decode_pair(data)
+    assert sparse.packed_mcu is not None
+    for k in dense.coefficients:
+        np.testing.assert_array_equal(dense.coefficients[k], sparse.coefficients[k])
+
+
+def test_sparse_direct_device_transform(assets_dir, native_lib):
+    """The MCU-order device unpack produces the same pixels as the
+    plane-order delta unpack (identical post-reconstruction program)."""
+    data = (assets_dir / "baseline/lake.jpg").read_bytes()
+    dense, sparse = _decode_pair(data)
+    out_dense = np.asarray(dense.to_rgb8_device(sparse=True))
+    out_mcu = np.asarray(sparse.to_rgb8_device())
+    np.testing.assert_array_equal(out_dense, out_mcu)
+
+
+def test_sparse_direct_falls_back_for_progressive(assets_dir, native_lib):
+    data = (assets_dir / "huffman_progressive/progress.jpg").read_bytes()
+    d = JpegDecoder()
+    d.set_input(data)
+    res = d.decode(sparse_direct=True)
+    assert res.packed_mcu is None  # ineligible: not baseline
+    ref = jt.decode(data)
+    for k in ref.coefficients:
+        np.testing.assert_array_equal(ref.coefficients[k], res.coefficients[k])
+
+
+def test_sparse_direct_host_pixels(assets_dir, native_lib):
+    """Host output paths (planes/to_rgb8) work off the lazy dense
+    reconstruction and match the dense decode exactly."""
+    data = (assets_dir / "baseline/cramps.jpg").read_bytes()
+    dense, sparse = _decode_pair(data)
+    np.testing.assert_array_equal(dense.to_rgb8(), sparse.to_rgb8())
+    np.testing.assert_array_equal(
+        dense.to_uint16_extended(), sparse.to_uint16_extended()
+    )
