@@ -63,9 +63,14 @@ def main() -> None:
         encode_rgb(np.roll(rgb, rgb.shape[0] // 2, axis=0), 75),
     ]
 
-    # Warmup: compile the sparse fused transform on every bucket size.
+    # Warmup: compile the sparse fused transform on every bucket size,
+    # through the same merged-scan path the stream uses.
+    from jpeglibrary_tpu.models.decoder import JpegDecoder
+
     for v in variants:
-        r = jt.decode(v)
+        dec = JpegDecoder()
+        dec.set_input(v)
+        r = dec.decode(sparse_direct=True)
         jax.block_until_ready(r.to_rgb8_device(sparse=True))
 
     # Pipelined steady-state throughput via the streaming API (scan
@@ -85,24 +90,30 @@ def main() -> None:
     # keep sweeping configs until the budget runs out and report the
     # best median window observed.
     best = 0.0
+    all_rates = []
     deadline = time.perf_counter() + budget_s
     while True:
-        for workers, scan_threads in ((2, 2), (3, 1)):
+        for workers, dev_workers in ((3, 2), (2, 2), (3, 1)):
             if best > 0.0 and time.perf_counter() > deadline:
                 break
-            os.environ["JPX_SCAN_THREADS"] = str(scan_threads)
+            os.environ["JPX_SCAN_THREADS"] = "1"
             rates = []
             for _ in range(n_windows):
                 batch = variants * window
                 t0 = time.perf_counter()
-                for _ in decode_stream_rgb(batch, scan_workers=workers):
+                for _ in decode_stream_rgb(
+                    batch, scan_workers=workers, device_workers=dev_workers
+                ):
                     pass
                 rates.append(mp * len(batch) / (time.perf_counter() - t0))
+            all_rates.extend(rates)
             rates.sort()
             best = max(best, rates[len(rates) // 2])
         if time.perf_counter() > deadline:
             break
     mps = best
+    all_rates.sort()
+    overall_median = all_rates[len(all_rates) // 2] if all_rates else 0.0
     print(
         json.dumps(
             {
@@ -110,6 +121,7 @@ def main() -> None:
                 "value": round(mps, 3),
                 "unit": "MP/s",
                 "vs_baseline": round(mps / BASELINE_MPS, 3),
+                "overall_median": round(overall_median, 3),
             }
         )
     )

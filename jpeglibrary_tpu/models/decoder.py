@@ -471,7 +471,9 @@ class JpegDecoder:
 
                     sample_planes = allocate_sample_planes(frame)
                 else:
-                    coefficient_planes = allocate_coefficient_planes(geometry)
+                    # Allocated lazily at the first dense scan — the
+                    # sparse_direct fast path never touches them.
+                    coefficient_planes = None
             elif seg.marker == Marker.SOS:
                 if frame is None:
                     raise ValueError("Frame header was not found before SOS.")
@@ -495,6 +497,8 @@ class JpegDecoder:
                                 f"Quantization table of component {comp_index} is not defined."
                             )
                         component_quant[comp_index] = qt.elements.copy()
+                    if coefficient_planes is None:
+                        coefficient_planes = allocate_coefficient_planes(geometry)
                     progressive_jobs.append(
                         {
                             "scan": scan,
@@ -580,6 +584,8 @@ class JpegDecoder:
                                         )
                                     component_quant[comp_index] = qt.elements.copy()
                                 continue
+                        if coefficient_planes is None:
+                            coefficient_planes = allocate_coefficient_planes(geometry)
                         self._decode_scan(
                             data,
                             scan,
@@ -601,7 +607,11 @@ class JpegDecoder:
                     arithmetic_state_factory=lambda: self._make_arithmetic_state(),
                 )
 
-        if frame is None or (coefficient_planes is None and sample_planes is None):
+        if frame is None or (
+            coefficient_planes is None
+            and sample_planes is None
+            and sparse_payload is None
+        ):
             raise ValueError("No image data decoded.")
 
         metrics.count("decode.images")

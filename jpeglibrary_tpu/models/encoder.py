@@ -69,6 +69,10 @@ class JpegEncoder:
         #: it makes the output restart-segment-parallel decodable — the
         #: parallel seam this framework's scanners exploit.
         self.restart_interval = 0
+        #: optional jax.sharding.Mesh: 2-pass symbol statistics then run
+        #: on device, sharded over the mesh's ``data`` axis with the
+        #: histograms psum-reduced (parallel.sharding.mesh_symbol_frequencies).
+        self.mesh = None
         self._quant_tables: List[QuantizationTable] = []
         #: (is_dc, identifier) -> HuffmanEncodingTable or None (None = build)
         self._huffman_tables: Dict[tuple, Optional[HuffmanEncodingTable]] = {}
@@ -176,9 +180,15 @@ class JpegEncoder:
         # --- table build (2-pass optimize-coding) or fixed tables
         tables: Dict[tuple, HuffmanEncodingTable] = {}
         if optimize:
+            if self.mesh is not None:
+                from ..parallel.sharding import mesh_symbol_frequencies
+
+                gather = lambda blocks: mesh_symbol_frequencies(blocks, self.mesh)
+            else:
+                gather = encode_stage.dc_ac_symbol_frequencies
             builders: Dict[tuple, HuffmanTableBuilder] = {}
             for comp, blocks in zip(self._components, comp_blocks):
-                dc_freq, ac_freq = encode_stage.dc_ac_symbol_frequencies(blocks)
+                dc_freq, ac_freq = gather(blocks)
                 dkey, akey = (True, comp.dc_table_id), (False, comp.ac_table_id)
                 if self._huffman_tables.get(dkey, "absent") is None:
                     builders.setdefault(dkey, HuffmanTableBuilder()).add_frequencies(dc_freq)

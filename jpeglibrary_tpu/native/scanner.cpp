@@ -848,39 +848,95 @@ struct SparseEmitter {
     }
 };
 
+// Huffman symbol decode straight off the bit buffer — caller must
+// guarantee count >= 16 real bits. Identical lookup to decode_huffman.
+static inline int decode_huffman_hot(BitReader& br, const HuffTable* t) {
+    uint32_t code16 = (uint32_t)(br.bits >> 48);
+    int size = t->lookahead_size[code16 >> 8];
+    int value;
+    if (size != 0) {
+        value = t->lookahead_value[code16 >> 8];
+    } else {
+        size = 9;
+        while (size <= 16 && code16 > t->maxcode[size]) ++size;
+        if (size > 16) return -1;
+        value = t->values[(uint8_t)(t->valoffset[size] + (code16 >> (16 - size)))];
+    }
+    br.bits <<= size;
+    br.count -= size;
+    return value;
+}
+
 // Baseline block decode emitting nonzeros directly (same bitstream
 // semantics as read_block_baseline — positions strictly increase and
 // the corrupt-stream Min(i, 63) clamp can produce at most one write at
 // 63 as the block's final write, so add-scatter equals dense stores).
+//
+// Hot path: ONE refill check per coefficient serves both the Huffman
+// symbol (<=16 bits) and its EXTEND value bits (<=16 bits) from the
+// same 64-bit window; the careful peek/advance path (with its 1-bit
+// padding semantics) only runs within 32 bits of the end of the span.
 static inline int read_block_baseline_sparse(BitReader& br, const Component& c,
                                              int32_t& predictor,
                                              SparseEmitter& em,
                                              int64_t block_base) {
     int err = 0;
-    int t = decode_huffman(br, c.dc);
-    if (t < 0) return 2;
-    if (t != 0) {
-        int32_t diff = receive_extend(br, t, &err);
-        if (err) return 1;
-        predictor += diff;
+    if (br.count < 32) br.fill();
+    if (br.count >= 32) {
+        int t = decode_huffman_hot(br, c.dc);
+        if (t < 0) return 2;
+        if (t != 0) {
+            uint32_t raw = (uint32_t)(br.bits >> (64 - t));
+            br.bits <<= t;
+            br.count -= t;
+            predictor += extend((int32_t)raw, t);
+        }
+    } else {
+        int t = decode_huffman(br, c.dc);
+        if (t < 0) return 2;
+        if (t != 0) {
+            int32_t diff = receive_extend(br, t, &err);
+            if (err) return 1;
+            predictor += diff;
+        }
     }
     if (predictor != 0) em.emit(block_base, predictor);
 
     int i = 1;
     while (i < 64) {
-        int s = decode_huffman(br, c.ac);
-        if (s < 0) return 2;
-        int r = s >> 4;
-        s &= 15;
-        if (s != 0) {
-            i += r;
-            int32_t val = receive_extend(br, s, &err);
-            if (err) return 1;
-            em.emit(block_base + (i < 63 ? i : 63), val);
-            ++i;
+        int s, r;
+        if (br.count < 32) br.fill();
+        if (br.count >= 32) {
+            s = decode_huffman_hot(br, c.ac);
+            if (s < 0) return 2;
+            r = s >> 4;
+            s &= 15;
+            if (s != 0) {
+                i += r;
+                uint32_t raw = (uint32_t)(br.bits >> (64 - s));
+                br.bits <<= s;
+                br.count -= s;
+                em.emit(block_base + (i < 63 ? i : 63), extend((int32_t)raw, s));
+                ++i;
+            } else {
+                if (r == 0) break;
+                i += 16;
+            }
         } else {
-            if (r == 0) break;
-            i += 16;
+            s = decode_huffman(br, c.ac);
+            if (s < 0) return 2;
+            r = s >> 4;
+            s &= 15;
+            if (s != 0) {
+                i += r;
+                int32_t val = receive_extend(br, s, &err);
+                if (err) return 1;
+                em.emit(block_base + (i < 63 ? i : 63), val);
+                ++i;
+            } else {
+                if (r == 0) break;
+                i += 16;
+            }
         }
     }
     return 0;

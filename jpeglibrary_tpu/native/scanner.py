@@ -207,8 +207,9 @@ def decode_baseline_scan_sparse(
     bucket = 1024
     while bucket < n_entries:
         bucket = (int(bucket * bucket_factor) + 1023) & ~1023
-    packed = np.zeros((bucket, 2), dtype=np.int16)
+    packed = np.empty((bucket, 2), dtype=np.int16)
     packed[:n_entries] = out[:n_entries]
+    packed[n_entries:] = 0  # (0, 0) no-op padding entries
     return packed.reshape(-1)
 
 

@@ -218,3 +218,76 @@ def bit_count(a):
     nz = a > 0
     out[nz] = np.floor(np.log2(a[nz])).astype(np.int64) + 1
     return out
+
+
+def _bit_count_device(a, xp):
+    """Exact integer bit_count on device: 16 threshold compares instead
+    of float log2 (which can be off by 1 ULP at powers of two)."""
+    a = a.astype(xp.int32)
+    out = xp.zeros(a.shape, dtype=xp.int32)
+    for k in range(16):
+        out = out + (a >= (1 << k)).astype(xp.int32)
+    return out
+
+
+def symbol_histograms_device(blocks, xp, n_valid=None):
+    """jit-friendly DC/AC Huffman symbol histograms — the device twin of
+    dc_ac_symbol_frequencies, bit-identical by construction and safe to
+    shard: under a mesh the DC-difference shift and the scatter-add
+    reductions lower to XLA collectives (the psum-histogram pattern of
+    SURVEY.md §2.4; cf. the serial GatherBlockStatistics walk,
+    JpegEncoder.cs:551-601).
+
+    ``blocks``: int [B, N, 64] zig-zag coefficients in MCU walk order;
+    each batch row is one component instance (its own DC predictor
+    chain). ``n_valid``: optional [B] count of real blocks per row —
+    rows may be padded with zero blocks for even sharding; padded
+    blocks contribute nothing.
+
+    Returns (dc_freq[256], ac_freq[256]) int32, summed over the batch.
+    """
+    b, n, _ = blocks.shape
+    blocks = blocks.astype(xp.int32)
+    if n_valid is None:
+        valid = xp.ones((b, n), dtype=xp.int32)
+    else:
+        valid = (xp.arange(n)[None, :] < n_valid[:, None]).astype(xp.int32)
+
+    # DC: category of successive differences (first block diffs from 0).
+    dc = blocks[:, :, 0]
+    prev = xp.concatenate([xp.zeros((b, 1), dtype=xp.int32), dc[:, :-1]], axis=1)
+    dc_syms = _bit_count_device(xp.abs(dc - prev), xp)
+    dc_freq = xp.zeros(256, dtype=xp.int32).at[dc_syms.reshape(-1)].add(
+        valid.reshape(-1)
+    )
+
+    # AC: (run, size) symbols + ZRL + EOB.
+    ac = blocks[:, :, 1:]                          # [B, N, 63]
+    nz = ac != 0
+    col = xp.arange(63, dtype=xp.int32)
+    marked = xp.where(nz, col[None, None, :], -1)
+    cmax = jax_cummax(marked, xp)
+    prev_nz = xp.concatenate(
+        [xp.full((b, n, 1), -1, dtype=marked.dtype), cmax[:, :, :-1]], axis=2
+    )
+    runs = col[None, None, :] - prev_nz - 1
+    sizes = _bit_count_device(xp.abs(ac), xp)
+    syms = ((runs % 16) << 4) | sizes
+    w = nz.astype(xp.int32) * valid[:, :, None]
+    ac_freq = xp.zeros(256, dtype=xp.int32).at[
+        xp.where(nz, syms, 0).reshape(-1)
+    ].add(w.reshape(-1))
+    ac_freq = ac_freq.at[0xF0].add(xp.sum((runs // 16) * w))
+    last_nz = cmax[:, :, -1]
+    eob = xp.sum(((last_nz < 62).astype(xp.int32)) * valid)
+    ac_freq = ac_freq.at[0].add(eob)
+    return dc_freq, ac_freq
+
+
+def jax_cummax(a, xp):
+    """Cumulative max along the last axis."""
+    if xp is np:
+        return np.maximum.accumulate(a, axis=-1)
+    import jax
+
+    return jax.lax.cummax(a, axis=a.ndim - 1)

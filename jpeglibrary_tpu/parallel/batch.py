@@ -122,15 +122,19 @@ def decode_batch_rgb(
     return out
 
 
-def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2):
+def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2,
+                      device_workers: int = 1):
     """Pipelined streaming decode: yields device-resident RGB arrays in
     input order while the host scans ahead.
 
     Two levels of overlap (the steady-state serving pipeline bench.py
     measures): ``scan_workers`` host threads run the per-image stages
     (container parse + entropy scan — independent across images, and the
-    native calls release the GIL) while a single device thread runs the
-    sparse pack + transfer + transform; ``depth`` bounds in-flight work.
+    native calls release the GIL) while ``device_workers`` threads run
+    the transfer + transform dispatch (2 double-buffers the host->device
+    transfer of image i+1 under the transform of image i — this matters
+    on remote-attached chips where each dispatch pays a network RTT);
+    ``depth`` bounds in-flight work.
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
@@ -159,12 +163,12 @@ def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2):
         return out
 
     with ThreadPoolExecutor(max_workers=scan_workers) as scan_pool, \
-            ThreadPoolExecutor(max_workers=1) as device_pool:
+            ThreadPoolExecutor(max_workers=device_workers) as device_pool:
         inflight = deque()
         for data in datas:
             scan_fut = scan_pool.submit(scan, data)
             inflight.append(device_pool.submit(transform, scan_fut))
-            while len(inflight) > depth:
+            while len(inflight) > max(depth, device_workers):
                 yield inflight.popleft().result()
         while inflight:
             yield inflight.popleft().result()

@@ -36,40 +36,64 @@ def make_mesh(n_devices: Optional[int] = None, *, stripe: int = 1):
     return Mesh(devs, ("data", "stripe"))
 
 
-def _bit_category_histogram(values, xp):
-    """Count |value| magnitude categories 0..16 — the DC-difference /
-    AC-coefficient bit-count statistic the encoder's table builder
-    consumes (JpegEncoder.BitCountTable semantics, JpegEncoder.cs:938-996)."""
-    mag = xp.abs(values.astype(xp.int32))
-    nbits = xp.where(mag == 0, 0, xp.ceil(xp.log2(mag.astype(xp.float32) + 1.0)).astype(xp.int32))
-    counts = [xp.sum((nbits == k).astype(xp.int32)) for k in range(17)]
-    return xp.stack(counts)
+def _fdct_quantize_batch(planes, qt_zz, xp):
+    """[B, H, W] int samples -> [B, Hb, Wb, 64] int16 zig-zag coeffs:
+    level shift + folded-GEMM AAN FDCT + quantize (one MXU matmul per
+    image; same math as ops.encode_stage.fdct_quantize)."""
+    from ..ops import encode_stage
+
+    b, h, w = planes.shape
+    hb, wb = h // 8, w // 8
+    blocks = (
+        planes.reshape(b, hb, 8, wb, 8)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, hb * wb, 64)
+        .astype(xp.float32)
+        - xp.float32(128.0)
+    )
+    k = xp.asarray(encode_stage.fdct_zigzag_matrix())
+    zz = blocks @ k
+    q = qt_zz.astype(xp.float32)
+    return xp.rint(zz / q).astype(xp.int16).reshape(b, hb, wb, 64)
+
+
+def _mcu_order_batch(coeffs, h, v, xp):
+    """[B, Hb, Wb, 64] -> [B, N, 64] in the interleaved MCU walk order
+    (per MCU: v rows x h cols of blocks) — the order the DC predictor
+    chain runs in (JpegEncoder.cs:512-536)."""
+    b, hb, wb, _ = coeffs.shape
+    mr, mc = hb // v, wb // h
+    x = coeffs.reshape(b, mr, v, mc, h, 64)
+    return xp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, mr * mc * v * h, 64)
 
 
 def full_step(y_coeffs, cb_coeffs, cr_coeffs, qt_luma, qt_chroma):
     """The framework's flagship device step over a batch of 4:2:0 images:
 
     decode transform (dequant + IDCT + level shift + upsample + YCbCr->RGB)
-    -> re-encode transform (RGB -> YCbCr, 2x2 box subsample, FDCT, quantize)
-    -> global symbol-statistics histogram (all-reduced over the mesh).
+    -> full re-encode transform (RGB -> YCbCr, 2x2 box subsample of the
+       chroma planes, FDCT + quantize of all three components)
+    -> true Huffman symbol statistics: DC-difference-category and
+       AC-(run,size) histograms per table class, all-reduced over the
+       mesh — exactly what the 2-pass encoder's table builder consumes
+       (cf. JpegEncoder.GatherBlockStatistics, JpegEncoder.cs:551-601).
 
     Shapes (B = batch, Hb/Wb = luma blocks):
       y_coeffs  int16 [B, Hb, Wb, 64]      (zig-zag)
       cb/cr     int16 [B, Hb/2, Wb/2, 64]
       qt_luma / qt_chroma  int32 [64]      (zig-zag)
 
-    Returns (rgb uint8 [B, H, W, 3], requant int16 [B, Hb, Wb, 64],
-    histogram int32 [17]).
+    Returns (rgb uint8 [B, H, W, 3], requant_y int16 [B, Hb, Wb, 64]
+    zig-zag, hists int32 [4, 256]: dc_luma, ac_luma, dc_chroma,
+    ac_chroma).
     """
     import jax.numpy as jnp
 
     from ..ops import color as color_ops
-    from ..ops import dct, decode_stage
-    from ..ops.zigzag import BLOCK_TO_ZIGZAG
+    from ..ops import decode_stage, encode_stage
 
     xp = jnp
     b, hb, wb, _ = y_coeffs.shape
-    h, w = hb * 8, wb * 8
 
     # ---- decode transform ----
     def comp_plane(cz, qz, up):
@@ -89,17 +113,67 @@ def full_step(y_coeffs, cb_coeffs, cr_coeffs, qt_luma, qt_chroma):
     r, g, bl = color_ops.ycbcr_to_rgb(y8, cb8, cr8, xp=xp)
     rgb = xp.stack([r, g, bl], axis=-1)
 
-    # ---- re-encode transform (luma channel) ----
-    y2, _, _ = color_ops.rgb_to_ycbcr(r, g, bl, xp=xp)
-    shifted = y2.astype(xp.float32) - 128.0
-    blocks = shifted.reshape(b, hb, 8, wb, 8).transpose(0, 1, 3, 2, 4)
-    fcoef = dct.fdct8x8(blocks, xp=xp)
-    qnat = xp.take(qt_luma, xp.asarray(BLOCK_TO_ZIGZAG), axis=-1).reshape(8, 8)
-    requant = xp.rint(fcoef / qnat.astype(xp.float32)).astype(xp.int16)
+    # ---- re-encode transform: all three components ----
+    y2, cb2, cr2 = color_ops.rgb_to_ycbcr(r, g, bl, xp=xp)
 
-    # ---- global statistics (histogram all-reduce) ----
-    hist = _bit_category_histogram(requant, xp)
-    return rgb, requant, hist
+    def box2x2(p):
+        # (sum + 2) >> 2 round-half-up, the reference subsample rounding
+        # (ReadBlockWithSubsample, JpegEncoder.cs:756-787)
+        x = p.astype(xp.int32).reshape(b, p.shape[1] // 2, 2, p.shape[2] // 2, 2)
+        return (xp.sum(x, axis=(2, 4)) + 2) >> 2
+
+    requant_y = _fdct_quantize_batch(y2.astype(xp.int32), qt_luma, xp)
+    requant_cb = _fdct_quantize_batch(box2x2(cb2), qt_chroma, xp)
+    requant_cr = _fdct_quantize_batch(box2x2(cr2), qt_chroma, xp)
+
+    # ---- true symbol statistics (histogram all-reduce over the mesh) ----
+    y_mcu = _mcu_order_batch(requant_y, 2, 2, xp)
+    chroma_mcu = xp.concatenate(
+        [requant_cb.reshape(b, -1, 64), requant_cr.reshape(b, -1, 64)], axis=0
+    )  # each chroma component is its own DC predictor chain
+    dc_l, ac_l = encode_stage.symbol_histograms_device(y_mcu, xp)
+    dc_c, ac_c = encode_stage.symbol_histograms_device(chroma_mcu, xp)
+    hists = xp.stack([dc_l, ac_l, dc_c, ac_c])
+    return rgb, requant_y, hists
+
+
+def mesh_symbol_frequencies(blocks: np.ndarray, mesh):
+    """Distributed 2-pass-encoder statistics: DC/AC Huffman symbol
+    histograms for one component's MCU-ordered blocks, computed on
+    device with the block axis sharded over the mesh's ``data`` axis and
+    the histograms all-reduced (psum) — the production replacement for
+    the host gather when a mesh is active (SURVEY.md §2.4 comm-backend
+    row; serial reference: JpegEncoder.GatherBlockStatistics,
+    JpegEncoder.cs:551-601).
+
+    Bit-identical to ops.encode_stage.dc_ac_symbol_frequencies: blocks
+    are zero-padded to shard evenly and masked out of every count; the
+    DC-difference shift across shard boundaries lowers to an XLA
+    collective permute.
+
+    Returns (dc_freq[256], ac_freq[256]) as int64 numpy arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops import encode_stage
+
+    n = blocks.shape[0]
+    d = mesh.shape["data"]
+    pad = (-n) % d
+    padded = np.zeros((1, n + pad, 64), dtype=np.int16)
+    padded[0, :n] = blocks
+    arr = jax.device_put(padded, NamedSharding(mesh, P(None, "data")))
+    n_valid = jnp.asarray([n], dtype=jnp.int32)
+
+    rep = NamedSharding(mesh, P())
+    fn = jax.jit(
+        lambda bl, nv: encode_stage.symbol_histograms_device(bl, jnp, n_valid=nv),
+        out_shardings=(rep, rep),
+    )
+    dc, ac = fn(arr, n_valid)
+    return np.asarray(dc).astype(np.int64), np.asarray(ac).astype(np.int64)
 
 
 def make_sharded_full_step(mesh):
