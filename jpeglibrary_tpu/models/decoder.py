@@ -294,7 +294,29 @@ class JpegDecoder:
     def __init__(self):
         self._data: Optional[bytes] = None
         self._stream: Optional[io_reader.JpegStream] = None
+        #: marker byte -> [handler]; decoder configuration (survives
+        #: reset(), like the reference's subclass hook overrides)
+        self._marker_handlers: Dict[int, list] = {}
         self.reset()
+
+    # -- marker extension hooks (ProcessMarkerForDecode /
+    #    ProcessMarkerForIdentification parity, JpegDecoder.cs:114,:558) --
+
+    def register_marker_handler(self, marker: int, handler) -> None:
+        """Register ``handler(marker, payload: bytes, offset: int)`` to
+        be called whenever decode() or identify() walks past a matching
+        segment — the extension point the reference exposes as the
+        protected virtual ProcessMarkerForDecode/ForIdentification
+        (JpegDecoder.cs:114, :558), used to consume APPn/COM metadata
+        (EXIF, ICC, comments) without subclassing the walk."""
+        self._marker_handlers.setdefault(int(marker), []).append(handler)
+
+    def _dispatch_marker(self, seg: io_reader.Segment, data: bytes) -> None:
+        handlers = self._marker_handlers.get(seg.marker)
+        if handlers:
+            payload = seg.payload(data)
+            for handler in handlers:
+                handler(seg.marker, payload, seg.offset)
 
     # -- input management (SetInput / Reset* parity) --
 
@@ -389,6 +411,7 @@ class JpegDecoder:
         frame = None
         marker = 0
         for seg in stream.segments:
+            self._dispatch_marker(seg, data)
             if seg.marker in ALL_SOF_MARKERS:
                 frame = FrameHeader.parse(seg.payload(data), seg.marker)
                 marker = seg.marker
@@ -453,6 +476,8 @@ class JpegDecoder:
         scan_iter = iter(stream.scans)
 
         for seg in stream.segments:
+            if self._marker_handlers:
+                self._dispatch_marker(seg, data)
             if seg.marker in (Marker.DQT, Marker.DHT, Marker.DAC, Marker.DRI):
                 self._process_table_segment(seg, data)
             elif seg.marker in ALL_SOF_MARKERS:

@@ -157,8 +157,17 @@ class JpegOptimizer:
             key: b.build(optimal=self.most_optimal_coding) for key, b in builders.items()
         }
 
-    def optimize(self, strip: bool = True) -> bytes:
-        """Pass 2: re-emit the file with the optimized tables."""
+    def optimize(self, strip: bool = True, keep=None) -> bytes:
+        """Pass 2: re-emit the file with the optimized tables.
+
+        ``strip`` drops APPn/COM metadata like the reference
+        (JpegOptimizer.Optimize(strip), JpegOptimizer.cs:546,:632-643).
+        ``keep`` refines it: a predicate ``keep(marker, payload) ->
+        bool`` consulted for each metadata segment — segments it
+        accepts are preserved even when stripping (e.g. keep EXIF but
+        drop comments), and rejected ones are dropped even when not
+        stripping.
+        """
         data = self._data
         if not self._tables:
             raise JpegOptimizeError("scan() must run before optimize().")
@@ -203,7 +212,11 @@ class JpegOptimizer:
             elif is_restart_marker(m):
                 pass  # re-emitted by _emit_scan
             else:
-                if not strip:
+                if keep is not None:
+                    payload = seg.payload(data)
+                    if keep(m, payload):
+                        writer.write_segment(m, payload)
+                elif not strip:
                     writer.write_segment(m, seg.payload(data))
 
         return writer.to_bytes()

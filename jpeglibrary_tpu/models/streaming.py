@@ -1,0 +1,137 @@
+"""Bounded-memory streaming decode: MCU-row stripes pushed to a
+consumer.
+
+The reference's pivot abstraction is a user-pluggable
+``JpegBlockOutputWriter`` receiving 8x8 blocks as they decode
+(/root/reference/src/JpegLibrary/JpegBlockOutputWriter.cs:8-18), which
+gives O(1)-memory push-based baseline decode for gigapixel inputs. The
+TPU-native equivalent trades per-block callbacks (hopeless for a
+batched device) for per-STRIPE delivery: the merged entropy scan
+produces the compact sparse payload (4 bytes per nonzero coefficient —
+far below one RGB plane), whose entries are ordered by MCU row, so any
+row range is a contiguous slice; each stripe then runs the fused
+device transform at stripe shape and is handed to the consumer before
+the next one materializes. Peak memory = sparse payload + one stripe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterator, Tuple
+
+import numpy as np
+
+from .decoder import JpegDecoder
+from .geometry import FrameGeometry
+
+
+def _stripe_geometry(base: FrameGeometry, mcu_rows: int, height: int) -> FrameGeometry:
+    """FrameGeometry restricted to a stripe of MCU rows (same component
+    set, reduced row count) — the jitted transforms compile at stripe
+    shape and are shared by every full stripe."""
+    comps = tuple(
+        dataclasses.replace(c, blocks_per_column=mcu_rows * c.v)
+        for c in base.components
+    )
+    return dataclasses.replace(
+        base, height=height, mcus_per_column=mcu_rows, components=comps
+    )
+
+
+def decode_rgb_stripes(
+    data: bytes,
+    *,
+    stripe_mcu_rows: int = 16,
+    device: bool = True,
+) -> Iterator[Tuple[int, object]]:
+    """Decode a baseline JPEG as a stream of RGB stripes.
+
+    Yields ``(y0, stripe)`` pairs in top-to-bottom order, where
+    ``stripe`` is planar uint8 [3, stripe_height, width] (device-
+    resident when ``device=True``; numpy otherwise) and ``y0`` is the
+    first pixel row it covers. The final stripe is cropped to the image
+    height. The full-resolution image is never materialized.
+
+    Requires the merged-scan fast path (single-scan baseline stream);
+    other modes raise ValueError — progressive needs whole-image
+    coefficient state and lossless has no transform stage, so a
+    bounded-memory stripe walk does not apply (the reference's
+    progressive path buffers the whole coefficient image too,
+    JpegBlockAllocator.cs:81-83).
+    """
+    dec = JpegDecoder()
+    dec.set_input(data)
+    res = dec.decode(sparse_direct=True)
+    if res.packed_mcu is None:
+        raise ValueError(
+            "streaming decode requires a single-scan baseline (SOF0/1) stream"
+        )
+    geo = res.geometry
+    packed = res.packed_mcu.reshape(-1, 2)
+    deltas = packed[:, 0].astype(np.int64) & 0xFFFF
+    # Trim bucket padding: padding entries are (0, 0); real entries have
+    # a nonzero value or are escapes with delta 0xFFFF.
+    pad = np.flatnonzero((deltas == 0) & (packed[:, 1] == 0))
+    n_entries = int(pad[0]) if len(pad) else len(packed)
+    pos = np.cumsum(deltas[:n_entries]) - 1
+
+    cpm = 64 * sum(c.h * c.v for c in geo.components)
+    coefs_per_mcu_row = geo.mcus_per_line * cpm
+    quants = np.stack(
+        [res.quant[c.component_index] for c in geo.components]
+    ).astype(np.int32)
+
+    from ..ops.pipeline import jitted_transform_mcu
+
+    px_per_mcu_row = 8 * geo.max_v
+    for r0 in range(0, geo.mcus_per_column, stripe_mcu_rows):
+        r1 = min(r0 + stripe_mcu_rows, geo.mcus_per_column)
+        y0 = r0 * px_per_mcu_row
+        height = min((r1 - r0) * px_per_mcu_row, geo.height - y0)
+        sgeo = _stripe_geometry(geo, r1 - r0, height)
+
+        lo = int(np.searchsorted(pos, r0 * coefs_per_mcu_row, side="left"))
+        hi = int(np.searchsorted(pos, r1 * coefs_per_mcu_row, side="left"))
+        # Skip escape entries at the chunk head; their accumulated
+        # offset is folded into the rebased first delta below.
+        first = lo
+        while first < hi and packed[first, 1] == 0 and deltas[first] == 0xFFFF:
+            first += 1
+        body = packed[first:hi]
+
+        if len(body):
+            lead = int(pos[first]) - r0 * coefs_per_mcu_row + 1
+            n_esc = lead // 0xFFFF
+            rem = lead - n_esc * 0xFFFF
+        else:
+            n_esc = rem = 0
+        n_out = n_esc + len(body)
+        bucket = 1024  # same ladder as the packers: stripes of a given
+        while bucket < n_out:  # shape share compiled programs
+            bucket = (int(bucket * 1.5) + 1023) & ~1023
+        out = np.zeros((bucket, 2), dtype=np.int16)
+        if n_esc:
+            out[:n_esc, 0] = np.int16(-1)  # 0xFFFF escapes
+        if len(body):
+            out[n_esc:n_out] = body
+            out[n_esc, 0] = np.int16(rem)  # rebased first delta
+
+        stripe = jitted_transform_mcu(sgeo, "rgb8")(out.reshape(-1), quants)
+        if not device:
+            stripe = np.asarray(stripe)
+        yield y0, stripe
+
+
+def decode_rgb_streaming(
+    data: bytes,
+    consumer: Callable[[int, object], None],
+    *,
+    stripe_mcu_rows: int = 16,
+    device: bool = True,
+) -> None:
+    """Push-based variant: call ``consumer(y0, stripe)`` for each
+    stripe — the JpegBlockOutputWriter-style pluggable sink."""
+    for y0, stripe in decode_rgb_stripes(
+        data, stripe_mcu_rows=stripe_mcu_rows, device=device
+    ):
+        consumer(y0, stripe)
