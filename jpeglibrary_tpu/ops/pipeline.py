@@ -169,8 +169,8 @@ def jitted_transform_delta(geometry: FrameGeometry, output: str = "rgb8"):
 
 
 @functools.lru_cache(maxsize=64)
-def jitted_transform_mcu(geometry: FrameGeometry, output: str = "rgb8"):
-    """Compiled transform for the MCU-interleaved sparse wire format
+def jitted_transform_mcu_inner(geometry: FrameGeometry, output: str = "rgb8"):
+    """Un-jitted transform for the MCU-interleaved sparse wire format
     produced by the merged native decode+pack
     (native.scanner.decode_baseline_scan_sparse): a FLAT int16 [2n]
     buffer of (delta uint16, value int16) entries whose positions run in
@@ -178,11 +178,11 @@ def jitted_transform_mcu(geometry: FrameGeometry, output: str = "rgb8"):
     component's h*v blocks consecutive inside the MCU. The un-interleave
     to per-component [Hb, Wb, 64] planes is a reshape+transpose, which
     XLA folds into layout assignment (no gather). Output is planar CHW.
+
+    Returned un-jitted so callers can vmap it (parallel.batch groups
+    same-shape images into one stacked dispatch); use
+    jitted_transform_mcu for the single-image compiled form.
     """
-    from .. import enable_compile_cache
-
-    enable_compile_cache()
-
     import jax
     import jax.numpy as jnp
 
@@ -216,7 +216,19 @@ def jitted_transform_mcu(geometry: FrameGeometry, output: str = "rgb8"):
             return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp, layout="chw")
         return transform_to_u16(tuple(coeffs), quants, geometry, xp=jnp)
 
-    return jax.jit(fn)
+    return fn
+
+
+@functools.lru_cache(maxsize=64)
+def jitted_transform_mcu(geometry: FrameGeometry, output: str = "rgb8"):
+    """Compiled single-image form of jitted_transform_mcu_inner."""
+    from .. import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+
+    return jax.jit(jitted_transform_mcu_inner(geometry, output))
 
 
 @functools.lru_cache(maxsize=64)

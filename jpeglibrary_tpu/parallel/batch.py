@@ -123,7 +123,7 @@ def decode_batch_rgb(
 
 
 def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2,
-                      device_workers: int = 1):
+                      device_workers: int = 1, group: int = 1):
     """Pipelined streaming decode: yields device-resident RGB arrays in
     input order while the host scans ahead.
 
@@ -135,6 +135,12 @@ def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2,
     transfer of image i+1 under the transform of image i — this matters
     on remote-attached chips where each dispatch pays a network RTT);
     ``depth`` bounds in-flight work.
+
+    ``group`` > 1 amortizes per-dispatch overhead: up to ``group``
+    consecutive images whose payloads share geometry and bucket size
+    run as ONE stacked vmapped device call (each still yielded
+    individually, device-resident). Mixed-shape runs fall back to
+    per-image dispatch within the group.
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
@@ -150,28 +156,76 @@ def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2,
         res.prepack()  # no-op when the merged path produced the payload
         return res
 
-    def transform(scan_future):
-        """Yields planar [3, H, W] uint8 (device-resident for DCT modes;
-        see DecodeResult.to_rgb8_device on why CHW)."""
-        res = scan_future.result()
+    def one_rgb(res):
+        """Planar [3, H, W] uint8 (device-resident for DCT modes; see
+        DecodeResult.to_rgb8_device on why CHW)."""
         if res.samples is not None:  # lossless: host path
-            import numpy as np
-
             return np.moveaxis(res.to_rgb8(), -1, 0)
-        out = res.to_rgb8_device(sparse=True)
-        jax.block_until_ready(out)
-        return out
+        return res.to_rgb8_device(sparse=True)
+
+    def transform_group(scan_futs):
+        ress = [f.result() for f in scan_futs]
+        groupable = (
+            len(ress) > 1
+            and all(r.packed_mcu is not None for r in ress)
+            and len({r.geometry for r in ress}) == 1
+            and len({r.packed_mcu.shape for r in ress}) == 1
+        )
+        if groupable:
+            geo = ress[0].geometry
+            quants = np.stack(
+                [ress[0].quant[c.component_index] for c in geo.components]
+            ).astype(np.int32)
+            stacked = np.stack([r.packed_mcu for r in ress])
+            out = _batched_mcu_transform(geo)(stacked, quants)
+            jax.block_until_ready(out)
+            return [out[i] for i in range(len(ress))]
+        outs = [one_rgb(r) for r in ress]
+        jax.block_until_ready(outs)
+        return outs
 
     with ThreadPoolExecutor(max_workers=scan_workers) as scan_pool, \
             ThreadPoolExecutor(max_workers=device_workers) as device_pool:
         inflight = deque()
+        pending_scans = []
+
+        def flush():
+            if pending_scans:
+                inflight.append(
+                    device_pool.submit(transform_group, list(pending_scans))
+                )
+                pending_scans.clear()
+
+        bound = max(depth, device_workers)
         for data in datas:
-            scan_fut = scan_pool.submit(scan, data)
-            inflight.append(device_pool.submit(transform, scan_fut))
-            while len(inflight) > max(depth, device_workers):
-                yield inflight.popleft().result()
+            pending_scans.append(scan_pool.submit(scan, data))
+            if len(pending_scans) >= max(1, group):
+                flush()
+            while len(inflight) > bound:
+                for rgb in inflight.popleft().result():
+                    yield rgb
+        flush()
         while inflight:
-            yield inflight.popleft().result()
+            for rgb in inflight.popleft().result():
+                yield rgb
+
+
+_BATCHED_MCU_CACHE: Dict[object, object] = {}
+
+
+def _batched_mcu_transform(geometry):
+    """vmapped MCU-order sparse transform: [B, 2n] int16 payload batch
+    -> [B, 3, H, W] planar RGB (jit re-specializes per (B, bucket))."""
+    import jax
+
+    fn = _BATCHED_MCU_CACHE.get(geometry)
+    if fn is None:
+        from ..ops.pipeline import jitted_transform_mcu_inner
+
+        inner = jitted_transform_mcu_inner(geometry, "rgb8")
+        fn = jax.jit(jax.vmap(inner, in_axes=(0, None)))
+        _BATCHED_MCU_CACHE[geometry] = fn
+    return fn
 
 
 def encode_batch_rgb(images, quality: int = 75, *, subsampling: str = "420",

@@ -82,6 +82,35 @@ def test_sparse_direct_falls_back_for_progressive(assets_dir, native_lib):
         np.testing.assert_array_equal(ref.coefficients[k], res.coefficients[k])
 
 
+def test_grouped_stream_matches_ungrouped(assets_dir, native_lib):
+    """decode_stream_rgb(group=k) stacks same-shape payloads into one
+    vmapped dispatch — outputs must be identical to per-image dispatch,
+    including across mixed geometries (fallback path)."""
+    from jpeglibrary_tpu.parallel.batch import decode_stream_rgb
+
+    datas = [
+        (assets_dir / p).read_bytes()
+        for p in (
+            "baseline/lake.jpg",
+            "baseline/cramps.jpg",
+            "baseline/lake.jpg",
+            "huffman_progressive/progress.jpg",
+            "baseline/lake.jpg",
+            "baseline/lake.jpg",
+        )
+    ]
+    a = [np.asarray(x) for x in decode_stream_rgb(datas, group=1)]
+    b = [
+        np.asarray(x)
+        for x in decode_stream_rgb(
+            datas, group=4, scan_workers=2, device_workers=2
+        )
+    ]
+    assert len(a) == len(b) == len(datas)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_sparse_direct_host_pixels(assets_dir, native_lib):
     """Host output paths (planes/to_rgb8) work off the lazy dense
     reconstruction and match the dense decode exactly."""
