@@ -164,7 +164,12 @@ class JpegEncoder:
                     encode_stage.mcu_order_blocks(np.asarray(coeffs), comp.h, comp.v)
                 )
         else:
-            for comp, plane, q in zip(self._components, self._input_planes, quants):
+            # Components are independent; the native transform releases
+            # the GIL, so they run concurrently across host threads.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def one(args):
+                comp, plane, q = args
                 coeffs = encode_stage.forward_component(
                     np.asarray(plane),
                     q,
@@ -173,9 +178,16 @@ class JpegEncoder:
                     mcus_per_line, mcus_per_column,
                     xp=np,
                 )
-                comp_blocks.append(
-                    encode_stage.mcu_order_blocks(np.asarray(coeffs), comp.h, comp.v)
+                return encode_stage.mcu_order_blocks(
+                    np.asarray(coeffs), comp.h, comp.v
                 )
+
+            jobs = list(zip(self._components, self._input_planes, quants))
+            if len(jobs) > 1:
+                with ThreadPoolExecutor(min(len(jobs), 3)) as pool:
+                    comp_blocks = list(pool.map(one, jobs))
+            else:
+                comp_blocks = [one(jobs[0])]
 
         # --- table build (2-pass optimize-coding) or fixed tables
         tables: Dict[tuple, HuffmanEncodingTable] = {}
@@ -278,13 +290,13 @@ class JpegEncoder:
         except ImportError:
             pass
 
-        def emit_segment(first_mcu: int, count: int) -> None:
+        def emit_segment(first_mcu: int, count: int, *, parallel: bool = False) -> None:
             if native_emit is not None:
                 seg_comps = [
                     {**c, "blocks": c["blocks"][first_mcu * c["per_mcu"]:]}
                     for c in comps
                 ]
-                writer.write_bytes(native_emit(seg_comps, count))
+                writer.write_bytes(native_emit(seg_comps, count, parallel=parallel))
                 return
             writer.enter_bit_mode()
             write_bits = writer.write_bits
@@ -302,7 +314,36 @@ class JpegEncoder:
 
         ri = self.restart_interval
         if ri <= 0:
-            emit_segment(0, n_mcus)
+            # Single segment (reference parity): chunk-parallel native
+            # emission (bit-identical shift-merge).
+            emit_segment(0, n_mcus, parallel=True)
+            return
+        if native_emit is not None and n_mcus > ri:
+            # Restart segments are independent byte-aligned streams —
+            # emit them concurrently, write in order with RSTn between.
+            from concurrent.futures import ThreadPoolExecutor
+
+            spans = []
+            mcu = 0
+            while mcu < n_mcus:
+                spans.append((mcu, min(ri, n_mcus - mcu)))
+                mcu += ri
+            def one(span):
+                first, count = span
+                seg_comps = [
+                    {**c, "blocks": c["blocks"][first * c["per_mcu"]:]}
+                    for c in comps
+                ]
+                return native_emit(seg_comps, count)
+            import os
+
+            workers = max(1, min(len(spans), (os.cpu_count() or 2) - 1))
+            with ThreadPoolExecutor(workers) as pool:
+                payloads = list(pool.map(one, spans))
+            for i, payload in enumerate(payloads):
+                writer.write_bytes(payload)
+                if i + 1 < len(payloads):
+                    writer.write_marker(Marker.RST0 + (i & 7))
             return
         mcu = 0
         rst = 0

@@ -39,8 +39,8 @@ def build_library() -> pathlib.Path:
         return so_path
     tmp = so_path.with_suffix(".so.tmp")
     cmd = [
-        "g++", "-std=c++17", "-O3", "-march=native", "-fPIC", "-shared",
-        "-pthread", "-o", str(tmp), str(_SRC),
+        "g++", "-std=c++17", "-O3", "-march=native", "-ffp-contract=off",
+        "-fPIC", "-shared", "-pthread", "-o", str(tmp), str(_SRC),
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, so_path)
@@ -163,4 +163,22 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.POINTER(c.c_void_p), c.POINTER(c.c_void_p),  # ac codes/sizes
         c.c_int64,                       # n_mcus
         c.c_void_p, c.c_int64,           # out, capacity
+    ]
+    lib.jpx_encode_segment_parallel.restype = c.c_int64
+    lib.jpx_encode_segment_parallel.argtypes = (
+        lib.jpx_encode_segment.argtypes + [c.c_int32]  # + n_threads
+    )
+    lib.jpx_symbol_histograms.restype = c.c_int64
+    lib.jpx_symbol_histograms.argtypes = [
+        c.c_void_p, c.c_int64,           # blocks, n_blocks
+        c.c_void_p, c.c_void_p,          # dc_freq, ac_freq (int64[256])
+        c.c_int32,                       # n_threads
+    ]
+    lib.jpx_fdct_quantize.restype = None
+    lib.jpx_fdct_quantize.argtypes = [
+        c.c_void_p, c.c_void_p,          # plane_u8 / plane_i32
+        c.c_int64, c.c_int64,            # h, w
+        c.c_void_p, c.c_void_p,          # quant_zz (f32), zz_to_nat (u8)
+        c.c_void_p,                      # out int16
+        c.c_int32,                       # n_threads
     ]

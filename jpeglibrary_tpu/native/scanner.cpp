@@ -23,11 +23,13 @@
 //
 // Build: see native/build.py (g++ -O3 -shared, cached by source hash).
 
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
 #include <atomic>
+#include <memory>
 #include <thread>
 #include <vector>
 
@@ -2151,6 +2153,391 @@ int64_t jpx_encode_segment(
     }
     if (!bp.finish()) return -1;
     return bp.n;
+}
+
+// Emit one entropy segment as an UNSTUFFED bitstream (no 0xFF 0x00
+// insertion, no final padding) — the per-chunk phase of the parallel
+// scan emitter below. Returns total bits written, -1 overflow, -2
+// missing code.
+static int64_t emit_chunk_unstuffed(EncComp* comps, int n_comps,
+                                    int64_t n_mcus,
+                                    uint8_t* out, int64_t cap_bytes) {
+    struct RawPacker {
+        uint8_t* out;
+        int64_t cap;
+        int64_t n;
+        uint64_t reg;
+        int bits;
+        inline bool write(uint32_t value, int length) {
+            if (length == 0) return true;
+            reg = (reg << length) | (value & ((1u << length) - 1));
+            bits += length;
+            while (bits >= 8) {
+                bits -= 8;
+                if (n >= cap) return false;
+                out[n++] = (uint8_t)(reg >> bits);
+            }
+            reg &= (1u << bits) - 1;
+            return true;
+        }
+    };
+    RawPacker bp{out, cap_bytes, 0, 0, 0};
+    bool missing = false;
+
+    // The BitPacker/RawPacker interfaces match; reuse emit_block by
+    // templating through a local lambda-based shim is more churn than
+    // value — duplicate the tiny symbol loop against RawPacker.
+    auto emit_rl = [&](const uint16_t* codes, const uint8_t* sizes, int run,
+                       int value) -> bool {
+        int a = value, b = value;
+        if (a < 0) { a = -value; b = value - 1; }
+        int bit_count = 0;
+        while ((a >> bit_count) != 0) ++bit_count;
+        int symbol = (run << 4) | bit_count;
+        int size = sizes[symbol];
+        if (size == 0) { missing = true; return false; }
+        if (!bp.write(codes[symbol], size)) return false;
+        if (bit_count > 0) {
+            if (!bp.write((uint32_t)b & ((1u << bit_count) - 1), bit_count)) return false;
+        }
+        return true;
+    };
+
+    for (int64_t m = 0; m < n_mcus; ++m) {
+        for (int ci = 0; ci < n_comps; ++ci) {
+            EncComp& c = comps[ci];
+            for (int b = 0; b < c.per_mcu; ++b) {
+                const int16_t* block = c.blocks + c.cursor * 64;
+                ++c.cursor;
+                int value = block[0];
+                int t = value - c.predictor;
+                c.predictor = value;
+                if (!emit_rl(c.dc_codes, c.dc_sizes, 0, t)) return missing ? -2 : -1;
+                int run = 0;
+                for (int i = 1; i < 64; ++i) {
+                    int v = block[i];
+                    if (v == 0) { ++run; continue; }
+                    while (run > 15) {
+                        if (c.ac_sizes[0xF0] == 0) return -2;
+                        if (!bp.write(c.ac_codes[0xF0], c.ac_sizes[0xF0])) return -1;
+                        run -= 16;
+                    }
+                    if (!emit_rl(c.ac_codes, c.ac_sizes, run, v)) return missing ? -2 : -1;
+                    run = 0;
+                }
+                if (run > 0) {
+                    if (c.ac_sizes[0] == 0) return -2;
+                    if (!bp.write(c.ac_codes[0], c.ac_sizes[0])) return -1;
+                }
+            }
+        }
+    }
+    int64_t total_bits = bp.n * 8 + bp.bits;
+    if (bp.bits > 0) {
+        if (bp.n >= bp.cap) return -1;
+        bp.out[bp.n++] = (uint8_t)(bp.reg << (8 - bp.bits));  // left-justified tail
+    }
+    return total_bits;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parallel single-segment scan emission: MCU chunks pack unstuffed
+// bitstreams concurrently (each chunk seeds its DC predictors from the
+// PREVIOUS block's DC value, which is available directly in the block
+// arrays — the predictor chain needs no sequential walk), then a
+// sequential pass bit-shifts the chunks together, 1-pads the tail and
+// applies 0xFF 0x00 stuffing. Bit-identical to jpx_encode_segment.
+// Returns bytes written, -1 overflow, -2 missing Huffman code.
+int64_t jpx_encode_segment_parallel(
+    int32_t n_comps,
+    const int16_t** blocks, const int32_t* per_mcu,
+    const uint16_t** dc_codes, const uint8_t** dc_sizes,
+    const uint16_t** ac_codes, const uint8_t** ac_sizes,
+    int64_t n_mcus,
+    uint8_t* out, int64_t capacity,
+    int32_t n_threads) {
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 1 ? hw - 1 : 1;
+    int64_t T = std::min<int64_t>(n_threads, std::max<int64_t>(1, n_mcus / 256));
+    if (T <= 1) {
+        return jpx_encode_segment(n_comps, blocks, per_mcu, dc_codes, dc_sizes,
+                                  ac_codes, ac_sizes, n_mcus, out, capacity);
+    }
+
+    struct Chunk {
+        int64_t first_mcu, n_mcus;
+        std::unique_ptr<uint8_t[]> buf;  // uninitialized: packer overwrites
+        int64_t cap;
+        int64_t bits;
+    };
+    std::vector<Chunk> chunks(T);
+    int64_t per = (n_mcus + T - 1) / T;
+    int64_t blocks_per_mcu = 0;
+    for (int i = 0; i < n_comps; ++i) blocks_per_mcu += per_mcu[i];
+    for (int64_t t = 0; t < T; ++t) {
+        chunks[t].first_mcu = t * per;
+        chunks[t].n_mcus = std::min(per, n_mcus - t * per);
+        if (chunks[t].n_mcus < 0) chunks[t].n_mcus = 0;
+        // hard bound: a block is at most 64 codes (<=16 bits) + 63
+        // value fields (<=15... DC <=16) => < 256 unstuffed bytes
+        chunks[t].cap = chunks[t].n_mcus * blocks_per_mcu * 256 + 64;
+        chunks[t].buf.reset(new uint8_t[(size_t)chunks[t].cap]);
+        chunks[t].bits = 0;
+    }
+
+    std::vector<int64_t> results(T, 0);
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < T; ++t) {
+        pool.emplace_back([&, t]() {
+            Chunk& ck = chunks[t];
+            if (ck.n_mcus == 0) return;
+            std::vector<EncComp> local(n_comps);
+            for (int i = 0; i < n_comps; ++i) {
+                int64_t cursor = ck.first_mcu * per_mcu[i];
+                int32_t pred = cursor > 0 ? blocks[i][(cursor - 1) * 64] : 0;
+                local[i] = EncComp{blocks[i], per_mcu[i], dc_codes[i], dc_sizes[i],
+                                   ac_codes[i], ac_sizes[i], pred, cursor};
+            }
+            results[t] = emit_chunk_unstuffed(local.data(), n_comps,
+                                              ck.n_mcus, ck.buf.get(), ck.cap);
+            ck.bits = results[t];
+        });
+    }
+    for (auto& th : pool) th.join();
+    for (int64_t r : results)
+        if (r < 0) return r;
+
+    // Merge: shift-OR the unstuffed chunk streams together.
+    int64_t total_bits = 0;
+    for (auto& ck : chunks) total_bits += ck.bits;
+    std::vector<uint8_t> merged((size_t)((total_bits + 7) / 8) + 8, 0);
+    int64_t off_bits = 0;
+    for (auto& ck : chunks) {
+        if (ck.bits == 0) continue;
+        int64_t byte_off = off_bits >> 3;
+        int shift = (int)(off_bits & 7);
+        int64_t nbytes = (ck.bits + 7) / 8;
+        if (shift == 0) {
+            std::memcpy(merged.data() + byte_off, ck.buf.get(), (size_t)nbytes);
+        } else {
+            uint8_t* dst = merged.data() + byte_off;
+            const uint8_t* src = ck.buf.get();
+            // dst[0] already holds `shift` valid high bits
+            uint32_t carry = dst[0] >> (8 - shift);
+            for (int64_t i = 0; i < nbytes; ++i) {
+                uint32_t v = (carry << (8 - shift)) | (src[i] >> shift);
+                dst[i] = (uint8_t)v;
+                carry = src[i] & ((1u << shift) - 1);
+            }
+            dst[nbytes] = (uint8_t)(carry << (8 - shift));
+        }
+        off_bits += ck.bits;
+    }
+    // 1-pad the final partial byte (ExitBitMode semantics).
+    if (off_bits & 7) {
+        int pad = 8 - (int)(off_bits & 7);
+        merged[off_bits >> 3] |= (uint8_t)((1u << pad) - 1);
+        off_bits += pad;
+    }
+    // Stuffing pass into the caller's buffer.
+    int64_t n_out = 0;
+    int64_t n_merged = off_bits >> 3;
+    for (int64_t i = 0; i < n_merged; ++i) {
+        if (n_out >= capacity) return -1;
+        uint8_t b = merged[(size_t)i];
+        out[n_out++] = b;
+        if (b == 0xFF) {
+            if (n_out >= capacity) return -1;
+            out[n_out++] = 0x00;
+        }
+    }
+    return n_out;
+}
+
+// DC/AC Huffman symbol histograms for one component's MCU-ordered
+// blocks — the native host twin of ops.encode_stage
+// .dc_ac_symbol_frequencies (GatherBlockStatistics semantics,
+// JpegEncoder.cs:551-601). Chunks count concurrently (DC predictor
+// seeds from the previous block's DC value) into local histograms.
+int64_t jpx_symbol_histograms(
+    const int16_t* blocks, int64_t n_blocks,
+    int64_t* dc_freq, int64_t* ac_freq,  // [256] each, caller-zeroed
+    int32_t n_threads) {
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 1 ? hw - 1 : 1;
+    int64_t T = std::min<int64_t>(n_threads, std::max<int64_t>(1, n_blocks / 4096));
+
+    auto bitcount = [](int32_t v) -> int {
+        int a = v < 0 ? -v : v;
+        int n = 0;
+        while ((a >> n) != 0) ++n;
+        return n;
+    };
+
+    std::vector<std::vector<int64_t>> dc_local(T, std::vector<int64_t>(256, 0));
+    std::vector<std::vector<int64_t>> ac_local(T, std::vector<int64_t>(256, 0));
+    int64_t per = (n_blocks + T - 1) / T;
+
+    auto work = [&](int64_t t) {
+        int64_t b0 = t * per, b1 = std::min(n_blocks, b0 + per);
+        if (b0 >= b1) return;
+        int64_t* dcl = dc_local[t].data();
+        int64_t* acl = ac_local[t].data();
+        int32_t pred = b0 > 0 ? blocks[(b0 - 1) * 64] : 0;
+        for (int64_t b = b0; b < b1; ++b) {
+            const int16_t* blk = blocks + b * 64;
+            int32_t dc = blk[0];
+            ++dcl[bitcount(dc - pred)];
+            pred = dc;
+            int run = 0;
+            for (int i = 1; i < 64; ++i) {
+                int v = blk[i];
+                if (v == 0) { ++run; continue; }
+                while (run > 15) { ++acl[0xF0]; run -= 16; }
+                ++acl[(run << 4) | bitcount(v)];
+                run = 0;
+            }
+            if (run > 0) ++acl[0x00];  // EOB
+        }
+    };
+    if (T <= 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int64_t t = 0; t < T; ++t) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    for (int64_t t = 0; t < T; ++t) {
+        for (int i = 0; i < 256; ++i) {
+            dc_freq[i] += dc_local[t][i];
+            ac_freq[i] += ac_local[t][i];
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Forward DCT + quantize (encoder host transform hot path)
+// ---------------------------------------------------------------------------
+//
+// The AAN float32 butterfly with the reference's exact dataflow
+// (FastFloatingPointDCT.TransformFDCT, FastFloatingPointDCT.cs:346;
+// same op order as ops/dct.py::_fdct_1d), vectorized 8 lanes wide per
+// stage and threaded over block rows. Compiled with -ffp-contract=off
+// so results match the IEEE add/mul sequence (no FMA contraction).
+
+namespace {
+
+static const float kF0_541196 = 0.541196f;
+static const float kF1_306563 = 1.306563f;
+static const float kF1_175876 = 1.175876f;
+static const float kF0_785695 = 0.785695f;
+static const float kF1_387040 = 1.387040f;
+static const float kF0_275899 = 0.275899f;
+static const float kF0_707107 = 0.707107f;
+
+// One 1-D FDCT pass combining rows of x (x[i] is an 8-lane vector).
+static inline void fdct_pass(const float x[8][8], float d[8][8]) {
+    float t0[8], t1[8], t2[8], t3[8], t4[8], t5[8], t6[8], t7[8];
+    float c0[8], c1[8], c2[8], c3[8];
+    for (int j = 0; j < 8; ++j) { t0[j] = x[0][j] + x[7][j]; t7[j] = x[0][j] - x[7][j]; }
+    for (int j = 0; j < 8; ++j) { t1[j] = x[1][j] + x[6][j]; t6[j] = x[1][j] - x[6][j]; }
+    for (int j = 0; j < 8; ++j) { t2[j] = x[2][j] + x[5][j]; t5[j] = x[2][j] - x[5][j]; }
+    for (int j = 0; j < 8; ++j) { t3[j] = x[3][j] + x[4][j]; t4[j] = x[3][j] - x[4][j]; }
+    for (int j = 0; j < 8; ++j) { c0[j] = t0[j] + t3[j]; c3[j] = t0[j] - t3[j]; }
+    for (int j = 0; j < 8; ++j) { c1[j] = t1[j] + t2[j]; c2[j] = t1[j] - t2[j]; }
+    for (int j = 0; j < 8; ++j) { d[0][j] = c0[j] + c1[j]; d[4][j] = c0[j] - c1[j]; }
+    for (int j = 0; j < 8; ++j) {
+        d[2][j] = (kF0_541196 * c2[j]) + (kF1_306563 * c3[j]);
+        d[6][j] = (kF0_541196 * c3[j]) - (kF1_306563 * c2[j]);
+    }
+    for (int j = 0; j < 8; ++j) {
+        c3[j] = (kF1_175876 * t4[j]) + (kF0_785695 * t7[j]);
+        c0[j] = (kF1_175876 * t7[j]) - (kF0_785695 * t4[j]);
+    }
+    for (int j = 0; j < 8; ++j) {
+        c2[j] = (kF1_387040 * t5[j]) + (kF0_275899 * t6[j]);
+        c1[j] = (kF1_387040 * t6[j]) - (kF0_275899 * t5[j]);
+    }
+    for (int j = 0; j < 8; ++j) { d[3][j] = c0[j] - c2[j]; d[5][j] = c3[j] - c1[j]; }
+    for (int j = 0; j < 8; ++j) {
+        c0[j] = (c0[j] + c2[j]) * kF0_707107;
+        c3[j] = (c3[j] + c1[j]) * kF0_707107;
+    }
+    for (int j = 0; j < 8; ++j) { d[1][j] = c0[j] + c3[j]; d[7][j] = c0[j] - c3[j]; }
+}
+
+static inline void transpose8(const float a[8][8], float b[8][8]) {
+    for (int i = 0; i < 8; ++i)
+        for (int j = 0; j < 8; ++j) b[j][i] = a[i][j];
+}
+
+}  // namespace
+
+extern "C" {
+
+// Forward transform one padded plane: level shift, 2-D AAN FDCT,
+// zig-zag, quantize (rint = round-half-even via nearbyintf, matching
+// ZigZagAndQuantizeBlock + JpegMathHelper.RoundToInt16,
+// JpegEncoder.cs:812-827). Exactly one of plane_u8 / plane_i32 is
+// non-null. out: int16 [h/8, w/8, 64] zig-zag.
+void jpx_fdct_quantize(
+    const uint8_t* plane_u8, const int32_t* plane_i32,
+    int64_t h, int64_t w,
+    const float* quant_zz, const uint8_t* zz_to_nat,
+    int16_t* out, int32_t n_threads) {
+    const int64_t hb = h / 8, wb = w / 8;
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 1 ? hw - 1 : 1;
+    int64_t T = std::min<int64_t>(n_threads, std::max<int64_t>(1, hb));
+    if (hb * wb < 2048) T = 1;
+
+    auto work = [&](int64_t r0, int64_t r1) {
+        float blk[8][8], tmp[8][8], f[8][8];
+        for (int64_t by = r0; by < r1; ++by) {
+            for (int64_t bx = 0; bx < wb; ++bx) {
+                if (plane_u8 != nullptr) {
+                    for (int r = 0; r < 8; ++r) {
+                        const uint8_t* src = plane_u8 + (by * 8 + r) * w + bx * 8;
+                        for (int c = 0; c < 8; ++c) blk[r][c] = (float)src[c] - 128.0f;
+                    }
+                } else {
+                    for (int r = 0; r < 8; ++r) {
+                        const int32_t* src = plane_i32 + (by * 8 + r) * w + bx * 8;
+                        for (int c = 0; c < 8; ++c) blk[r][c] = (float)src[c] - 128.0f;
+                    }
+                }
+                // transpose -> pass -> transpose -> pass -> * 0.125
+                transpose8(blk, tmp);
+                fdct_pass(tmp, f);
+                transpose8(f, tmp);
+                fdct_pass(tmp, f);
+                int16_t* dst = out + (by * wb + bx) * 64;
+                for (int zz = 0; zz < 64; ++zz) {
+                    int nat = zz_to_nat[zz];
+                    float v = f[nat >> 3][nat & 7] * 0.125f;
+                    dst[zz] = (int16_t)(int32_t)nearbyintf(v / quant_zz[zz]);
+                }
+            }
+        }
+    };
+    if (T <= 1) {
+        work(0, hb);
+        return;
+    }
+    std::vector<std::thread> pool;
+    int64_t step = (hb + T - 1) / T;
+    for (int64_t t = 0; t < T; ++t) {
+        int64_t b = t * step;
+        if (b >= hb) break;
+        pool.emplace_back(work, b, std::min(hb, b + step));
+    }
+    for (auto& th : pool) th.join();
 }
 
 }  // extern "C"

@@ -526,7 +526,53 @@ def rgb_to_ycbcr(rgb: np.ndarray):
     return y.reshape(shape), cb.reshape(shape), cr.reshape(shape)
 
 
-def encode_segment(comps: Sequence[dict], n_mcus: int) -> bytes:
+def fdct_quantize(plane: np.ndarray, quant_zz: np.ndarray) -> np.ndarray:
+    """Native threaded FDCT + zig-zag + quantize: [H, W] uint8/int32
+    samples (8-aligned dims) -> [Hb, Wb, 64] int16 zig-zag coefficients.
+    Same AAN float32 butterfly dataflow as ops.dct.fdct8x8 (compiled
+    with fp-contract off), rint quantization."""
+    lib = build.load_library()
+    from ..ops.zigzag import ZIGZAG_TO_BLOCK
+
+    h, w = plane.shape
+    assert h % 8 == 0 and w % 8 == 0
+    plane = np.ascontiguousarray(plane)
+    out = np.empty((h // 8, w // 8, 64), dtype=np.int16)
+    q = np.ascontiguousarray(quant_zz, dtype=np.float32)
+    zz = np.ascontiguousarray(ZIGZAG_TO_BLOCK, dtype=np.uint8)
+    if plane.dtype == np.uint8:
+        u8, i32 = plane.ctypes.data_as(ctypes.c_void_p), None
+    elif plane.dtype == np.int32:
+        u8, i32 = None, plane.ctypes.data_as(ctypes.c_void_p)
+    else:
+        raise TypeError(f"unsupported plane dtype {plane.dtype}")
+    lib.jpx_fdct_quantize(
+        u8, i32, h, w,
+        q.ctypes.data_as(ctypes.c_void_p),
+        zz.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        0,
+    )
+    return out
+
+
+def symbol_histograms(blocks: np.ndarray):
+    """Native threaded DC/AC symbol histograms for MCU-ordered int16
+    [N, 64] blocks; bit-identical to
+    ops.encode_stage.dc_ac_symbol_frequencies."""
+    lib = build.load_library()
+    blocks = np.ascontiguousarray(blocks, dtype=np.int16)
+    dc = np.zeros(256, dtype=np.int64)
+    ac = np.zeros(256, dtype=np.int64)
+    lib.jpx_symbol_histograms(
+        blocks.ctypes.data_as(ctypes.c_void_p), blocks.shape[0],
+        dc.ctypes.data_as(ctypes.c_void_p), ac.ctypes.data_as(ctypes.c_void_p),
+        0,
+    )
+    return dc, ac
+
+
+def encode_segment(comps: Sequence[dict], n_mcus: int, *, parallel: bool = False) -> bytes:
     """Emit one byte-aligned entropy segment natively.
 
     ``comps``: per-component dicts with keys ``blocks`` (int16 [n, 64]
@@ -534,6 +580,10 @@ def encode_segment(comps: Sequence[dict], n_mcus: int) -> bytes:
     ``dc_codes``/``dc_sizes``/``ac_codes``/``ac_sizes`` (the
     HuffmanEncodingTable arrays). DC predictors start at zero — the
     per-scan / per-restart-segment contract.
+
+    ``parallel`` packs MCU chunks concurrently (unstuffed) and
+    shift-merges them — bit-identical output, used for the big single
+    segment the reference-parity encoder emits (no restart markers).
     """
     lib = build.load_library()
     n = len(comps)
@@ -562,14 +612,25 @@ def encode_segment(comps: Sequence[dict], n_mcus: int) -> bytes:
 
     cap = total_blocks * 288 + 1024  # worst case incl. stuffing
     out = np.empty(cap, dtype=np.uint8)
-    written = lib.jpx_encode_segment(
-        n,
-        block_ptrs, per_mcu,
-        dc_code_ptrs, dc_size_ptrs,
-        ac_code_ptrs, ac_size_ptrs,
-        n_mcus,
-        out.ctypes.data_as(ctypes.c_void_p), cap,
-    )
+    if parallel:
+        written = lib.jpx_encode_segment_parallel(
+            n,
+            block_ptrs, per_mcu,
+            dc_code_ptrs, dc_size_ptrs,
+            ac_code_ptrs, ac_size_ptrs,
+            n_mcus,
+            out.ctypes.data_as(ctypes.c_void_p), cap,
+            0,
+        )
+    else:
+        written = lib.jpx_encode_segment(
+            n,
+            block_ptrs, per_mcu,
+            dc_code_ptrs, dc_size_ptrs,
+            ac_code_ptrs, ac_size_ptrs,
+            n_mcus,
+            out.ctypes.data_as(ctypes.c_void_p), cap,
+        )
     if written == -2:
         from ..models.encoder import JpegEncodeError
 

@@ -114,10 +114,26 @@ def forward_component(
     mcus_per_line: int, mcus_per_column: int, xp=np,
 ):
     """Full encode transform for one component: [H, W] samples ->
-    [mcus_per_column*v, mcus_per_line*h, 64] int16 zig-zag coeffs."""
+    [mcus_per_column*v, mcus_per_line*h, 64] int16 zig-zag coeffs.
+
+    Host (numpy) path uses the native threaded butterfly FDCT when
+    available — the folded-GEMM BLAS call is memory-bound at this K=64
+    shape; the native AAN butterfly with fp-contract off is both faster
+    and closer to the reference dataflow."""
     full_h = mcus_per_column * v * 8 * vs
     full_w = mcus_per_line * h * 8 * hs
     padded = pad_to_grid(plane, full_h, full_w, xp=xp)
+    if xp is np:
+        try:
+            from ..native import scanner as native_scanner
+
+            if hs == 1 and vs == 1 and padded.dtype == np.uint8:
+                return native_scanner.fdct_quantize(padded, quant_zz)
+            sub = subsample_box(padded, hs, vs, xp=np)
+            if sub.dtype in (np.dtype(np.uint8), np.dtype(np.int32)):
+                return native_scanner.fdct_quantize(sub, quant_zz)
+        except ImportError:
+            pass
     sub = subsample_box(padded, hs, vs, xp=xp)
     return fdct_quantize(sub, quant_zz, xp=xp)
 
@@ -171,6 +187,15 @@ def dc_ac_symbol_frequencies(blocks_mcu_order: np.ndarray) -> Tuple[np.ndarray, 
 
     Returns (dc_freq[256], ac_freq[256]) int64 symbol histograms.
     """
+    if blocks_mcu_order.dtype == np.int16:
+        try:
+            from ..native import scanner as native_scanner
+
+            return native_scanner.symbol_histograms(
+                blocks_mcu_order.reshape(-1, 64)
+            )
+        except ImportError:
+            pass
     blocks = blocks_mcu_order.reshape(-1, 64).astype(np.int32)
 
     # DC: category of successive differences

@@ -121,14 +121,23 @@ def test_package_merge_optimal():
 
 def test_jax_encode_matches_numpy(lake_rgb):
     """The jitted device transform (one XLA program for pad + subsample
-    + FDCT + quantize) produces a decodable stream matching the
-    numpy-path stream (within a rare 1-LSB GEMM-rounding coefficient
-    difference across backends)."""
+    + FDCT + quantize) matches the host path at the COEFFICIENT level:
+    every quantized coefficient within 1 LSB (the butterfly vs GEMM
+    float32 summation-order difference straddling a rounding boundary),
+    and the overwhelming majority exactly equal."""
     import jax.numpy as jnp
 
     a = encode_rgb(lake_rgb[:128, :128], 75)
     b = encode_rgb(lake_rgb[:128, :128], 75, xp=jnp)
-    da = jt.decode(a).to_uint16_extended().astype(np.int64)
-    db = jt.decode(b).to_uint16_extended().astype(np.int64)
-    d = np.abs(da - db)
-    assert (d > 1024).mean() < 1e-3 and _psnr(da >> 8, db >> 8) > 45
+    ra = jt.decode(a)
+    rb = jt.decode(b)
+    total = 0
+    diff = 0
+    for k in ra.coefficients:
+        ca = ra.coefficients[k].astype(np.int32)
+        cb = rb.coefficients[k].astype(np.int32)
+        d = np.abs(ca - cb)
+        assert d.max() <= 1, f"component {k}: coefficient delta {d.max()} > 1 LSB"
+        total += d.size
+        diff += int((d > 0).sum())
+    assert diff / total < 5e-3  # rare rounding-boundary flips only
