@@ -44,12 +44,32 @@ def main() -> None:
     t = _median(lambda: jt.optimize(data))
     print(json.dumps({"metric": "optimizer_throughput", "value": round(mp / t, 2), "unit": "MP/s"}))
 
-    for name, rel in [
-        ("progressive_decode", "huffman_progressive/yellowcat_progressive_restart.jpg"),
-        ("arithmetic_decode", "arithmetic_sequential/yellowcat_arith_restart.jpg"),
-        ("lossless_decode", "huffman_lossless/lossless1_s22.jpg"),
-    ]:
-        d = open(f"/root/reference/tests/Assets/{rel}", "rb").read()
+    # Large synthesized mode assets (>= 4 MP) so per-mode numbers are
+    # not host-overhead-dominated: progressive via PIL's SOF2 encoder,
+    # lossless via our own SOF3 encoder (tiny committed assets kept for
+    # reference).
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, "JPEG", quality=75, progressive=True, subsampling=2)
+    big_prog = buf.getvalue()
+
+    from jpeglibrary_tpu.models.lossless import encode_lossless
+
+    big_lossless = encode_lossless(rgb, predictor=1)
+
+    cases = [
+        ("progressive_decode", big_prog, None),
+        ("lossless_decode", big_lossless, None),
+        ("progressive_decode_small", None, "huffman_progressive/yellowcat_progressive_restart.jpg"),
+        ("arithmetic_decode", None, "arithmetic_sequential/yellowcat_arith_restart.jpg"),
+        ("lossless_decode_small", None, "huffman_lossless/lossless1_s22.jpg"),
+    ]
+    for name, d, rel in cases:
+        if d is None:
+            d = open(f"/root/reference/tests/Assets/{rel}", "rb").read()
         r = jt.decode(d)
         m = r.width * r.height / 1e6
         t = _median(lambda: jt.decode(d))

@@ -146,6 +146,176 @@ def decode_lossless_scan(
                     mcus_before_restart = restart_interval
 
 
+# ---------------------------------------------------------------------------
+# Lossless (SOF3) ENCODER — a capability beyond the reference (whose
+# encoder is baseline-only, JpegEncoder.cs): produces streams our own
+# bit-exact SOF3 decoder (and any T.81 decoder) reads back losslessly.
+# Diff computation is fully vectorized (predictions depend only on the
+# original samples — the codec is lossless, so reconstructed == source);
+# bit packing runs in the native category packer.
+# ---------------------------------------------------------------------------
+
+
+def _lossless_diffs(s16: np.ndarray, sel: int, init: int) -> np.ndarray:
+    """Per-sample prediction differences for one component plane
+    (int16-wrapped), mirroring the decoder's neighbor selection
+    (JpegHuffmanLosslessScanDecoder.cs:122-152): row 0 uses
+    Rb = Rc = the 2^(P-Pt-1) initial prediction, column 0 of later rows
+    always predicts from Rb (the sample above)."""
+    s = s16.astype(np.int32)
+    h, w = s.shape
+    ra = np.empty_like(s)
+    ra[:, 1:] = s[:, :-1]
+    ra[:, 0] = 0
+    rb = np.empty_like(s)
+    rb[1:, :] = s[:-1, :]
+    rb[0, :] = init
+    rc = np.empty_like(s)
+    rc[1:, 1:] = s[:-1, :-1]
+    rc[0, :] = init
+    rc[1:, 0] = 0
+
+    if sel == 1:
+        pred = ra
+    elif sel == 2:
+        pred = rb
+    elif sel == 3:
+        pred = rc
+    elif sel == 4:
+        pred = ra + rb - rc
+    elif sel == 5:
+        pred = ra + ((rb - rc) >> 1)
+    elif sel == 6:
+        pred = rb + ((ra - rc) >> 1)
+    elif sel == 7:
+        pred = (ra + rb) >> 1
+    else:
+        raise ValueError(f"predictor {sel} not in 1..7")
+    pred[1:, 0] = s[:-1, 0]  # column 0: Rb regardless of selector
+    pred[0, 0] = init
+    return (s - pred).astype(np.int16)  # mod-2^16 wrap
+
+
+def encode_lossless(
+    planes,
+    *,
+    precision: int = 8,
+    predictor: int = 1,
+    point_transform: int = 0,
+) -> bytes:
+    """Encode sample planes as a lossless (SOF3) JPEG.
+
+    ``planes``: [H, W] array, [H, W, C] array, or list of same-shape
+    [H, W] planes (1x1 sampling, single interleaved scan). Values must
+    fit ``precision`` bits. Optimal per-component Huffman tables are
+    built from the category histogram (2-pass).
+    """
+    from ..io.writer import JpegWriter
+    from ..syntax.frame import (
+        FrameComponent,
+        FrameHeader,
+        ScanComponent,
+        ScanHeader,
+    )
+    from ..syntax.markers import Marker
+    from .huffman_builder import HuffmanTableBuilder
+
+    if isinstance(planes, np.ndarray) and planes.ndim == 3:
+        planes = [planes[..., i] for i in range(planes.shape[-1])]
+    elif isinstance(planes, np.ndarray):
+        planes = [planes]
+    planes = [np.asarray(p) for p in planes]
+    n_comps = len(planes)
+    if not 1 <= n_comps <= 4:
+        raise ValueError("1..4 components supported")
+    h, w = planes[0].shape
+    if any(p.shape != (h, w) for p in planes):
+        raise ValueError("all planes must share one shape (1x1 sampling)")
+
+    pt = point_transform
+    init = 1 << (precision - pt - 1)
+
+    # Vectorized diffs -> categories + EXTEND bits per component.
+    cats_c = []
+    raws_c = []
+    for p in planes:
+        s16 = (p.astype(np.int32) >> pt).astype(np.int16)
+        diff = _lossless_diffs(s16, predictor, init).astype(np.int32)
+        is_32768 = diff == -32768  # t == 16: no appended bits
+        mag = np.abs(np.where(is_32768, 0, diff))
+        cats = np.zeros(diff.shape, dtype=np.uint8)
+        nz = mag > 0
+        cats[nz] = (np.floor(np.log2(mag[nz])) + 1).astype(np.uint8)
+        cats[is_32768] = 16
+        raw = np.where(diff < 0, diff - 1, diff).astype(np.int64) & 0xFFFF
+        cats_c.append(cats)
+        raws_c.append(raw.astype(np.uint16))
+
+    # 2-pass optimal tables from the category histograms.
+    tables = []
+    for cats in cats_c:
+        builder = HuffmanTableBuilder()
+        freq = np.bincount(cats.reshape(-1), minlength=256).astype(np.int64)
+        builder.add_frequencies(freq)
+        tables.append(builder.build(optimal=True))
+
+    # Interleave sample-by-sample: [H, W, C] -> flat.
+    cats_all = np.stack(cats_c, axis=-1).reshape(-1)
+    raws_all = np.stack(raws_c, axis=-1).reshape(-1)
+
+    try:
+        from ..native import scanner as native_scanner
+
+        payload = native_scanner.pack_lossless(cats_all, raws_all, tables)
+    except ImportError:
+        payload = _pack_lossless_py(cats_all, raws_all, tables, n_comps)
+
+    writer = JpegWriter()
+    writer.write_marker(Marker.SOI)
+    dht_payload = b"".join(t.serialize(0, i) for i, t in enumerate(tables))
+    writer.write_segment(Marker.DHT, dht_payload)
+    frame = FrameHeader(
+        marker=Marker.SOF3,
+        sample_precision=precision,
+        number_of_lines=h,
+        samples_per_line=w,
+        components=tuple(
+            FrameComponent(i + 1, 1, 1, 0) for i in range(n_comps)
+        ),
+    )
+    writer.write_segment(Marker.SOF3, frame.serialize())
+    scan = ScanHeader(
+        components=tuple(ScanComponent(i + 1, i, 0) for i in range(n_comps)),
+        start_of_spectral_selection=predictor,
+        end_of_spectral_selection=0,
+        successive_approximation_bit_position_high=0,
+        successive_approximation_bit_position_low=pt,
+    )
+    writer.write_segment(Marker.SOS, scan.serialize())
+    writer.write_bytes(payload)
+    writer.write_marker(Marker.EOI)
+    return writer.to_bytes()
+
+
+def _pack_lossless_py(cats, raws, tables, n_comps) -> bytes:
+    """Pure-Python packer fallback (semantic reference for the native
+    jpx_pack_lossless)."""
+    from ..io.writer import JpegWriter
+
+    w = JpegWriter()
+    w.enter_bit_mode()
+    codes = [t.codes for t in tables]
+    sizes = [t.sizes for t in tables]
+    for i in range(len(cats)):
+        t = int(cats[i])
+        ci = i % n_comps
+        w.write_bits(int(codes[ci][t]), int(sizes[ci][t]))
+        if 0 < t < 16:
+            w.write_bits(int(raws[i]) & ((1 << t) - 1), t)
+    w.exit_bit_mode()
+    return w.to_bytes()
+
+
 def _predict(sel: int, ra: int, rb: int, rc: int) -> int:
     """The 7 Annex-H predictors (reference :122-132); 0/unknown -> 0."""
     if sel == 1:

@@ -168,6 +168,13 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.jpx_encode_segment_parallel.argtypes = (
         lib.jpx_encode_segment.argtypes + [c.c_int32]  # + n_threads
     )
+    lib.jpx_pack_lossless.restype = c.c_int64
+    lib.jpx_pack_lossless.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int64,  # cats, raws, n
+        c.c_int32,                          # n_comps
+        c.POINTER(c.c_void_p), c.POINTER(c.c_void_p),  # codes, sizes
+        c.c_void_p, c.c_int64,              # out, capacity
+    ]
     lib.jpx_symbol_histograms.restype = c.c_int64
     lib.jpx_symbol_histograms.argtypes = [
         c.c_void_p, c.c_int64,           # blocks, n_blocks

@@ -1483,18 +1483,37 @@ int jpx_decode_lossless_scan(
                     const int16_t* lastline =
                         (y == 0 && row_mcu == 0) ? nullptr : c.plane + (row - 1) * c.width;
                     for (int x = 0; x < c.h; ++x) {
-                        // ReadSampleLossless (t==16 -> 32768)
-                        int t = decode_huffman(br, c.table);
-                        if (t < 0) return 2;
+                        // ReadSampleLossless (t==16 -> 32768). Hot
+                        // path: one refill serves code + EXTEND bits
+                        // (cf. read_block_baseline_sparse).
+                        int t;
                         int32_t diff;
-                        if (t == 16) {
-                            diff = 32768;
-                        } else if (t != 0) {
-                            int err = 0;
-                            diff = receive_extend(br, t, &err);
-                            if (err) return 1;
+                        if (br.count < 32) br.fill();
+                        if (br.count >= 32) {
+                            t = decode_huffman_hot(br, c.table);
+                            if (t < 0) return 2;
+                            if (t == 16) {
+                                diff = 32768;
+                            } else if (t != 0) {
+                                uint32_t rawv = (uint32_t)(br.bits >> (64 - t));
+                                br.bits <<= t;
+                                br.count -= t;
+                                diff = extend((int32_t)rawv, t);
+                            } else {
+                                diff = 0;
+                            }
                         } else {
-                            diff = 0;
+                            t = decode_huffman(br, c.table);
+                            if (t < 0) return 2;
+                            if (t == 16) {
+                                diff = 32768;
+                            } else if (t != 0) {
+                                int err = 0;
+                                diff = receive_extend(br, t, &err);
+                                if (err) return 1;
+                            } else {
+                                diff = 0;
+                            }
                         }
                         int64_t cx = offset_x + x;
                         if (row_mcu == 0 || at_restart_start) {
@@ -2355,6 +2374,31 @@ int64_t jpx_encode_segment_parallel(
         }
     }
     return n_out;
+}
+
+// Pack a lossless (SOF3) sample-difference stream: entry i carries
+// category symbol cats[i] (0-16; 16 has no appended bits, the
+// t==16 -> 32768 special case) and raw[i] holds the low cats[i]
+// EXTEND bits. Components interleave sample-by-sample, so entry i
+// uses table i % n_comps. Output is the stuffed, 1-padded entropy
+// segment. Returns bytes written, -1 overflow, -2 missing code.
+int64_t jpx_pack_lossless(
+    const uint8_t* cats, const uint16_t* raw, int64_t n,
+    int32_t n_comps, const uint16_t** codes, const uint8_t** sizes,
+    uint8_t* out, int64_t capacity) {
+    BitPacker bp{out, capacity, 0, 0, 0};
+    for (int64_t i = 0; i < n; ++i) {
+        int t = cats[i];
+        int ci = (int)(i % n_comps);
+        int size = sizes[ci][t];
+        if (size == 0) return -2;
+        if (!bp.write(codes[ci][t], size)) return -1;
+        if (t > 0 && t < 16) {
+            if (!bp.write((uint32_t)raw[i] & ((1u << t) - 1), t)) return -1;
+        }
+    }
+    if (!bp.finish()) return -1;
+    return bp.n;
 }
 
 // DC/AC Huffman symbol histograms for one component's MCU-ordered

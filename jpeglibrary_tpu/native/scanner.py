@@ -556,6 +556,39 @@ def fdct_quantize(plane: np.ndarray, quant_zz: np.ndarray) -> np.ndarray:
     return out
 
 
+def pack_lossless(cats: np.ndarray, raws: np.ndarray, tables) -> bytes:
+    """Native lossless (SOF3) category-stream packer; entry i uses
+    table i % len(tables). Bit-identical to models.lossless
+    ._pack_lossless_py."""
+    lib = build.load_library()
+    cats = np.ascontiguousarray(cats, dtype=np.uint8)
+    raws = np.ascontiguousarray(raws, dtype=np.uint16)
+    n = len(tables)
+    code_ptrs = (ctypes.c_void_p * n)()
+    size_ptrs = (ctypes.c_void_p * n)()
+    keepalive = []
+    for i, t in enumerate(tables):
+        codes = np.ascontiguousarray(t.codes, dtype=np.uint16)
+        sizes = np.ascontiguousarray(t.sizes, dtype=np.uint8)
+        keepalive += [codes, sizes]
+        code_ptrs[i] = codes.ctypes.data_as(ctypes.c_void_p)
+        size_ptrs[i] = sizes.ctypes.data_as(ctypes.c_void_p)
+    cap = int(cats.shape[0]) * 8 + 1024  # <= 31-bit entries, 2x stuffing
+    out = np.empty(cap, dtype=np.uint8)
+    written = lib.jpx_pack_lossless(
+        cats.ctypes.data_as(ctypes.c_void_p),
+        raws.ctypes.data_as(ctypes.c_void_p),
+        cats.shape[0], n,
+        code_ptrs, size_ptrs,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+    )
+    if written == -2:
+        raise RuntimeError("lossless table missing a category code")
+    if written < 0:
+        raise RuntimeError("lossless pack capacity exceeded")
+    return out[: int(written)].tobytes()
+
+
 def symbol_histograms(blocks: np.ndarray):
     """Native threaded DC/AC symbol histograms for MCU-ordered int16
     [N, 64] blocks; bit-identical to

@@ -1,0 +1,83 @@
+"""Lossless (SOF3) encoder — a capability beyond the reference (its
+encoder is baseline-only): round-trips must be bit-exact through our
+reference-parity SOF3 decoder for every predictor, component count and
+precision, including the t==16 (+-32768 wrap) special case."""
+
+import numpy as np
+import pytest
+
+import jpeglibrary_tpu as jt
+from jpeglibrary_tpu.models.lossless import encode_lossless
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.mark.parametrize("predictor", list(range(1, 8)))
+def test_roundtrip_all_predictors(rng, predictor):
+    img = rng.integers(0, 256, size=(48, 72), dtype=np.uint8)
+    enc = encode_lossless(img, predictor=predictor)
+    rec = jt.decode(enc).planes[0].astype(np.uint8)[:48, :72]
+    np.testing.assert_array_equal(rec, img)
+
+
+def test_roundtrip_rgb(rng):
+    img = rng.integers(0, 256, size=(33, 47, 3), dtype=np.uint8)
+    enc = encode_lossless(img, predictor=4)
+    r = jt.decode(enc)
+    rec = np.stack([r.planes[i] for i in range(3)], axis=-1).astype(np.uint8)
+    np.testing.assert_array_equal(rec[:33, :47], img)
+
+
+def test_roundtrip_16bit_wraparound(rng):
+    """Random 16-bit samples exercise the t==16 -> 32768 category and
+    int16 wraparound storage."""
+    img = rng.integers(0, 65536, size=(24, 24), dtype=np.uint16)
+    enc = encode_lossless(img, precision=16, predictor=1)
+    rec = jt.decode(enc).planes[0].astype(np.int64) & 0xFFFF
+    np.testing.assert_array_equal(rec[:24, :24], img.astype(np.int64))
+
+
+def test_point_transform(rng):
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    enc = encode_lossless(img, predictor=1, point_transform=2)
+    rec = jt.decode(enc).planes[0]
+    # decoder output is the point-transformed samples scaled back up by
+    # the output stage? No — planes hold raw Pt-shifted samples.
+    np.testing.assert_array_equal(
+        rec[:16, :16].astype(np.int64), (img >> 2).astype(np.int64)
+    )
+
+
+def test_native_and_python_packers_agree(rng):
+    from jpeglibrary_tpu.models.lossless import _pack_lossless_py
+    from jpeglibrary_tpu.models.huffman_builder import HuffmanTableBuilder
+
+    try:
+        from jpeglibrary_tpu.native import scanner as native_scanner
+
+        native_scanner.build.load_library()
+    except ImportError:
+        pytest.skip("native scanner unavailable")
+
+    cats = rng.integers(0, 12, size=512).astype(np.uint8)
+    raws = rng.integers(0, 65536, size=512).astype(np.uint16)
+    freq = np.bincount(cats, minlength=256).astype(np.int64)
+    b = HuffmanTableBuilder()
+    b.add_frequencies(freq)
+    table = b.build(optimal=True)
+    a = native_scanner.pack_lossless(cats, raws, [table])
+    c = _pack_lossless_py(cats, raws, [table], 1)
+    assert a == c
+
+
+def test_python_decoder_agrees_on_generated_stream(rng):
+    """The generated stream decodes identically through the native and
+    pure-Python scanners — extra lossless coverage from fresh data."""
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    enc = encode_lossless(img, predictor=6)
+    a = jt.decode(enc, use_native=True)
+    b = jt.decode(enc, use_native=False)
+    np.testing.assert_array_equal(a.samples[0], b.samples[0])
