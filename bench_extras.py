@@ -58,7 +58,9 @@ def main() -> None:
 
     from jpeglibrary_tpu.models.lossless import encode_lossless
 
-    big_lossless = encode_lossless(rgb, predictor=1)
+    # One MCU row per restart segment: the parallel seam the
+    # restart-parallel lossless decoder exploits.
+    big_lossless = encode_lossless(rgb, predictor=1, restart_interval=2048)
 
     cases = [
         ("progressive_decode", big_prog, None),

@@ -202,6 +202,7 @@ def encode_lossless(
     precision: int = 8,
     predictor: int = 1,
     point_transform: int = 0,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode sample planes as a lossless (SOF3) JPEG.
 
@@ -209,6 +210,13 @@ def encode_lossless(
     [H, W] planes (1x1 sampling, single interleaved scan). Values must
     fit ``precision`` bits. Optimal per-component Huffman tables are
     built from the category histogram (2-pass).
+
+    ``restart_interval`` (MCUs, i.e. pixels at 1x1 sampling) emits DRI
+    + RSTn markers: each restart segment's diff stream is
+    bitstream-independent, the parallel seam the framework's
+    restart-parallel lossless decoder exploits (the first sample of
+    each segment re-predicts from the 2^(P-Pt-1) initial prediction,
+    JpegHuffmanLosslessScanDecoder.cs:109-115).
     """
     from ..io.writer import JpegWriter
     from ..syntax.frame import (
@@ -236,11 +244,34 @@ def encode_lossless(
     init = 1 << (precision - pt - 1)
 
     # Vectorized diffs -> categories + EXTEND bits per component.
+    ri = restart_interval
     cats_c = []
     raws_c = []
     for p in planes:
         s16 = (p.astype(np.int32) >> pt).astype(np.int16)
         diff = _lossless_diffs(s16, predictor, init).astype(np.int32)
+        if ri > 0:
+            # Restart-start pixels re-predict row-0 style.
+            s = s16.astype(np.int32)
+            pos = np.arange(ri, h * w, ri, dtype=np.int64)
+            rows, cols = pos // w, pos % w
+            ra = s[rows, np.maximum(cols - 1, 0)]
+            if predictor == 1:
+                pr = ra
+            elif predictor in (2, 3):
+                pr = np.full_like(ra, init)
+            elif predictor == 4:
+                pr = ra + init - init
+            elif predictor == 5:
+                pr = ra + ((init - init) >> 1)
+            elif predictor == 6:
+                pr = init + ((ra - init) >> 1)
+            else:  # 7
+                pr = (ra + init) >> 1
+            pr = np.where(cols == 0, init, pr)
+            diff[rows, cols] = (
+                (s[rows, cols] - pr).astype(np.int16).astype(np.int32)
+            )
         is_32768 = diff == -32768  # t == 16: no appended bits
         mag = np.abs(np.where(is_32768, 0, diff))
         cats = np.zeros(diff.shape, dtype=np.uint8)
@@ -263,12 +294,27 @@ def encode_lossless(
     cats_all = np.stack(cats_c, axis=-1).reshape(-1)
     raws_all = np.stack(raws_c, axis=-1).reshape(-1)
 
-    try:
-        from ..native import scanner as native_scanner
+    def pack(cats, raws):
+        try:
+            from ..native import scanner as native_scanner
 
-        payload = native_scanner.pack_lossless(cats_all, raws_all, tables)
-    except ImportError:
-        payload = _pack_lossless_py(cats_all, raws_all, tables, n_comps)
+            return native_scanner.pack_lossless(cats, raws, tables)
+        except ImportError:
+            return _pack_lossless_py(cats, raws, tables, n_comps)
+
+    if ri > 0:
+        from ..syntax.markers import Marker as _M
+
+        pieces = []
+        step = ri * n_comps
+        total = cats_all.shape[0]
+        for i, off in enumerate(range(0, total, step)):
+            if off > 0:
+                pieces.append(bytes([0xFF, _M.RST0 + ((i - 1) & 7)]))
+            pieces.append(pack(cats_all[off:off + step], raws_all[off:off + step]))
+        payload = b"".join(pieces)
+    else:
+        payload = pack(cats_all, raws_all)
 
     writer = JpegWriter()
     writer.write_marker(Marker.SOI)
@@ -284,6 +330,8 @@ def encode_lossless(
         ),
     )
     writer.write_segment(Marker.SOF3, frame.serialize())
+    if ri > 0:
+        writer.write_segment(Marker.DRI, bytes([(ri >> 8) & 0xFF, ri & 0xFF]))
     scan = ScanHeader(
         components=tuple(ScanComponent(i + 1, i, 0) for i in range(n_comps)),
         start_of_spectral_selection=predictor,

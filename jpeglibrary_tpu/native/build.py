@@ -104,6 +104,28 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, widths
         c.c_int32, c.c_int32,            # predictor_sel, initial_prediction
     ]
+    lib.jpx_decode_lossless_restart_parallel.restype = c.c_int32
+    lib.jpx_decode_lossless_restart_parallel.argtypes = [
+        c.c_void_p,
+        c.POINTER(c.c_int64), c.POINTER(c.c_int64), c.c_int32,  # spans
+        c.c_int64,                       # restart_interval
+        c.c_int64, c.c_int64,            # mcus per line / column
+        c.c_int32,                       # n_comps
+        c.c_void_p,                      # table_blob
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, widths
+        c.c_int32, c.c_int32,            # predictor_sel, initial_prediction
+        c.c_int32,                       # n_threads
+    ]
+    lib.jpx_decode_lossless_scan_parallel.restype = c.c_int32
+    lib.jpx_decode_lossless_scan_parallel.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int64,  # data, span_start, span_end
+        c.c_int64, c.c_int64,            # mcus per line / column
+        c.c_int32,                       # n_comps
+        c.c_void_p,                      # table_blob
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, widths
+        c.c_int32, c.c_int32,            # predictor_sel, initial_prediction
+        c.c_int32,                       # n_threads
+    ]
     lib.jpx_decode_arithmetic_scan.restype = c.c_int32
     lib.jpx_decode_arithmetic_scan.argtypes = [
         c.c_void_p,

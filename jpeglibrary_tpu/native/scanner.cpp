@@ -888,10 +888,16 @@ static inline int read_block_baseline_sparse(BitReader& br, const Component& c,
         int t = decode_huffman_hot(br, c.dc);
         if (t < 0) return 2;
         if (t != 0) {
-            uint32_t raw = (uint32_t)(br.bits >> (64 - t));
-            br.bits <<= t;
-            br.count -= t;
-            predictor += extend((int32_t)raw, t);
+            if (t > 16) {  // corrupt table: take the careful path
+                int32_t diff = receive_extend(br, t, &err);
+                if (err) return 1;
+                predictor += diff;
+            } else {
+                uint32_t raw = (uint32_t)(br.bits >> (64 - t));
+                br.bits <<= t;
+                br.count -= t;
+                predictor += extend((int32_t)raw, t);
+            }
         }
     } else {
         int t = decode_huffman(br, c.dc);
@@ -1495,10 +1501,16 @@ int jpx_decode_lossless_scan(
                             if (t == 16) {
                                 diff = 32768;
                             } else if (t != 0) {
-                                uint32_t rawv = (uint32_t)(br.bits >> (64 - t));
-                                br.bits <<= t;
-                                br.count -= t;
-                                diff = extend((int32_t)rawv, t);
+                                if (t > 16) {  // corrupt table: careful path
+                                    int err = 0;
+                                    diff = receive_extend(br, t, &err);
+                                    if (err) return 1;
+                                } else {
+                                    uint32_t rawv = (uint32_t)(br.bits >> (64 - t));
+                                    br.bits <<= t;
+                                    br.count -= t;
+                                    diff = extend((int32_t)rawv, t);
+                                }
                             } else {
                                 diff = 0;
                             }
@@ -1549,6 +1561,373 @@ int jpx_decode_lossless_scan(
             }
         }
     }
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Speculative parallel lossless decode (no restart markers)
+// ---------------------------------------------------------------------------
+//
+// The lossless predictor chain is 2-D-sequential, but the Huffman DIFF
+// stream is context-free: a decoder locked onto the symbol stream
+// yields correct diffs regardless of where it started. So: phase A
+// threads speculatively decode diff values from chunk byte boundaries
+// (self-sync + canonical-state stitch exactly like the baseline
+// speculative scanner), producing the full diff sequence in parallel;
+// then per-component prediction reconstruction runs as a cheap
+// bit-free pass (components in parallel). Output is bit-identical to
+// the sequential decode; any stitch failure falls back to it.
+// Only the 1x1-sampling single-span case is handled (the wrapper
+// gates).
+
+namespace {
+
+struct LlRecord {
+    int64_t byte_off;
+    int32_t bit_count;
+    uint64_t bits;
+    int64_t mcu_idx;  // thread-local MCU (pixel) index at this state
+};
+
+static inline bool ll_rec_less(const LlRecord& a, const LlRecord& b) {
+    return a.byte_off != b.byte_off ? a.byte_off < b.byte_off
+                                    : a.bit_count > b.bit_count;
+}
+
+static inline bool ll_rec_eq(const LlRecord& a, const LlRecord& b) {
+    return a.byte_off == b.byte_off && a.bit_count == b.bit_count;
+}
+
+// Decode one lossless diff (ReadSampleLossless semantics).
+static inline int ll_read_diff(BitReader& br, const HuffTable* t, int32_t* out) {
+    int cat;
+    if (br.count < 32) br.fill();
+    if (br.count >= 32) {
+        cat = decode_huffman_hot(br, t);
+        if (cat < 0) return 2;
+        if (cat == 16) { *out = 32768; return 0; }
+        if (cat == 0) { *out = 0; return 0; }
+        if (cat > 16) {  // corrupt table: careful path
+            int err = 0;
+            *out = receive_extend(br, cat, &err);
+            return err ? 1 : 0;
+        }
+        uint32_t raw = (uint32_t)(br.bits >> (64 - cat));
+        br.bits <<= cat;
+        br.count -= cat;
+        *out = extend((int32_t)raw, cat);
+        return 0;
+    }
+    cat = decode_huffman(br, t);
+    if (cat < 0) return 2;
+    if (cat == 16) { *out = 32768; return 0; }
+    if (cat == 0) { *out = 0; return 0; }
+    int err = 0;
+    *out = receive_extend(br, cat, &err);
+    return err ? 1 : 0;
+}
+
+// Phase A for one thread: decode diffs from `from`, recording
+// canonical states for the first `head_n` MCUs and for every MCU whose
+// position falls in [tail_from, tail_to].
+static void ll_speculative_scan(const uint8_t* base, int64_t span_len,
+                                int64_t from, int64_t tail_from, int64_t tail_to,
+                                const HuffTable* tables, int n_comps,
+                                int64_t max_mcus, int64_t head_n,
+                                std::vector<int16_t>& diffs,
+                                std::vector<LlRecord>& head,
+                                std::vector<LlRecord>& tail) {
+    const int kMaxRetries = 64;
+    for (int attempt = 0; attempt < kMaxRetries; ++attempt) {
+        int64_t start = from + attempt;
+        if (start >= span_len) return;
+        diffs.clear();
+        head.clear();
+        tail.clear();
+        BitReader br;
+        br.init(base + start, span_len - start);
+        bool failed = false;
+        for (int64_t m = 0; m < max_mcus; ++m) {
+            br.fill();  // canonicalize
+            LlRecord rec;
+            rec.byte_off = (br.p - base);
+            rec.bit_count = br.count;
+            rec.bits = br.bits;
+            rec.mcu_idx = m;
+            if (m < head_n) head.push_back(rec);
+            if (rec.byte_off >= tail_from && rec.byte_off <= tail_to)
+                tail.push_back(rec);
+            if (rec.byte_off > tail_to + 8) return;  // covered the window
+            for (int ci = 0; ci < n_comps; ++ci) {
+                int32_t d;
+                int rc = ll_read_diff(br, tables + ci, &d);
+                if (rc == 2) { failed = true; break; }
+                if (rc == 1) return;  // end of stream: keep what we have
+                diffs.push_back((int16_t)d);
+            }
+            if (failed) break;
+        }
+        if (!failed) return;
+        if (diffs.size() > (size_t)(16 * n_comps)) return;  // locked, then corrupt
+    }
+    diffs.clear();
+    head.clear();
+    tail.clear();
+}
+
+static inline int ll_predict(int sel, int ra, int rb, int rc) {
+    switch (sel) {
+        case 1: return ra;
+        case 2: return rb;
+        case 3: return rc;
+        case 4: return ra + rb - rc;
+        case 5: return ra + ((rb - rc) >> 1);
+        case 6: return rb + ((ra - rc) >> 1);
+        case 7: return (ra + rb) >> 1;
+        default: return 0;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parallel lossless decode of one entropy span (1x1 sampling, all
+// components in the scan). Returns 0 ok, -1 could-not-sync (caller
+// falls back to the sequential path), 1/2 decode errors.
+int jpx_decode_lossless_scan_parallel(
+    const uint8_t* data, int64_t span_start, int64_t span_end,
+    int64_t mcus_per_line, int64_t mcus_per_column,
+    int32_t n_comps,
+    const uint8_t* table_blob,
+    int16_t** planes, const int64_t* plane_widths,
+    int32_t predictor_sel, int32_t initial_prediction,
+    int32_t n_threads) {
+    if (n_comps <= 0 || n_comps > 4) return -1;
+    const HuffTable* tables = reinterpret_cast<const HuffTable*>(table_blob);
+    const uint8_t* base = data + span_start;
+    const int64_t span_len = span_end - span_start;
+    const int64_t total_mcus = mcus_per_line * mcus_per_column;
+
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+    int T = n_threads;
+    if ((int64_t)T > span_len / 262144) T = (int)(span_len / 262144);
+    if (T < 2) return -1;
+    const int64_t kOverlap = 16384;
+    const int64_t kHeadN = 8192;
+
+    struct ThreadOut {
+        std::vector<int16_t> diffs;
+        std::vector<LlRecord> head, tail;
+    };
+    std::vector<ThreadOut> outs(T);
+    {
+        std::vector<std::thread> pool;
+        int64_t chunk = span_len / T;
+        for (int t = 0; t < T; ++t) {
+            int64_t from = t * chunk;
+            int64_t tail_from = (t + 1 < T) ? (t + 1) * chunk : span_len;
+            int64_t tail_to = tail_from + kOverlap;
+            pool.emplace_back([&, t, from, tail_from, tail_to]() {
+                ll_speculative_scan(base, span_len, from, tail_from, tail_to,
+                                    tables, n_comps, total_mcus + 16, kHeadN,
+                                    outs[t].diffs, outs[t].head, outs[t].tail);
+            });
+        }
+        for (auto& th : pool) th.join();
+    }
+
+    // Stitch: thread 0 is ground truth from MCU 0; chain sync points.
+    if (outs[0].diffs.empty()) return -1;
+    std::vector<int16_t> all_diffs;
+    all_diffs.reserve((size_t)(total_mcus * n_comps));
+
+    int64_t abs_base = 0;       // absolute MCU index of current thread's local 0
+    int64_t local_from = 0;     // local MCU index to consume from
+    int cur = 0;
+    for (int t = 1; t <= T; ++t) {
+        int64_t local_to;       // exclusive local end of cur's contribution
+        int64_t next_local = 0;
+        if (t < T) {
+            const auto& a = outs[cur].tail;
+            const auto& b = outs[t].head;
+            size_t i = 0, j = 0;
+            bool found = false;
+            while (i < a.size() && j < b.size()) {
+                if (ll_rec_eq(a[i], b[j])) { found = true; break; }
+                if (ll_rec_less(a[i], b[j])) ++i; else ++j;
+            }
+            if (!found) return -1;
+            local_to = a[i].mcu_idx;
+            next_local = b[j].mcu_idx;
+        } else {
+            local_to = local_from +
+                       ((int64_t)outs[cur].diffs.size() / n_comps - local_from);
+        }
+        int64_t abs_from = abs_base + local_from;
+        int64_t abs_to = abs_base + local_to;
+        if (abs_to > total_mcus) abs_to = total_mcus;
+        if (abs_to < abs_from) return -1;
+        int64_t need = (abs_to - abs_from) * n_comps;
+        int64_t have = (int64_t)outs[cur].diffs.size() - local_from * n_comps;
+        if (have < need) return -1;
+        all_diffs.insert(all_diffs.end(),
+                         outs[cur].diffs.begin() + local_from * n_comps,
+                         outs[cur].diffs.begin() + local_from * n_comps + need);
+        if ((int64_t)all_diffs.size() >= total_mcus * n_comps) break;
+        if (t == T) break;
+        abs_base = abs_to - next_local;
+        local_from = next_local;
+        cur = t;
+    }
+    if ((int64_t)all_diffs.size() < total_mcus * n_comps) return -1;
+
+    // Reconstruction: per-component prediction pass (parallel across
+    // components), identical neighbor logic to the sequential decoder.
+    std::vector<std::thread> pool;
+    for (int ci = 0; ci < n_comps; ++ci) {
+        pool.emplace_back([&, ci]() {
+            int16_t* plane = planes[ci];
+            int64_t width = plane_widths[ci];
+            const int16_t* d = all_diffs.data();
+            for (int64_t r = 0; r < mcus_per_column; ++r) {
+                int16_t* line = plane + r * width;
+                const int16_t* last = r > 0 ? plane + (r - 1) * width : nullptr;
+                for (int64_t x = 0; x < mcus_per_line; ++x) {
+                    int32_t diff = d[(r * mcus_per_line + x) * n_comps + ci];
+                    if (r == 0) {
+                        if (x == 0) {
+                            diff += initial_prediction;
+                        } else {
+                            diff += ll_predict(predictor_sel, line[x - 1],
+                                               initial_prediction,
+                                               initial_prediction);
+                        }
+                    } else if (x == 0) {
+                        diff += last[0];
+                    } else {
+                        diff += ll_predict(predictor_sel, line[x - 1], last[x],
+                                           last[x - 1]);
+                    }
+                    line[x] = (int16_t)diff;
+                }
+            }
+        });
+    }
+    for (auto& th : pool) th.join();
+    return 0;
+}
+
+// Restart-interval parallel lossless decode: each span's DIFF stream
+// is bitstream-independent (byte-aligned, context-free symbols), so
+// spans decode concurrently into a shared diff buffer; reconstruction
+// then applies the prediction chain in one cheap bit-free pass per
+// component (matching the sequential decoder's at_restart_start
+// semantics, JpegHuffmanLosslessScanDecoder.cs:109-115). 1x1 sampling
+// only (wrapper gates). Returns 0 ok, 1 premature end, 2 invalid code.
+int jpx_decode_lossless_restart_parallel(
+    const uint8_t* data,
+    const int64_t* span_starts, const int64_t* span_ends, int32_t n_spans,
+    int64_t restart_interval,
+    int64_t mcus_per_line, int64_t mcus_per_column,
+    int32_t n_comps,
+    const uint8_t* table_blob,
+    int16_t** planes, const int64_t* plane_widths,
+    int32_t predictor_sel, int32_t initial_prediction,
+    int32_t n_threads) {
+    if (n_comps <= 0 || n_comps > 4 || restart_interval <= 0) return 3;
+    const HuffTable* tables = reinterpret_cast<const HuffTable*>(table_blob);
+    const int64_t total_mcus = mcus_per_line * mcus_per_column;
+
+    struct Span {
+        int64_t start, end, first_mcu, n_mcus;
+    };
+    std::vector<Span> spans;
+    {
+        int64_t mcu = 0;
+        for (int32_t s = 0; s < n_spans && mcu < total_mcus; ++s) {
+            int64_t nm = std::min<int64_t>(restart_interval, total_mcus - mcu);
+            spans.push_back({span_starts[s], span_ends[s], mcu, nm});
+            mcu += nm;
+        }
+    }
+
+    std::unique_ptr<int16_t[]> diffs(new int16_t[(size_t)(total_mcus * n_comps)]);
+    std::memset(diffs.get(), 0, (size_t)(total_mcus * n_comps) * sizeof(int16_t));
+
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+    int T = std::min<int>(n_threads, (int)spans.size());
+
+    std::vector<int> results(spans.size(), 0);
+    auto decode_span_diffs = [&](const Span& sp, int& rc_out) {
+        BitReader br;
+        br.init(data + sp.start, sp.end - sp.start);
+        int16_t* out = diffs.get() + sp.first_mcu * n_comps;
+        for (int64_t m = 0; m < sp.n_mcus; ++m) {
+            for (int ci = 0; ci < n_comps; ++ci) {
+                int32_t d;
+                int rc = ll_read_diff(br, tables + ci, &d);
+                if (rc) { rc_out = rc; return; }
+                out[m * n_comps + ci] = (int16_t)d;
+            }
+        }
+        rc_out = 0;
+    };
+    if (T <= 1) {
+        for (size_t k = 0; k < spans.size(); ++k)
+            decode_span_diffs(spans[k], results[k]);
+    } else {
+        std::vector<std::thread> pool;
+        for (int tid = 0; tid < T; ++tid) {
+            pool.emplace_back([&, tid]() {
+                for (size_t k = tid; k < spans.size(); k += T)
+                    decode_span_diffs(spans[k], results[k]);
+            });
+        }
+        for (auto& th : pool) th.join();
+    }
+    for (int rc : results)
+        if (rc) return rc;
+
+    // Reconstruction (per component, parallel): the at_restart_start
+    // MCU of each span predicts like a row-0 sample.
+    std::vector<std::thread> pool;
+    for (int ci = 0; ci < n_comps; ++ci) {
+        pool.emplace_back([&, ci]() {
+            int16_t* plane = planes[ci];
+            int64_t width = plane_widths[ci];
+            const int16_t* d = diffs.get();
+            for (int64_t r = 0; r < mcus_per_column; ++r) {
+                int16_t* line = plane + r * width;
+                const int16_t* last = r > 0 ? plane + (r - 1) * width : nullptr;
+                for (int64_t x = 0; x < mcus_per_line; ++x) {
+                    int64_t flat = r * mcus_per_line + x;
+                    int32_t diff = d[flat * n_comps + ci];
+                    bool restart_start = flat % restart_interval == 0;
+                    if (r == 0 || restart_start) {
+                        if (x == 0) {
+                            diff += initial_prediction;
+                        } else {
+                            diff += ll_predict(predictor_sel, line[x - 1],
+                                               initial_prediction,
+                                               initial_prediction);
+                        }
+                    } else if (x == 0) {
+                        diff += last[0];
+                    } else {
+                        diff += ll_predict(predictor_sel, line[x - 1], last[x],
+                                           last[x - 1]);
+                    }
+                    line[x] = (int16_t)diff;
+                }
+            }
+        });
+    }
+    for (auto& th : pool) th.join();
     return 0;
 }
 

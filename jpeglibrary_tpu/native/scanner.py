@@ -358,6 +358,74 @@ def decode_lossless_scan(
     ends = (ctypes.c_int64 * n_spans)(*[s.end for s in spans])
     buf = np.frombuffer(data, dtype=np.uint8)
 
+    # Speculative parallel path: single span, 1x1 sampling, enough
+    # threads and data. Diff symbols are context-free, so chunks decode
+    # concurrently and a cheap prediction pass reconstructs; stitch
+    # failure (rc -1) falls back to the sequential decode below.
+    if (
+        n_spans == 1
+        and restart_interval == 0
+        and max_h == 1
+        and max_v == 1
+        and all(comp_h[i] == 1 and comp_v[i] == 1 for i in range(n))
+        and default_threads() > 2
+    ):
+        rc = lib.jpx_decode_lossless_scan_parallel(
+            buf.ctypes.data_as(ctypes.c_void_p),
+            spans[0].start, spans[0].end,
+            ceil_div(frame.samples_per_line, max_h),
+            ceil_div(frame.number_of_lines, max_v),
+            n,
+            bytes(blob),
+            plane_ptrs, widths,
+            scan.start_of_spectral_selection,
+            1 << (frame.sample_precision - pt - 1),
+            default_threads(),
+        )
+        if rc == 0:
+            return True
+        if rc == 2:
+            from ..syntax.huffman import JpegHuffmanError
+
+            raise JpegHuffmanError("Invalid Huffman code encountered.")
+        if rc == 1:
+            raise JpegDecodeError("The bit stream ended prematurely.")
+        # rc == -1: could not synchronize; sequential fallback
+
+    # Restart-interval parallel path: spans' diff streams are
+    # bitstream-independent, so they decode concurrently (no
+    # speculation needed) with a shared reconstruction pass.
+    if (
+        restart_interval > 0
+        and n_spans > 1
+        and max_h == 1
+        and max_v == 1
+        and all(comp_h[i] == 1 and comp_v[i] == 1 for i in range(n))
+        and default_threads() > 1
+    ):
+        rc = lib.jpx_decode_lossless_restart_parallel(
+            buf.ctypes.data_as(ctypes.c_void_p),
+            starts, ends, n_spans,
+            restart_interval,
+            ceil_div(frame.samples_per_line, max_h),
+            ceil_div(frame.number_of_lines, max_v),
+            n,
+            bytes(blob),
+            plane_ptrs, widths,
+            scan.start_of_spectral_selection,
+            1 << (frame.sample_precision - pt - 1),
+            default_threads(),
+        )
+        if rc == 0:
+            return True
+        if rc == 2:
+            from ..syntax.huffman import JpegHuffmanError
+
+            raise JpegHuffmanError("Invalid Huffman code encountered.")
+        if rc == 1:
+            raise JpegDecodeError("The bit stream ended prematurely.")
+        # other rc: sequential fallback
+
     rc = lib.jpx_decode_lossless_scan(
         buf.ctypes.data_as(ctypes.c_void_p),
         starts, ends, n_spans,

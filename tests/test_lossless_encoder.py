@@ -51,6 +51,48 @@ def test_point_transform(rng):
     )
 
 
+@pytest.mark.parametrize("predictor", [1, 4, 7])
+@pytest.mark.parametrize("ri", [1, 7, 64])
+def test_restart_interval_roundtrip(rng, predictor, ri):
+    """DRI/RSTn lossless streams: parallel restart decode, sequential
+    native decode and the pure-Python scanner must all agree, and the
+    round trip must be exact."""
+    import os
+
+    img = rng.integers(0, 256, size=(21, 33, 3), dtype=np.uint8)
+    enc = encode_lossless(img, predictor=predictor, restart_interval=ri)
+    os.environ["JPX_SCAN_THREADS"] = "4"
+    try:
+        a = jt.decode(enc)
+        b = jt.decode(enc, use_native=False)
+    finally:
+        os.environ.pop("JPX_SCAN_THREADS", None)
+    for k in a.samples:
+        np.testing.assert_array_equal(a.samples[k], b.samples[k])
+    rec = np.stack([a.planes[i] for i in range(3)], axis=-1).astype(np.uint8)
+    np.testing.assert_array_equal(rec[:21, :33], img)
+
+
+def test_speculative_single_component(rng):
+    """Grayscale single-span streams decode through the speculative
+    self-sync parallel path — bit-identical to sequential."""
+    import os
+
+    img = rng.integers(0, 256, size=(512, 640), dtype=np.uint8)
+    enc = encode_lossless(img, predictor=1)
+    os.environ["JPX_SCAN_THREADS"] = "4"
+    try:
+        a = jt.decode(enc)
+    finally:
+        os.environ.pop("JPX_SCAN_THREADS", None)
+    os.environ["JPX_SCAN_THREADS"] = "1"
+    try:
+        b = jt.decode(enc)
+    finally:
+        os.environ.pop("JPX_SCAN_THREADS", None)
+    np.testing.assert_array_equal(a.samples[0], b.samples[0])
+
+
 def test_native_and_python_packers_agree(rng):
     from jpeglibrary_tpu.models.lossless import _pack_lossless_py
     from jpeglibrary_tpu.models.huffman_builder import HuffmanTableBuilder
