@@ -74,13 +74,106 @@ _WORKER = textwrap.dedent(
 )
 
 
-def test_two_process_sharded_step_matches_single_device():
+_REAL_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    sys.path.insert(0, "/root/repo")
+    from jpeglibrary_tpu.parallel import distributed
+    distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+    import numpy as np
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.models.encoder import encode_rgb
+    from jpeglibrary_tpu.parallel.batch import decode_batch_rgb, _batched_transform
+    from jpeglibrary_tpu.parallel.distributed import local_batch_indices, make_global_mesh
+
+    # A 4-image batch of REAL same-geometry JPEGs (deterministic in
+    # both processes).
+    base = open("/root/reference/tests/Assets/baseline/lake.jpg", "rb").read()
+    rgb0 = jt.decode(base).to_rgb8()
+    datas = [
+        base,
+        encode_rgb(rgb0[::-1], 80),
+        encode_rgb(rgb0[:, ::-1], 80),
+        encode_rgb(np.roll(rgb0, 100, axis=0), 80),
+    ]
+
+    # Host stage: each process entropy-decodes ONLY its images
+    # (production pipeline: parse + native scan + dense coefficients).
+    mine = list(local_batch_indices(len(datas)))
+    local = {i: jt.decode(datas[i]) for i in mine}
+    # ... and the production batch API end-to-end for its local slice.
+    local_rgb = decode_batch_rgb([datas[i] for i in mine])
+
+    # Device stage on the GLOBAL mesh: process p's images are placed on
+    # p's addressable devices (batch laid out [proc0 imgs, proc1 imgs]).
+    order = sorted(range(len(datas)), key=lambda i: (i % 2, i))  # strided -> blocks
+    geo = local[mine[0]].geometry
+    mesh = make_global_mesh(stripe=1)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+
+    def global_coeff(comp_index):
+        shape = (len(datas),) + local[mine[0]].coefficients[comp_index].shape
+
+        def cb(idx):
+            imgs = [order[j] for j in range(*idx[0].indices(len(datas)))]
+            assert all(i in local for i in imgs), (pid, imgs, mine)
+            stacked = np.stack([local[i].coefficients[comp_index] for i in imgs])
+            return stacked[(slice(None),) + tuple(idx[1:])]
+
+        return jax.make_array_from_callback(shape, sh, cb)
+
+    coeffs = tuple(global_coeff(c.component_index) for c in geo.components)
+    quants = tuple(
+        jax.make_array_from_callback(
+            local[mine[0]].quant[c.component_index].shape,
+            rep,
+            lambda idx, ci=c.component_index: np.asarray(
+                local[mine[0]].quant[ci].astype(np.int32)
+            )[idx],
+        )
+        for c in geo.components
+    )
+    out = _batched_transform(geo)(coeffs, quants)
+    jax.block_until_ready(out)
+
+    # Every addressable output shard must equal the production
+    # single-process decode of that image, bit for bit.
+    checked = 0
+    for shard in out.addressable_shards:
+        b = shard.index[0]
+        for k, img_idx in enumerate([order[j] for j in range(*b.indices(len(datas)))]):
+            assert img_idx in local
+            got = np.asarray(shard.data)[k]
+            expect = np.asarray(
+                local_rgb[mine.index(img_idx)]
+            )
+            np.testing.assert_array_equal(got, expect)
+            checked += 1
+    assert checked >= 1
+    print(f"proc {pid} OK ({checked} images verified)", flush=True)
+    """
+)
+
+
+def _run_two_process(worker_src):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER, str(i), str(port)],
+            [sys.executable, "-c", worker_src, str(i), str(port)],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -98,3 +191,16 @@ def test_two_process_sharded_step_matches_single_device():
     for i, (rc, out) in enumerate(outputs):
         assert rc == 0, f"worker {i} failed:\n{out[-2000:]}"
         assert f"proc {i} OK" in out
+
+
+def test_two_process_sharded_step_matches_single_device():
+    _run_two_process(_WORKER)
+
+
+def test_two_process_real_jpeg_batch_decode():
+    """End-to-end multi-process decode of REAL JPEGs: each process
+    entropy-decodes its local_batch_indices slice through the
+    production pipeline, the batched transform runs on the global
+    2-process mesh, and every addressable output shard is bit-exact
+    against the local production decode (SURVEY §2.4 comm-backend)."""
+    _run_two_process(_REAL_WORKER)
