@@ -62,11 +62,14 @@ def main() -> None:
     # restart-parallel lossless decoder exploits.
     big_lossless = encode_lossless(rgb, predictor=1, restart_interval=2048)
 
+    big_arith = jt.encode_rgb(rgb, 75, arithmetic=True, restart_interval=32)
+
     cases = [
         ("progressive_decode", big_prog, None),
         ("lossless_decode", big_lossless, None),
+        ("arithmetic_decode", big_arith, None),
         ("progressive_decode_small", None, "huffman_progressive/yellowcat_progressive_restart.jpg"),
-        ("arithmetic_decode", None, "arithmetic_sequential/yellowcat_arith_restart.jpg"),
+        ("arithmetic_decode_small", None, "arithmetic_sequential/yellowcat_arith_restart.jpg"),
         ("lossless_decode_small", None, "huffman_lossless/lossless1_s22.jpg"),
     ]
     for name, d, rel in cases:

@@ -73,6 +73,15 @@ class JpegEncoder:
         #: on device, sharded over the mesh's ``data`` axis with the
         #: histograms psum-reduced (parallel.sharding.mesh_symbol_frequencies).
         self.mesh = None
+        #: arithmetic entropy coding (SOF9) instead of Huffman — a
+        #: capability beyond the reference encoder (JpegEncoder.cs is
+        #: Huffman-only). The adaptive QM coder needs no table pass;
+        #: Huffman table registrations are ignored and the dc/ac table
+        #: ids select statistics bins + DAC conditioning.
+        self.arithmetic = False
+        #: DAC conditioning when arithmetic: (dc_l, dc_u) and ac_kx
+        self.dc_conditioning = (0, 1)
+        self.ac_conditioning = 5
         self._quant_tables: List[QuantizationTable] = []
         #: (is_dc, identifier) -> HuffmanEncodingTable or None (None = build)
         self._huffman_tables: Dict[tuple, Optional[HuffmanEncodingTable]] = {}
@@ -128,7 +137,9 @@ class JpegEncoder:
         if len(self._input_planes) != len(self._components):
             raise JpegEncodeError("Component count does not match input planes.")
 
-        optimize = any(t is None for t in self._huffman_tables.values())
+        optimize = (not self.arithmetic) and any(
+            t is None for t in self._huffman_tables.values()
+        )
 
         quant_by_id = {t.identifier: t for t in self._quant_tables}
         max_h = max(c.h for c in self._components)
@@ -191,7 +202,9 @@ class JpegEncoder:
 
         # --- table build (2-pass optimize-coding) or fixed tables
         tables: Dict[tuple, HuffmanEncodingTable] = {}
-        if optimize:
+        if self.arithmetic:
+            pass  # adaptive QM coder: no tables
+        elif optimize:
             if self.mesh is not None:
                 from ..parallel.sharding import mesh_symbol_frequencies
 
@@ -219,8 +232,9 @@ class JpegEncoder:
         dqt_payload = b"".join(t.serialize() for t in self._quant_tables)
         writer.write_segment(Marker.DQT, dqt_payload)
 
+        sof_marker = Marker.SOF9 if self.arithmetic else Marker.SOF0
         frame = FrameHeader(
-            marker=Marker.SOF0,
+            marker=sof_marker,
             sample_precision=8,
             number_of_lines=self._height,
             samples_per_line=self._width,
@@ -229,13 +243,24 @@ class JpegEncoder:
                 for c in self._components
             ),
         )
-        writer.write_segment(Marker.SOF0, frame.serialize())
+        writer.write_segment(sof_marker, frame.serialize())
 
-        dht_payload = b"".join(
-            tables[key].serialize(0 if key[0] else 1, key[1])
-            for key in sorted(tables, key=lambda k: (not k[0], k[1]))
-        )
-        writer.write_segment(Marker.DHT, dht_payload)
+        if self.arithmetic:
+            # DAC conditioning for every statistics bin id in use
+            # (T.81 B.2.4.3).
+            dc_l, dc_u = self.dc_conditioning
+            dac = bytearray()
+            for tid in sorted({c.dc_table_id for c in self._components}):
+                dac += bytes([tid, (dc_u << 4) | dc_l])
+            for tid in sorted({c.ac_table_id for c in self._components}):
+                dac += bytes([0x10 | tid, self.ac_conditioning])
+            writer.write_segment(Marker.DAC, bytes(dac))
+        else:
+            dht_payload = b"".join(
+                tables[key].serialize(0 if key[0] else 1, key[1])
+                for key in sorted(tables, key=lambda k: (not k[0], k[1]))
+            )
+            writer.write_segment(Marker.DHT, dht_payload)
 
         if self.restart_interval > 0:
             ri = self.restart_interval
@@ -253,10 +278,50 @@ class JpegEncoder:
         )
         writer.write_segment(Marker.SOS, scan.serialize())
 
-        self._emit_scan(writer, comp_blocks, tables)
+        if self.arithmetic:
+            self._emit_scan_arith(writer, comp_blocks)
+        else:
+            self._emit_scan(writer, comp_blocks, tables)
 
         writer.write_marker(Marker.EOI)
         return writer.to_bytes()
+
+    def _emit_scan_arith(self, writer: JpegWriter, comp_blocks) -> None:
+        """Arithmetic (SOF9) scan emission via the native QM coder;
+        restart segments restart statistics + registers, so they emit
+        independently (and could in parallel)."""
+        from ..native import scanner as native_scanner
+
+        dc_l, dc_u = self.dc_conditioning
+        comps = [
+            {
+                "blocks": blocks,
+                "per_mcu": comp.h * comp.v,
+                "dc_id": comp.dc_table_id,
+                "ac_id": comp.ac_table_id,
+                "dc_l": dc_l,
+                "dc_u": dc_u,
+                "ac_kx": self.ac_conditioning,
+            }
+            for comp, blocks in zip(self._components, comp_blocks)
+        ]
+        n_mcus = comp_blocks[0].shape[0] // comps[0]["per_mcu"]
+        ri = self.restart_interval
+        if ri <= 0:
+            writer.write_bytes(native_scanner.encode_arith_segment(comps, n_mcus))
+            return
+        mcu = 0
+        rst = 0
+        while mcu < n_mcus:
+            n = min(ri, n_mcus - mcu)
+            seg_comps = [
+                {**c, "blocks": c["blocks"][mcu * c["per_mcu"]:]} for c in comps
+            ]
+            writer.write_bytes(native_scanner.encode_arith_segment(seg_comps, n))
+            mcu += n
+            if mcu < n_mcus:
+                writer.write_marker(Marker.RST0 + rst)
+                rst = (rst + 1) & 7
 
     def _emit_scan(self, writer: JpegWriter, comp_blocks, tables) -> None:
         """Interleaved MCU emission (WritePreparedScanData,
@@ -411,6 +476,7 @@ def encode_rgb(
     optimize_coding: bool = False,
     most_optimal_coding: bool = False,
     restart_interval: int = 0,
+    arithmetic: bool = False,
     xp=np,
 ) -> bytes:
     """RGB [H, W, 3] uint8 -> baseline JPEG bytes.
@@ -431,6 +497,7 @@ def encode_rgb(
     encoder = JpegEncoder()
     encoder.most_optimal_coding = most_optimal_coding
     encoder.restart_interval = restart_interval
+    encoder.arithmetic = arithmetic
     encoder.set_quantization_table(scale_by_quality(standard_luminance_table(0), quality))
     encoder.set_quantization_table(scale_by_quality(standard_chrominance_table(1), quality))
     if optimize_coding or most_optimal_coding:

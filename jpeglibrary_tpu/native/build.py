@@ -190,6 +190,15 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.jpx_encode_segment_parallel.argtypes = (
         lib.jpx_encode_segment.argtypes + [c.c_int32]  # + n_threads
     )
+    lib.jpx_encode_arith_sequential.restype = c.c_int64
+    lib.jpx_encode_arith_sequential.argtypes = [
+        c.c_int32,
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int32),   # blocks, per_mcu
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),    # dc_ids, ac_ids
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # dc_l/dc_u/ac_kx
+        c.c_int64,                       # n_mcus
+        c.c_void_p, c.c_int64,           # out, capacity
+    ]
     lib.jpx_pack_lossless.restype = c.c_int64
     lib.jpx_pack_lossless.argtypes = [
         c.c_void_p, c.c_void_p, c.c_int64,  # cats, raws, n

@@ -2405,6 +2405,287 @@ void jpx_set_qe_table(const int32_t* table) {
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Arithmetic (SOF9) ENCODER — QM-coder per ITU-T T.81 Annex D, the
+// exact inverse of the decoder above (ArithState::decode): same Qe
+// state table, same MPS/LPS conditional-exchange rule (the qe-sized
+// upper subinterval belongs to the MPS when A-Qe < Qe), byte output
+// with carry propagation, 0xFF stacking and 0xFF 0x00 stuffing.
+// A capability beyond the reference, whose encoder is Huffman-only;
+// validated by bit-exact decode round trips through the
+// reference-parity decoder.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct ArithEncoder {
+    int32_t a, c, ct;
+    int32_t pending;   // last unemitted byte (-1 before the first)
+    int64_t sc;        // stacked 0xFF bytes awaiting carry resolution
+    uint8_t* out;
+    int64_t cap, n;
+    bool overflow;
+
+    void init(uint8_t* buf, int64_t capacity) {
+        a = 0x10000;
+        c = 0;
+        ct = 11;
+        pending = -1;
+        sc = 0;
+        out = buf;
+        cap = capacity;
+        n = 0;
+        overflow = false;
+    }
+
+    inline void emit(uint8_t b) {
+        if (n >= cap) { overflow = true; return; }
+        out[n++] = b;
+        if (b == 0xFF) {  // JpegBitReader-compatible byte stuffing
+            if (n >= cap) { overflow = true; return; }
+            out[n++] = 0x00;
+        }
+    }
+
+    void byte_out() {
+        int32_t temp = c >> 19;
+        if (temp > 0xFF) {
+            // carry: bump the pending byte, stacked 0xFFs become 0x00
+            if (pending >= 0) emit((uint8_t)(pending + 1));
+            while (sc > 0) { emit(0x00); --sc; }
+            pending = temp & 0xFF;
+        } else if (temp == 0xFF) {
+            ++sc;  // defer: a later carry may turn it into 0x00
+        } else {
+            if (pending >= 0) emit((uint8_t)pending);
+            while (sc > 0) { emit(0xFF); --sc; }
+            pending = temp;
+        }
+        c &= 0x7FFFF;
+    }
+
+    inline void renorm() {
+        do {
+            a <<= 1;
+            c <<= 1;
+            if (--ct == 0) {
+                byte_out();
+                ct = 8;
+            }
+        } while (a < 0x8000);
+    }
+
+    // Encode one binary decision against statistics bin *st.
+    inline void encode(int bit, uint8_t* st) {
+        int sv = *st;
+        int32_t qe = g_qe_table[sv & 0x7f];
+        uint8_t nl = (uint8_t)qe; qe >>= 8;
+        uint8_t nm = (uint8_t)qe; qe >>= 8;
+
+        int32_t an = a - qe;
+        if (bit == (sv >> 7)) {
+            // MPS
+            if (an & 0x8000) {
+                a = an;  // still normalized: no renorm, no state change
+                return;
+            }
+            if (an < qe) {
+                c += an;  // conditional exchange: MPS takes the qe region
+                a = qe;
+            } else {
+                a = an;
+            }
+            *st = (uint8_t)((sv & 0x80) ^ nm);
+        } else {
+            // LPS
+            if (an < qe) {
+                a = an;  // exchange: LPS takes the (smaller) lower region
+            } else {
+                c += an;
+                a = qe;
+            }
+            *st = (uint8_t)((sv & 0x80) ^ nl);
+        }
+        renorm();
+    }
+
+    // Finish the segment (T.81 D.1.8 FLUSH): clear final bits, align,
+    // push out the remaining register bytes.
+    void flush() {
+        int32_t temp = (c + a - 1) & ~0xFFFF;
+        if (temp < c) temp += 0x8000;
+        c = temp;
+        c <<= ct;
+        byte_out();
+        c <<= 8;
+        byte_out();
+        if (pending >= 0 && pending != 0) emit((uint8_t)pending);
+        else if (pending == 0) emit(0x00);
+        while (sc > 0) { emit(0xFF); --sc; }
+    }
+};
+
+static inline int floor_log2_i32(int32_t v) {
+    int k = 0;
+    while ((v >> (k + 1)) != 0) ++k;
+    return k;
+}
+
+// DC difference encode — inverse of arith_decode_dc (F.1.4.1).
+static void arith_encode_dc(ArithEncoder& e, ArithComp& c, int32_t v) {
+    uint8_t* st = c.dc_stats;
+    int base = c.dc_context;
+    if (v == 0) {
+        e.encode(0, st + base);
+        c.dc_context = 0;
+        return;
+    }
+    e.encode(1, st + base);
+    int sign = v < 0 ? 1 : 0;
+    e.encode(sign, st + base + 1);
+    int32_t mval = (v < 0 ? -v : v) - 1;
+    int pos = base + 2 + sign;
+    int32_t mcat;
+    if (mval == 0) {
+        e.encode(0, st + pos);
+        mcat = 0;
+    } else {
+        e.encode(1, st + pos);
+        int k = floor_log2_i32(mval);
+        pos = 20;
+        for (int i = 0; i < k; ++i) e.encode(1, st + pos + i);
+        e.encode(0, st + pos + k);
+        pos += k;
+        mcat = 1 << k;
+    }
+    // bits below the category MSB
+    pos += 14;
+    for (int32_t m = mcat >> 1; m != 0; m >>= 1) {
+        e.encode((mval & m) ? 1 : 0, st + pos);
+    }
+    // context classification for the next DC (same rule as the decoder)
+    if (mcat < ((1 << c.dc_l) >> 1)) {
+        c.dc_context = 0;
+    } else if (mcat > ((1 << c.dc_u) >> 1)) {
+        c.dc_context = 12 + sign * 4;
+    } else {
+        c.dc_context = 4 + sign * 4;
+    }
+}
+
+// AC magnitude encode after the nonzero decision — inverse of
+// arith_decode_ac_value.
+static void arith_encode_ac_value(ArithEncoder& e, ArithComp& c, uint8_t* st,
+                                  uint8_t* fixed_bin, int pos, int k, int32_t v) {
+    int sign = v < 0 ? 1 : 0;
+    e.encode(sign, fixed_bin);
+    int32_t mval = (v < 0 ? -v : v) - 1;
+    pos += 2;
+    int32_t mcat;
+    if (mval == 0) {
+        e.encode(0, st + pos);
+        mcat = 0;
+    } else {
+        e.encode(1, st + pos);
+        if (mval == 1) {
+            e.encode(0, st + pos);  // same bin: category stays 1
+            mcat = 1;
+        } else {
+            e.encode(1, st + pos);
+            int kk = floor_log2_i32(mval);  // >= 1
+            pos = k <= c.ac_kx ? 189 : 217;
+            for (int i = 0; i < kk - 1; ++i) e.encode(1, st + pos + i);
+            e.encode(0, st + pos + (kk - 1));
+            pos += kk - 1;
+            mcat = 1 << kk;
+        }
+    }
+    pos += 14;
+    for (int32_t m = mcat >> 1; m != 0; m >>= 1) {
+        e.encode((mval & m) ? 1 : 0, st + pos);
+    }
+}
+
+// One block, sequential mode — inverse of arith_read_block_sequential.
+static void arith_encode_block_sequential(ArithEncoder& e, ArithComp& c,
+                                          uint8_t* fixed_bin,
+                                          const int16_t* block) {
+    int32_t dc = block[0];
+    int32_t diff = dc - c.predictor;
+    arith_encode_dc(e, c, diff);
+    c.predictor = (int16_t)dc;
+
+    uint8_t* st = c.ac_stats;
+    int kmax = 63;
+    while (kmax >= 1 && block[kmax] == 0) --kmax;
+    int k = 1;
+    while (k <= 63) {
+        int pos = 3 * (k - 1);
+        if (k > kmax) {
+            e.encode(1, st + pos);  // EOB
+            return;
+        }
+        e.encode(0, st + pos);
+        while (block[k] == 0) {
+            e.encode(0, st + pos + 1);
+            pos += 3;
+            ++k;
+        }
+        e.encode(1, st + pos + 1);
+        arith_encode_ac_value(e, c, st, fixed_bin, pos, k, block[k]);
+        ++k;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode one arithmetic-coded (SOF9) entropy segment over `n_mcus`
+// interleaved MCUs. Statistics bins are fresh (per-scan /
+// per-restart-segment contract); `blocks[i]` points at component i's
+// first block of this segment in MCU order. Returns bytes written or
+// -1 on capacity overflow.
+int64_t jpx_encode_arith_sequential(
+    int32_t n_comps,
+    const int16_t** blocks, const int32_t* per_mcu,
+    const int32_t* dc_ids, const int32_t* ac_ids,
+    const int32_t* dc_l, const int32_t* dc_u, const int32_t* ac_kx,
+    int64_t n_mcus,
+    uint8_t* out, int64_t capacity) {
+    ArithStatsPool pool;
+    pool.clear();
+    uint8_t fixed_bin = 113;
+    std::vector<ArithComp> comps(n_comps);
+    std::vector<int64_t> cursors(n_comps, 0);
+    for (int i = 0; i < n_comps; ++i) {
+        comps[i].dc_l = dc_l[i];
+        comps[i].dc_u = dc_u[i];
+        comps[i].ac_kx = ac_kx[i];
+        comps[i].predictor = 0;
+        comps[i].dc_context = 0;
+        comps[i].dc_stats = pool.dc[dc_ids[i] & 15];
+        comps[i].ac_stats = pool.ac[ac_ids[i] & 15];
+    }
+    ArithEncoder e;
+    e.init(out, capacity);
+    for (int64_t m = 0; m < n_mcus; ++m) {
+        for (int ci = 0; ci < n_comps; ++ci) {
+            for (int b = 0; b < per_mcu[ci]; ++b) {
+                const int16_t* blk = blocks[ci] + cursors[ci] * 64;
+                ++cursors[ci];
+                arith_encode_block_sequential(e, comps[ci], &fixed_bin, blk);
+                if (e.overflow) return -1;
+            }
+        }
+    }
+    e.flush();
+    if (e.overflow) return -1;
+    return e.n;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Entropy segment emission (encoder / optimizer hot path)
 // ---------------------------------------------------------------------------
 //

@@ -624,6 +624,53 @@ def fdct_quantize(plane: np.ndarray, quant_zz: np.ndarray) -> np.ndarray:
     return out
 
 
+def encode_arith_segment(comps: Sequence[dict], n_mcus: int) -> bytes:
+    """Emit one arithmetic-coded (SOF9) entropy segment natively.
+
+    ``comps``: per-component dicts with ``blocks`` (int16 [n, 64]
+    zig-zag, MCU order, positioned at this segment's first block),
+    ``per_mcu``, ``dc_id``/``ac_id`` (statistics bin ids) and
+    ``dc_l``/``dc_u``/``ac_kx`` conditioning. Statistics and registers
+    start fresh — the per-scan / per-restart-segment contract.
+    """
+    lib = build.load_library()
+    n = len(comps)
+    block_ptrs = (ctypes.c_void_p * n)()
+    per_mcu = (ctypes.c_int32 * n)()
+    dc_ids = (ctypes.c_int32 * n)()
+    ac_ids = (ctypes.c_int32 * n)()
+    dc_l = (ctypes.c_int32 * n)()
+    dc_u = (ctypes.c_int32 * n)()
+    ac_kx = (ctypes.c_int32 * n)()
+    keepalive = []
+    total_blocks = 0
+    for i, c in enumerate(comps):
+        blocks = np.ascontiguousarray(c["blocks"], dtype=np.int16)
+        keepalive.append(blocks)
+        block_ptrs[i] = blocks.ctypes.data_as(ctypes.c_void_p)
+        per_mcu[i] = int(c["per_mcu"])
+        dc_ids[i] = int(c["dc_id"])
+        ac_ids[i] = int(c["ac_id"])
+        dc_l[i] = int(c["dc_l"])
+        dc_u[i] = int(c["dc_u"])
+        ac_kx[i] = int(c["ac_kx"])
+        total_blocks += n_mcus * int(c["per_mcu"])
+
+    cap = total_blocks * 320 + 4096  # worst case with stuffing
+    out = np.empty(cap, dtype=np.uint8)
+    written = lib.jpx_encode_arith_sequential(
+        n,
+        block_ptrs, per_mcu,
+        dc_ids, ac_ids,
+        dc_l, dc_u, ac_kx,
+        n_mcus,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+    )
+    if written < 0:
+        raise RuntimeError("native arithmetic encode capacity exceeded")
+    return out[: int(written)].tobytes()
+
+
 def pack_lossless(cats: np.ndarray, raws: np.ndarray, tables) -> bytes:
     """Native lossless (SOF3) category-stream packer; entry i uses
     table i % len(tables). Bit-identical to models.lossless
