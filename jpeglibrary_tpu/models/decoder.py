@@ -20,6 +20,7 @@ re-architected for the TPU pipeline:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional
 
 import numpy as np
@@ -37,6 +38,21 @@ from .geometry import FrameGeometry, allocate_coefficient_planes, frame_geometry
 
 class JpegUnsupportedError(ValueError):
     pass
+
+
+# Serving workloads repeat identical DHT/DQT payloads (one encoder
+# configuration across a stream of images); cache the parsed —
+# immutable — table objects by payload bytes. This also stabilizes
+# object identity so the native wrapper's packed-blob cache hits
+# (native/scanner.pack_huffman_table).
+@functools.lru_cache(maxsize=256)
+def _parse_dht_cached(payload: bytes):
+    return tuple(parse_dht_segment(payload))
+
+
+@functools.lru_cache(maxsize=256)
+def _parse_dqt_cached(payload: bytes):
+    return tuple(parse_dqt_segment(payload))
 
 
 class DecodeResult:
@@ -386,10 +402,10 @@ class JpegDecoder:
 
     def _process_table_segment(self, seg: io_reader.Segment, data: bytes) -> None:
         if seg.marker == Marker.DQT:
-            for table in parse_dqt_segment(seg.payload(data)):
+            for table in _parse_dqt_cached(seg.payload(data)):
                 self.set_quantization_table(table)
         elif seg.marker == Marker.DHT:
-            for htable in parse_dht_segment(seg.payload(data)):
+            for htable in _parse_dht_cached(seg.payload(data)):
                 self.set_huffman_table(htable)
         elif seg.marker == Marker.DAC:
             from .arithmetic import parse_dac_segment

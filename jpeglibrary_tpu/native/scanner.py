@@ -22,8 +22,16 @@ from . import build
 _TABLE_BYTES = 824
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
 def pack_huffman_table(t: HuffmanDecodingTable) -> bytes:
-    """Serialize to the fixed HuffTable layout in scanner.cpp."""
+    """Serialize to the fixed HuffTable layout in scanner.cpp.
+
+    Cached by table identity: the decoder's DHT parse cache returns the
+    same immutable table objects for identical payloads, so repeated
+    images from one encoder configuration skip the re-serialization."""
     out = bytearray()
     out += t.lookahead_size.astype(np.uint8).tobytes()
     out += t.lookahead_value.astype(np.uint8).tobytes()

@@ -42,7 +42,7 @@ def generate_code_table(huff_size: np.ndarray) -> np.ndarray:
     return codes
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # identity hash: pack_huffman_table caches by object
 class HuffmanDecodingTable:
     """Decode-side Huffman table with a two-level lookup structure.
 
