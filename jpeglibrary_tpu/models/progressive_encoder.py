@@ -1,0 +1,237 @@
+"""Progressive (SOF2) Huffman encoder — a capability beyond the
+reference (its encoder is baseline-only, JpegEncoder.cs): full
+spectral-selection + successive-approximation scan scripts with EOB-run
+coding and refinement correction bits, emitted by the native inverses
+of the progressive scan decoders (native/scanner.cpp
+jpx_encode_prog_dc / _ac_first / _ac_refine). Optimal per-class Huffman
+tables come from a count pass over the whole script (2-pass).
+
+Validation gate: decode(encode_progressive(...)) is coefficient-exact
+against the baseline encode of the same samples, through both the
+native and pure-Python reference-parity decoders.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..io.writer import JpegWriter
+from ..ops import encode_stage
+from ..syntax.frame import FrameComponent, FrameHeader, ScanComponent, ScanHeader
+from ..syntax.markers import Marker
+from ..syntax.quantization import (
+    scale_by_quality,
+    standard_chrominance_table,
+    standard_luminance_table,
+)
+from .geometry import ceil_div
+from .huffman_builder import HuffmanTableBuilder
+
+# (component_indices, Ss, Se, Ah, Al) — the classic libjpeg-style
+# script: DC first at Al=1, AC bands coarse-to-fine, then refinements.
+SCRIPT_3 = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+SCRIPT_1 = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def encode_progressive_rgb(
+    rgb: np.ndarray,
+    quality: int = 75,
+    *,
+    subsampling: str = "420",
+    script: Optional[List[Tuple]] = None,
+) -> bytes:
+    """RGB [H, W, 3] uint8 -> progressive (SOF2) JPEG bytes."""
+    from ..ops import color as color_ops
+
+    try:
+        from ..native import scanner as native_scanner
+
+        y, cb, cr = native_scanner.rgb_to_ycbcr(np.asarray(rgb, dtype=np.uint8))
+    except ImportError:
+        y, cb, cr = color_ops.rgb_to_ycbcr(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+
+    if subsampling == "420":
+        sampling = [(2, 2), (1, 1), (1, 1)]
+    elif subsampling == "444":
+        sampling = [(1, 1), (1, 1), (1, 1)]
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    quants = [
+        scale_by_quality(standard_luminance_table(0), quality),
+        scale_by_quality(standard_chrominance_table(1), quality),
+        scale_by_quality(standard_chrominance_table(1), quality),
+    ]
+    return encode_progressive(
+        [y, cb, cr], quants, sampling,
+        quant_ids=[0, 1, 1], table_ids=[0, 1, 1],
+        script=script or SCRIPT_3,
+    )
+
+
+def encode_progressive_gray(plane: np.ndarray, quality: int = 75,
+                            *, script: Optional[List[Tuple]] = None) -> bytes:
+    return encode_progressive(
+        [np.asarray(plane)],
+        [scale_by_quality(standard_luminance_table(0), quality)],
+        [(1, 1)], quant_ids=[0], table_ids=[0],
+        script=script or SCRIPT_1,
+    )
+
+
+def encode_progressive(
+    planes: Sequence[np.ndarray],
+    quant_tables,
+    sampling: Sequence[Tuple[int, int]],
+    *,
+    quant_ids: Sequence[int],
+    table_ids: Sequence[int],
+    script: List[Tuple],
+) -> bytes:
+    """Core progressive encode: sample planes -> SOF2 stream."""
+    from ..native import scanner as native_scanner
+
+    n_comps = len(planes)
+    h, w = planes[0].shape
+    max_h = max(s[0] for s in sampling)
+    max_v = max(s[1] for s in sampling)
+    mcus_per_line = ceil_div(w, 8 * max_h)
+    mcus_per_column = ceil_div(h, 8 * max_v)
+
+    # Transform (same stage as the baseline encoder).
+    coeffs = []
+    for plane, (ch, cv), qid in zip(planes, sampling, quant_ids):
+        q = quant_tables[qid].elements if hasattr(quant_tables[qid], "elements") else quant_tables[qid]
+        coeffs.append(
+            encode_stage.forward_component(
+                np.asarray(plane), q, ch, cv,
+                max_h // ch, max_v // cv,
+                mcus_per_line, mcus_per_column,
+            )
+        )
+
+    # Per-scan block arrays: interleaved MCU order for DC scans, the
+    # component's own (unpadded) block grid for AC scans
+    # (JpegHuffmanProgressiveScanDecoder.cs:146-147).
+    mcu_blocks = [
+        encode_stage.mcu_order_blocks(c, s[0], s[1])
+        for c, s in zip(coeffs, sampling)
+    ]
+    comp_blocks = []
+    for c, (ch, cv) in zip(coeffs, sampling):
+        hbc = ceil_div(w, 8 * (max_h // ch))
+        vbc = ceil_div(h, 8 * (max_v // cv))
+        comp_blocks.append(np.ascontiguousarray(c[:vbc, :hbc]).reshape(-1, 64))
+
+    def run_scan(entry, tables=None, dc_freqs=None, ac_freqs=None):
+        comp_idx, ss, se, ah, al = entry
+        if ss == 0:  # DC scan (interleaved)
+            blocks = [mcu_blocks[i] for i in comp_idx]
+            per_mcu = [sampling[i][0] * sampling[i][1] for i in comp_idx]
+            n_mcus = mcu_blocks[comp_idx[0]].shape[0] // per_mcu[0]
+            if ah != 0 and dc_freqs is not None:
+                return None  # refinement: raw bits, no symbols to count
+            if dc_freqs is not None:
+                native_scanner.encode_prog_dc(
+                    blocks, per_mcu, n_mcus, ah, al,
+                    freqs=[dc_freqs[table_ids[i]] for i in comp_idx],
+                )
+                return None
+            return native_scanner.encode_prog_dc(
+                blocks, per_mcu, n_mcus, ah, al,
+                tables=[tables[(True, table_ids[i])] for i in comp_idx],
+            )
+        (ci,) = comp_idx  # AC scans are single-component
+        fn = (
+            native_scanner.encode_prog_ac_first
+            if ah == 0
+            else native_scanner.encode_prog_ac_refine
+        )
+        if ac_freqs is not None:
+            fn(comp_blocks[ci], ss, se, al, freq=ac_freqs[table_ids[ci]])
+            return None
+        return fn(comp_blocks[ci], ss, se, al, table=tables[(False, table_ids[ci])])
+
+    # Pass 1: symbol statistics over the whole script.
+    dc_freqs = {tid: np.zeros(256, dtype=np.int64) for tid in set(table_ids)}
+    ac_freqs = {tid: np.zeros(256, dtype=np.int64) for tid in set(table_ids)}
+    for entry in script:
+        run_scan(entry, dc_freqs=dc_freqs, ac_freqs=ac_freqs)
+
+    tables = {}
+    for tid, freq in dc_freqs.items():
+        if freq.sum() > 0:
+            b = HuffmanTableBuilder()
+            b.add_frequencies(freq)
+            tables[(True, tid)] = b.build(optimal=True)
+    for tid, freq in ac_freqs.items():
+        if freq.sum() > 0:
+            b = HuffmanTableBuilder()
+            b.add_frequencies(freq)
+            tables[(False, tid)] = b.build(optimal=True)
+
+    # Pass 2: container + scans.
+    writer = JpegWriter()
+    writer.write_marker(Marker.SOI)
+    seen = set()
+    dqt = b""
+    for qid in quant_ids:
+        if qid in seen:
+            continue
+        seen.add(qid)
+        qt = quant_tables[qid]
+        dqt += qt.serialize()
+    writer.write_segment(Marker.DQT, dqt)
+    frame = FrameHeader(
+        marker=Marker.SOF2,
+        sample_precision=8,
+        number_of_lines=h,
+        samples_per_line=w,
+        components=tuple(
+            FrameComponent(i + 1, sampling[i][0], sampling[i][1], quant_ids[i])
+            for i in range(n_comps)
+        ),
+    )
+    writer.write_segment(Marker.SOF2, frame.serialize())
+    dht = b"".join(
+        tables[key].serialize(0 if key[0] else 1, key[1])
+        for key in sorted(tables, key=lambda k: (not k[0], k[1]))
+    )
+    writer.write_segment(Marker.DHT, dht)
+
+    for entry in script:
+        comp_idx, ss, se, ah, al = entry
+        scan = ScanHeader(
+            components=tuple(
+                ScanComponent(i + 1, table_ids[i], table_ids[i]) for i in comp_idx
+            ),
+            start_of_spectral_selection=ss,
+            end_of_spectral_selection=se,
+            successive_approximation_bit_position_high=ah,
+            successive_approximation_bit_position_low=al,
+        )
+        writer.write_segment(Marker.SOS, scan.serialize())
+        writer.write_bytes(run_scan(entry, tables=tables))
+
+    writer.write_marker(Marker.EOI)
+    return writer.to_bytes()

@@ -190,6 +190,26 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.jpx_encode_segment_parallel.argtypes = (
         lib.jpx_encode_segment.argtypes + [c.c_int32]  # + n_threads
     )
+    lib.jpx_encode_prog_dc.restype = c.c_int64
+    lib.jpx_encode_prog_dc.argtypes = [
+        c.c_int32,
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int32),   # blocks, per_mcu
+        c.c_int64,                       # n_mcus
+        c.c_int32, c.c_int32,            # ah, al
+        c.POINTER(c.c_void_p), c.POINTER(c.c_void_p),  # dc codes/sizes
+        c.POINTER(c.c_void_p),           # dc_freqs (count mode)
+        c.c_void_p, c.c_int64,           # out, capacity
+    ]
+    for name in ("jpx_encode_prog_ac_first", "jpx_encode_prog_ac_refine"):
+        fn = getattr(lib, name)
+        fn.restype = c.c_int64
+        fn.argtypes = [
+            c.c_void_p, c.c_int64,           # blocks, n_blocks
+            c.c_int32, c.c_int32, c.c_int32,  # ss, se, al
+            c.c_void_p, c.c_void_p,          # ac codes/sizes
+            c.c_void_p,                      # ac_freq (count mode)
+            c.c_void_p, c.c_int64,           # out, capacity
+        ]
     lib.jpx_encode_arith_sequential.restype = c.c_int64
     lib.jpx_encode_arith_sequential.argtypes = [
         c.c_int32,

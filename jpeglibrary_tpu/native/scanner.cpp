@@ -3126,6 +3126,250 @@ int64_t jpx_symbol_histograms(
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Progressive (SOF2) Huffman scan EMISSION — the exact inverses of the
+// progressive scan decoders above (read_block_prog_dc / _ac /
+// _ac_refined), with EOB-run accumulation and the refinement
+// correction-bit buffer. Each entry point runs in COUNT mode
+// (freq != null: accumulate symbol frequencies for the 2-pass optimal
+// table build) or EMIT mode (bit-pack with the supplied tables).
+// A capability beyond the reference (Huffman-baseline-only encoder).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct ProgWriter {
+    BitPacker* bp;          // null in count mode
+    int64_t* freq;          // [256] symbol histogram in count mode
+    const uint16_t* codes;
+    const uint8_t* sizes;
+    bool missing, overflow;
+
+    bool symbol(int sym) {
+        if (freq) { ++freq[sym]; return true; }
+        int size = sizes[sym];
+        if (size == 0) { missing = true; return false; }
+        if (!bp->write(codes[sym], size)) { overflow = true; return false; }
+        return true;
+    }
+    bool bits(uint32_t v, int n) {
+        if (n == 0 || freq) return true;
+        if (!bp->write(v & ((n >= 32 ? 0xFFFFFFFFu : ((1u << n) - 1))), n)) {
+            overflow = true;
+            return false;
+        }
+        return true;
+    }
+};
+
+// Flush an accumulated EOB run (decoder: eobrun = (1 << r) + bits).
+static bool prog_flush_eobrun(ProgWriter& w, int64_t& eobrun,
+                              std::vector<uint8_t>* pending_bits) {
+    if (eobrun > 0) {
+        int r = 0;
+        while ((eobrun >> (r + 1)) != 0) ++r;
+        if (!w.symbol(r << 4)) return false;
+        if (!w.bits((uint32_t)(eobrun - ((int64_t)1 << r)), r)) return false;
+        eobrun = 0;
+    }
+    if (pending_bits) {
+        for (uint8_t b : *pending_bits)
+            if (!w.bits(b, 1)) return false;
+        pending_bits->clear();
+    }
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// DC scan (interleaved over MCUs). ah == 0: first pass (categories of
+// successive (dc >> al) differences); ah != 0: refinement (raw bit al
+// of each DC). Per-component tables/frequencies. Returns bytes
+// written (0 in count mode), -1 overflow, -2 missing code.
+int64_t jpx_encode_prog_dc(
+    int32_t n_comps,
+    const int16_t** blocks, const int32_t* per_mcu,
+    int64_t n_mcus,
+    int32_t ah, int32_t al,
+    const uint16_t** dc_codes, const uint8_t** dc_sizes,
+    int64_t** dc_freqs,        // per comp, null in emit mode
+    uint8_t* out, int64_t capacity) {
+    BitPacker bp{out, capacity, 0, 0, 0};
+    std::vector<ProgWriter> ws(n_comps);
+    std::vector<int32_t> pred(n_comps, 0);
+    std::vector<int64_t> cursors(n_comps, 0);
+    for (int i = 0; i < n_comps; ++i) {
+        ws[i] = ProgWriter{&bp, dc_freqs ? dc_freqs[i] : nullptr,
+                           dc_codes ? dc_codes[i] : nullptr,
+                           dc_sizes ? dc_sizes[i] : nullptr, false, false};
+    }
+    for (int64_t m = 0; m < n_mcus; ++m) {
+        for (int ci = 0; ci < n_comps; ++ci) {
+            for (int b = 0; b < per_mcu[ci]; ++b) {
+                int32_t dc = blocks[ci][cursors[ci] * 64];
+                ++cursors[ci];
+                if (ah == 0) {
+                    int32_t v = dc >> al;  // arithmetic shift (T.81 DC point transform)
+                    int32_t t = v - pred[ci];
+                    pred[ci] = v;
+                    int32_t a = t < 0 ? -t : t;
+                    int32_t bb = t < 0 ? t - 1 : t;
+                    int cat = 0;
+                    while ((a >> cat) != 0) ++cat;
+                    if (!ws[ci].symbol(cat))
+                        return ws[ci].missing ? -2 : -1;
+                    if (!ws[ci].bits((uint32_t)bb, cat)) return -1;
+                } else {
+                    if (!ws[ci].bits((uint32_t)(dc >> al) & 1, 1)) return -1;
+                }
+            }
+        }
+    }
+    if (!bp.finish()) return -1;
+    return dc_freqs ? 0 : bp.n;
+}
+
+// AC first scan (ah == 0), one component, band [ss, se], point
+// transform al: run-length symbols + EOB runs, magnitudes |v| >> al.
+int64_t jpx_encode_prog_ac_first(
+    const int16_t* blocks, int64_t n_blocks,
+    int32_t ss, int32_t se, int32_t al,
+    const uint16_t* ac_codes, const uint8_t* ac_sizes,
+    int64_t* ac_freq,
+    uint8_t* out, int64_t capacity) {
+    BitPacker bp{out, capacity, 0, 0, 0};
+    ProgWriter w{&bp, ac_freq, ac_codes, ac_sizes, false, false};
+    int64_t eobrun = 0;
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        const int16_t* blk = blocks + b * 64;
+        int run = 0;
+        bool any = false;
+        for (int k = ss; k <= se; ++k) {
+            int32_t v = blk[k];
+            int32_t mag = (v < 0 ? -v : v) >> al;
+            if (mag == 0) { ++run; continue; }
+            if (!prog_flush_eobrun(w, eobrun, nullptr))
+                return w.missing ? -2 : -1;
+            while (run > 15) {
+                if (!w.symbol(0xF0)) return w.missing ? -2 : -1;
+                run -= 16;
+            }
+            int cat = 0;
+            while ((mag >> cat) != 0) ++cat;
+            int32_t enc = v < 0 ? -mag : mag;
+            int32_t bb = enc < 0 ? enc - 1 : enc;
+            if (!w.symbol((run << 4) | cat)) return w.missing ? -2 : -1;
+            if (!w.bits((uint32_t)bb, cat)) return -1;
+            run = 0;
+            any = true;
+        }
+        if (run > 0 || !any) {
+            ++eobrun;
+            if (eobrun == 0x7FFF) {
+                if (!prog_flush_eobrun(w, eobrun, nullptr))
+                    return w.missing ? -2 : -1;
+            }
+        }
+    }
+    if (!prog_flush_eobrun(w, eobrun, nullptr)) return w.missing ? -2 : -1;
+    if (!bp.finish()) return -1;
+    return ac_freq ? 0 : bp.n;
+}
+
+// AC refinement scan (ah == al + 1), one component: newly significant
+// coefficients (|v| >> al == 1) emit (run, 1) symbols with a sign bit;
+// already-significant positions contribute buffered correction bits;
+// EOB runs carry the buffered bits of their tail blocks.
+int64_t jpx_encode_prog_ac_refine(
+    const int16_t* blocks, int64_t n_blocks,
+    int32_t ss, int32_t se, int32_t al,
+    const uint16_t* ac_codes, const uint8_t* ac_sizes,
+    int64_t* ac_freq,
+    uint8_t* out, int64_t capacity) {
+    BitPacker bp{out, capacity, 0, 0, 0};
+    ProgWriter w{&bp, ac_freq, ac_codes, ac_sizes, false, false};
+    int64_t eobrun = 0;
+    std::vector<uint8_t> pending;  // correction bits deferred past EOB flushes
+
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        const int16_t* blk = blocks + b * 64;
+        // Event buffer since the last emitted symbol, in POSITION order:
+        // 0xFF marks a zero-at-this-precision position (counts toward
+        // the run), 0/1 is a correction bit for an already-significant
+        // position. The decoder consumes correction bits positionally
+        // while advancing through a symbol's zeros, so a ZRL must carry
+        // exactly the bits that lie before its 16th zero.
+        std::vector<uint8_t> ev;
+        int run = 0;
+        int last_new = -1;  // last newly-significant position emitted
+        for (int k = ss; k <= se; ++k) {
+            int32_t v = blk[k];
+            int32_t t = (v < 0 ? -v : v) >> al;
+            if (t == 0) {
+                ev.push_back(0xFF);
+                ++run;
+                continue;
+            }
+            if (t > 1) {
+                ev.push_back((uint8_t)(t & 1));
+                continue;
+            }
+            // newly significant (t == 1)
+            if (!prog_flush_eobrun(w, eobrun, &pending))
+                return w.missing ? -2 : -1;
+            while (run > 15) {
+                if (!w.symbol(0xF0)) return w.missing ? -2 : -1;
+                int zcount = 0;
+                size_t i = 0;
+                while (i < ev.size() && zcount < 16) {
+                    if (ev[i] == 0xFF) {
+                        ++zcount;
+                    } else {
+                        if (!w.bits(ev[i], 1)) return -1;
+                    }
+                    ++i;
+                }
+                ev.erase(ev.begin(), ev.begin() + i);
+                run -= 16;
+            }
+            if (!w.symbol((run << 4) | 1)) return w.missing ? -2 : -1;
+            if (!w.bits(v > 0 ? 1 : 0, 1)) return -1;
+            for (uint8_t e : ev) {
+                if (e != 0xFF) {
+                    if (!w.bits(e, 1)) return -1;
+                }
+            }
+            ev.clear();
+            run = 0;
+            last_new = k;
+        }
+        // Tail after the last newly-significant coefficient: any
+        // remaining zeros or correction bits require this block to
+        // join an EOB run (the decoder's eobrun tail loop reads the
+        // corrections for the whole remaining band).
+        (void)last_new;
+        bool needs_eob = false;
+        for (uint8_t e : ev) {
+            needs_eob = true;
+            if (e != 0xFF) pending.push_back(e);
+        }
+        if (needs_eob) {
+            ++eobrun;
+            if (eobrun == 0x7FFF) {
+                if (!prog_flush_eobrun(w, eobrun, &pending))
+                    return w.missing ? -2 : -1;
+            }
+        }
+    }
+    if (!prog_flush_eobrun(w, eobrun, &pending)) return w.missing ? -2 : -1;
+    if (!bp.finish()) return -1;
+    return ac_freq ? 0 : bp.n;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Forward DCT + quantize (encoder host transform hot path)
 // ---------------------------------------------------------------------------
 //

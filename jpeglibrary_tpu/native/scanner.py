@@ -632,6 +632,96 @@ def fdct_quantize(plane: np.ndarray, quant_zz: np.ndarray) -> np.ndarray:
     return out
 
 
+def encode_prog_dc(blocks_list, per_mcu, n_mcus: int, ah: int, al: int,
+                   tables=None, freqs=None):
+    """Progressive DC scan emission (count mode when ``freqs`` given).
+    ``blocks_list``: per-component int16 [n, 64] MCU-ordered arrays."""
+    lib = build.load_library()
+    n = len(blocks_list)
+    block_ptrs = (ctypes.c_void_p * n)()
+    pm = (ctypes.c_int32 * n)()
+    keepalive = []
+    for i, b in enumerate(blocks_list):
+        b = np.ascontiguousarray(b, dtype=np.int16)
+        keepalive.append(b)
+        block_ptrs[i] = b.ctypes.data_as(ctypes.c_void_p)
+        pm[i] = int(per_mcu[i])
+    if freqs is not None:
+        fr = (ctypes.c_void_p * n)(
+            *[f.ctypes.data_as(ctypes.c_void_p).value for f in freqs]
+        )
+        rc = lib.jpx_encode_prog_dc(
+            n, block_ptrs, pm, n_mcus, ah, al, None, None,
+            ctypes.cast(fr, ctypes.POINTER(ctypes.c_void_p)), None, 0,
+        )
+        if rc < 0:
+            raise RuntimeError(f"prog DC count failed ({rc})")
+        return None
+    codes = (ctypes.c_void_p * n)()
+    sizes = (ctypes.c_void_p * n)()
+    for i, t in enumerate(tables):
+        ca = np.ascontiguousarray(t.codes, dtype=np.uint16)
+        sa = np.ascontiguousarray(t.sizes, dtype=np.uint8)
+        keepalive += [ca, sa]
+        codes[i] = ca.ctypes.data_as(ctypes.c_void_p)
+        sizes[i] = sa.ctypes.data_as(ctypes.c_void_p)
+    total = sum(int(n_mcus) * int(per_mcu[i]) for i in range(n))
+    cap = total * 6 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    written = lib.jpx_encode_prog_dc(
+        n, block_ptrs, pm, n_mcus, ah, al, codes, sizes, None,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+    )
+    if written == -2:
+        from ..models.encoder import JpegEncodeError
+
+        raise JpegEncodeError("Huffman table has no code for a DC symbol.")
+    if written < 0:
+        raise RuntimeError("prog DC emission capacity exceeded")
+    return out[: int(written)].tobytes()
+
+
+def _encode_prog_ac(fn_name, blocks, ss, se, al, table=None, freq=None):
+    lib = build.load_library()
+    blocks = np.ascontiguousarray(blocks, dtype=np.int16)
+    fn = getattr(lib, fn_name)
+    if freq is not None:
+        rc = fn(
+            blocks.ctypes.data_as(ctypes.c_void_p), blocks.shape[0],
+            ss, se, al, None, None,
+            freq.ctypes.data_as(ctypes.c_void_p), None, 0,
+        )
+        if rc < 0:
+            raise RuntimeError(f"{fn_name} count failed ({rc})")
+        return None
+    ca = np.ascontiguousarray(table.codes, dtype=np.uint16)
+    sa = np.ascontiguousarray(table.sizes, dtype=np.uint8)
+    cap = blocks.shape[0] * 300 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    written = fn(
+        blocks.ctypes.data_as(ctypes.c_void_p), blocks.shape[0],
+        ss, se, al,
+        ca.ctypes.data_as(ctypes.c_void_p), sa.ctypes.data_as(ctypes.c_void_p),
+        None,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+    )
+    if written == -2:
+        from ..models.encoder import JpegEncodeError
+
+        raise JpegEncodeError("Huffman table has no code for an AC symbol.")
+    if written < 0:
+        raise RuntimeError(f"{fn_name} emission capacity exceeded")
+    return out[: int(written)].tobytes()
+
+
+def encode_prog_ac_first(blocks, ss, se, al, table=None, freq=None):
+    return _encode_prog_ac("jpx_encode_prog_ac_first", blocks, ss, se, al, table, freq)
+
+
+def encode_prog_ac_refine(blocks, ss, se, al, table=None, freq=None):
+    return _encode_prog_ac("jpx_encode_prog_ac_refine", blocks, ss, se, al, table, freq)
+
+
 def encode_arith_segment(comps: Sequence[dict], n_mcus: int) -> bytes:
     """Emit one arithmetic-coded (SOF9) entropy segment natively.
 
