@@ -60,8 +60,10 @@ def encode_progressive_rgb(
     *,
     subsampling: str = "420",
     script: Optional[List[Tuple]] = None,
+    arithmetic: bool = False,
 ) -> bytes:
-    """RGB [H, W, 3] uint8 -> progressive (SOF2) JPEG bytes."""
+    """RGB [H, W, 3] uint8 -> progressive JPEG bytes (SOF2 Huffman, or
+    SOF10 when ``arithmetic``)."""
     from ..ops import color as color_ops
 
     try:
@@ -86,16 +88,19 @@ def encode_progressive_rgb(
         [y, cb, cr], quants, sampling,
         quant_ids=[0, 1, 1], table_ids=[0, 1, 1],
         script=script or SCRIPT_3,
+        arithmetic=arithmetic,
     )
 
 
 def encode_progressive_gray(plane: np.ndarray, quality: int = 75,
-                            *, script: Optional[List[Tuple]] = None) -> bytes:
+                            *, script: Optional[List[Tuple]] = None,
+                            arithmetic: bool = False) -> bytes:
     return encode_progressive(
         [np.asarray(plane)],
         [scale_by_quality(standard_luminance_table(0), quality)],
         [(1, 1)], quant_ids=[0], table_ids=[0],
         script=script or SCRIPT_1,
+        arithmetic=arithmetic,
     )
 
 
@@ -107,8 +112,12 @@ def encode_progressive(
     quant_ids: Sequence[int],
     table_ids: Sequence[int],
     script: List[Tuple],
+    arithmetic: bool = False,
+    dc_conditioning: Tuple[int, int] = (0, 1),
+    ac_conditioning: int = 5,
 ) -> bytes:
-    """Core progressive encode: sample planes -> SOF2 stream."""
+    """Core progressive encode: sample planes -> SOF2 (Huffman) or
+    SOF10 (arithmetic QM coder) stream."""
     from ..native import scanner as native_scanner
 
     n_comps = len(planes)
@@ -145,6 +154,20 @@ def encode_progressive(
 
     def run_scan(entry, tables=None, dc_freqs=None, ac_freqs=None):
         comp_idx, ss, se, ah, al = entry
+        if arithmetic:
+            if ss == 0:
+                blocks = [mcu_blocks[i] for i in comp_idx]
+                per_mcu = [sampling[i][0] * sampling[i][1] for i in comp_idx]
+                n_mcus = mcu_blocks[comp_idx[0]].shape[0] // per_mcu[0]
+                return native_scanner.encode_arith_prog_dc(
+                    blocks, per_mcu, n_mcus, ah, al,
+                    [table_ids[i] for i in comp_idx],
+                    dc_conditioning[0], dc_conditioning[1],
+                )
+            (ci,) = comp_idx
+            return native_scanner.encode_arith_prog_ac(
+                comp_blocks[ci], table_ids[ci], ac_conditioning, ss, se, ah, al
+            )
         if ss == 0:  # DC scan (interleaved)
             blocks = [mcu_blocks[i] for i in comp_idx]
             per_mcu = [sampling[i][0] * sampling[i][1] for i in comp_idx]
@@ -172,23 +195,24 @@ def encode_progressive(
             return None
         return fn(comp_blocks[ci], ss, se, al, table=tables[(False, table_ids[ci])])
 
-    # Pass 1: symbol statistics over the whole script.
-    dc_freqs = {tid: np.zeros(256, dtype=np.int64) for tid in set(table_ids)}
-    ac_freqs = {tid: np.zeros(256, dtype=np.int64) for tid in set(table_ids)}
-    for entry in script:
-        run_scan(entry, dc_freqs=dc_freqs, ac_freqs=ac_freqs)
-
+    # Pass 1 (Huffman only): symbol statistics over the whole script.
     tables = {}
-    for tid, freq in dc_freqs.items():
-        if freq.sum() > 0:
-            b = HuffmanTableBuilder()
-            b.add_frequencies(freq)
-            tables[(True, tid)] = b.build(optimal=True)
-    for tid, freq in ac_freqs.items():
-        if freq.sum() > 0:
-            b = HuffmanTableBuilder()
-            b.add_frequencies(freq)
-            tables[(False, tid)] = b.build(optimal=True)
+    if not arithmetic:
+        dc_freqs = {tid: np.zeros(256, dtype=np.int64) for tid in set(table_ids)}
+        ac_freqs = {tid: np.zeros(256, dtype=np.int64) for tid in set(table_ids)}
+        for entry in script:
+            run_scan(entry, dc_freqs=dc_freqs, ac_freqs=ac_freqs)
+
+        for tid, freq in dc_freqs.items():
+            if freq.sum() > 0:
+                b = HuffmanTableBuilder()
+                b.add_frequencies(freq)
+                tables[(True, tid)] = b.build(optimal=True)
+        for tid, freq in ac_freqs.items():
+            if freq.sum() > 0:
+                b = HuffmanTableBuilder()
+                b.add_frequencies(freq)
+                tables[(False, tid)] = b.build(optimal=True)
 
     # Pass 2: container + scans.
     writer = JpegWriter()
@@ -202,8 +226,9 @@ def encode_progressive(
         qt = quant_tables[qid]
         dqt += qt.serialize()
     writer.write_segment(Marker.DQT, dqt)
+    sof = Marker.SOF10 if arithmetic else Marker.SOF2
     frame = FrameHeader(
-        marker=Marker.SOF2,
+        marker=sof,
         sample_precision=8,
         number_of_lines=h,
         samples_per_line=w,
@@ -212,12 +237,21 @@ def encode_progressive(
             for i in range(n_comps)
         ),
     )
-    writer.write_segment(Marker.SOF2, frame.serialize())
-    dht = b"".join(
-        tables[key].serialize(0 if key[0] else 1, key[1])
-        for key in sorted(tables, key=lambda k: (not k[0], k[1]))
-    )
-    writer.write_segment(Marker.DHT, dht)
+    writer.write_segment(sof, frame.serialize())
+    if arithmetic:
+        dc_l, dc_u = dc_conditioning
+        dac = bytearray()
+        for tid in sorted(set(table_ids)):
+            dac += bytes([tid, (dc_u << 4) | dc_l])
+        for tid in sorted(set(table_ids)):
+            dac += bytes([0x10 | tid, ac_conditioning])
+        writer.write_segment(Marker.DAC, bytes(dac))
+    else:
+        dht = b"".join(
+            tables[key].serialize(0 if key[0] else 1, key[1])
+            for key in sorted(tables, key=lambda k: (not k[0], k[1]))
+        )
+        writer.write_segment(Marker.DHT, dht)
 
     for entry in script:
         comp_idx, ss, se, ah, al = entry

@@ -210,6 +210,21 @@ def _configure(lib: ctypes.CDLL) -> None:
             c.c_void_p,                      # ac_freq (count mode)
             c.c_void_p, c.c_int64,           # out, capacity
         ]
+    lib.jpx_encode_arith_prog_dc.restype = c.c_int64
+    lib.jpx_encode_arith_prog_dc.argtypes = [
+        c.c_int32,
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int32),   # blocks, per_mcu
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # dc_ids/l/u
+        c.c_int64, c.c_int32, c.c_int32,  # n_mcus, ah, al
+        c.c_void_p, c.c_int64,           # out, capacity
+    ]
+    lib.jpx_encode_arith_prog_ac.restype = c.c_int64
+    lib.jpx_encode_arith_prog_ac.argtypes = [
+        c.c_void_p, c.c_int64,           # blocks, n_blocks
+        c.c_int32, c.c_int32,            # ac_id, ac_kx
+        c.c_int32, c.c_int32, c.c_int32, c.c_int32,  # ss, se, ah, al
+        c.c_void_p, c.c_int64,           # out, capacity
+    ]
     lib.jpx_encode_arith_sequential.restype = c.c_int64
     lib.jpx_encode_arith_sequential.argtypes = [
         c.c_int32,

@@ -2605,6 +2605,98 @@ static void arith_encode_ac_value(ArithEncoder& e, ArithComp& c, uint8_t* st,
     }
 }
 
+// Progressive AC first scan, one block — inverse of
+// arith_read_block_prog_ac (ah == 0 branch).
+static void arith_encode_block_prog_ac_first(ArithEncoder& e, ArithComp& c,
+                                             uint8_t* fixed_bin,
+                                             const int16_t* blk,
+                                             int ss, int se, int al) {
+    uint8_t* st = c.ac_stats;
+    int kmax = se;
+    while (kmax >= ss) {
+        int32_t v = blk[kmax];
+        if (((v < 0 ? -v : v) >> al) != 0) break;
+        --kmax;
+    }
+    int k = ss;
+    while (k <= se) {
+        int pos = 3 * (k - 1);
+        if (k > kmax) {
+            e.encode(1, st + pos);  // EOB
+            return;
+        }
+        e.encode(0, st + pos);
+        int32_t v = blk[k];
+        int32_t mag = (v < 0 ? -v : v) >> al;
+        while (mag == 0) {
+            e.encode(0, st + pos + 1);
+            pos += 3;
+            ++k;
+            v = blk[k];
+            mag = (v < 0 ? -v : v) >> al;
+        }
+        e.encode(1, st + pos + 1);
+        arith_encode_ac_value(e, c, st, fixed_bin, pos, k, v < 0 ? -mag : mag);
+        ++k;
+    }
+}
+
+// Progressive AC refinement, one block — inverse of
+// arith_read_block_prog_ac_refined.
+static void arith_encode_block_prog_ac_refine(ArithEncoder& e, ArithComp& c,
+                                              uint8_t* fixed_bin,
+                                              const int16_t* blk,
+                                              int ss, int se, int al) {
+    uint8_t* st = c.ac_stats;
+    int ah = al + 1;
+    // kex: last previously-significant position (stored value nonzero)
+    int kex = se;
+    while (kex > 0) {
+        int32_t v = blk[kex];
+        if (((v < 0 ? -v : v) >> ah) != 0) break;
+        --kex;
+    }
+    // suffix flags: does any newly-significant coefficient exist at or
+    // after position k?
+    bool more_new[65];
+    more_new[se + 1] = false;
+    for (int k = se; k >= ss; --k) {
+        int32_t v = blk[k];
+        int32_t t = (v < 0 ? -v : v) >> al;
+        more_new[k] = more_new[k + 1] || (t == 1);
+    }
+
+    for (int k = ss; k <= se; ++k) {
+        int pos = 3 * (k - 1);
+        if (k > kex) {
+            if (!more_new[k]) {
+                e.encode(1, st + pos);  // EOB: nothing new remains
+                return;
+            }
+            e.encode(0, st + pos);
+        }
+        while (true) {
+            int32_t v = blk[k];
+            int32_t t = (v < 0 ? -v : v) >> al;
+            if ((t >> 1) != 0) {
+                // previously significant: correction bit
+                e.encode(t & 1, st + pos + 2);
+                break;
+            }
+            if (t == 1) {
+                // newly significant: decision + sign (1 = negative,
+                // matching the decoder's fixed-bin branch)
+                e.encode(1, st + pos + 1);
+                e.encode(v < 0 ? 1 : 0, fixed_bin);
+                break;
+            }
+            e.encode(0, st + pos + 1);
+            pos += 3;
+            ++k;
+        }
+    }
+}
+
 // One block, sequential mode — inverse of arith_read_block_sequential.
 static void arith_encode_block_sequential(ArithEncoder& e, ArithComp& c,
                                           uint8_t* fixed_bin,
@@ -2639,6 +2731,79 @@ static void arith_encode_block_sequential(ArithEncoder& e, ArithComp& c,
 }  // namespace
 
 extern "C" {
+
+// Progressive DC scan (SOF10, interleaved): first pass encodes
+// (dc >> al) differences through the DC context machinery; refinement
+// passes emit bit al through the fixed bin. Fresh statistics per scan.
+int64_t jpx_encode_arith_prog_dc(
+    int32_t n_comps,
+    const int16_t** blocks, const int32_t* per_mcu,
+    const int32_t* dc_ids, const int32_t* dc_l, const int32_t* dc_u,
+    int64_t n_mcus, int32_t ah, int32_t al,
+    uint8_t* out, int64_t capacity) {
+    ArithStatsPool pool;
+    pool.clear();
+    uint8_t fixed_bin = 113;
+    std::vector<ArithComp> comps(n_comps);
+    std::vector<int64_t> cursors(n_comps, 0);
+    for (int i = 0; i < n_comps; ++i) {
+        comps[i].dc_l = dc_l[i];
+        comps[i].dc_u = dc_u[i];
+        comps[i].predictor = 0;
+        comps[i].dc_context = 0;
+        comps[i].dc_stats = pool.dc[dc_ids[i] & 15];
+        comps[i].ac_stats = nullptr;
+    }
+    ArithEncoder e;
+    e.init(out, capacity);
+    for (int64_t m = 0; m < n_mcus; ++m) {
+        for (int ci = 0; ci < n_comps; ++ci) {
+            for (int b = 0; b < per_mcu[ci]; ++b) {
+                int32_t dc = blocks[ci][cursors[ci] * 64];
+                ++cursors[ci];
+                if (ah == 0) {
+                    int32_t v = dc >> al;  // arithmetic shift
+                    int32_t diff = v - comps[ci].predictor;
+                    arith_encode_dc(e, comps[ci], diff);
+                    comps[ci].predictor = (int16_t)v;
+                } else {
+                    e.encode((dc >> al) & 1, &fixed_bin);
+                }
+                if (e.overflow) return -1;
+            }
+        }
+    }
+    e.flush();
+    return e.overflow ? -1 : e.n;
+}
+
+// Progressive AC scan (SOF10, single component).
+int64_t jpx_encode_arith_prog_ac(
+    const int16_t* blocks, int64_t n_blocks,
+    int32_t ac_id, int32_t ac_kx,
+    int32_t ss, int32_t se, int32_t ah, int32_t al,
+    uint8_t* out, int64_t capacity) {
+    ArithStatsPool pool;
+    pool.clear();
+    uint8_t fixed_bin = 113;
+    ArithComp c;
+    c.ac_kx = ac_kx;
+    c.ac_stats = pool.ac[ac_id & 15];
+    c.dc_stats = nullptr;
+    ArithEncoder e;
+    e.init(out, capacity);
+    for (int64_t b = 0; b < n_blocks; ++b) {
+        const int16_t* blk = blocks + b * 64;
+        if (ah == 0) {
+            arith_encode_block_prog_ac_first(e, c, &fixed_bin, blk, ss, se, al);
+        } else {
+            arith_encode_block_prog_ac_refine(e, c, &fixed_bin, blk, ss, se, al);
+        }
+        if (e.overflow) return -1;
+    }
+    e.flush();
+    return e.overflow ? -1 : e.n;
+}
 
 // Encode one arithmetic-coded (SOF9) entropy segment over `n_mcus`
 // interleaved MCUs. Statistics bins are fresh (per-scan /

@@ -722,6 +722,52 @@ def encode_prog_ac_refine(blocks, ss, se, al, table=None, freq=None):
     return _encode_prog_ac("jpx_encode_prog_ac_refine", blocks, ss, se, al, table, freq)
 
 
+def encode_arith_prog_dc(blocks_list, per_mcu, n_mcus: int, ah: int, al: int,
+                         dc_ids, dc_l: int, dc_u: int) -> bytes:
+    """Progressive arithmetic DC scan emission (SOF10)."""
+    lib = build.load_library()
+    n = len(blocks_list)
+    block_ptrs = (ctypes.c_void_p * n)()
+    pm = (ctypes.c_int32 * n)()
+    ids = (ctypes.c_int32 * n)(*[int(i) for i in dc_ids])
+    ls = (ctypes.c_int32 * n)(*([dc_l] * n))
+    us = (ctypes.c_int32 * n)(*([dc_u] * n))
+    keepalive = []
+    total = 0
+    for i, b in enumerate(blocks_list):
+        b = np.ascontiguousarray(b, dtype=np.int16)
+        keepalive.append(b)
+        block_ptrs[i] = b.ctypes.data_as(ctypes.c_void_p)
+        pm[i] = int(per_mcu[i])
+        total += n_mcus * int(per_mcu[i])
+    cap = total * 8 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    written = lib.jpx_encode_arith_prog_dc(
+        n, block_ptrs, pm, ids, ls, us, n_mcus, ah, al,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+    )
+    if written < 0:
+        raise RuntimeError("arith prog DC capacity exceeded")
+    return out[: int(written)].tobytes()
+
+
+def encode_arith_prog_ac(blocks, ac_id: int, ac_kx: int,
+                         ss: int, se: int, ah: int, al: int) -> bytes:
+    """Progressive arithmetic AC scan emission (SOF10, one component)."""
+    lib = build.load_library()
+    blocks = np.ascontiguousarray(blocks, dtype=np.int16)
+    cap = blocks.shape[0] * 320 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    written = lib.jpx_encode_arith_prog_ac(
+        blocks.ctypes.data_as(ctypes.c_void_p), blocks.shape[0],
+        ac_id, ac_kx, ss, se, ah, al,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+    )
+    if written < 0:
+        raise RuntimeError("arith prog AC capacity exceeded")
+    return out[: int(written)].tobytes()
+
+
 def encode_arith_segment(comps: Sequence[dict], n_mcus: int) -> bytes:
     """Emit one arithmetic-coded (SOF9) entropy segment natively.
 

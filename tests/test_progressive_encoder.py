@@ -66,6 +66,25 @@ def test_444_and_gray(native_lib, rng):
     _match(jt.decode(data), jt.decode(data, use_native=False))
 
 
+@pytest.mark.parametrize("quality", [50, 75, 95])
+def test_arithmetic_progressive_roundtrip(native_lib, rng, quality):
+    """SOF10: the QM coder driven by the progressive script must be
+    coefficient-exact vs baseline, through both decoders."""
+    img = rng.integers(0, 256, size=(48, 56, 3), dtype=np.uint8)
+    base = jt.decode(jt.encode_rgb(img, quality))
+    data = encode_progressive_rgb(img, quality, arithmetic=True)
+    _match(base, jt.decode(data))
+    _match(base, jt.decode(data, use_native=False))
+
+
+def test_arithmetic_progressive_smallest(native_lib, assets_dir):
+    rgb = jt.decode((assets_dir / "baseline/lake.jpg").read_bytes()).to_rgb8()
+    sof10 = encode_progressive_rgb(rgb, 75, arithmetic=True)
+    _match(jt.decode(jt.encode_rgb(rgb, 75)), jt.decode(sof10))
+    assert len(sof10) < len(encode_progressive_rgb(rgb, 75))  # beats SOF2
+    assert len(sof10) < len(jt.encode_rgb(rgb, 75, arithmetic=True))  # beats SOF9
+
+
 def test_external_decoder_reads_it(native_lib, assets_dir):
     """libjpeg (via PIL) must accept our progressive stream — external
     conformance evidence."""
