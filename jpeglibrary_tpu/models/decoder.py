@@ -477,6 +477,37 @@ class JpegDecoder:
         from ..utils import metrics
 
         data = self._data
+        if (
+            sparse_direct
+            and use_native
+            and data is not None
+            and not self._marker_handlers
+            and self._restart_interval == 0
+        ):
+            # Fused whole-image native fast path: container walk +
+            # tables + merged sparse scan in one call. Ineligible
+            # streams return None and take the general path below.
+            try:
+                from ..native import scanner as native_scanner
+
+                fused = native_scanner.decode_image_sparse(data)
+            except ImportError:
+                fused = None
+            if fused is not None:
+                payload, frame, geometry, quant = fused
+                metrics.count("decode.images")
+                metrics.count(
+                    "decode.megapixels",
+                    frame.samples_per_line * frame.number_of_lines / 1e6,
+                )
+                return DecodeResult(
+                    frame=frame,
+                    geometry=geometry,
+                    quant=quant,
+                    packed_mcu=payload,
+                    xp=xp,
+                )
+
         stream = self._parsed()
 
         frame: Optional[FrameHeader] = None

@@ -148,6 +148,13 @@ def _configure(lib: ctypes.CDLL) -> None:
     qe = (c.c_int32 * 114)(*[v - 0x100000000 if v >= 0x80000000 else v for v in QE_TABLE])
     lib.jpx_set_qe_table(qe)
     lib._qe_keepalive = qe
+    lib.jpx_decode_image_baseline_sparse.restype = c.c_int64
+    lib.jpx_decode_image_baseline_sparse.argtypes = [
+        c.c_void_p, c.c_int64,           # data, len
+        c.c_void_p, c.c_int64,           # out, capacity (entries)
+        c.c_void_p, c.c_void_p,          # info int32[16], quants u16[4][64]
+        c.c_int32,                       # n_threads
+    ]
     lib.jpx_decode_baseline_scan_sparse.restype = c.c_int64
     lib.jpx_decode_baseline_scan_sparse.argtypes = [
         c.c_void_p,                      # data

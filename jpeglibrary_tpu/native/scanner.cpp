@@ -1128,6 +1128,298 @@ int64_t jpx_decode_baseline_scan_sparse(
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Fused whole-image baseline decode (container walk + tables + merged
+// sparse scan in ONE native call)
+// ---------------------------------------------------------------------------
+//
+// The per-image Python overhead (marker walk, DHT/DQT parse, table
+// blob packing, ctypes marshalling) is GIL-held and caps multi-worker
+// scaling; for the serving-dominant case — single-scan interleaved
+// baseline — this entry point does the entire job natively. Returns a
+// negative "not eligible" code for anything else so the Python path
+// handles the full generality.
+
+namespace {
+
+// Build the two-level lookup HuffTable from DHT counts+values
+// (mirrors syntax/huffman.py::HuffmanDecodingTable.build /
+// JpegHuffmanDecodingTable.cs:293-390).
+static void build_hufftable(const uint8_t counts[16], const uint8_t* values,
+                            int n_values, HuffTable* t) {
+    std::memset(t, 0, sizeof(*t));
+    // code sizes in code order
+    uint8_t sizes[257];
+    int k = 0;
+    for (int l = 1; l <= 16; ++l) {
+        for (int i = 0; i < counts[l - 1] && k < 256; ++i) sizes[k++] = (uint8_t)l;
+    }
+    int total = k;
+    // canonical codes
+    uint16_t codes[256];
+    {
+        uint32_t code = 0;
+        int si = 0;
+        for (int l = 1; l <= 16; ++l) {
+            while (si < total && sizes[si] == l) codes[si++] = (uint16_t)code++;
+            code <<= 1;
+        }
+    }
+    // maxcode (left-justified in 16 bits) + valoffset
+    for (int l = 0; l < 18; ++l) t->maxcode[l] = 0;
+    uint16_t maxcode_raw[17];
+    int32_t valoff[17];
+    {
+        int si = 0;
+        for (int l = 1; l <= 16; ++l) {
+            if (counts[l - 1] == 0) {
+                maxcode_raw[l] = 0;
+                valoff[l] = 0;
+                continue;
+            }
+            valoff[l] = si - (int32_t)codes[si];
+            si += counts[l - 1];
+            maxcode_raw[l] = codes[si - 1];
+        }
+    }
+    // Mirror syntax/huffman.py exactly: maxcode left-justified with
+    // 1-fill for present lengths, 0 for absent lengths (both decoders
+    // share the same "code16 > maxcode" walk, so identical tables give
+    // identical behavior even on the code16 == 0 corner), 0xFFFF
+    // sentinel at [17].
+    for (int l = 1; l <= 16; ++l) {
+        if (counts[l - 1] == 0) {
+            t->maxcode[l] = 0;
+        } else {
+            t->maxcode[l] =
+                (uint16_t)(((uint32_t)maxcode_raw[l] << (16 - l)) |
+                           ((1u << (16 - l)) - 1));
+        }
+    }
+    t->maxcode[17] = 0xFFFF;
+    for (int l = 1; l <= 16; ++l) {
+        t->valoffset[l] = (uint8_t)(valoff[l] & 0xFF);
+    }
+    for (int i = 0; i < n_values && i < 256; ++i) t->values[i] = values[i];
+    // 8-bit lookahead
+    {
+        int si = 0;
+        for (int l = 1; l <= 8; ++l) {
+            for (int i = 0; i < counts[l - 1]; ++i, ++si) {
+                uint32_t code = codes[si];
+                int shift = 8 - l;
+                uint32_t base = code << shift;
+                for (uint32_t fill = 0; fill < (1u << shift); ++fill) {
+                    t->lookahead_size[base + fill] = (uint8_t)l;
+                    t->lookahead_value[base + fill] = values[si];
+                }
+            }
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Whole-image fused decode. On success returns the sparse entry count
+// and fills `info` (int32 fields):
+//   [0]=width [1]=height [2]=precision [3]=n_comps
+//   [4..7]=comp_h [8..11]=comp_v [12..15]=comp quant-table slot
+// and `quants` (uint16 [4][64], zig-zag).
+// Negative: -10 not eligible (Python path), -2/-3 decode errors,
+// -1 capacity.
+int64_t jpx_decode_image_baseline_sparse(
+    const uint8_t* data, int64_t len,
+    int16_t* out, int64_t capacity,
+    int32_t* info, uint16_t* quants,
+    int32_t n_threads) {
+    if (len < 4 || data[0] != 0xFF || data[1] != 0xD8) return -10;
+
+    HuffTable dc_tables[4], ac_tables[4];
+    bool dc_seen[4] = {false}, ac_seen[4] = {false};
+    bool q_seen[4] = {false};
+    int32_t width = 0, height = 0, precision = 0, n_comps = 0;
+    int32_t comp_h[4], comp_v[4], comp_q[4], comp_dc[4], comp_ac[4], comp_id[4];
+    int64_t restart_interval = 0;
+    int64_t pos = 2;
+    bool got_sof = false;
+
+    auto read16 = [&](int64_t p) -> int {
+        return ((int)data[p] << 8) | data[p + 1];
+    };
+
+    int64_t sos_end = -1;
+    while (pos + 4 <= len) {
+        // hunt marker (skip fill bytes)
+        if (data[pos] != 0xFF) return -10;  // garbage: let Python handle
+        while (pos < len && data[pos] == 0xFF) ++pos;
+        if (pos >= len) return -10;
+        uint8_t marker = data[pos++];
+        if (marker == 0xD8 || marker == 0x01 ||
+            (marker >= 0xD0 && marker <= 0xD7))
+            continue;  // no-payload markers
+        if (marker == 0xD9) return -10;  // EOI before SOS
+        if (pos + 2 > len) return -10;
+        int seg_len = read16(pos);
+        if (seg_len < 2 || pos + seg_len > len) return -10;
+        const uint8_t* seg = data + pos + 2;
+        int seg_n = seg_len - 2;
+        if (marker == 0xC0 || marker == 0xC1) {  // SOF0/1
+            if (seg_n < 6) return -10;
+            precision = seg[0];
+            height = (seg[1] << 8) | seg[2];
+            width = (seg[3] << 8) | seg[4];
+            n_comps = seg[5];
+            if (n_comps < 1 || n_comps > 4 || seg_n < 6 + 3 * n_comps) return -10;
+            for (int i = 0; i < n_comps; ++i) {
+                comp_id[i] = seg[6 + 3 * i];
+                comp_h[i] = seg[6 + 3 * i + 1] >> 4;
+                comp_v[i] = seg[6 + 3 * i + 1] & 15;
+                comp_q[i] = seg[6 + 3 * i + 2];
+                if (comp_q[i] > 3 || comp_h[i] < 1 || comp_v[i] < 1) return -10;
+            }
+            got_sof = true;
+        } else if (marker >= 0xC2 && marker <= 0xCF && marker != 0xC4 &&
+                   marker != 0xC8 && marker != 0xCC) {
+            return -10;  // other SOF types: Python path
+        } else if (marker == 0xC4) {  // DHT
+            int off = 0;
+            while (off + 17 <= seg_n) {
+                int tc = seg[off] >> 4, th = seg[off] & 15;
+                if (th > 3 || tc > 1) return -10;
+                const uint8_t* counts = seg + off + 1;
+                int nv = 0;
+                for (int i = 0; i < 16; ++i) nv += counts[i];
+                if (off + 17 + nv > seg_n || nv > 256) return -10;
+                if (tc == 0) {
+                    build_hufftable(counts, seg + off + 17, nv, &dc_tables[th]);
+                    dc_seen[th] = true;
+                } else {
+                    build_hufftable(counts, seg + off + 17, nv, &ac_tables[th]);
+                    ac_seen[th] = true;
+                }
+                off += 17 + nv;
+            }
+        } else if (marker == 0xDB) {  // DQT
+            int off = 0;
+            while (off < seg_n) {
+                int pq = seg[off] >> 4, tq = seg[off] & 15;
+                if (tq > 3) return -10;
+                ++off;
+                if (pq == 0) {
+                    if (off + 64 > seg_n) return -10;
+                    for (int i = 0; i < 64; ++i) quants[tq * 64 + i] = seg[off + i];
+                    off += 64;
+                } else if (pq == 1) {
+                    if (off + 128 > seg_n) return -10;
+                    for (int i = 0; i < 64; ++i)
+                        quants[tq * 64 + i] =
+                            (uint16_t)((seg[off + 2 * i] << 8) | seg[off + 2 * i + 1]);
+                    off += 128;
+                } else {
+                    return -10;
+                }
+                q_seen[tq] = true;
+            }
+        } else if (marker == 0xDD) {  // DRI
+            if (seg_n < 2) return -10;
+            restart_interval = (seg[0] << 8) | seg[1];
+        } else if (marker == 0xDA) {  // SOS
+            if (!got_sof) return -10;
+            int ns = seg[0];
+            if (ns != n_comps || seg_n < 1 + 2 * ns + 3) return -10;
+            for (int i = 0; i < ns; ++i) {
+                // components must appear in frame order (the sparse
+                // layout assumes it)
+                if (seg[1 + 2 * i] != comp_id[i]) return -10;
+                comp_dc[i] = seg[1 + 2 * i + 1] >> 4;
+                comp_ac[i] = seg[1 + 2 * i + 1] & 15;
+                if (comp_dc[i] > 3 || comp_ac[i] > 3) return -10;
+                if (!dc_seen[comp_dc[i]] || !ac_seen[comp_ac[i]]) return -10;
+            }
+            sos_end = pos + seg_len;
+            break;
+        }
+        // APPn/COM/anything else: skip
+        pos += seg_len;
+    }
+    if (sos_end < 0 || !got_sof) return -10;
+    for (int i = 0; i < n_comps; ++i)
+        if (!q_seen[comp_q[i]]) return -10;
+    if (n_comps == 1 && (comp_h[0] != 1 || comp_v[0] != 1)) return -10;
+
+    // ECS span split: scan for markers (0xFF followed by non-0/non-FF),
+    // splitting at RSTn; stop at any other marker (EOI/next SOS).
+    std::vector<int64_t> starts, ends;
+    {
+        int64_t p = sos_end;
+        int64_t span_start = p;
+        bool done = false;
+        while (p + 1 < len && !done) {
+            if (data[p] != 0xFF) { ++p; continue; }
+            uint8_t b2 = data[p + 1];
+            if (b2 == 0x00 || b2 == 0xFF) { ++p; continue; }
+            if (b2 >= 0xD0 && b2 <= 0xD7) {  // RSTn
+                starts.push_back(span_start);
+                ends.push_back(p);
+                p += 2;
+                span_start = p;
+                continue;
+            }
+            // terminating marker
+            starts.push_back(span_start);
+            ends.push_back(p);
+            done = true;
+            if (b2 == 0xDA) return -10;  // multi-scan: Python path
+        }
+        if (!done) {
+            starts.push_back(span_start);
+            ends.push_back(len);
+        }
+    }
+
+    // Assemble HuffTable blobs in scan component order.
+    std::vector<HuffTable> dcs(n_comps), acs(n_comps);
+    int32_t ch[4], cv[4];
+    int max_h = 1, max_v = 1;
+    for (int i = 0; i < n_comps; ++i) {
+        dcs[i] = dc_tables[comp_dc[i]];
+        acs[i] = ac_tables[comp_ac[i]];
+        ch[i] = comp_h[i];
+        cv[i] = comp_v[i];
+        if (comp_h[i] > max_h) max_h = comp_h[i];
+        if (comp_v[i] > max_v) max_v = comp_v[i];
+    }
+    int64_t mcus_per_line = (width + 8 * max_h - 1) / (8 * max_h);
+    int64_t mcus_per_column = (height + 8 * max_v - 1) / (8 * max_v);
+
+    // Fill info BEFORE decoding so a capacity failure (-1) lets the
+    // caller size the buffer from the parsed dimensions and retry.
+    info[0] = width;
+    info[1] = height;
+    info[2] = precision;
+    info[3] = n_comps;
+    for (int i = 0; i < 4; ++i) {
+        info[4 + i] = i < n_comps ? comp_h[i] : 0;
+        info[8 + i] = i < n_comps ? comp_v[i] : 0;
+        info[12 + i] = i < n_comps ? comp_q[i] : 0;
+    }
+
+    int64_t n = jpx_decode_baseline_scan_sparse(
+        data,
+        starts.data(), ends.data(), (int32_t)starts.size(),
+        restart_interval,
+        mcus_per_line, mcus_per_column,
+        n_comps, ch, cv,
+        reinterpret_cast<const uint8_t*>(dcs.data()),
+        reinterpret_cast<const uint8_t*>(acs.data()),
+        out, capacity, n_threads);
+    return n;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Progressive (SOF2) Huffman scan decode
 // ---------------------------------------------------------------------------
 //

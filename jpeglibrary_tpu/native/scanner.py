@@ -128,6 +128,87 @@ def decode_baseline_scan(
     return True
 
 
+def decode_image_sparse(data: bytes, *, bucket_factor: float = 1.5):
+    """Fused whole-image baseline decode: ONE native call does the
+    container walk, table build, ECS split and the merged sparse scan —
+    no per-image Python marker/table work (GIL-held time drops to the
+    ctypes call itself). Returns ``(payload, frame, geometry, quant)``
+    or ``None`` when the stream is not a single-scan interleaved
+    baseline image (the caller takes the general path)."""
+    lib = build.load_library()
+    from ..syntax.frame import FrameComponent, FrameHeader
+    from ..syntax.markers import Marker
+    from ..models.geometry import frame_geometry
+
+    buf = np.frombuffer(data, dtype=np.uint8)
+    info = np.zeros(16, dtype=np.int32)
+    quants = np.zeros((4, 64), dtype=np.uint16)
+    out = _pack_scratch(1 << 21)
+    written = lib.jpx_decode_image_baseline_sparse(
+        buf.ctypes.data_as(ctypes.c_void_p), buf.shape[0],
+        out.ctypes.data_as(ctypes.c_void_p), out.shape[0],
+        info.ctypes.data_as(ctypes.c_void_p),
+        quants.ctypes.data_as(ctypes.c_void_p),
+        default_threads(),
+    )
+    if written == -1:
+        # capacity: size exactly from the parsed dimensions and retry
+        n_comps = int(info[3])
+        max_h = max(int(info[4 + i]) for i in range(n_comps))
+        max_v = max(int(info[8 + i]) for i in range(n_comps))
+        mpl = -(-int(info[0]) // (8 * max_h))
+        mpc = -(-int(info[1]) // (8 * max_v))
+        total = sum(
+            mpl * int(info[4 + i]) * mpc * int(info[8 + i]) * 64
+            for i in range(n_comps)
+        )
+        cap = total + total // 0xFFFF + 4096
+        out = _pack_scratch(cap)
+        written = lib.jpx_decode_image_baseline_sparse(
+            buf.ctypes.data_as(ctypes.c_void_p), buf.shape[0],
+            out.ctypes.data_as(ctypes.c_void_p), out.shape[0],
+            info.ctypes.data_as(ctypes.c_void_p),
+            quants.ctypes.data_as(ctypes.c_void_p),
+            default_threads(),
+        )
+    if written == -10:
+        return None
+    if written == -2:
+        from ..syntax.huffman import JpegHuffmanError
+
+        raise JpegHuffmanError("Invalid Huffman code encountered.")
+    if written == -3:
+        from ..models.huffman_baseline import JpegDecodeError
+
+        raise JpegDecodeError("The bit stream ended prematurely.")
+    if written < 0:
+        return None
+    n_entries = int(written)
+    bucket = 1024
+    while bucket < n_entries:
+        bucket = (int(bucket * bucket_factor) + 1023) & ~1023
+    packed = np.empty((bucket, 2), dtype=np.int16)
+    packed[:n_entries] = out[:n_entries]
+    packed[n_entries:] = 0
+
+    n_comps = int(info[3])
+    frame = FrameHeader(
+        marker=Marker.SOF0,
+        sample_precision=int(info[2]),
+        number_of_lines=int(info[1]),
+        samples_per_line=int(info[0]),
+        components=tuple(
+            FrameComponent(i + 1, int(info[4 + i]), int(info[8 + i]), int(info[12 + i]))
+            for i in range(n_comps)
+        ),
+    )
+    geometry = frame_geometry(frame)
+    quant = {
+        i: quants[int(info[12 + i])].astype(np.int32) for i in range(n_comps)
+    }
+    return packed.reshape(-1), frame, geometry, quant
+
+
 def decode_baseline_scan_sparse(
     data: bytes,
     spans: Sequence[EntropySpan],
