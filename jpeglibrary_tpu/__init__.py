@@ -61,6 +61,7 @@ def enable_compile_cache() -> None:
 from .models.decoder import DecodeResult, ImageInfo, JpegDecoder, decode
 from .models.encoder import JpegEncoder, encode_gray, encode_rgb
 from .models.optimizer import JpegOptimizer, optimize
+from .models.transcode import transcode
 
 __all__ = [
     "JpegDecoder",
@@ -72,6 +73,7 @@ __all__ = [
     "encode_gray",
     "JpegOptimizer",
     "optimize",
+    "transcode",
     "enable_compile_cache",
 ]
 

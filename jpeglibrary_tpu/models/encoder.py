@@ -87,6 +87,12 @@ class JpegEncoder:
         self._huffman_tables: Dict[tuple, Optional[HuffmanEncodingTable]] = {}
         self._components: List[_EncodeComponent] = []
         self._input_planes: Optional[List[np.ndarray]] = None
+        #: pre-quantized zig-zag coefficient planes (one [Hb, Wb, 64]
+        #: int16 per component) — the lossless-transcode entry: encode()
+        #: skips the sample transform entirely (models/transcode.py)
+        self._coefficient_planes: Optional[List[np.ndarray]] = None
+        #: SOF sample precision; >8 selects SOF1 (extended sequential)
+        self.sample_precision = 8
         self._width = 0
         self._height = 0
 
@@ -114,6 +120,14 @@ class JpegEncoder:
             _EncodeComponent(identifier, quantization_table_id, dc_table_id, ac_table_id, h, v)
         )
 
+    def set_coefficient_planes(self, planes, width: int, height: int) -> None:
+        """Provide pre-quantized zig-zag coefficient planes (int16
+        [Hb, Wb, 64] per component in frame order) — encode() re-emits
+        them losslessly with the configured entropy coding."""
+        self._coefficient_planes = [np.asarray(p, dtype=np.int16) for p in planes]
+        self._width = width
+        self._height = height
+
     def set_input(self, planes, width: Optional[int] = None, height: Optional[int] = None) -> None:
         """Input samples: [H, W, C] uint8 array or a list of [H, W] planes."""
         if isinstance(planes, np.ndarray) and planes.ndim == 3:
@@ -130,11 +144,16 @@ class JpegEncoder:
     # -- encode --
 
     def encode(self, xp=np) -> bytes:
-        if self._input_planes is None:
+        if self._input_planes is None and self._coefficient_planes is None:
             raise JpegEncodeError("Input is not specified.")
         if not self._components:
             raise JpegEncodeError("No component is specified.")
-        if len(self._input_planes) != len(self._components):
+        n_inputs = len(
+            self._input_planes
+            if self._input_planes is not None
+            else self._coefficient_planes
+        )
+        if n_inputs != len(self._components):
             raise JpegEncodeError("Component count does not match input planes.")
 
         optimize = (not self.arithmetic) and any(
@@ -158,7 +177,13 @@ class JpegEncoder:
             quants.append(qt.elements)
 
         comp_blocks: List[np.ndarray] = []
-        if xp is not np:
+        if self._coefficient_planes is not None:
+            # Transcode path: coefficients are already quantized.
+            for comp, coeffs in zip(self._components, self._coefficient_planes):
+                comp_blocks.append(
+                    encode_stage.mcu_order_blocks(np.asarray(coeffs), comp.h, comp.v)
+                )
+        elif xp is not np:
             # Device path: ONE jitted program for every component's
             # pad + subsample + FDCT + quantize.
             comp_params = tuple(
@@ -232,10 +257,13 @@ class JpegEncoder:
         dqt_payload = b"".join(t.serialize() for t in self._quant_tables)
         writer.write_segment(Marker.DQT, dqt_payload)
 
-        sof_marker = Marker.SOF9 if self.arithmetic else Marker.SOF0
+        if self.arithmetic:
+            sof_marker = Marker.SOF9
+        else:
+            sof_marker = Marker.SOF1 if self.sample_precision > 8 else Marker.SOF0
         frame = FrameHeader(
             marker=sof_marker,
-            sample_precision=8,
+            sample_precision=self.sample_precision,
             number_of_lines=self._height,
             samples_per_line=self._width,
             components=tuple(

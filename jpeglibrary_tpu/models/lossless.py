@@ -156,14 +156,17 @@ def decode_lossless_scan(
 # ---------------------------------------------------------------------------
 
 
-def _lossless_diffs(s16: np.ndarray, sel: int, init: int) -> np.ndarray:
+def _lossless_diffs(s16: np.ndarray, sel: int, init: int, v: int = 1,
+                    h: int = 1) -> np.ndarray:
     """Per-sample prediction differences for one component plane
     (int16-wrapped), mirroring the decoder's neighbor selection
-    (JpegHuffmanLosslessScanDecoder.cs:122-152): row 0 uses
-    Rb = Rc = the 2^(P-Pt-1) initial prediction, column 0 of later rows
-    always predicts from Rb (the sample above)."""
+    (JpegHuffmanLosslessScanDecoder.cs:122-152) including its
+    interleaved-sampling quirks: plane row 0 uses Rb = Rc = the
+    2^(P-Pt-1) initial prediction; in MCU row 0 the column-0 sample of
+    EVERY row predicts from the initial prediction (`col_mcu == 0 &&
+    x == 0` holds for all v rows); and from MCU row 1 on, ALL h columns
+    of MCU column 0 predict from Rb (`col_mcu == 0` regardless of x)."""
     s = s16.astype(np.int32)
-    h, w = s.shape
     ra = np.empty_like(s)
     ra[:, 1:] = s[:, :-1]
     ra[:, 0] = 0
@@ -191,8 +194,10 @@ def _lossless_diffs(s16: np.ndarray, sel: int, init: int) -> np.ndarray:
         pred = (ra + rb) >> 1
     else:
         raise ValueError(f"predictor {sel} not in 1..7")
-    pred[1:, 0] = s[:-1, 0]  # column 0: Rb regardless of selector
-    pred[0, 0] = init
+    # MCU column 0, MCU rows >= 1: Rb regardless of selector (all h cols)
+    pred[v:, :h] = s[v - 1 : -1, :h]  # planes always have >= v rows
+    # MCU row 0: column 0 uses the initial prediction on every row
+    pred[: min(v, s.shape[0]), 0] = init
     return (s - pred).astype(np.int16)  # mod-2^16 wrap
 
 
@@ -203,6 +208,8 @@ def encode_lossless(
     predictor: int = 1,
     point_transform: int = 0,
     restart_interval: int = 0,
+    sampling=None,
+    size=None,
 ) -> bytes:
     """Encode sample planes as a lossless (SOF3) JPEG.
 
@@ -217,6 +224,13 @@ def encode_lossless(
     restart-parallel lossless decoder exploits (the first sample of
     each segment re-predicts from the 2^(P-Pt-1) initial prediction,
     JpegHuffmanLosslessScanDecoder.cs:109-115).
+
+    ``sampling``: per-component (h, v) factors for interleaved
+    subsampled lossless (the committed _s22 fixtures' structure). Each
+    plane must then be the PADDED component grid
+    [mcus_per_column*v, mcus_per_line*h] and ``size`` = (H, W) supplies
+    the true frame dimensions; restart intervals are not combined with
+    sampling.
     """
     from ..io.writer import JpegWriter
     from ..syntax.frame import (
@@ -236,9 +250,25 @@ def encode_lossless(
     n_comps = len(planes)
     if not 1 <= n_comps <= 4:
         raise ValueError("1..4 components supported")
-    h, w = planes[0].shape
-    if any(p.shape != (h, w) for p in planes):
-        raise ValueError("all planes must share one shape (1x1 sampling)")
+    if sampling is None:
+        sampling = [(1, 1)] * n_comps
+        h, w = planes[0].shape
+        if any(p.shape != (h, w) for p in planes):
+            raise ValueError("all planes must share one shape (1x1 sampling)")
+    else:
+        if size is None:
+            raise ValueError("size=(H, W) is required with sampling")
+        if restart_interval:
+            raise ValueError("restart intervals not supported with sampling")
+        h, w = size
+        max_h = max(s[0] for s in sampling)
+        max_v = max(s[1] for s in sampling)
+        mpl, mpc = ceil_div(w, max_h), ceil_div(h, max_v)
+        for p, (ch, cv) in zip(planes, sampling):
+            if p.shape != (mpc * cv, mpl * ch):
+                raise ValueError(
+                    f"plane shape {p.shape} != padded grid {(mpc * cv, mpl * ch)}"
+                )
 
     pt = point_transform
     init = 1 << (precision - pt - 1)
@@ -247,9 +277,9 @@ def encode_lossless(
     ri = restart_interval
     cats_c = []
     raws_c = []
-    for p in planes:
+    for p, (ch, cv) in zip(planes, sampling):
         s16 = (p.astype(np.int32) >> pt).astype(np.int16)
-        diff = _lossless_diffs(s16, predictor, init).astype(np.int32)
+        diff = _lossless_diffs(s16, predictor, init, v=cv, h=ch).astype(np.int32)
         if ri > 0:
             # Restart-start pixels re-predict row-0 style.
             s = s16.astype(np.int32)
@@ -290,17 +320,36 @@ def encode_lossless(
         builder.add_frequencies(freq)
         tables.append(builder.build(optimal=True))
 
-    # Interleave sample-by-sample: [H, W, C] -> flat.
-    cats_all = np.stack(cats_c, axis=-1).reshape(-1)
-    raws_all = np.stack(raws_c, axis=-1).reshape(-1)
+    # Interleave in MCU walk order: per MCU, component c contributes
+    # its v*h samples (y-major). At 1x1 sampling this is plain
+    # sample-by-sample interleave.
+    def mcu_order(arr, ch, cv):
+        gh, gw = arr.shape
+        mr, mc = gh // cv, gw // ch
+        return (
+            arr.reshape(mr, cv, mc, ch)
+            .transpose(0, 2, 1, 3)
+            .reshape(mr * mc, cv * ch)
+        )
+
+    cats_all = np.concatenate(
+        [mcu_order(c, s[0], s[1]) for c, s in zip(cats_c, sampling)], axis=1
+    ).reshape(-1)
+    raws_all = np.concatenate(
+        [mcu_order(r, s[0], s[1]) for r, s in zip(raws_c, sampling)], axis=1
+    ).reshape(-1)
+    # table index per position within one MCU
+    pattern = np.concatenate(
+        [np.full(s[0] * s[1], i, dtype=np.uint8) for i, s in enumerate(sampling)]
+    )
 
     def pack(cats, raws):
         try:
             from ..native import scanner as native_scanner
 
-            return native_scanner.pack_lossless(cats, raws, tables)
+            return native_scanner.pack_lossless(cats, raws, tables, pattern=pattern)
         except ImportError:
-            return _pack_lossless_py(cats, raws, tables, n_comps)
+            return _pack_lossless_py(cats, raws, tables, pattern)
 
     if ri > 0:
         from ..syntax.markers import Marker as _M
@@ -326,7 +375,8 @@ def encode_lossless(
         number_of_lines=h,
         samples_per_line=w,
         components=tuple(
-            FrameComponent(i + 1, 1, 1, 0) for i in range(n_comps)
+            FrameComponent(i + 1, sampling[i][0], sampling[i][1], 0)
+            for i in range(n_comps)
         ),
     )
     writer.write_segment(Marker.SOF3, frame.serialize())
@@ -345,18 +395,19 @@ def encode_lossless(
     return writer.to_bytes()
 
 
-def _pack_lossless_py(cats, raws, tables, n_comps) -> bytes:
+def _pack_lossless_py(cats, raws, tables, pattern) -> bytes:
     """Pure-Python packer fallback (semantic reference for the native
-    jpx_pack_lossless)."""
+    jpx_pack_lossless): entry i uses table pattern[i % len(pattern)]."""
     from ..io.writer import JpegWriter
 
     w = JpegWriter()
     w.enter_bit_mode()
     codes = [t.codes for t in tables]
     sizes = [t.sizes for t in tables]
+    plen = len(pattern)
     for i in range(len(cats)):
         t = int(cats[i])
-        ci = i % n_comps
+        ci = int(pattern[i % plen])
         w.write_bits(int(codes[ci][t]), int(sizes[ci][t]))
         if 0 < t < 16:
             w.write_bits(int(raws[i]) & ((1 << t) - 1), t)

@@ -115,29 +115,44 @@ def encode_progressive(
     arithmetic: bool = False,
     dc_conditioning: Tuple[int, int] = (0, 1),
     ac_conditioning: int = 5,
+    coefficients: Optional[Sequence[np.ndarray]] = None,
+    size: Optional[Tuple[int, int]] = None,
+    precision: int = 8,
 ) -> bytes:
     """Core progressive encode: sample planes -> SOF2 (Huffman) or
-    SOF10 (arithmetic QM coder) stream."""
+    SOF10 (arithmetic QM coder) stream.
+
+    ``coefficients`` (with ``size`` = (H, W)): pre-quantized zig-zag
+    planes, skipping the sample transform — the lossless-transcode
+    entry (models/transcode.py); ``planes`` is ignored then.
+    """
     from ..native import scanner as native_scanner
 
-    n_comps = len(planes)
-    h, w = planes[0].shape
     max_h = max(s[0] for s in sampling)
     max_v = max(s[1] for s in sampling)
-    mcus_per_line = ceil_div(w, 8 * max_h)
-    mcus_per_column = ceil_div(h, 8 * max_v)
+    if coefficients is not None:
+        n_comps = len(coefficients)
+        h, w = size
+        coeffs = [np.asarray(c, dtype=np.int16) for c in coefficients]
+        mcus_per_line = ceil_div(w, 8 * max_h)
+        mcus_per_column = ceil_div(h, 8 * max_v)
+    else:
+        n_comps = len(planes)
+        h, w = planes[0].shape
+        mcus_per_line = ceil_div(w, 8 * max_h)
+        mcus_per_column = ceil_div(h, 8 * max_v)
 
-    # Transform (same stage as the baseline encoder).
-    coeffs = []
-    for plane, (ch, cv), qid in zip(planes, sampling, quant_ids):
-        q = quant_tables[qid].elements if hasattr(quant_tables[qid], "elements") else quant_tables[qid]
-        coeffs.append(
-            encode_stage.forward_component(
-                np.asarray(plane), q, ch, cv,
-                max_h // ch, max_v // cv,
-                mcus_per_line, mcus_per_column,
+        # Transform (same stage as the baseline encoder).
+        coeffs = []
+        for plane, (ch, cv), qid in zip(planes, sampling, quant_ids):
+            q = quant_tables[qid].elements if hasattr(quant_tables[qid], "elements") else quant_tables[qid]
+            coeffs.append(
+                encode_stage.forward_component(
+                    np.asarray(plane), q, ch, cv,
+                    max_h // ch, max_v // cv,
+                    mcus_per_line, mcus_per_column,
+                )
             )
-        )
 
     # Per-scan block arrays: interleaved MCU order for DC scans, the
     # component's own (unpadded) block grid for AC scans
@@ -229,7 +244,7 @@ def encode_progressive(
     sof = Marker.SOF10 if arithmetic else Marker.SOF2
     frame = FrameHeader(
         marker=sof,
-        sample_precision=8,
+        sample_precision=precision,
         number_of_lines=h,
         samples_per_line=w,
         components=tuple(

@@ -1,0 +1,169 @@
+"""Universal lossless transcoder: any decodable JPEG -> any entropy
+coding, preserving the quantized coefficients exactly (jpegtran-class,
+and beyond the reference, whose only transcoder is the baseline-input
+Huffman re-optimizer, JpegOptimizer.cs — progressive input explicitly
+rejected there, JpegOptimizer.cs:580-582).
+
+DCT modes (SOF0/1/2/9/10 input) re-emit the decoded coefficient planes
+with the requested entropy coding; lossless (SOF3) input re-encodes
+the sample planes with a chosen predictor and fresh optimal tables.
+The gate in every case: the transcoded stream decodes bit-identically
+to the input.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..syntax.quantization import QuantizationTable
+from .decoder import JpegDecoder
+
+MODES = (
+    "baseline",            # SOF0/1 standard-table Huffman is meaningless for
+    "optimized",           # transcode; "baseline"/"optimized" both build
+    "optimal",             # tables from the data (Annex-K method vs
+    "progressive",         # package-merge), like the reference optimizer
+    "arithmetic",
+    "arithmetic-progressive",
+)
+
+
+def transcode(
+    data: bytes,
+    mode: str = "optimized",
+    *,
+    restart_interval: int = 0,
+    predictor: Optional[int] = None,
+) -> bytes:
+    """Re-encode a JPEG losslessly with a different entropy coding.
+
+    ``mode``: one of {"optimized", "optimal", "progressive",
+    "arithmetic", "arithmetic-progressive"} for DCT inputs. Lossless
+    (SOF3) inputs re-encode predictively (``predictor`` overrides the
+    input's selector) with fresh optimal tables — ``mode`` is ignored.
+    ``restart_interval`` adds DRI/RSTn seams where the target coding
+    supports them (optimized / arithmetic / lossless).
+    """
+    dec = JpegDecoder()
+    dec.set_input(data)
+    res = dec.decode()
+
+    if res.samples is not None:
+        # Lossless input: re-encode the sample planes predictively with
+        # fresh optimal tables (the decoded planes are already the
+        # padded per-component MCU grids the interleaved walk covers).
+        from .lossless import encode_lossless
+
+        frame = res.frame
+        sampling = [
+            (fc.horizontal_sampling_factor, fc.vertical_sampling_factor)
+            for fc in frame.components
+        ]
+        all_1x1 = all(s == (1, 1) for s in sampling)
+        planes = [
+            res.samples[i].astype(np.int64) & 0xFFFF
+            for i in range(len(frame.components))
+        ]
+
+        def enc(sel):
+            if all_1x1:
+                return encode_lossless(
+                    [
+                        p[: frame.number_of_lines, : frame.samples_per_line]
+                        for p in planes
+                    ],
+                    precision=frame.sample_precision,
+                    predictor=sel,
+                    restart_interval=restart_interval,
+                )
+            return encode_lossless(
+                planes,
+                precision=frame.sample_precision,
+                predictor=sel,
+                sampling=sampling,
+                size=(frame.number_of_lines, frame.samples_per_line),
+            )
+
+        if predictor is not None:
+            return enc(predictor)
+        return min((enc(sel) for sel in range(1, 8)), key=len)
+
+    frame = res.frame
+    geo = res.geometry
+    n_comps = len(frame.components)
+    coeffs = [res.coefficients[i] for i in range(n_comps)]
+
+    # Rebuild quantization tables by selector id.
+    qts = {}
+    for i, fc in enumerate(frame.components):
+        qid = fc.quantization_table_selector
+        if qid not in qts:
+            elements = res.quant[i].astype(np.int64)
+            qts[qid] = QuantizationTable(
+                element_precision=0 if elements.max() < 256 else 1,
+                identifier=qid,
+                elements=elements.astype(np.uint16),
+            )
+
+    sampling = [
+        (fc.horizontal_sampling_factor, fc.vertical_sampling_factor)
+        for fc in frame.components
+    ]
+    quant_ids = [fc.quantization_table_selector for fc in frame.components]
+    # statistics/table ids: first component gets 0, the rest share 1
+    # (the standard luma/chroma split; generalizes to any comp count <= 4)
+    table_ids = [0] + [1] * (n_comps - 1) if n_comps > 1 else [0]
+
+    if mode in ("progressive", "arithmetic-progressive"):
+        from .progressive_encoder import SCRIPT_1, SCRIPT_3, encode_progressive
+
+        if n_comps == 3:
+            script = SCRIPT_3
+        elif n_comps == 1:
+            script = SCRIPT_1
+        else:
+            # generic script: DC all, then per-component full AC bands
+            script = [(tuple(range(n_comps)), 0, 0, 0, 1)]
+            script += [((i,), 1, 63, 0, 1) for i in range(n_comps)]
+            script += [(tuple(range(n_comps)), 0, 0, 1, 0)]
+            script += [((i,), 1, 63, 1, 0) for i in range(n_comps)]
+        return encode_progressive(
+            None,
+            qts,
+            sampling,
+            quant_ids=quant_ids,
+            table_ids=table_ids,
+            script=script,
+            arithmetic=(mode == "arithmetic-progressive"),
+            coefficients=coeffs,
+            size=(frame.number_of_lines, frame.samples_per_line),
+            precision=frame.sample_precision,
+        )
+
+    from .encoder import JpegEncoder
+
+    enc = JpegEncoder()
+    enc.sample_precision = frame.sample_precision
+    enc.restart_interval = restart_interval
+    for qt in qts.values():
+        enc.set_quantization_table(qt)
+    if mode == "arithmetic":
+        enc.arithmetic = True
+    elif mode in ("optimized", "baseline", "optimal"):
+        enc.most_optimal_coding = mode == "optimal"
+        for is_dc in (True, False):
+            for tid in set(table_ids):
+                enc.set_huffman_table(is_dc, tid)  # build from data
+    else:
+        raise ValueError(f"unknown transcode mode {mode!r}")
+    for i, fc in enumerate(frame.components):
+        enc.add_component(
+            fc.identifier, quant_ids[i], table_ids[i], table_ids[i],
+            sampling[i][0], sampling[i][1],
+        )
+    enc.set_coefficient_planes(
+        coeffs, frame.samples_per_line, frame.number_of_lines
+    )
+    return enc.encode()

@@ -244,7 +244,7 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.jpx_pack_lossless.restype = c.c_int64
     lib.jpx_pack_lossless.argtypes = [
         c.c_void_p, c.c_void_p, c.c_int64,  # cats, raws, n
-        c.c_int32,                          # n_comps
+        c.c_void_p, c.c_int64,              # pattern, pattern_len
         c.POINTER(c.c_void_p), c.POINTER(c.c_void_p),  # codes, sizes
         c.c_void_p, c.c_int64,              # out, capacity
     ]

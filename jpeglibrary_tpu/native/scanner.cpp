@@ -3496,17 +3496,20 @@ int64_t jpx_encode_segment_parallel(
 // Pack a lossless (SOF3) sample-difference stream: entry i carries
 // category symbol cats[i] (0-16; 16 has no appended bits, the
 // t==16 -> 32768 special case) and raw[i] holds the low cats[i]
-// EXTEND bits. Components interleave sample-by-sample, so entry i
-// uses table i % n_comps. Output is the stuffed, 1-padded entropy
-// segment. Returns bytes written, -1 overflow, -2 missing code.
+// EXTEND bits. Entry i uses table pattern[i % pattern_len] — the
+// per-MCU component/sample interleave pattern (a plain component
+// cycle at 1x1 sampling, runs of h*v per component otherwise).
+// Output is the stuffed, 1-padded entropy segment. Returns bytes
+// written, -1 overflow, -2 missing code.
 int64_t jpx_pack_lossless(
     const uint8_t* cats, const uint16_t* raw, int64_t n,
-    int32_t n_comps, const uint16_t** codes, const uint8_t** sizes,
+    const uint8_t* pattern, int64_t pattern_len,
+    const uint16_t** codes, const uint8_t** sizes,
     uint8_t* out, int64_t capacity) {
     BitPacker bp{out, capacity, 0, 0, 0};
     for (int64_t i = 0; i < n; ++i) {
         int t = cats[i];
-        int ci = (int)(i % n_comps);
+        int ci = pattern[i % pattern_len];
         int size = sizes[ci][t];
         if (size == 0) return -2;
         if (!bp.write(codes[ci][t], size)) return -1;

@@ -896,13 +896,17 @@ def encode_arith_segment(comps: Sequence[dict], n_mcus: int) -> bytes:
     return out[: int(written)].tobytes()
 
 
-def pack_lossless(cats: np.ndarray, raws: np.ndarray, tables) -> bytes:
+def pack_lossless(cats: np.ndarray, raws: np.ndarray, tables, *,
+                  pattern=None) -> bytes:
     """Native lossless (SOF3) category-stream packer; entry i uses
-    table i % len(tables). Bit-identical to models.lossless
-    ._pack_lossless_py."""
+    table pattern[i % len(pattern)] (default: plain component cycle).
+    Bit-identical to models.lossless._pack_lossless_py."""
     lib = build.load_library()
     cats = np.ascontiguousarray(cats, dtype=np.uint8)
     raws = np.ascontiguousarray(raws, dtype=np.uint16)
+    if pattern is None:
+        pattern = np.arange(len(tables), dtype=np.uint8)
+    pattern = np.ascontiguousarray(pattern, dtype=np.uint8)
     n = len(tables)
     code_ptrs = (ctypes.c_void_p * n)()
     size_ptrs = (ctypes.c_void_p * n)()
@@ -918,7 +922,8 @@ def pack_lossless(cats: np.ndarray, raws: np.ndarray, tables) -> bytes:
     written = lib.jpx_pack_lossless(
         cats.ctypes.data_as(ctypes.c_void_p),
         raws.ctypes.data_as(ctypes.c_void_p),
-        cats.shape[0], n,
+        cats.shape[0],
+        pattern.ctypes.data_as(ctypes.c_void_p), pattern.shape[0],
         code_ptrs, size_ptrs,
         out.ctypes.data_as(ctypes.c_void_p), cap,
     )

@@ -111,7 +111,7 @@ def test_native_and_python_packers_agree(rng):
     b.add_frequencies(freq)
     table = b.build(optimal=True)
     a = native_scanner.pack_lossless(cats, raws, [table])
-    c = _pack_lossless_py(cats, raws, [table], 1)
+    c = _pack_lossless_py(cats, raws, [table], np.array([0], dtype=np.uint8))
     assert a == c
 
 
