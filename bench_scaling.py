@@ -9,8 +9,9 @@ here is the *overhead* of sharded execution (partitioning + the
 histogram all-reduce), not real-chip speedup: per-device FLOPs drop as
 1/N while the host's total compute stays constant, so ideal virtual
 scaling is flat wall time. On real chips the same program distributes
-per-device work onto N separate chips; the collective traffic (one
-[17]-vector psum + zero-halo stripes) is negligible vs ICI bandwidth.
+per-device work onto N separate chips; the collective traffic (the
+[4, 256] true-symbol-histogram psum + zero-halo stripes + the DC-diff
+boundary permute) is negligible vs ICI bandwidth.
 
 Usage: python bench_scaling.py  (prints one JSON line per N)
 """

@@ -1,0 +1,59 @@
+"""jpx-transcode: lossless re-encoding between entropy codings.
+
+Beyond the reference app set (its only transcoder is JpegOptimize,
+baseline input only): any decodable JPEG re-encodes as optimized /
+optimal Huffman, progressive, arithmetic or arithmetic-progressive
+while preserving the quantized coefficients exactly; lossless inputs
+re-encode predictively with fresh optimal tables.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="jpx-transcode",
+        description="Losslessly re-encode a JPEG with a different entropy coding.",
+    )
+    parser.add_argument("source", help="input JPEG file")
+    parser.add_argument("output", help="output JPEG file")
+    parser.add_argument(
+        "--mode",
+        default="optimized",
+        choices=[
+            "optimized", "optimal", "progressive",
+            "arithmetic", "arithmetic-progressive",
+        ],
+        help="target entropy coding (DCT inputs; default: optimized)",
+    )
+    parser.add_argument(
+        "--predictor", type=int, default=None, choices=range(1, 8),
+        help="lossless inputs: predictor 1-7 (default: smallest output)",
+    )
+    parser.add_argument(
+        "--restart-interval", type=int, default=0,
+        help="emit DRI/RSTn seams every N MCUs where supported",
+    )
+    args = parser.parse_args(argv)
+
+    from ..models.transcode import transcode
+
+    data = open(args.source, "rb").read()
+    out = transcode(
+        data, args.mode,
+        restart_interval=args.restart_interval,
+        predictor=args.predictor,
+    )
+    open(args.output, "wb").write(out)
+    delta = len(data) - len(out)
+    print(
+        f"{args.source}: {len(data)} -> {len(out)} bytes "
+        f"({'saved ' + str(delta) if delta >= 0 else 'grew ' + str(-delta)})"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -26,6 +26,18 @@ def test_decode_encode_optimize_cli(assets_dir, tmp_path):
     assert (r.width, r.height) == (1024, 768)
 
 
+def test_transcode_cli(assets_dir, tmp_path):
+    from jpeglibrary_tpu.cli import transcode as cli_transcode
+
+    src = str(assets_dir / "huffman_progressive/progress.jpg")
+    out = str(tmp_path / "t.jpg")
+    assert cli_transcode.main([src, out, "--mode", "arithmetic"]) == 0
+    a = jt.decode(open(src, "rb").read())
+    b = jt.decode(open(out, "rb").read())
+    for k in a.coefficients:
+        np.testing.assert_array_equal(a.coefficients[k], b.coefficients[k])
+
+
 def test_debugdump_fixture_roundtrip(assets_dir, tmp_path):
     """Our debugdump output must reload into exactly the decoded buffer
     (the reference's self-recorded golden scheme)."""
