@@ -38,6 +38,61 @@ def _stripe_geometry(base: FrameGeometry, mcu_rows: int, height: int) -> FrameGe
     )
 
 
+def split_payload_stripes(res, stripe_mcu_rows: int):
+    """Slice a merged-scan sparse payload into per-MCU-row-stripe
+    payloads (entries are MCU-row ordered, so stripes are contiguous
+    slices with a rebased first delta). Returns
+    (stripe_payloads [S, 2n] int16 bucket-padded uniformly, geometry,
+    quants [C, 64] int32, stripe_heights list) — shared by the
+    bounded-memory streaming decode and the stripe-sharded mesh decode.
+    """
+    geo = res.geometry
+    packed = res.packed_mcu.reshape(-1, 2)
+    deltas = packed[:, 0].astype(np.int64) & 0xFFFF
+    pad = np.flatnonzero((deltas == 0) & (packed[:, 1] == 0))
+    n_entries = int(pad[0]) if len(pad) else len(packed)
+    pos = np.cumsum(deltas[:n_entries]) - 1
+
+    cpm = 64 * sum(c.h * c.v for c in geo.components)
+    cpr = geo.mcus_per_line * cpm
+    quants = np.stack(
+        [res.quant[c.component_index] for c in geo.components]
+    ).astype(np.int32)
+
+    chunks = []
+    heights = []
+    px_per_row = 8 * geo.max_v
+    for r0 in range(0, geo.mcus_per_column, stripe_mcu_rows):
+        r1 = min(r0 + stripe_mcu_rows, geo.mcus_per_column)
+        lo = int(np.searchsorted(pos, r0 * cpr, side="left"))
+        hi = int(np.searchsorted(pos, r1 * cpr, side="left"))
+        first = lo
+        while first < hi and packed[first, 1] == 0 and deltas[first] == 0xFFFF:
+            first += 1
+        body = packed[first:hi]
+        if len(body):
+            lead = int(pos[first]) - r0 * cpr + 1
+            n_esc = lead // 0xFFFF
+            rem = lead - n_esc * 0xFFFF
+        else:
+            n_esc = rem = 0
+        chunks.append((n_esc, rem, body))
+        heights.append(min((r1 - r0) * px_per_row, geo.height - r0 * px_per_row))
+
+    n_out = max(n_esc + len(b) for n_esc, _, b in chunks)
+    bucket = 1024
+    while bucket < n_out:
+        bucket = (int(bucket * 1.5) + 1023) & ~1023
+    out = np.zeros((len(chunks), bucket, 2), dtype=np.int16)
+    for i, (n_esc, rem, body) in enumerate(chunks):
+        if n_esc:
+            out[i, :n_esc, 0] = np.int16(-1)
+        if len(body):
+            out[i, n_esc : n_esc + len(body)] = body
+            out[i, n_esc, 0] = np.int16(rem)
+    return out.reshape(len(chunks), -1), geo, quants, heights
+
+
 def decode_rgb_stripes(
     data: bytes,
     *,

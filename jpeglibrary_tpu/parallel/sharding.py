@@ -192,6 +192,65 @@ def make_sharded_full_step(mesh):
     )
 
 
+def decode_rgb_sharded(data: bytes, mesh, *, axis: str = "stripe"):
+    """Decode ONE image with its transform sharded over the mesh's
+    MCU-row-stripe axis — the SP/CP pattern applied to the decode path
+    (SURVEY.md §2.4): the merged-scan sparse payload splits into
+    contiguous per-stripe slices (entries are MCU-row ordered), each
+    device densifies and transforms its stripes locally, zero halo.
+
+    Returns ``(stripes, heights)``: a sharded device array
+    [S, 3, stripe_px, W] laid out over the mesh axis, and the true
+    pixel height of each stripe (the tail stripe's grid padding decodes
+    to empty rows — crop with ``assemble_stripes``).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..models.decoder import JpegDecoder
+    from ..models.geometry import ceil_div
+    from ..models.streaming import _stripe_geometry, split_payload_stripes
+    from ..ops.pipeline import jitted_transform_mcu_inner
+
+    dec = JpegDecoder()
+    dec.set_input(data)
+    res = dec.decode(sparse_direct=True)
+    if res.packed_mcu is None:
+        raise ValueError("sharded decode requires a single-scan baseline stream")
+    geo = res.geometry
+    S = mesh.shape[axis]
+    stripe_rows = ceil_div(geo.mcus_per_column, S)
+    payloads, geo, quants, heights = split_payload_stripes(res, stripe_rows)
+    if payloads.shape[0] < S:  # short image: pad with empty stripes
+        pad = np.zeros((S - payloads.shape[0], payloads.shape[1]), dtype=np.int16)
+        payloads = np.concatenate([payloads, pad])
+        heights = heights + [0] * (S - len(heights))
+
+    # Uniform stripe geometry, uncropped height (assembly crops).
+    sgeo = _stripe_geometry(geo, stripe_rows, stripe_rows * 8 * geo.max_v)
+    inner = jitted_transform_mcu_inner(sgeo, "rgb8")
+    sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    fn = jax.jit(
+        jax.vmap(inner, in_axes=(0, None)),
+        in_shardings=(sh, rep),
+        out_shardings=sh,
+    )
+    out = fn(jax.device_put(payloads, sh), jnp.asarray(quants))
+    return out, heights
+
+
+def assemble_stripes(stripes, heights) -> np.ndarray:
+    """Host assembly of decode_rgb_sharded output: [3, H, W] uint8."""
+    parts = []
+    arr = np.asarray(stripes)
+    for i, h in enumerate(heights):
+        if h > 0:
+            parts.append(arr[i][:, :h, :])
+    return np.concatenate(parts, axis=1)
+
+
 def batched_transform_rgb(coeffs_batch: Sequence, quants, geometry, mesh=None):
     """Decode-transform a batch of same-geometry images to RGB, sharded
     over ``data`` when a mesh is given."""

@@ -59,6 +59,29 @@ def test_graft_entry_and_dryrun():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize("rel", ["baseline/lake.jpg", "baseline/cramps.jpg"])
+def test_stripe_sharded_single_image_decode(assets_dir, rel):
+    """SP/CP for the decode path: ONE image's transform sharded over
+    the mesh stripe axis (per-stripe payload slices, zero halo) must be
+    bit-exact vs the single-device transform."""
+    from jpeglibrary_tpu.models.decoder import JpegDecoder
+    from jpeglibrary_tpu.parallel.sharding import (
+        assemble_stripes,
+        decode_rgb_sharded,
+        make_mesh,
+    )
+
+    data = (assets_dir / rel).read_bytes()
+    mesh = make_mesh(8, stripe=4)
+    out, heights = decode_rgb_sharded(data, mesh)
+    img = assemble_stripes(out, heights)
+    d = JpegDecoder()
+    d.set_input(data)
+    ref = np.asarray(d.decode(sparse_direct=True).to_rgb8_device())
+    np.testing.assert_array_equal(img, ref)
+
+
 def test_batched_transform_rgb_matches_loop(assets_dir):
     import jpeglibrary_tpu as jt
     from jpeglibrary_tpu.parallel.sharding import batched_transform_rgb, make_mesh
