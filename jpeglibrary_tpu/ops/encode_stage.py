@@ -92,6 +92,20 @@ def fdct_quantize(plane, quant_zz, xp=np, *, use_matmul: bool = True):
     reference butterfly dataflow."""
     h, w = plane.shape
     hb, wb = h // 8, w // 8
+    if use_matmul and xp is not np:
+        from .pipeline import _use_pallas
+
+        if _use_pallas():
+            # fused Pallas kernel: level shift + folded FDCT + quantize
+            from . import pallas_kernels
+
+            flat = (
+                plane.reshape(hb, 8, wb, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(hb * wb, 64)
+            )
+            out = pallas_kernels.fdct_quantize_pallas(flat, quant_zz)
+            return out.astype(xp.int16).reshape(hb, wb, 64)
     blocks = plane.reshape(hb, 8, wb, 8)
     blocks = xp.transpose(blocks, (0, 2, 1, 3)).astype(xp.float32) - xp.float32(128.0)
     q = quant_zz.astype(xp.float32)

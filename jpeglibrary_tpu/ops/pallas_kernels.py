@@ -96,6 +96,76 @@ def _build_call(n_blocks: int, level_shift: int, tile: int, interpret: bool):
     )
 
 
+def _encode_kernel(samples_ref, quant_ref, matrix_ref, out_ref, *, level_shift: int):
+    import jax
+    import jax.numpy as jnp
+
+    s = samples_ref[...].astype(jnp.float32) - jnp.float32(level_shift)  # [T, 64]
+    zz = jax.lax.dot_general(
+        s,
+        matrix_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out_ref[...] = jnp.rint(zz / quant_ref[...].astype(jnp.float32)).astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_encode_call(n_blocks: int, level_shift: int, tile: int, interpret: bool):
+    from .. import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    from jax.experimental import pallas as pl
+
+    grid = (n_blocks // tile,)
+    kernel = functools.partial(_encode_kernel, level_shift=level_shift)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 64), lambda i: (i, 0)),
+            pl.BlockSpec((1, 64), lambda i: (0, 0)),
+            pl.BlockSpec((64, 64), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, 64), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 64), jax.numpy.int32),
+        interpret=interpret,
+    )
+
+
+def fdct_quantize_pallas(blocks_flat, quant_zz, *, level_shift: int = 128,
+                         tile: int = 1024, interpret: bool = False):
+    """Encode twin of the decode kernel: [N, 64] integer sample blocks
+    (row-major 8x8) -> level shift -> folded FDCT + zig-zag (one MXU
+    matmul, ops.encode_stage.fdct_zigzag_matrix) -> quantize
+    (rint(c / q)) -> int32 [N, 64] zig-zag coefficients, in one fused
+    Pallas pass. Matches encode_stage.fdct_quantize within 1 LSB
+    (float32 summation-order difference at rounding boundaries)."""
+    import jax.numpy as jnp
+
+    from . import encode_stage
+
+    n = blocks_flat.shape[0]
+    tile = min(tile, max(8, n))
+    pad = (-n) % tile
+    flat = blocks_flat
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.full((pad, 64), level_shift, dtype=flat.dtype)], axis=0
+        )
+    quant = quant_zz.astype(jnp.int32).reshape(1, 64)
+    matrix = jnp.asarray(encode_stage.fdct_zigzag_matrix())
+    out = _build_encode_call(flat.shape[0], int(level_shift), tile, interpret)(
+        flat, quant, matrix
+    )
+    if pad:
+        out = out[:n]
+    return out
+
+
 def dequantize_idct_shift_pallas(coeffs_zz, quant_zz, level_shift: int, *, tile: int = 1024,
                                  interpret: bool = False):
     """[..., 64] zig-zag int16 + [64] quant -> int32 samples [..., 8, 8].

@@ -167,3 +167,39 @@ def test_batch_decode_rgb(assets_dir):
     _assert_rgb_close(out[0], single_lake)
     _assert_rgb_close(out[1], single_cramps)
     _assert_rgb_close(out[2], single_lake)
+
+
+@pytest.mark.parametrize("n_blocks", [1, 64, 513])
+def test_encode_kernel_matches_reference(n_blocks):
+    """Encode twin: level shift + folded FDCT + quantize in one pass,
+    within 1 LSB of the numpy GEMM reference (rounding-boundary flips
+    from float32 summation order only)."""
+    from jpeglibrary_tpu.ops import encode_stage
+    from jpeglibrary_tpu.ops.pallas_kernels import fdct_quantize_pallas
+
+    rng = np.random.default_rng(9)
+    blocks = rng.integers(0, 256, size=(n_blocks, 64)).astype(np.int32)
+    quant = rng.integers(1, 255, size=64).astype(np.int32)
+    # numpy reference through the same folded-GEMM math
+    shifted = blocks.astype(np.float32) - 128.0
+    k = encode_stage.fdct_zigzag_matrix()
+    ref = np.rint((shifted @ k) / quant.astype(np.float32)).astype(np.int32)
+    out = np.asarray(
+        fdct_quantize_pallas(jnp.asarray(blocks), jnp.asarray(quant), interpret=True)
+    )
+    d = np.abs(out - ref)
+    assert d.max() <= 1 and (d > 0).mean() < 1e-3, (d.max(), (d > 0).mean())
+
+
+def test_device_encode_transform_uses_kernel_consistently():
+    """jitted encode path (with or without the Pallas kernel) stays
+    within 1 LSB of the host coefficients on a real image."""
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.models.encoder import encode_rgb
+
+    rgb = (np.arange(96 * 128 * 3, dtype=np.int64) % 251).reshape(96, 128, 3).astype(np.uint8)
+    a = jt.decode(encode_rgb(rgb, 80))
+    b = jt.decode(encode_rgb(rgb, 80, xp=jnp))
+    for k in a.coefficients:
+        d = np.abs(a.coefficients[k].astype(int) - b.coefficients[k].astype(int))
+        assert d.max() <= 1
