@@ -57,6 +57,34 @@ def test_stripes_match_full_decode(assets_dir, native_lib, rel, stripe_rows):
     assert np.max(np.abs(stitched.astype(int) - full.astype(int))) <= 1
 
 
+def test_streaming_bounded_memory_large_asset(assets_dir, native_lib):
+    """HETissueSlide-class input: the stream's working set (sparse
+    payload + one stripe) stays well under one full RGB plane, and the
+    stitched output equals the full-image jitted decode exactly."""
+    from jpeglibrary_tpu.models.decoder import JpegDecoder
+    from jpeglibrary_tpu.models.streaming import decode_rgb_stripes
+
+    data = (assets_dir / "baseline/HETissueSlide.jpg").read_bytes()
+    d = JpegDecoder()
+    d.set_input(data)
+    res = d.decode(sparse_direct=True)
+    rgb_plane_bytes = res.width * res.height * 3
+    payload_bytes = res.packed_mcu.nbytes
+    stripe_rows = 16
+    stripe_bytes = 3 * stripe_rows * 8 * res.geometry.max_v * res.width
+    assert payload_bytes + stripe_bytes < rgb_plane_bytes, (
+        payload_bytes, stripe_bytes, rgb_plane_bytes,
+    )
+
+    ref = np.asarray(res.to_rgb8_device())
+    rows = []
+    for _, stripe in decode_rgb_stripes(data, stripe_mcu_rows=stripe_rows,
+                                        device=False):
+        rows.append(stripe)
+    stitched = np.concatenate(rows, axis=1)
+    np.testing.assert_array_equal(stitched, ref)
+
+
 def test_streaming_consumer_callback(assets_dir, native_lib):
     from jpeglibrary_tpu.models.streaming import decode_rgb_streaming
 
