@@ -823,28 +823,22 @@ struct SparseEmitter {
     }
 
     inline void emit(int64_t pos, int32_t val) {
-        if (first_pos < 0) {
+        int64_t gap = pos - last_pos;
+        if (__builtin_expect(first_pos < 0, 0)) {
             // First entry: delta is patched at compaction (the true
             // gap depends on the previous span's last nonzero).
-            if (n >= cap) { overflow = true; return; }
             first_pos = pos;
-            out[2 * n] = 0;
-            out[2 * n + 1] = (int16_t)val;
-            ++n;
-            last_pos = pos;
-            return;
+            gap = 0;
         }
-        int64_t gap = pos - last_pos;
-        while (gap >= 0xFFFF) {
+        while (__builtin_expect(gap >= 0xFFFF, 0)) {
             if (n >= cap) { overflow = true; return; }
-            out[2 * n] = (int16_t)0xFFFF;  // escape: advance without value
-            out[2 * n + 1] = 0;
+            std::memcpy(out + 2 * n, "\xff\xff\x00\x00", 4);  // escape entry
             ++n;
             gap -= 0xFFFF;
         }
-        if (n >= cap) { overflow = true; return; }
-        out[2 * n] = (int16_t)(uint16_t)gap;
-        out[2 * n + 1] = (int16_t)val;
+        if (__builtin_expect(n >= cap, 0)) { overflow = true; return; }
+        uint32_t packed = (uint16_t)gap | ((uint32_t)(uint16_t)val << 16);
+        std::memcpy(out + 2 * n, &packed, 4);  // one 32-bit store (LE)
         ++n;
         last_pos = pos;
     }
