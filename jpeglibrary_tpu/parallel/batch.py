@@ -21,11 +21,12 @@ from ..models.decoder import DecodeResult, JpegDecoder
 
 
 def scan_images(datas: Sequence[bytes], *, max_workers: Optional[int] = None) -> List[DecodeResult]:
-    """Host stage: parse + entropy-decode each image (no transform)."""
+    """Host stage: parse + entropy-decode each image (no transform;
+    merged sparse fast path when eligible)."""
     def one(data: bytes) -> DecodeResult:
         dec = JpegDecoder()
         dec.set_input(data)
-        return dec.decode()
+        return dec.decode(sparse_direct=True)
 
     if len(datas) == 1:
         return [one(datas[0])]
@@ -66,6 +67,25 @@ def decode_batch_rgb(
             # lossless: no device transform stage; host path per image
             for i in indices:
                 out[i] = results[i].to_rgb8()
+            continue
+
+        # Merged-scan payloads of one shape: ONE stacked vmapped call.
+        if (
+            all(r.packed_mcu is not None for r in batch)
+            and len({r.packed_mcu.shape for r in batch}) == 1
+        ):
+            quants = np.stack(
+                [batch[0].quant[c.component_index] for c in geometry.components]
+            ).astype(np.int32)
+            stacked = np.stack([r.packed_mcu for r in batch])
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                stacked = jax.device_put(stacked, NamedSharding(mesh, P("data")))
+            rgb = np.asarray(_batched_mcu_transform(geometry)(stacked, quants))
+            rgb = np.moveaxis(rgb, 1, -1)  # planar CHW -> HWC
+            for j, i in enumerate(indices):
+                out[i] = rgb[j]
             continue
 
         # Ship the batch in the 4-byte sparse wire format when the
