@@ -94,7 +94,7 @@ def main() -> None:
     # far below the engine's measured quiet-period capability), extend
     # once to hard_cap_s — a number dominated by a neighbor tenant's
     # burst says nothing about the engine.
-    hard_cap_s = 480.0
+    hard_cap_s = 720.0
     quiet_threshold = 450.0
     os.environ["JPX_SCAN_THREADS"] = "1"
     # Unmeasured warm pass per swept shape: compiles the grouped vmapped
