@@ -284,7 +284,49 @@ class JpegOptimizer:
             writer.exit_bit_mode()
 
         if restart_interval <= 0:
-            emit_segment(0, total_mcus)
+            if native_emit is not None:
+                # chunk-parallel shift-merge emission (bit-identical)
+                writer.write_bytes(native_emit(comps, total_mcus, parallel=True))
+            else:
+                emit_segment(0, total_mcus)
+            return
+
+        # Restart segments are independent byte-aligned streams: emit
+        # them concurrently, then write in order with the original
+        # terminators between (parallel twin of the serial loop below).
+        if native_emit is not None and total_mcus > restart_interval:
+            from concurrent.futures import ThreadPoolExecutor
+            import os
+
+            spans = []
+            mcu = 0
+            while mcu < total_mcus:
+                spans.append((mcu, min(restart_interval, total_mcus - mcu)))
+                mcu += restart_interval
+
+            def one(span):
+                first, count = span
+                seg_comps = [
+                    {**c, "blocks": c["blocks"][first * c["per_mcu"]:]}
+                    for c in comps
+                ]
+                return native_emit(seg_comps, count)
+
+            workers = max(1, min(len(spans), (os.cpu_count() or 2) - 1))
+            with ThreadPoolExecutor(workers) as pool:
+                payloads = list(pool.map(one, spans))
+            for segment_index, payload in enumerate(payloads):
+                writer.write_bytes(payload)
+                if segment_index + 1 >= len(payloads):
+                    break
+                terminator = (
+                    record.terminators[segment_index]
+                    if segment_index < len(record.terminators)
+                    else None
+                )
+                if terminator is None or not is_restart_marker(terminator):
+                    break  # truncated input scan: stop like the decoder did
+                writer.write_marker(terminator)
             return
 
         mcu = 0
