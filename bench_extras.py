@@ -48,13 +48,18 @@ def main() -> None:
     # not host-overhead-dominated: progressive via PIL's SOF2 encoder,
     # lossless via our own SOF3 encoder (tiny committed assets kept for
     # reference).
+    from jpeglibrary_tpu.models.progressive_encoder import encode_progressive_rgb
+
+    # Restart seams give the progressive scanners their parallel axis.
+    big_prog = encode_progressive_rgb(rgb, 75, restart_interval=64)
+
     import io
 
     from PIL import Image
 
     buf = io.BytesIO()
     Image.fromarray(rgb).save(buf, "JPEG", quality=75, progressive=True, subsampling=2)
-    big_prog = buf.getvalue()
+    big_prog_pil = buf.getvalue()
 
     from jpeglibrary_tpu.models.lossless import encode_lossless
 
@@ -66,6 +71,7 @@ def main() -> None:
 
     cases = [
         ("progressive_decode", big_prog, None),
+        ("progressive_decode_norestart", big_prog_pil, None),
         ("lossless_decode", big_lossless, None),
         ("arithmetic_decode", big_arith, None),
         ("progressive_decode_small", None, "huffman_progressive/yellowcat_progressive_restart.jpg"),

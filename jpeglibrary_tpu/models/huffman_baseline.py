@@ -167,7 +167,9 @@ def decode_baseline_scan(
                     if terminator == Marker.EOI or terminator is None:
                         return  # tolerated truncation
                     if not is_restart_marker(terminator):
-                        raise JpegDecodeError("Expect restart marker.")
+                        # boundary coincides with scan end (libjpeg
+                        # tolerance; see huffman_progressive)
+                        return
                     span_idx += 1
                     if span_idx >= len(spans):
                         return

@@ -195,7 +195,14 @@ class _SpanCursor:
         if terminator == Marker.EOI or terminator is None:
             return False
         if not is_restart_marker(terminator):
-            raise JpegDecodeError("Expect restart marker.")
+            # A restart boundary that coincides with the end of the
+            # scan (next marker is SOS/DNL/...): the scan is complete.
+            # The reference throws here (HandleRestart,
+            # JpegHuffmanProgressiveScanDecoder.cs:209-212) but libjpeg
+            # checks intervals at their start and accepts such streams,
+            # which our own restart-emitting progressive encoder
+            # produces when the unit count divides the interval.
+            return False
         self.index += 1
         if self.index >= len(self.spans):
             return False

@@ -61,6 +61,7 @@ def encode_progressive_rgb(
     subsampling: str = "420",
     script: Optional[List[Tuple]] = None,
     arithmetic: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """RGB [H, W, 3] uint8 -> progressive JPEG bytes (SOF2 Huffman, or
     SOF10 when ``arithmetic``)."""
@@ -89,6 +90,7 @@ def encode_progressive_rgb(
         quant_ids=[0, 1, 1], table_ids=[0, 1, 1],
         script=script or SCRIPT_3,
         arithmetic=arithmetic,
+        restart_interval=restart_interval,
     )
 
 
@@ -118,6 +120,7 @@ def encode_progressive(
     coefficients: Optional[Sequence[np.ndarray]] = None,
     size: Optional[Tuple[int, int]] = None,
     precision: int = 8,
+    restart_interval: int = 0,
 ) -> bytes:
     """Core progressive encode: sample planes -> SOF2 (Huffman) or
     SOF10 (arithmetic QM coder) stream.
@@ -125,6 +128,12 @@ def encode_progressive(
     ``coefficients`` (with ``size`` = (H, W)): pre-quantized zig-zag
     planes, skipping the sample transform — the lossless-transcode
     entry (models/transcode.py); ``planes`` is ignored then.
+
+    ``restart_interval`` (in each scan's own units: MCUs for DC scans,
+    blocks for AC scans) emits DRI + RSTn: every emitter state —
+    predictors, EOB runs, refinement correction bits, QM registers and
+    statistics — resets per segment, so segments are independent and
+    the framework's progressive scanners decode them in parallel.
     """
     from ..native import scanner as native_scanner
 
@@ -167,26 +176,31 @@ def encode_progressive(
         vbc = ceil_div(h, 8 * (max_v // cv))
         comp_blocks.append(np.ascontiguousarray(c[:vbc, :hbc]).reshape(-1, 64))
 
-    def run_scan(entry, tables=None, dc_freqs=None, ac_freqs=None):
+    def scan_units(entry) -> int:
         comp_idx, ss, se, ah, al = entry
-        if arithmetic:
-            if ss == 0:
-                blocks = [mcu_blocks[i] for i in comp_idx]
-                per_mcu = [sampling[i][0] * sampling[i][1] for i in comp_idx]
-                n_mcus = mcu_blocks[comp_idx[0]].shape[0] // per_mcu[0]
+        if ss == 0:
+            per0 = sampling[comp_idx[0]][0] * sampling[comp_idx[0]][1]
+            return mcu_blocks[comp_idx[0]].shape[0] // per0
+        return comp_blocks[comp_idx[0]].shape[0]
+
+    def run_scan(entry, lo, hi, tables=None, dc_freqs=None, ac_freqs=None):
+        """Emit (or count) units [lo, hi) of one scan — a restart
+        segment when restart_interval > 0, the whole scan otherwise.
+        Every emitter starts fresh, which IS the restart contract."""
+        comp_idx, ss, se, ah, al = entry
+        if ss == 0:  # DC scan (interleaved over MCUs)
+            per_mcu = [sampling[i][0] * sampling[i][1] for i in comp_idx]
+            blocks = [
+                mcu_blocks[i][lo * pm : hi * pm]
+                for i, pm in zip(comp_idx, per_mcu)
+            ]
+            n_mcus = hi - lo
+            if arithmetic:
                 return native_scanner.encode_arith_prog_dc(
                     blocks, per_mcu, n_mcus, ah, al,
                     [table_ids[i] for i in comp_idx],
                     dc_conditioning[0], dc_conditioning[1],
                 )
-            (ci,) = comp_idx
-            return native_scanner.encode_arith_prog_ac(
-                comp_blocks[ci], table_ids[ci], ac_conditioning, ss, se, ah, al
-            )
-        if ss == 0:  # DC scan (interleaved)
-            blocks = [mcu_blocks[i] for i in comp_idx]
-            per_mcu = [sampling[i][0] * sampling[i][1] for i in comp_idx]
-            n_mcus = mcu_blocks[comp_idx[0]].shape[0] // per_mcu[0]
             if ah != 0 and dc_freqs is not None:
                 return None  # refinement: raw bits, no symbols to count
             if dc_freqs is not None:
@@ -199,24 +213,41 @@ def encode_progressive(
                 blocks, per_mcu, n_mcus, ah, al,
                 tables=[tables[(True, table_ids[i])] for i in comp_idx],
             )
-        (ci,) = comp_idx  # AC scans are single-component
+        (ci,) = comp_idx  # AC scans are single-component; units = blocks
+        blocks = comp_blocks[ci][lo:hi]
+        if arithmetic:
+            return native_scanner.encode_arith_prog_ac(
+                blocks, table_ids[ci], ac_conditioning, ss, se, ah, al
+            )
         fn = (
             native_scanner.encode_prog_ac_first
             if ah == 0
             else native_scanner.encode_prog_ac_refine
         )
         if ac_freqs is not None:
-            fn(comp_blocks[ci], ss, se, al, freq=ac_freqs[table_ids[ci]])
+            fn(blocks, ss, se, al, freq=ac_freqs[table_ids[ci]])
             return None
-        return fn(comp_blocks[ci], ss, se, al, table=tables[(False, table_ids[ci])])
+        return fn(blocks, ss, se, al, table=tables[(False, table_ids[ci])])
 
-    # Pass 1 (Huffman only): symbol statistics over the whole script.
+    def scan_chunks(entry):
+        total = scan_units(entry)
+        if restart_interval <= 0:
+            return [(0, total)]
+        return [
+            (lo, min(lo + restart_interval, total))
+            for lo in range(0, total, restart_interval)
+        ]
+
+    # Pass 1 (Huffman only): symbol statistics over the whole script,
+    # chunked identically to the emission pass (restart resets change
+    # the EOB-run/DC-diff symbol mix).
     tables = {}
     if not arithmetic:
         dc_freqs = {tid: np.zeros(256, dtype=np.int64) for tid in set(table_ids)}
         ac_freqs = {tid: np.zeros(256, dtype=np.int64) for tid in set(table_ids)}
         for entry in script:
-            run_scan(entry, dc_freqs=dc_freqs, ac_freqs=ac_freqs)
+            for lo, hi in scan_chunks(entry):
+                run_scan(entry, lo, hi, dc_freqs=dc_freqs, ac_freqs=ac_freqs)
 
         for tid, freq in dc_freqs.items():
             if freq.sum() > 0:
@@ -268,6 +299,10 @@ def encode_progressive(
         )
         writer.write_segment(Marker.DHT, dht)
 
+    if restart_interval > 0:
+        ri = restart_interval
+        writer.write_segment(Marker.DRI, bytes([(ri >> 8) & 0xFF, ri & 0xFF]))
+
     for entry in script:
         comp_idx, ss, se, ah, al = entry
         scan = ScanHeader(
@@ -280,7 +315,11 @@ def encode_progressive(
             successive_approximation_bit_position_low=al,
         )
         writer.write_segment(Marker.SOS, scan.serialize())
-        writer.write_bytes(run_scan(entry, tables=tables))
+        chunks = scan_chunks(entry)
+        for k, (lo, hi) in enumerate(chunks):
+            if k > 0:
+                writer.write_marker(Marker.RST0 + ((k - 1) & 7))
+            writer.write_bytes(run_scan(entry, lo, hi, tables=tables))
 
     writer.write_marker(Marker.EOI)
     return writer.to_bytes()

@@ -85,6 +85,29 @@ def test_arithmetic_progressive_smallest(native_lib, assets_dir):
     assert len(sof10) < len(jt.encode_rgb(rgb, 75, arithmetic=True))  # beats SOF9
 
 
+@pytest.mark.parametrize("arithmetic", [False, True])
+@pytest.mark.parametrize("ri", [1, 5, 37])
+def test_restart_intervals(native_lib, rng, arithmetic, ri):
+    """Restart seams through the whole scan script: every emitter state
+    resets per segment; native and Python decoders agree and match the
+    baseline coefficients exactly."""
+    img = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    base = jt.decode(jt.encode_rgb(img, 75))
+    data = encode_progressive_rgb(img, 75, arithmetic=arithmetic, restart_interval=ri)
+    _match(base, jt.decode(data))
+    _match(base, jt.decode(data, use_native=False))
+
+
+def test_external_decoder_reads_restart_stream(native_lib, rng):
+    import io
+
+    from PIL import Image
+
+    img = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    data = encode_progressive_rgb(img, 75, restart_interval=1)
+    assert np.asarray(Image.open(io.BytesIO(data)).convert("RGB")).shape == (48, 64, 3)
+
+
 def test_external_decoder_reads_it(native_lib, assets_dir):
     """libjpeg (via PIL) must accept our progressive stream — external
     conformance evidence."""
