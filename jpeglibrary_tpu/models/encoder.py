@@ -156,6 +156,12 @@ class JpegEncoder:
         if n_inputs != len(self._components):
             raise JpegEncodeError("Component count does not match input planes.")
 
+        if self.sample_precision != 8 and self._coefficient_planes is None:
+            raise JpegEncodeError(
+                "sample_precision != 8 is supported on the coefficient "
+                "(transcode) input path only; the sample transform is 8-bit."
+            )
+
         optimize = (not self.arithmetic) and any(
             t is None for t in self._huffman_tables.values()
         )
