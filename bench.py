@@ -73,7 +73,7 @@ def main() -> None:
         r = dec.decode(sparse_direct=True)
         jax.block_until_ready(r.to_rgb8_device(sparse=True))
 
-    SHAPES = ((3, 1, 4), (2, 2, 4), (3, 2, 1))  # (scan, device, group)
+    SHAPES = ((3, 2, 4), (3, 1, 4), (2, 2, 4))  # (scan, device, group)
 
     # Pipelined steady-state throughput via the streaming API (scan
     # threads overlap the device transfer/transform worker — the serving
