@@ -41,8 +41,7 @@ namespace {
 
 #pragma pack(push, 1)
 struct HuffTable {
-    uint8_t lookahead_size[256];
-    uint8_t lookahead_value[256];
+    uint16_t lookahead[256];  // (code_size << 8) | symbol_value; 0 = slow path
     uint16_t maxcode[18];
     uint8_t valoffset[19];
     uint8_t values[256];
@@ -158,10 +157,11 @@ struct BitReader {
 static inline int decode_huffman(BitReader& br, const HuffTable* t) {
     int avail;
     uint32_t code16 = br.peek(16, &avail);
-    int size = t->lookahead_size[code16 >> 8];
+    int entry = t->lookahead[code16 >> 8];
+    int size = entry >> 8;
     int value;
     if (size != 0) {
-        value = t->lookahead_value[code16 >> 8];
+        value = entry & 0xFF;
     } else {
         size = 9;
         while (size <= 16 && code16 > t->maxcode[size]) ++size;
@@ -848,10 +848,11 @@ struct SparseEmitter {
 // guarantee count >= 16 real bits. Identical lookup to decode_huffman.
 static inline int decode_huffman_hot(BitReader& br, const HuffTable* t) {
     uint32_t code16 = (uint32_t)(br.bits >> 48);
-    int size = t->lookahead_size[code16 >> 8];
+    int entry = t->lookahead[code16 >> 8];
+    int size = entry >> 8;
     int value;
     if (size != 0) {
-        value = t->lookahead_value[code16 >> 8];
+        value = entry & 0xFF;
     } else {
         size = 9;
         while (size <= 16 && code16 > t->maxcode[size]) ++size;
@@ -1203,8 +1204,8 @@ static void build_hufftable(const uint8_t counts[16], const uint8_t* values,
                 int shift = 8 - l;
                 uint32_t base = code << shift;
                 for (uint32_t fill = 0; fill < (1u << shift); ++fill) {
-                    t->lookahead_size[base + fill] = (uint8_t)l;
-                    t->lookahead_value[base + fill] = values[si];
+                    t->lookahead[base + fill] =
+                        (uint16_t)((l << 8) | values[si]);
                 }
             }
         }

@@ -33,8 +33,10 @@ def pack_huffman_table(t: HuffmanDecodingTable) -> bytes:
     same immutable table objects for identical payloads, so repeated
     images from one encoder configuration skip the re-serialization."""
     out = bytearray()
-    out += t.lookahead_size.astype(np.uint8).tobytes()
-    out += t.lookahead_value.astype(np.uint8).tobytes()
+    look = (t.lookahead_size.astype(np.uint16) << 8) | t.lookahead_value.astype(
+        np.uint16
+    )
+    out += look.astype("<u2").tobytes()
     out += t.maxcode.astype("<u2").tobytes()
     out += t.valoffset.astype(np.uint8).tobytes()
     out += t.values.astype(np.uint8).tobytes()
