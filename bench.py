@@ -73,7 +73,9 @@ def main() -> None:
         r = dec.decode(sparse_direct=True)
         jax.block_until_ready(r.to_rgb8_device(sparse=True))
 
-    SHAPES = ((3, 2, 4), (3, 1, 4), (2, 2, 4))  # (scan, device, group)
+    # (scan, device, group); the single-worker shape is the defensive
+    # pick for heavily loaded windows (least exposed to CPU steal)
+    SHAPES = ((3, 2, 4), (3, 1, 4), (2, 2, 4), (1, 1, 4))
 
     # Pipelined steady-state throughput via the streaming API (scan
     # threads overlap the device transfer/transform worker — the serving

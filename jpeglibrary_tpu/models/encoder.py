@@ -19,7 +19,12 @@ pipeline:
   same interleaved MCU order with identical DC-diff/run-length symbols
   (EncodeBlock/EncodeRunLength, :828-936).
 
-The encoder never emits restart markers, like the reference.
+Like the reference, no restart markers are emitted by default;
+setting ``restart_interval`` (an extension) adds DRI + RSTn seams so
+downstream decodes parallelize. Further extensions beyond the
+reference: ``arithmetic`` (SOF9 via the native QM coder),
+``set_coefficient_planes`` (lossless transcode input), ``mesh``
+(device-reduced 2-pass statistics).
 """
 
 from __future__ import annotations
