@@ -20,11 +20,15 @@ import numpy as np
 from ..syntax.quantization import QuantizationTable
 from .decoder import JpegDecoder
 
+# "baseline" and "optimized" both build Huffman tables from the data
+# (fixed standard tables would be a pessimization for a transcoder);
+# "optimal" selects package-merge, like the reference optimizer's
+# MostOptimalCoding.
 MODES = (
-    "baseline",            # SOF0/1 standard-table Huffman is meaningless for
-    "optimized",           # transcode; "baseline"/"optimized" both build
-    "optimal",             # tables from the data (Annex-K method vs
-    "progressive",         # package-merge), like the reference optimizer
+    "baseline",
+    "optimized",
+    "optimal",
+    "progressive",
     "arithmetic",
     "arithmetic-progressive",
 )
