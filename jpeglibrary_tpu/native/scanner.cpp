@@ -1435,12 +1435,29 @@ static inline int read_block_prog_dc(BitReader& br, const HuffTable* dc,
                                      const ScanParams& sp, int32_t& predictor,
                                      int16_t* block) {
     if (sp.ah == 0) {
-        int s = decode_huffman(br, dc);
-        if (s < 0) return 2;
-        int err = 0;
-        if (s != 0) {
-            s = receive_extend(br, s, &err);
-            if (err) return 1;
+        int s;
+        if (br.count < 32) br.fill();
+        if (br.count >= 32) {  // hot path: one refill serves code + bits
+            s = decode_huffman_hot(br, dc);
+            if (s < 0) return 2;
+            if (s != 0 && s <= 16) {
+                uint32_t raw = (uint32_t)(br.bits >> (64 - s));
+                br.bits <<= s;
+                br.count -= s;
+                s = extend((int32_t)raw, s);
+            } else if (s != 0) {
+                int err = 0;
+                s = receive_extend(br, s, &err);
+                if (err) return 1;
+            }
+        } else {
+            s = decode_huffman(br, dc);
+            if (s < 0) return 2;
+            int err = 0;
+            if (s != 0) {
+                s = receive_extend(br, s, &err);
+                if (err) return 1;
+            }
         }
         s += predictor;
         predictor = s;
@@ -1464,9 +1481,38 @@ static inline int read_block_prog_ac(BitReader& br, const HuffTable* ac,
     int err = 0;
     int i = sp.ss;
     while (i <= sp.se) {
-        int s = decode_huffman(br, ac);
+        int s, r;
+        if (br.count < 32) br.fill();
+        if (br.count >= 32) {  // hot path: one refill per coefficient
+            s = decode_huffman_hot(br, ac);
+            if (s < 0) return 2;
+            r = s >> 4;
+            s &= 15;
+            i += r;
+            if (s != 0) {
+                uint32_t raw = (uint32_t)(br.bits >> (64 - s));
+                br.bits <<= s;
+                br.count -= s;
+                block[i < 63 ? i : 63] = (int16_t)(extend((int32_t)raw, s) << sp.al);
+            } else {
+                if (r != 15) {
+                    eobrun = (int64_t)1 << r;
+                    if (r != 0) {
+                        uint32_t raw = (uint32_t)(br.bits >> (64 - r));
+                        br.bits <<= r;
+                        br.count -= r;
+                        eobrun += (int32_t)raw;
+                    }
+                    --eobrun;
+                    break;
+                }
+            }
+            ++i;
+            continue;
+        }
+        s = decode_huffman(br, ac);
         if (s < 0) return 2;
-        int r = s >> 4;
+        r = s >> 4;
         s &= 15;
         i += r;
         if (s != 0) {
