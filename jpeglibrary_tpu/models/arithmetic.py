@@ -363,7 +363,10 @@ def decode_sequential_scan(
             if restart_interval > 0:
                 mcus_before_restart -= 1
                 if mcus_before_restart == 0:
-                    if not cursor.advance_restart():
+                    if not cursor.advance_restart(
+                        row_mcu == geo.mcus_per_column - 1
+                        and col_mcu == geo.mcus_per_line - 1
+                    ):
                         return
                     mcus_before_restart = restart_interval
                     for comp in comps:
@@ -489,12 +492,12 @@ def decode_progressive_scan(
     cursor = _SpanCursor(data, spans)
     mcus_before_restart = restart_interval
 
-    def handle_restart() -> bool:
+    def handle_restart(scan_complete: bool = False) -> bool:
         nonlocal mcus_before_restart
         if restart_interval > 0:
             mcus_before_restart -= 1
             if mcus_before_restart == 0:
-                if not cursor.advance_restart():
+                if not cursor.advance_restart(scan_complete):
                     return False
                 mcus_before_restart = restart_interval
                 for c in comps:
@@ -520,13 +523,13 @@ def decode_progressive_scan(
             for by in range(vbc):
                 for bx in range(hbc):
                     _read_block_progressive_dc(state, cursor.reader, comp, scan, plane[by, bx])
-                    if not handle_restart():
+                    if not handle_restart(by == vbc - 1 and bx == hbc - 1):
                         return
         else:
             for by in range(vbc):
                 for bx in range(hbc):
                     _read_block_progressive_ac(state, cursor.reader, comp, scan, plane[by, bx])
-                    if not handle_restart():
+                    if not handle_restart(by == vbc - 1 and bx == hbc - 1):
                         return
     else:
         for comp in comps:
@@ -543,5 +546,8 @@ def decode_progressive_scan(
                             _read_block_progressive_dc(
                                 state, cursor.reader, comp, scan, plane[by, bx]
                             )
-                if not handle_restart():
+                if not handle_restart(
+                    row_mcu == geo.mcus_per_column - 1
+                    and col_mcu == geo.mcus_per_line - 1
+                ):
                     return

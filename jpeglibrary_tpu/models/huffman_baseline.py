@@ -167,9 +167,16 @@ def decode_baseline_scan(
                     if terminator == Marker.EOI or terminator is None:
                         return  # tolerated truncation
                     if not is_restart_marker(terminator):
-                        # boundary coincides with scan end (libjpeg
-                        # tolerance; see huffman_progressive)
-                        return
+                        # Tolerate a non-restart terminator ONLY when the
+                        # boundary coincides with the scan end (libjpeg
+                        # tolerance; see huffman_progressive). Mid-scan it
+                        # is a corrupt stream — raise like the reference.
+                        if (
+                            row_mcu == geo.mcus_per_column - 1
+                            and col_mcu == geo.mcus_per_line - 1
+                        ):
+                            return
+                        raise JpegDecodeError("Expect restart marker.")
                     span_idx += 1
                     if span_idx >= len(spans):
                         return

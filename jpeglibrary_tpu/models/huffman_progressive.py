@@ -188,7 +188,7 @@ class _SpanCursor:
             unstuff_entropy_bytes(data[spans[0].start : spans[0].end])
         )
 
-    def advance_restart(self) -> bool:
+    def advance_restart(self, scan_complete: bool = False) -> bool:
         """Move to the next span. Returns False when the scan should end
         (EOI/stream end — tolerated truncation)."""
         terminator = self.spans[self.index].terminator
@@ -201,8 +201,12 @@ class _SpanCursor:
             # JpegHuffmanProgressiveScanDecoder.cs:209-212) but libjpeg
             # checks intervals at their start and accepts such streams,
             # which our own restart-emitting progressive encoder
-            # produces when the unit count divides the interval.
-            return False
+            # produces when the unit count divides the interval. The
+            # tolerance applies ONLY at the true scan end: mid-scan the
+            # stream is corrupt and we raise like the reference.
+            if scan_complete:
+                return False
+            raise JpegDecodeError("Expect restart marker.")
         self.index += 1
         if self.index >= len(self.spans):
             return False
@@ -260,12 +264,12 @@ def decode_progressive_scan(
     mcus_before_restart = restart_interval
     eobrun = 0
 
-    def handle_restart() -> bool:
+    def handle_restart(scan_complete: bool = False) -> bool:
         nonlocal mcus_before_restart, eobrun
         if restart_interval > 0:
             mcus_before_restart -= 1
             if mcus_before_restart == 0:
-                if not cursor.advance_restart():
+                if not cursor.advance_restart(scan_complete):
                     return False
                 mcus_before_restart = restart_interval
                 eobrun = 0
@@ -286,7 +290,7 @@ def decode_progressive_scan(
                     comp["predictor"] = read_block_progressive_dc(
                         cursor.reader, comp["dc"], scan, plane[by, bx], comp["predictor"]
                     )
-                    if not handle_restart():
+                    if not handle_restart(by == vbc - 1 and bx == hbc - 1):
                         return
         else:
             for by in range(vbc):
@@ -294,7 +298,7 @@ def decode_progressive_scan(
                     eobrun = read_block_progressive_ac(
                         cursor.reader, comp["ac"], scan, eobrun, plane[by, bx]
                     )
-                    if not handle_restart():
+                    if not handle_restart(by == vbc - 1 and bx == hbc - 1):
                         return
     else:
         # Interleaved (DC scans only per T.81): frame MCU walk
@@ -312,5 +316,8 @@ def decode_progressive_scan(
                             comp["predictor"] = read_block_progressive_dc(
                                 cursor.reader, comp["dc"], scan, plane[by, bx], comp["predictor"]
                             )
-                if not handle_restart():
+                if not handle_restart(
+                    row_mcu == geo.mcus_per_column - 1
+                    and col_mcu == geo.mcus_per_line - 1
+                ):
                     return

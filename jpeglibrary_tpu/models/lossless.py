@@ -141,7 +141,10 @@ def decode_lossless_scan(
             if restart_interval > 0:
                 mcus_before_restart -= 1
                 if mcus_before_restart == 0:
-                    if not cursor.advance_restart():
+                    if not cursor.advance_restart(
+                        row_mcu == mcus_per_column - 1
+                        and col_mcu == mcus_per_line - 1
+                    ):
                         return
                     mcus_before_restart = restart_interval
 
@@ -149,7 +152,14 @@ def decode_lossless_scan(
 # ---------------------------------------------------------------------------
 # Lossless (SOF3) ENCODER — a capability beyond the reference (whose
 # encoder is baseline-only, JpegEncoder.cs): produces streams our own
-# bit-exact SOF3 decoder (and any T.81 decoder) reads back losslessly.
+# bit-exact SOF3 decoder reads back losslessly. Interop caveat: the
+# first sample row predicts with the SELECTED predictor using
+# Rb = Rc = 2^(P-Pt-1), mirroring the reference decoder's behavior
+# (JpegHuffmanLosslessScanDecoder.cs:109-134); T.81 H.1.2.2 instead
+# mandates the Ra predictor for the rest of the first line, so for
+# selectors 2, 3, 6 and 7 a strictly-conforming third-party decoder
+# reconstructs the first row differently. Round trips through this
+# repo's decoders (and the reference's) are exact for all selectors.
 # Diff computation is fully vectorized (predictions depend only on the
 # original samples — the codec is lossless, so reconstructed == source);
 # bit packing runs in the native category packer.

@@ -1105,14 +1105,18 @@ int64_t jpx_decode_baseline_scan_sparse(
         int64_t gap = so.em.first_pos - prev_last;
         int64_t n_esc = gap / 0xFFFF;
         if (out_n + n_esc + so.em.n > capacity) return -1;
+        // Move the body BEFORE writing boundary escapes: for the first
+        // non-empty span the region starts at offset 0 with no slack, so
+        // escape writes at out_n..out_n+n_esc-1 would clobber the span's
+        // own leading entries. memmove is overlap-safe in both directions.
+        std::memmove(out + 2 * (out_n + n_esc), out + 2 * so.region_off,
+                     (size_t)(2 * so.em.n) * sizeof(int16_t));
         for (int64_t e = 0; e < n_esc; ++e) {
             out[2 * out_n] = (int16_t)0xFFFF;
             out[2 * out_n + 1] = 0;
             ++out_n;
         }
         gap -= n_esc * 0xFFFF;
-        std::memmove(out + 2 * out_n, out + 2 * so.region_off,
-                     (size_t)(2 * so.em.n) * sizeof(int16_t));
         out[2 * out_n] = (int16_t)(uint16_t)gap;  // patch first delta
         out_n += so.em.n;
         prev_last = so.em.last_pos;
@@ -1234,6 +1238,7 @@ int64_t jpx_decode_image_baseline_sparse(
     bool dc_seen[4] = {false}, ac_seen[4] = {false};
     bool q_seen[4] = {false};
     int32_t width = 0, height = 0, precision = 0, n_comps = 0;
+    int32_t sof_marker = 0xC0;
     int32_t comp_h[4], comp_v[4], comp_q[4], comp_dc[4], comp_ac[4], comp_id[4];
     int64_t restart_interval = 0;
     int64_t pos = 2;
@@ -1261,6 +1266,7 @@ int64_t jpx_decode_image_baseline_sparse(
         int seg_n = seg_len - 2;
         if (marker == 0xC0 || marker == 0xC1) {  // SOF0/1
             if (seg_n < 6) return -10;
+            sof_marker = marker;
             precision = seg[0];
             height = (seg[1] << 8) | seg[2];
             width = (seg[3] << 8) | seg[4];
@@ -1346,6 +1352,7 @@ int64_t jpx_decode_image_baseline_sparse(
     // ECS span split: scan for markers (0xFF followed by non-0/non-FF),
     // splitting at RSTn; stop at any other marker (EOI/next SOS).
     std::vector<int64_t> starts, ends;
+    uint8_t scan_terminator = 0;  // 0 = stream end (tolerated truncation)
     {
         int64_t p = sos_end;
         int64_t span_start = p;
@@ -1365,6 +1372,7 @@ int64_t jpx_decode_image_baseline_sparse(
             starts.push_back(span_start);
             ends.push_back(p);
             done = true;
+            scan_terminator = b2;
             if (b2 == 0xDA) return -10;  // multi-scan: Python path
         }
         if (!done) {
@@ -1388,6 +1396,16 @@ int64_t jpx_decode_image_baseline_sparse(
     int64_t mcus_per_line = (width + 8 * max_h - 1) / (8 * max_h);
     int64_t mcus_per_column = (height + 8 * max_v - 1) / (8 * max_v);
 
+    // A scan that ends at a non-restart, non-EOI marker before covering
+    // all restart intervals is corrupt ("Expect restart marker."): defer
+    // to the Python path, which raises. EOI/stream-end truncation stays
+    // tolerated like the reference (JpegHuffmanBaselineScanDecoder.cs:145-149).
+    if (restart_interval > 0 && scan_terminator != 0 && scan_terminator != 0xD9) {
+        int64_t total = mcus_per_line * mcus_per_column;
+        int64_t required = (total + restart_interval - 1) / restart_interval;
+        if ((int64_t)starts.size() < required) return -10;
+    }
+
     // Fill info BEFORE decoding so a capacity failure (-1) lets the
     // caller size the buffer from the parsed dimensions and retry.
     info[0] = width;
@@ -1399,6 +1417,7 @@ int64_t jpx_decode_image_baseline_sparse(
         info[8 + i] = i < n_comps ? comp_v[i] : 0;
         info[12 + i] = i < n_comps ? comp_q[i] : 0;
     }
+    info[16] = sof_marker;  // 0xC0 or 0xC1 (the walk accepts both)
 
     int64_t n = jpx_decode_baseline_scan_sparse(
         data,

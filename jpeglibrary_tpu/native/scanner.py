@@ -45,6 +45,28 @@ def pack_huffman_table(t: HuffmanDecodingTable) -> bytes:
     return bytes(out)
 
 
+def validate_restart_spans(
+    spans: Sequence[EntropySpan], restart_interval: int, total_units: int
+) -> None:
+    """A scan ending at a non-restart, non-EOI marker before covering all
+    restart intervals is corrupt — raise like the reference (HandleRestart
+    throws "Expect restart marker."). EOI/stream-end truncation stays
+    tolerated (JpegHuffmanBaselineScanDecoder.cs:145-149), as does a
+    restart boundary that coincides with the true scan end (libjpeg
+    convention; the pure-Python scanners apply the same rule)."""
+    if restart_interval <= 0:
+        return
+    from ..models.huffman_baseline import JpegDecodeError
+    from ..syntax.markers import Marker
+
+    required = -(-total_units // restart_interval)
+    if len(spans) >= required:
+        return
+    term = spans[-1].terminator if spans else None
+    if term is not None and term != Marker.EOI:
+        raise JpegDecodeError("Expect restart marker.")
+
+
 def default_threads() -> int:
     env = os.environ.get("JPX_SCAN_THREADS")
     if env:
@@ -100,6 +122,9 @@ def decode_baseline_scan(
         dc_blob += pack_huffman_table(dc)
         ac_blob += pack_huffman_table(ac)
 
+    validate_restart_spans(
+        spans, restart_interval, geo.mcus_per_line * geo.mcus_per_column
+    )
     n_spans = len(spans)
     starts = (ctypes.c_int64 * n_spans)(*[s.start for s in spans])
     ends = (ctypes.c_int64 * n_spans)(*[s.end for s in spans])
@@ -143,7 +168,7 @@ def decode_image_sparse(data: bytes, *, bucket_factor: float = 1.5):
     from ..models.geometry import frame_geometry
 
     buf = np.frombuffer(data, dtype=np.uint8)
-    info = np.zeros(16, dtype=np.int32)
+    info = np.zeros(17, dtype=np.int32)
     quants = np.zeros((4, 64), dtype=np.uint16)
     out = _pack_scratch(1 << 21)
     written = lib.jpx_decode_image_baseline_sparse(
@@ -195,7 +220,9 @@ def decode_image_sparse(data: bytes, *, bucket_factor: float = 1.5):
 
     n_comps = int(info[3])
     frame = FrameHeader(
-        marker=Marker.SOF0,
+        # The fused walk accepts SOF0 and SOF1 (scanner.cpp); report the
+        # actual marker so the fast path matches the dense path.
+        marker=Marker(int(info[16]) or int(Marker.SOF0)),
         sample_precision=int(info[2]),
         number_of_lines=int(info[1]),
         samples_per_line=int(info[0]),
@@ -268,6 +295,9 @@ def decode_baseline_scan_sparse(
         ac_blob += pack_huffman_table(ac)
         total += cg.blocks_per_column * cg.blocks_per_line * 64
 
+    validate_restart_spans(
+        spans, restart_interval, geo.mcus_per_line * geo.mcus_per_column
+    )
     n_spans = len(spans)
     starts = (ctypes.c_int64 * n_spans)(*[s.start for s in spans])
     ends = (ctypes.c_int64 * n_spans)(*[s.end for s in spans])
@@ -372,6 +402,7 @@ def decode_progressive_scan(
             vbc = ceil_div(geo.height, 8 * cg.vs)
             total_units = hbc * vbc
 
+    validate_restart_spans(spans, restart_interval, total_units)
     n_spans = len(spans)
     starts = (ctypes.c_int64 * n_spans)(*[s.start for s in spans])
     ends = (ctypes.c_int64 * n_spans)(*[s.end for s in spans])
@@ -444,6 +475,13 @@ def decode_lossless_scan(
     max_h = frame.max_horizontal_sampling
     max_v = frame.max_vertical_sampling
     pt = scan.successive_approximation_bit_position_low
+    # Lossless MCU = one sample per component (T.81 H.2).
+    validate_restart_spans(
+        spans,
+        restart_interval,
+        ceil_div(frame.samples_per_line, max_h)
+        * ceil_div(frame.number_of_lines, max_v),
+    )
     n_spans = len(spans)
     starts = (ctypes.c_int64 * n_spans)(*[s.start for s in spans])
     ends = (ctypes.c_int64 * n_spans)(*[s.end for s in spans])
@@ -612,6 +650,7 @@ def decode_arithmetic_scan(
             vbc = ceil_div(geo.height, 8 * cg.vs)
             total_units = hbc * vbc
 
+    validate_restart_spans(spans, restart_interval, total_units)
     n_spans = len(spans)
     starts = (ctypes.c_int64 * n_spans)(*[s.start for s in spans])
     ends = (ctypes.c_int64 * n_spans)(*[s.end for s in spans])

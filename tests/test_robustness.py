@@ -122,3 +122,25 @@ def test_decode_twice_same_result(assets_dir):
     decoder.set_input(data)
     b = decoder.decode().to_uint16_extended()
     np.testing.assert_array_equal(a, b)
+
+
+def test_missing_restart_marker_mid_scan_raises(assets_dir):
+    """A non-restart marker at a restart boundary MID-scan is a corrupt
+    stream and must raise (reference HandleRestart throws). Only a
+    boundary that coincides with the true scan end is tolerated (libjpeg
+    convention; our own restart-emitting encoders produce such streams)."""
+    from jpeglibrary_tpu.models.encoder import encode_rgb
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    data = encode_rgb(rgb, 75, restart_interval=2)
+    # Replace the FIRST restart marker (0xFFD0) with a DHT marker +
+    # empty-ish payload so the span terminator is a non-restart marker
+    # while many MCUs remain.
+    idx = data.find(b"\xff\xd0")
+    assert idx > 0
+    corrupt = data[:idx] + b"\xff\xfe\x00\x04ab" + data[idx + 2 :]
+    decoder = JpegDecoder()
+    decoder.set_input(corrupt)
+    with pytest.raises((JpegDecodeError, JpegStreamError)):
+        decoder.decode()

@@ -120,3 +120,28 @@ def test_sparse_direct_host_pixels(assets_dir, native_lib):
     np.testing.assert_array_equal(
         dense.to_uint16_extended(), sparse.to_uint16_extended()
     )
+
+
+def test_sparse_direct_long_flat_head_boundary_escape(native_lib):
+    """Regression: a restart span whose first nonzero coefficient sits at
+    MCU-order position >= 65535 needs boundary escape entries at the very
+    start of the compacted payload.  The first non-empty span's region
+    begins at offset 0 with no slack, so the escapes must be written
+    AFTER the body memmove (writing them first clobbered the span's
+    leading entries).  Repro: 4:2:0 (384 coefs/MCU), restart interval
+    180 MCUs (180*384 = 69120 > 65535), flat-gray head covering the
+    first ~175 MCUs so the first entry lands past position 65535."""
+    from jpeglibrary_tpu.models.encoder import encode_rgb
+
+    rng = np.random.default_rng(7)
+    h, w = 18 * 16, 20 * 16  # 18x20 = 360 MCUs at 4:2:0
+    rgb = np.full((h, w, 3), 128, dtype=np.uint8)
+    # First nonzero block: MCU row 8, col 15 -> MCU index 175 (span 0).
+    rgb[128:144, 240:256] = 0
+    # Dense noise over the last 4 MCU rows (covers span 1 + boundary patch).
+    rgb[14 * 16 :] = rng.integers(0, 256, (4 * 16, w, 3), dtype=np.uint8)
+    data = encode_rgb(rgb, 90, restart_interval=180)
+    dense, sparse = _decode_pair(data)
+    assert sparse.packed_mcu is not None
+    for k in dense.coefficients:
+        np.testing.assert_array_equal(dense.coefficients[k], sparse.coefficients[k])
