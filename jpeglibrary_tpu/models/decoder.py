@@ -912,7 +912,28 @@ def _run_progressive_jobs(data, frame, geometry, coefficient_planes, jobs,
         for j in range(len(jobs))
     ]
 
-    def run(j, futures):
+    # Single-component Huffman scans go to the watermark-pipelined chain
+    # decoder (jpx_decode_progressive_chains): a component's
+    # first->refine->refine chain overlaps per-unit instead of
+    # serializing scan by scan. Remaining jobs (interleaved DC,
+    # arithmetic) keep the future-based schedule. If a rest job depends
+    # on a chain job (unusual scan scripts), fall back to futures-only.
+    chain_idx = [
+        j
+        for j in range(len(jobs))
+        if not jobs[j]["arithmetic"] and len(touches[j][0]) == 1
+    ]
+    chain_set = set(chain_idx)
+    if chain_set and any(
+        i in chain_set for j in range(len(jobs)) if j not in chain_set
+        for i in deps[j]
+    ):
+        chain_idx = []
+        chain_set = set()
+
+    rest_idx = [j for j in range(len(jobs)) if j not in chain_set]
+
+    def run_rest(j, futures):
         for i in deps[j]:
             futures[i].result()
         job = jobs[j]
@@ -929,12 +950,36 @@ def _run_progressive_jobs(data, frame, geometry, coefficient_planes, jobs,
                 coefficient_planes, geometry,
             )
 
+    if chain_idx and not rest_idx:
+        native.decode_progressive_chains(
+            data, [jobs[j] for j in chain_idx], frame, geometry,
+            coefficient_planes,
+        )
+        return
+
     with ThreadPoolExecutor(max_workers=min(4, len(jobs))) as pool:
         futures = {}
-        for j in range(len(jobs)):
-            futures[j] = pool.submit(run, j, futures)
-        for j in range(len(jobs)):
+        for j in rest_idx:
+            futures[j] = pool.submit(run_rest, j, futures)
+        chain_future = None
+        if chain_idx:
+            chain_deps = sorted(
+                {i for j in chain_idx for i in deps[j] if i not in chain_set}
+            )
+
+            def run_chains():
+                for i in chain_deps:
+                    futures[i].result()
+                native.decode_progressive_chains(
+                    data, [jobs[j] for j in chain_idx], frame, geometry,
+                    coefficient_planes,
+                )
+
+            chain_future = pool.submit(run_chains)
+        for j in rest_idx:
             futures[j].result()
+        if chain_future is not None:
+            chain_future.result()
 
 
 def decode(data: bytes, **kwargs) -> DecodeResult:

@@ -80,6 +80,21 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.c_int32,                       # n_threads
     ]
     lib.jpx_decode_progressive_scan.restype = c.c_int32
+    lib.jpx_decode_progressive_chains.restype = c.c_int32
+    lib.jpx_decode_progressive_chains.argtypes = [
+        c.c_void_p,                      # data
+        c.c_int32,                       # n_scans
+        c.POINTER(c.c_int64), c.POINTER(c.c_int64),   # span starts/ends (concat)
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),   # span offsets/counts
+        c.POINTER(c.c_int64),            # restart_intervals
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),   # ss, se
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),   # ah, al
+        c.POINTER(c.c_int32),            # gates
+        c.c_void_p,                      # table blobs
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, wbs
+        c.POINTER(c.c_int64), c.POINTER(c.c_int64),   # hbcs, total_units
+        c.c_int32,                       # n_threads
+    ]
     lib.jpx_decode_progressive_scan.argtypes = [
         c.c_void_p,
         c.POINTER(c.c_int64), c.POINTER(c.c_int64), c.c_int32,  # spans

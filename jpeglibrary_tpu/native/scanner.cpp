@@ -29,6 +29,8 @@
 #include <cstring>
 #include <algorithm>
 #include <atomic>
+#include <chrono>
+#include <cstdio>
 #include <memory>
 #include <thread>
 #include <vector>
@@ -311,6 +313,9 @@ struct McuRecord {
     int32_t bit_count;  // canonical buffered-bit count
     uint64_t bits;      // buffer contents (left-justified)
     int32_t preds[4];   // per-component DC predictors BEFORE this MCU
+    // Sparse single-pass speculation only (dense path leaves them 0):
+    int64_t entry_n;     // emitter entry count at this MCU start
+    int64_t em_last_pos; // emitter last emitted (thread-local) position
 };
 
 static inline bool rec_key_less(const McuRecord& a, const McuRecord& b) {
@@ -873,9 +878,10 @@ static inline int decode_huffman_hot(BitReader& br, const HuffTable* t) {
 // symbol (<=16 bits) and its EXTEND value bits (<=16 bits) from the
 // same 64-bit window; the careful peek/advance path (with its 1-bit
 // padding semantics) only runs within 32 bits of the end of the span.
+template <class EmitterT, bool AlwaysDC = false>
 static inline int read_block_baseline_sparse(BitReader& br, const Component& c,
                                              int32_t& predictor,
-                                             SparseEmitter& em,
+                                             EmitterT& em,
                                              int64_t block_base) {
     int err = 0;
     if (br.count < 32) br.fill();
@@ -903,7 +909,14 @@ static inline int read_block_baseline_sparse(BitReader& br, const Component& c,
             predictor += diff;
         }
     }
-    if (predictor != 0) em.emit(block_base, predictor);
+    // AlwaysDC (speculative single-pass mode): emit the DC entry even
+    // when the thread-relative predictor is 0 — the stitch's DC-delta
+    // fixup needs an anchor in every block (a relative 0 can be a true
+    // nonzero). Zero values scatter-add 0 downstream, so extra entries
+    // are harmless. dc_mark hands the DC entry's index to the caller
+    // for the fixup's DC-entry list.
+    if (AlwaysDC || predictor != 0) em.emit(block_base, predictor);
+    if constexpr (AlwaysDC) em.dc_mark = em.n - 1;
 
     int i = 1;
     while (i < 64) {
@@ -969,6 +982,347 @@ static int decode_span_sparse(const SpanTask& task, Component* comps, int n_comp
     return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Speculative SINGLE-PASS sparse decode (no restart markers)
+// ---------------------------------------------------------------------------
+//
+// The dense path's two-phase speculation (scan for sync points, then
+// re-decode) pays the entropy decode twice. For the sparse serving path
+// a single pass suffices: each thread EMITS sparse entries as it
+// speculatively scans (into its own growable buffer, thread-local MCU
+// positions, DC values relative to the thread's arbitrary start), and
+// each per-MCU record carries the emitter state (entry count + last
+// emitted position). After the canonical-state stitch assigns every
+// chunk its true first MCU index and true DC predictor deltas:
+//
+//  - a parallel fixup pass walks each chunk's valid entry slice, adds
+//    the per-component DC delta to every DC entry (position % 64 == 0;
+//    DC entries are ALWAYS emitted in this mode so none are missing),
+//    and finds the slice's first/last absolute positions;
+//  - a sequential assembly memcpy's the slices into the output with
+//    boundary escapes and first-delta patches, exactly like the
+//    restart-span compaction.
+//
+// DC value correctness: predictors evolve additively (pred_true =
+// pred_local + delta in int32), and the emitter stores (int16)pred, so
+// (int16)(stored + delta) == (int16)pred_true — bit-identical to the
+// sequential emission. Any failure returns -6 and the caller falls
+// back to the sequential single-span decode.
+
+struct VecSparseEmitter {
+    std::vector<int16_t> buf;  // interleaved (delta, value) backing store
+    int16_t* w = nullptr;      // write cursor (2 int16 per entry)
+    int16_t* wend = nullptr;
+    int64_t n = 0;             // entries emitted
+    int64_t last_pos = -1;     // thread-local position of last entry
+    int64_t first_pos = -1;
+    int64_t dc_mark = -1;      // index of the block's DC entry (AlwaysDC)
+
+    void reset() {  // rewind without releasing the allocation
+        n = 0;
+        last_pos = -1;
+        first_pos = -1;
+        dc_mark = -1;
+        w = buf.data();
+        wend = buf.data() + buf.size();
+    }
+
+    __attribute__((noinline)) void grow() {
+        size_t used = (size_t)(w - buf.data());
+        buf.resize(buf.empty() ? 8192 : buf.size() * 2);
+        w = buf.data() + used;
+        wend = buf.data() + buf.size();
+    }
+
+    inline void emit(int64_t pos, int32_t val) {
+        // Unlike SparseEmitter, the FIRST entry also gets its true
+        // (thread-local) gap — any record's (entry_n, em_last_pos) pair
+        // must be a valid resume point for the fixup walk.
+        int64_t gap = pos - last_pos;
+        while (__builtin_expect(gap >= 0xFFFF, 0)) {
+            if (w + 2 > wend) grow();
+            std::memcpy(w, "\xff\xff\x00\x00", 4);
+            w += 2;
+            ++n;
+            gap -= 0xFFFF;
+        }
+        if (__builtin_expect(first_pos < 0, 0)) first_pos = pos;
+        if (__builtin_expect(w + 2 > wend, 0)) grow();
+        uint32_t packed = (uint16_t)gap | ((uint32_t)(uint16_t)val << 16);
+        std::memcpy(w, &packed, 4);  // one 32-bit store (LE)
+        w += 2;
+        ++n;
+        last_pos = pos;
+    }
+};
+
+// Phase A for one thread: emit sparse entries speculatively from byte
+// offset `from`, recording canonical MCU-start states + emitter state.
+// `dc_entries` records each always-emitted DC entry as
+// (entry_index << 2) | component — the DC-delta fixup then touches only
+// those entries instead of walking the whole payload.
+static void speculative_scan_sparse(const uint8_t* base, int64_t span_len,
+                                    int64_t from, int64_t until,
+                                    Component* comps, int n_comps,
+                                    int64_t cpm, const int64_t* comp_off,
+                                    int64_t max_mcus,
+                                    std::vector<McuRecord>& out,
+                                    VecSparseEmitter& em,
+                                    std::vector<int64_t>& dc_entries) {
+    // Thread 0 starts at the true stream start: a failure there is a
+    // truly corrupt stream and must NOT be retried at the next byte
+    // (there is no phase-B re-decode to catch garbage in this mode —
+    // fall back to the sequential path, which raises properly).
+    const int kMaxRetries = from == 0 ? 1 : 64;
+    for (int attempt = 0; attempt < kMaxRetries; ++attempt) {
+        int64_t start = from + attempt;
+        if (start >= span_len) return;
+        out.clear();
+        em.reset();
+        dc_entries.clear();
+        BitReader br;
+        br.init(base + start, span_len - start);
+        int32_t pred[4] = {0, 0, 0, 0};
+        bool failed = false;
+        for (int64_t m = 0; m < max_mcus; ++m) {
+            br.fill();  // canonicalize
+            McuRecord rec;
+            rec.byte_off = (br.p - base);
+            rec.bit_count = br.count;
+            rec.bits = br.bits;
+            for (int ci = 0; ci < n_comps; ++ci) rec.preds[ci] = pred[ci];
+            rec.entry_n = em.n;
+            rec.em_last_pos = em.last_pos;
+            out.push_back(rec);
+            if (rec.byte_off > until + 8) return;  // covered the overlap
+            int64_t bpos = m * cpm;
+            int rc = 0;
+            for (int ci = 0; ci < n_comps && rc == 0; ++ci) {
+                Component& c = comps[ci];
+                int64_t boff = bpos + comp_off[ci];
+                int nb = c.h * c.v;
+                for (int b = 0; b < nb; ++b) {
+                    rc = read_block_baseline_sparse<VecSparseEmitter, true>(
+                        br, c, pred[ci], em, boff + (int64_t)b * 64);
+                    if (rc) break;
+                    // The DC entry the block just always-emitted is the
+                    // one right before its AC entries: its index is the
+                    // entry count at block start... the DC is emitted
+                    // first, so it is at (entry count before any AC).
+                    // Record it via the emitter's dc_mark (set below).
+                    dc_entries.push_back((em.dc_mark << 2) | ci);
+                }
+            }
+            if (rc == 2) { failed = true; break; }
+            if (rc == 1) return;  // ran off the end: keep records
+        }
+        if (!failed) return;
+        // Invalid code: mis-aligned start. Retry one byte later unless
+        // we already recorded a healthy run (sync then late corruption
+        // would also fail sequentially — keep what we have; the chunk
+        // cutoffs only use entry counts at intact records).
+        if (out.size() > 16) return;
+    }
+    out.clear();
+    em.reset();
+}
+
+// Returns the entry count written to `out`, or: -1 capacity exceeded,
+// -6 could-not-sync (caller falls back to the sequential span decode).
+static int64_t decode_span_sparse_speculative(
+    const uint8_t* data, int64_t len, int64_t total_mcus,
+    Component* comps, int n_comps, int64_t cpm, const int64_t* comp_off,
+    int16_t* out, int64_t capacity, int n_threads) {
+    if (n_comps > 4) return -6;
+    int T = n_threads;
+    if ((int64_t)T > len / 65536) T = (int)(len / 65536);
+    if (T < 2) return -6;
+    const int64_t kOverlap = 16384;
+    // More chunks than threads: threads self-schedule, so one stolen
+    // core (shared host) or a dense region doesn't hold up 1/T of the
+    // stream. Each extra chunk costs kOverlap of duplicated decode.
+    int C = std::min<int>(2 * T, (int)(len / 65536));
+    if (C < 2) return -6;
+
+    const bool dbg = std::getenv("JPX_SPEC_DEBUG") != nullptr;
+    auto now_us = []() {
+        return std::chrono::duration_cast<std::chrono::microseconds>(
+                   std::chrono::steady_clock::now().time_since_epoch())
+            .count();
+    };
+    int64_t t_a = now_us();
+
+    std::vector<std::vector<McuRecord>> records(C);
+    std::vector<VecSparseEmitter> ems(C);
+    std::vector<std::vector<int64_t>> dc_lists(C);
+    std::vector<std::vector<Component>> comp_copies(T,
+        std::vector<Component>(comps, comps + n_comps));
+    {
+        std::vector<std::thread> pool;
+        std::atomic<int> next{0};
+        int64_t chunk = len / C;
+        auto run_chunk = [&](int k, Component* cv) {
+            int64_t from = (int64_t)k * chunk;
+            int64_t until = (k + 1 < C) ? (int64_t)(k + 1) * chunk + kOverlap : len;
+            // Stack-local working state: the emitter's hot fields are
+            // updated once per ENTRY — if they lived in the shared
+            // ems[] array, adjacent chunks' emitters would share cache
+            // lines and threads would false-share at entry rate.
+            std::vector<McuRecord> recs;
+            std::vector<int64_t> dcs;
+            VecSparseEmitter em;
+            // Size roughly the byte share (natural images emit about
+            // one entry per compressed byte); buffers grow as needed.
+            em.buf.resize((size_t)(2 * (until - from) + 4096));
+            speculative_scan_sparse(data, len, from, until, cv, n_comps,
+                                    cpm, comp_off, total_mcus + 16,
+                                    recs, em, dcs);
+            records[k] = std::move(recs);
+            ems[k] = std::move(em);
+            dc_lists[k] = std::move(dcs);
+        };
+        for (int t = 0; t < T; ++t) {
+            pool.emplace_back([&, t]() {
+                for (;;) {
+                    int k = next.fetch_add(1);
+                    if (k >= C) break;
+                    run_chunk(k, comp_copies[t].data());
+                }
+            });
+        }
+        for (auto& th : pool) th.join();
+    }
+    int64_t t_b = now_us();
+    if (dbg) {
+        fprintf(stderr, "[spec] phaseA %lld us (chunks:", (long long)(t_b - t_a));
+        for (int k = 0; k < C; ++k)
+            fprintf(stderr, " %zurec", records[k].size());
+        fprintf(stderr, ")\n");
+    }
+
+    // Stitch the chain of sync points into chunk descriptors.
+    struct Chunk {
+        int thread;
+        int64_t rec_start, rec_end;  // record index range [start, end)
+        int64_t first_mcu;           // true MCU index of rec_start
+        int32_t dc_delta[4];         // true_pred - local_pred
+    };
+    std::vector<Chunk> chunks;
+    if (records[0].empty()) return -6;
+
+    int prev_thread = 0;
+    int64_t prev_sync_idx = 0;
+    int64_t prev_first_mcu = 0;
+    int32_t delta_prev[4] = {0, 0, 0, 0};
+
+    for (int t = 1; t < C; ++t) {
+        const auto& a = records[prev_thread];
+        const auto& b = records[t];
+        size_t i = (size_t)prev_sync_idx, j = 0;
+        bool found = false;
+        while (i < a.size() && j < b.size()) {
+            if (rec_key_eq(a[i], b[j])) { found = true; break; }
+            if (rec_key_less(a[i], b[j])) ++i; else ++j;
+        }
+        if (!found || b[j].byte_off >= len) return -6;
+        int64_t sync_mcu = prev_first_mcu + (int64_t)(i - (size_t)prev_sync_idx);
+        if (sync_mcu >= total_mcus) break;
+        Chunk c;
+        c.thread = prev_thread;
+        c.rec_start = prev_sync_idx;
+        c.rec_end = (int64_t)i;
+        c.first_mcu = prev_first_mcu;
+        for (int ci = 0; ci < 4; ++ci) c.dc_delta[ci] = delta_prev[ci];
+        chunks.push_back(c);
+        // true predictors at the sync, then thread t's delta
+        for (int ci = 0; ci < n_comps; ++ci)
+            delta_prev[ci] = (a[i].preds[ci] + delta_prev[ci]) - b[j].preds[ci];
+        prev_thread = t;
+        prev_sync_idx = (int64_t)j;
+        prev_first_mcu = sync_mcu;
+    }
+    {
+        // Last chunk: needs the boundary record AT MCU total_mcus for
+        // its entry cutoff (pushed before the phantom-MCU attempt; a
+        // stream that truncates earlier lacks it -> fall back).
+        int64_t need = prev_sync_idx + (total_mcus - prev_first_mcu);
+        if ((int64_t)records[prev_thread].size() < need + 1) return -6;
+        Chunk c;
+        c.thread = prev_thread;
+        c.rec_start = prev_sync_idx;
+        c.rec_end = need;
+        c.first_mcu = prev_first_mcu;
+        for (int ci = 0; ci < 4; ++ci) c.dc_delta[ci] = delta_prev[ci];
+        chunks.push_back(c);
+    }
+
+    int64_t t_c = now_us();
+    if (dbg) fprintf(stderr, "[spec] stitch %lld us, %zu chunks\n",
+                     (long long)(t_c - t_b), chunks.size());
+
+    // Assembly with O(DC-count) fixup: each chunk's slice bounds come
+    // straight from its boundary records (em_last_pos gives the last
+    // emitted position AT the cutoff MCU; only the leading escape group
+    // needs a mini-walk), and the DC-delta patch touches only the
+    // recorded DC entry indices instead of walking the whole payload.
+    int64_t out_n = 0;
+    int64_t prev_abs = -1;
+    for (const Chunk& c : chunks) {
+        const auto& R = records[c.thread];
+        auto& buf = ems[c.thread].buf;
+        int64_t e_begin = R[c.rec_start].entry_n;
+        int64_t e_end = R[c.rec_end].entry_n;
+        if (e_end <= e_begin) continue;
+        // record index == thread-local MCU index (records are pushed
+        // per MCU from m = 0, cleared on retry).
+        int64_t rebase = (c.first_mcu - c.rec_start) * cpm;
+        // Skip leading escapes (they encode the thread-LOCAL gap; the
+        // true boundary gap is recomputed below) and find the first
+        // real entry's absolute position.
+        int64_t pos = R[c.rec_start].em_last_pos;
+        int64_t e = e_begin;
+        while (e < e_end && (uint16_t)buf[2 * e] == 0xFFFF && buf[2 * e + 1] == 0) {
+            pos += 0xFFFF;
+            ++e;
+        }
+        if (e >= e_end) continue;  // escape-only slice (no real entries)
+        int64_t first_abs = pos + (uint16_t)buf[2 * e] + rebase;
+        int64_t last_abs = R[c.rec_end].em_last_pos + rebase;
+        int64_t n_entries = e_end - e;
+
+        // DC-delta patch over the recorded DC entries in this slice.
+        if (c.dc_delta[0] | c.dc_delta[1] | c.dc_delta[2] | c.dc_delta[3]) {
+            const auto& dcl = dc_lists[c.thread];
+            auto it = std::lower_bound(dcl.begin(), dcl.end(), e_begin << 2);
+            for (; it != dcl.end(); ++it) {
+                int64_t idx = *it >> 2;
+                if (idx >= e_end) break;
+                int ci = (int)(*it & 3);
+                buf[2 * idx + 1] =
+                    (int16_t)(buf[2 * idx + 1] + c.dc_delta[ci]);
+            }
+        }
+
+        int64_t gap = first_abs - prev_abs;
+        int64_t n_esc = gap / 0xFFFF;
+        if (out_n + n_esc + n_entries > capacity) return -1;
+        for (int64_t k = 0; k < n_esc; ++k) {
+            out[2 * out_n] = (int16_t)0xFFFF;
+            out[2 * out_n + 1] = 0;
+            ++out_n;
+        }
+        gap -= n_esc * 0xFFFF;
+        std::memcpy(out + 2 * out_n, buf.data() + 2 * e,
+                    (size_t)(2 * n_entries) * sizeof(int16_t));
+        out[2 * out_n] = (int16_t)(uint16_t)gap;
+        out_n += n_entries;
+        prev_abs = last_abs;
+    }
+    if (dbg) fprintf(stderr, "[spec] assembly %lld us, %lld entries\n",
+                     (long long)(now_us() - t_c), (long long)out_n);
+    return out_n;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1008,9 +1362,23 @@ int64_t jpx_decode_baseline_scan_sparse(
     const int64_t total_mcus = mcus_per_line * mcus_per_column;
 
     if (restart_interval <= 0 || n_spans == 1) {
-        // Single span: sequential decode straight into `out`.
+        // Single span: no restart seam. Try the speculative single-pass
+        // parallel path first (JPX_SPECULATIVE=0 disables); -6 means it
+        // could not synchronize and the sequential decode runs below.
         SpanTask t{data + span_starts[0], span_ends[0] - span_starts[0],
                    0, total_mcus};
+        {
+            const char* spec_env = std::getenv("JPX_SPECULATIVE");
+            bool allow_spec = !(spec_env && spec_env[0] == '0');
+            int hw0 = (int)std::thread::hardware_concurrency();
+            int nt0 = n_threads > 0 ? n_threads : (hw0 > 0 ? hw0 : 1);
+            if (allow_spec && nt0 > 2) {
+                int64_t n = decode_span_sparse_speculative(
+                    t.data, t.len, total_mcus, comps.data(), n_comps, cpm,
+                    comp_off, out, capacity, nt0);
+                if (n != -6) return n;
+            }
+        }
         SparseEmitter em;
         em.init(out, capacity);
         int rc = decode_span_sparse(t, comps.data(), n_comps, cpm, comp_off, em);
@@ -1482,8 +1850,13 @@ static inline int read_block_prog_dc(BitReader& br, const HuffTable* dc,
         predictor = s;
         block[0] = (int16_t)(s << sp.al);
     } else {
-        int32_t bit = br.read(1);
-        if (bit < 0) return 1;
+        if (br.count == 0) {
+            br.fill();
+            if (br.count == 0) return 1;  // read(1) failure semantics
+        }
+        int bit = (int)(br.bits >> 63);
+        br.bits <<= 1;
+        --br.count;
         block[0] = (int16_t)(block[0] | (bit << sp.al));
     }
     return 0;
@@ -1567,16 +1940,40 @@ static inline int read_block_prog_ac_refined(BitReader& br, const HuffTable* ac,
 
     if (eobrun == 0) {
         while (k <= end) {
-            int s = decode_huffman(br, ac);
-            if (s < 0) return 2;
-            int r = s >> 4;
-            s &= 15;
-            if (s != 0) {
-                int32_t bit = br.read(1);
-                if (bit < 0) return 1;
-                s = bit != 0 ? p1 : m1;
+            int s, r;
+            // Hot path: one refill serves the Huffman code (<=16 bits)
+            // plus the sign bit or the EOB-run bits (<=14).
+            if (br.count < 32) br.fill();
+            if (br.count >= 32) {
+                s = decode_huffman_hot(br, ac);
+                if (s < 0) return 2;
+                r = s >> 4;
+                s &= 15;
+                if (s != 0) {
+                    int bit = (int)(br.bits >> 63);
+                    br.bits <<= 1;
+                    --br.count;
+                    s = bit != 0 ? p1 : m1;
+                } else if (r != 15) {
+                    eobrun = (int64_t)1 << r;
+                    if (r != 0) {
+                        uint32_t raw = (uint32_t)(br.bits >> (64 - r));
+                        br.bits <<= r;
+                        br.count -= r;
+                        eobrun += (int32_t)raw;
+                    }
+                    break;
+                }
             } else {
-                if (r != 15) {
+                s = decode_huffman(br, ac);
+                if (s < 0) return 2;
+                r = s >> 4;
+                s &= 15;
+                if (s != 0) {
+                    int32_t bit = br.read(1);
+                    if (bit < 0) return 1;
+                    s = bit != 0 ? p1 : m1;
+                } else if (r != 15) {
                     eobrun = (int64_t)1 << r;
                     if (r != 0) {
                         int32_t bits = br.read(r);
@@ -1590,8 +1987,16 @@ static inline int read_block_prog_ac_refined(BitReader& br, const HuffTable* ac,
             while (k <= end) {
                 int coef = block[k];
                 if (coef != 0) {
-                    int32_t bit = br.read(1);
-                    if (bit < 0) return 1;
+                    // Correction bit straight off the register (refill
+                    // only when it runs dry; same TryReadBits failure
+                    // semantics as br.read(1)).
+                    if (br.count == 0) {
+                        br.fill();
+                        if (br.count == 0) return 1;
+                    }
+                    int bit = (int)(br.bits >> 63);
+                    br.bits <<= 1;
+                    --br.count;
                     if (bit != 0 && (coef & p1) == 0) {
                         block[k] = (int16_t)(coef + (coef >= 0 ? p1 : m1));
                     }
@@ -1612,8 +2017,13 @@ static inline int read_block_prog_ac_refined(BitReader& br, const HuffTable* ac,
         for (; k <= end; ++k) {
             int coef = block[k];
             if (coef != 0) {
-                int32_t bit = br.read(1);
-                if (bit < 0) return 1;
+                if (br.count == 0) {
+                    br.fill();
+                    if (br.count == 0) return 1;
+                }
+                int bit = (int)(br.bits >> 63);
+                br.bits <<= 1;
+                --br.count;
                 if (bit != 0 && (coef & p1) == 0) {
                     block[k] = (int16_t)(coef + (coef > 0 ? p1 : m1));
                 }
@@ -1757,6 +2167,168 @@ int jpx_decode_progressive_scan(
         });
     }
     for (auto& th : pool) th.join();
+    for (int rc : results)
+        if (rc) return rc;
+    return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Watermark-pipelined progressive scan chains
+// ---------------------------------------------------------------------------
+//
+// A progressive stream's heavy cost is the per-component AC chain
+// (first scan -> successive refinements): the scans write overlapping
+// bands of the same blocks, so scan-level scheduling serializes them.
+// But the dependency is per BLOCK, not per scan: refinement of unit u
+// only needs the earlier scan to have FINISHED unit u. Each scan runs
+// in its own thread, publishing a completed-unit watermark; the next
+// scan of the same component spins until its gate watermark passes the
+// unit it wants. Wall-clock becomes ~max(scan cost) instead of the sum.
+//
+// Threads claim scans in stream order (atomic counter), so the earliest
+// unfinished claimed scan always has its gate satisfied — deadlock-free
+// with any thread count. On ANY exit (success or error) a scan posts
+// INT64_MAX so downstream threads never hang; errors propagate and the
+// caller discards the planes.
+
+namespace {
+
+struct alignas(64) ChainWatermark {
+    std::atomic<int64_t> v{0};
+};
+
+struct ChainScan {
+    const int64_t* span_starts;  // into the caller's concatenated arrays
+    const int64_t* span_ends;
+    int32_t n_spans;
+    int64_t restart_interval;
+    ScanParams sp;
+    const HuffTable* table;  // DC table for ss==0, else AC table
+    int16_t* plane;
+    int64_t wb;           // plane row stride in blocks
+    int64_t hbc;          // blocks per row for this component
+    int64_t total_units;  // hbc * vbc
+    int32_t gate;         // index of the previous same-component scan, or -1
+};
+
+static int chain_decode_scan(const uint8_t* data, const ChainScan& cs,
+                             ChainWatermark* wms, int self) {
+    std::atomic<int64_t>* gate = cs.gate >= 0 ? &wms[cs.gate].v : nullptr;
+    std::atomic<int64_t>* mine = &wms[self].v;
+    BitReader br;
+    int span_i = 0;
+    br.init(data + cs.span_starts[0], cs.span_ends[0] - cs.span_starts[0]);
+    int32_t pred = 0;
+    int64_t eobrun = 0;
+    int64_t before_restart = cs.restart_interval;
+    const bool is_dc = cs.sp.ss == 0;
+    const bool is_refine = cs.sp.ah != 0;
+    int rc = 0;
+
+    for (int64_t u = 0; u < cs.total_units; ++u) {
+        if (gate) {
+            int spins = 0;
+            while (gate->load(std::memory_order_acquire) <= u) {
+#if defined(__x86_64__)
+                __builtin_ia32_pause();
+#endif
+                if (++spins > 2048) {
+                    std::this_thread::yield();
+                    spins = 0;
+                }
+            }
+        }
+        int64_t by = u / cs.hbc;
+        int64_t bx = u % cs.hbc;
+        int16_t* block = cs.plane + (by * cs.wb + bx) * 64;
+        if (is_dc) {
+            rc = read_block_prog_dc(br, cs.table, cs.sp, pred, block);
+        } else if (!is_refine) {
+            rc = read_block_prog_ac(br, cs.table, cs.sp, eobrun, block);
+        } else {
+            rc = read_block_prog_ac_refined(br, cs.table, cs.sp, eobrun, block);
+        }
+        if (rc) break;
+        mine->store(u + 1, std::memory_order_release);
+        if (cs.restart_interval > 0 && --before_restart == 0) {
+            ++span_i;
+            if (span_i >= cs.n_spans) break;  // tolerated truncation
+            br.init(data + cs.span_starts[span_i],
+                    cs.span_ends[span_i] - cs.span_starts[span_i]);
+            pred = 0;
+            eobrun = 0;
+            before_restart = cs.restart_interval;
+        }
+    }
+    mine->store(INT64_MAX, std::memory_order_release);
+    return rc;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a set of NON-INTERLEAVED progressive Huffman scans (stream
+// order) with per-unit watermark pipelining. Returns 0 ok, 1 premature
+// end, 2 invalid code, 3 bad args.
+int jpx_decode_progressive_chains(
+    const uint8_t* data,
+    int32_t n_scans,
+    const int64_t* span_starts, const int64_t* span_ends,  // concatenated
+    const int32_t* span_offsets, const int32_t* span_counts,  // per scan
+    const int64_t* restart_intervals,
+    const int32_t* ss_arr, const int32_t* se_arr,
+    const int32_t* ah_arr, const int32_t* al_arr,
+    const int32_t* gates,        // per scan: previous same-component scan or -1
+    const uint8_t* table_blobs,  // per scan, one HuffTable each
+    int16_t** planes, const int64_t* wbs,
+    const int64_t* hbcs, const int64_t* total_units_arr,
+    int32_t n_threads) {
+    if (n_scans <= 0) return 3;
+    std::vector<ChainScan> scans(n_scans);
+    for (int s = 0; s < n_scans; ++s) {
+        ChainScan& cs = scans[s];
+        cs.span_starts = span_starts + span_offsets[s];
+        cs.span_ends = span_ends + span_offsets[s];
+        cs.n_spans = span_counts[s];
+        if (cs.n_spans <= 0) return 3;
+        cs.restart_interval = restart_intervals[s];
+        cs.sp = ScanParams{ss_arr[s], se_arr[s], ah_arr[s], al_arr[s]};
+        cs.table = reinterpret_cast<const HuffTable*>(table_blobs) + s;
+        cs.plane = planes[s];
+        cs.wb = wbs[s];
+        cs.hbc = hbcs[s];
+        cs.total_units = total_units_arr[s];
+        cs.gate = gates[s];
+        if (cs.gate >= s) return 3;  // gates must point backwards
+    }
+
+    std::vector<ChainWatermark> wms(n_scans);
+    std::vector<int> results(n_scans, 0);
+    int hw = (int)std::thread::hardware_concurrency();
+    int T = n_threads > 0 ? n_threads : (hw > 0 ? hw : 1);
+    T = std::min<int>(T, n_scans);
+
+    if (T <= 1) {
+        // Sequential: stream order satisfies every gate by construction.
+        for (int s = 0; s < n_scans; ++s)
+            results[s] = chain_decode_scan(data, scans[s], wms.data(), s);
+    } else {
+        std::atomic<int> next{0};
+        std::vector<std::thread> pool;
+        for (int t = 0; t < T; ++t) {
+            pool.emplace_back([&]() {
+                for (;;) {
+                    int s = next.fetch_add(1);
+                    if (s >= n_scans) break;
+                    results[s] = chain_decode_scan(data, scans[s], wms.data(), s);
+                }
+            });
+        }
+        for (auto& th : pool) th.join();
+    }
     for (int rc : results)
         if (rc) return rc;
     return 0;

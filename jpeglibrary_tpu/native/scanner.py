@@ -334,6 +334,114 @@ def decode_baseline_scan_sparse(
     return packed.reshape(-1)
 
 
+def decode_progressive_chains(
+    data: bytes,
+    chain_jobs,
+    frame: FrameHeader,
+    geometry: FrameGeometry,
+    coefficient_planes: Dict[int, np.ndarray],
+) -> bool:
+    """Watermark-pipelined decode of NON-INTERLEAVED progressive Huffman
+    scans (jpx_decode_progressive_chains): each scan runs in its own
+    thread gated per-unit on the previous same-component scan, so a
+    component's first->refine->refine chain overlaps instead of
+    serializing. ``chain_jobs`` are the scan jobs in stream order; each
+    must resolve to exactly one component."""
+    lib = build.load_library()
+    from ..models.geometry import ceil_div
+    from ..models.huffman_baseline import JpegDecodeError
+
+    n = len(chain_jobs)
+    starts_l, ends_l, offsets, counts = [], [], [], []
+    ss = (ctypes.c_int32 * n)()
+    se = (ctypes.c_int32 * n)()
+    ah = (ctypes.c_int32 * n)()
+    al = (ctypes.c_int32 * n)()
+    gates = (ctypes.c_int32 * n)()
+    ris = (ctypes.c_int64 * n)()
+    plane_ptrs = (ctypes.c_void_p * n)()
+    wbs = (ctypes.c_int64 * n)()
+    hbcs = (ctypes.c_int64 * n)()
+    totals = (ctypes.c_int64 * n)()
+    blobs = bytearray()
+    last_for_comp: Dict[int, int] = {}
+    keepalive = []
+
+    for s, job in enumerate(chain_jobs):
+        hdr = job["scan_header"]
+        resolved = resolve_scan_components(frame, hdr)
+        assert len(resolved) == 1, "chain jobs must be single-component"
+        comp_index, fc, sc = resolved[0]
+        is_dc = hdr.start_of_spectral_selection == 0
+        table = (
+            job["dc_tables"].get(sc.dc_table_selector)
+            if is_dc
+            else job["ac_tables"].get(sc.ac_table_selector)
+        )
+        if table is None:
+            raise JpegDecodeError(
+                f"Huffman table of component {comp_index} is not defined."
+            )
+        cg = geometry.components[comp_index]
+        hbc = ceil_div(geometry.width, 8 * cg.hs)
+        vbc = ceil_div(geometry.height, 8 * cg.vs)
+        validate_restart_spans(job["scan"].spans, job["restart_interval"], hbc * vbc)
+        offsets.append(len(starts_l))
+        counts.append(len(job["scan"].spans))
+        for sp in job["scan"].spans:
+            starts_l.append(sp.start)
+            ends_l.append(sp.end)
+        ris[s] = job["restart_interval"]
+        ss[s] = hdr.start_of_spectral_selection
+        se[s] = hdr.end_of_spectral_selection
+        ah[s] = hdr.successive_approximation_bit_position_high
+        al[s] = hdr.successive_approximation_bit_position_low
+        gates[s] = last_for_comp.get(comp_index, -1)
+        last_for_comp[comp_index] = s
+        blobs += pack_huffman_table(table)
+        plane = coefficient_planes[comp_index]
+        assert plane.dtype == np.int16 and plane.flags.c_contiguous
+        keepalive.append(plane)
+        plane_ptrs[s] = plane.ctypes.data_as(ctypes.c_void_p)
+        wbs[s] = plane.shape[1]
+        hbcs[s] = hbc
+        totals[s] = hbc * vbc
+
+    n_sp = len(starts_l)
+    starts = (ctypes.c_int64 * n_sp)(*starts_l)
+    ends = (ctypes.c_int64 * n_sp)(*ends_l)
+    offs = (ctypes.c_int32 * n)(*offsets)
+    cnts = (ctypes.c_int32 * n)(*counts)
+    buf = np.frombuffer(data, dtype=np.uint8)
+
+    # The chain call is the whole decode at this point: unless the user
+    # pinned JPX_SCAN_THREADS (serving pipelines set 1 and parallelize
+    # across images), give the pipeline every core so the chained scans
+    # actually overlap.
+    threads = default_threads()
+    if not os.environ.get("JPX_SCAN_THREADS"):
+        threads = max(threads, min(n, os.cpu_count() or 2))
+
+    rc = lib.jpx_decode_progressive_chains(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        n,
+        starts, ends, offs, cnts,
+        ris, ss, se, ah, al, gates,
+        bytes(blobs),
+        plane_ptrs, wbs, hbcs, totals,
+        threads,
+    )
+    if rc == 2:
+        from ..syntax.huffman import JpegHuffmanError
+
+        raise JpegHuffmanError("Invalid Huffman code encountered.")
+    if rc == 1:
+        raise JpegDecodeError("Unexpected end of JPEG data stream.")
+    if rc != 0:
+        raise JpegDecodeError(f"native scanner error {rc}")
+    return True
+
+
 def decode_progressive_scan(
     data: bytes,
     spans: Sequence[EntropySpan],

@@ -47,3 +47,26 @@ def test_progressive(assets_dir, rel, ncomp):
 @pytest.mark.parametrize("rel,ncomp", LOSSLESS_CASES, ids=[c[0] for c in LOSSLESS_CASES])
 def test_lossless_bit_exact(assets_dir, rel, ncomp):
     _assert_golden(assets_dir, rel, ncomp)
+
+
+def test_progressive_chain_pipeline_matches_python(assets_dir):
+    """The watermark-pipelined chain decoder (single-component scans in
+    parallel threads, gated per unit) must match the pure-Python
+    scanners bit-exactly on a multi-scan script with successive
+    approximation refinement (PIL/libjpeg's standard progression)."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    import jpeglibrary_tpu as jt
+
+    rgb = jt.decode((assets_dir / "baseline/lake.jpg").read_bytes()).to_rgb8()
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, "JPEG", quality=80, progressive=True, subsampling=2)
+    prog = buf.getvalue()
+    nat = jt.decode(prog)
+    ref = jt.decode(prog, use_native=False)
+    for k in ref.coefficients:
+        np.testing.assert_array_equal(ref.coefficients[k], nat.coefficients[k])

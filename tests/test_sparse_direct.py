@@ -145,3 +145,52 @@ def test_sparse_direct_long_flat_head_boundary_escape(native_lib):
     assert sparse.packed_mcu is not None
     for k in dense.coefficients:
         np.testing.assert_array_equal(dense.coefficients[k], sparse.coefficients[k])
+
+
+def test_speculative_single_span_multicomponent(assets_dir, native_lib, monkeypatch):
+    """No-restart multi-component baseline: the speculative single-pass
+    sparse decode (thread chunks self-sync on canonical bit positions,
+    always-emitted DC entries + tracked DC indices for the predictor
+    fixup) must be bit-exact vs the sequential scan."""
+    monkeypatch.setenv("JPX_SCAN_THREADS", "4")
+    from jpeglibrary_tpu.models.encoder import encode_rgb
+
+    rgb = jt.decode((assets_dir / "baseline/lake.jpg").read_bytes()).to_rgb8()
+    # Tile to make the stream long enough for >= 2 sync chunks (the
+    # speculative path requires >= 64 KiB per chunk).
+    big = np.concatenate([np.concatenate([rgb, rgb[:, ::-1]], axis=1)] * 2, axis=0)
+    for subsampling in ("420", "444"):
+        data = encode_rgb(big, 85, subsampling=subsampling)  # no restarts
+        monkeypatch.setenv("JPX_SPECULATIVE", "0")
+        seq, _ = (None, None)
+        d = JpegDecoder(); d.set_input(data)
+        seq = d.decode(sparse_direct=True)
+        monkeypatch.setenv("JPX_SPECULATIVE", "1")
+        d = JpegDecoder(); d.set_input(data)
+        spec = d.decode(sparse_direct=True)
+        assert spec.packed_mcu is not None
+        for k in seq.coefficients:
+            np.testing.assert_array_equal(
+                seq.coefficients[k], spec.coefficients[k], err_msg=subsampling
+            )
+
+
+def test_speculative_flat_head_boundary(native_lib, monkeypatch):
+    """Speculative chunks over a long all-flat head must stitch with
+    boundary escape entries exactly like the restart compaction."""
+    monkeypatch.setenv("JPX_SCAN_THREADS", "4")
+    from jpeglibrary_tpu.models.encoder import encode_rgb
+
+    rng = np.random.default_rng(11)
+    h, w = 44 * 16, 40 * 16
+    rgb = np.full((h, w, 3), 128, dtype=np.uint8)
+    rgb[h // 2 :] = rng.integers(0, 256, (h - h // 2, w, 3), dtype=np.uint8)
+    data = encode_rgb(rgb, 90)  # no restarts
+    monkeypatch.setenv("JPX_SPECULATIVE", "0")
+    d = JpegDecoder(); d.set_input(data)
+    seq = d.decode(sparse_direct=True)
+    monkeypatch.setenv("JPX_SPECULATIVE", "1")
+    d = JpegDecoder(); d.set_input(data)
+    spec = d.decode(sparse_direct=True)
+    for k in seq.coefficients:
+        np.testing.assert_array_equal(seq.coefficients[k], spec.coefficients[k])
