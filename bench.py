@@ -123,6 +123,19 @@ def main() -> None:
         img = Image.open(io.BytesIO(data))
         img.load()
 
+    def turbo_probe():
+        # Best of 2 back-to-back decodes: a single descheduling burst
+        # inside one ~25 ms decode would otherwise misclassify a quiet
+        # window as loaded. Max-of-2 still cannot exceed turbo's true
+        # quiet rate, so the quiet-window filter stays a lower-bound
+        # criterion that never looks at the engine's own numbers.
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            turbo_decode()
+            best = max(best, mp / (time.perf_counter() - t0))
+        return best
+
     # Warmup: compile the sparse fused transform on every bucket size
     # through the same merged-scan path the stream uses, then one
     # unmeasured pass per swept shape (compiles the grouped vmapped
@@ -149,9 +162,7 @@ def main() -> None:
         for shape in SHAPES:
             workers, dev_workers, group = shape
             for _ in range(WINDOWS_PER_VISIT):
-                t0 = time.perf_counter()
-                turbo_decode()
-                turbo_before = mp / (time.perf_counter() - t0)
+                turbo_before = turbo_probe()
                 batch = variants * WINDOW_REPEAT
                 t0 = time.perf_counter()
                 for _ in decode_stream_rgb(
@@ -162,9 +173,7 @@ def main() -> None:
                 ):
                     pass
                 ours_mps = mp * len(batch) / (time.perf_counter() - t0)
-                t0 = time.perf_counter()
-                turbo_decode()
-                turbo_after = mp / (time.perf_counter() - t0)
+                turbo_after = turbo_probe()
                 # min of the bracketing probes = conservative "the host
                 # was at least this available during the window".
                 windows[shape].append((ours_mps, min(turbo_before, turbo_after)))

@@ -59,7 +59,7 @@ def enable_compile_cache() -> None:
 
 
 from .models.decoder import DecodeResult, ImageInfo, JpegDecoder, decode
-from .models.encoder import JpegEncoder, encode_gray, encode_rgb
+from .models.encoder import JpegEncoder, encode_gray, encode_rgb, encode_rgb_stream
 from .models.optimizer import JpegOptimizer, optimize
 from .models.transcode import transcode
 
@@ -70,6 +70,7 @@ __all__ = [
     "decode",
     "JpegEncoder",
     "encode_rgb",
+    "encode_rgb_stream",
     "encode_gray",
     "JpegOptimizer",
     "optimize",

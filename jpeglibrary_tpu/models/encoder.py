@@ -92,6 +92,8 @@ class JpegEncoder:
         self._huffman_tables: Dict[tuple, Optional[HuffmanEncodingTable]] = {}
         self._components: List[_EncodeComponent] = []
         self._input_planes: Optional[List[np.ndarray]] = None
+        #: pull-based stripe reader (set_input_reader) — streaming encode
+        self._input_reader = None
         #: pre-quantized zig-zag coefficient planes (one [Hb, Wb, 64]
         #: int16 per component) — the lossless-transcode entry: encode()
         #: skips the sample transform entirely (models/transcode.py)
@@ -133,8 +135,29 @@ class JpegEncoder:
         self._width = width
         self._height = height
 
+    def set_input_reader(self, reader, width: int, height: int) -> None:
+        """Pull-based input — the TPU-native analogue of the
+        reference's JpegBlockInputReader
+        (/root/reference/src/JpegLibrary/JpegBlockInputReader.cs:27):
+        ``reader(y0, y1)`` returns the sample rows [y0, y1) as a
+        [y1-y0, W, C] uint8 array or a list of [y1-y0, W] planes.
+
+        encode() then streams: it pulls MCU-row-aligned stripes,
+        transforms and entropy-emits each with carried DC-predictor and
+        bit-register state, and discards it — never materializing the
+        full image (the reference's bufferless WriteScanData,
+        JpegEncoder.cs:662-741). Output is bit-identical to the
+        buffered ``set_input`` path. With optimize-coding the stripes
+        are pulled twice (statistics pass, then emission) — still O(
+        stripe) memory, unlike the reference, whose optimize path
+        buffers the whole coefficient image (JpegEncoder.cs:414)."""
+        self._input_reader = reader
+        self._width = width
+        self._height = height
+
     def set_input(self, planes, width: Optional[int] = None, height: Optional[int] = None) -> None:
         """Input samples: [H, W, C] uint8 array or a list of [H, W] planes."""
+        self._input_reader = None
         if isinstance(planes, np.ndarray) and planes.ndim == 3:
             self._input_planes = [planes[..., i] for i in range(planes.shape[-1])]
             self._height, self._width = planes.shape[:2]
@@ -149,6 +172,8 @@ class JpegEncoder:
     # -- encode --
 
     def encode(self, xp=np) -> bytes:
+        if self._input_reader is not None:
+            return self._encode_streaming()
         if self._input_planes is None and self._coefficient_planes is None:
             raise JpegEncodeError("Input is not specified.")
         if not self._components:
@@ -250,6 +275,11 @@ class JpegEncoder:
             builders: Dict[tuple, HuffmanTableBuilder] = {}
             for comp, blocks in zip(self._components, comp_blocks):
                 dc_freq, ac_freq = gather(blocks)
+                if self.restart_interval > 0:
+                    dc_freq = np.array(dc_freq, dtype=np.int64)
+                    encode_stage.apply_restart_dc_fixup(
+                        dc_freq, blocks, comp.h * comp.v, self.restart_interval
+                    )
                 dkey, akey = (True, comp.dc_table_id), (False, comp.ac_table_id)
                 if self._huffman_tables.get(dkey, "absent") is None:
                     builders.setdefault(dkey, HuffmanTableBuilder()).add_frequencies(dc_freq)
@@ -263,6 +293,187 @@ class JpegEncoder:
 
         # --- container emission
         writer = JpegWriter()
+        self._write_headers(writer, tables)
+
+        if self.arithmetic:
+            self._emit_scan_arith(writer, comp_blocks)
+        else:
+            self._emit_scan(writer, comp_blocks, tables)
+
+        writer.write_marker(Marker.EOI)
+        return writer.to_bytes()
+
+    def _encode_streaming(self) -> bytes:
+        """Bufferless encode over the pull reader: stripe-at-a-time
+        transform + carry-state entropy emission. Peak memory is
+        O(stripe), not O(image); output is bit-identical to the
+        buffered path (the transform is per-block and stripes align to
+        MCU rows; Huffman emission is deterministic per (block,
+        predictor) and the carry emitter chains exactly)."""
+        import os
+
+        if self.arithmetic:
+            raise JpegEncodeError(
+                "Streaming encode supports Huffman entropy coding only."
+            )
+        if not self._components:
+            raise JpegEncodeError("No component is specified.")
+        try:
+            from ..native import scanner as native_scanner
+        except ImportError:
+            # Correctness fallback: pull everything and run buffered.
+            planes = self._input_reader(0, self._height)
+            self._input_reader = None
+            try:
+                self.set_input(planes, self._width, self._height)
+                return self.encode()
+            finally:
+                self._input_planes = None
+
+        optimize = any(t is None for t in self._huffman_tables.values())
+        quant_by_id = {t.identifier: t for t in self._quant_tables}
+        max_h = max(c.h for c in self._components)
+        max_v = max(c.v for c in self._components)
+        mcus_per_line = ceil_div(self._width, 8 * max_h)
+        mcus_per_column = ceil_div(self._height, 8 * max_v)
+        quants = []
+        for comp in self._components:
+            qt = quant_by_id.get(comp.quantization_table_id)
+            if qt is None or qt.is_empty:
+                raise JpegEncodeError(
+                    f"Quantization table {comp.quantization_table_id} is not defined."
+                )
+            quants.append(qt.elements)
+
+        rows_per_mcu = 8 * max_v
+        stripe_mcu_rows = max(
+            1, int(os.environ.get("JPX_ENCODE_STRIPE_MCU_ROWS", "8"))
+        )
+
+        def stripes():
+            for m0 in range(0, mcus_per_column, stripe_mcu_rows):
+                m1 = min(mcus_per_column, m0 + stripe_mcu_rows)
+                y1 = min(self._height, m1 * rows_per_mcu)
+                planes = self._input_reader(m0 * rows_per_mcu, y1)
+                if isinstance(planes, np.ndarray) and planes.ndim == 3:
+                    planes = [planes[..., i] for i in range(planes.shape[-1])]
+                if len(planes) != len(self._components):
+                    raise JpegEncodeError(
+                        "Component count does not match reader planes."
+                    )
+                blocks = []
+                for comp, plane, q in zip(self._components, planes, quants):
+                    coeffs = encode_stage.forward_component(
+                        np.asarray(plane), q,
+                        comp.h, comp.v, max_h // comp.h, max_v // comp.v,
+                        mcus_per_line, m1 - m0, xp=np,
+                    )
+                    blocks.append(
+                        encode_stage.mcu_order_blocks(coeffs, comp.h, comp.v)
+                    )
+                yield m0 * mcus_per_line, blocks
+
+        # --- pass 1 (optimize-coding only): stripe-wise histograms.
+        # DC carry fixup: dc_ac_symbol_frequencies counts the stripe's
+        # first diff against predictor 0; the whole-scan semantics
+        # (GatherBlockStatistics, JpegEncoder.cs:551-601) diff against
+        # the previous stripe's last DC.
+        tables: Dict[tuple, HuffmanEncodingTable] = {}
+        if optimize:
+            builders: Dict[tuple, HuffmanTableBuilder] = {}
+            sums = [
+                (np.zeros(256, np.int64), np.zeros(256, np.int64))
+                for _ in self._components
+            ]
+            last_dc = [None] * len(self._components)
+            for first_mcu, blocks in stripes():
+                for i, b in enumerate(blocks):
+                    dc_freq, ac_freq = encode_stage.dc_ac_symbol_frequencies(b)
+                    dc_freq = np.array(dc_freq, dtype=np.int64)
+                    if self.restart_interval > 0:
+                        encode_stage.apply_restart_dc_fixup(
+                            dc_freq, b, self._components[i].h * self._components[i].v,
+                            self.restart_interval,
+                            first_mcu=first_mcu, prev_dc=last_dc[i],
+                        )
+                    elif last_dc[i] is not None:
+                        first = int(b[0, 0])
+                        dc_freq[abs(first).bit_length()] -= 1
+                        dc_freq[abs(first - last_dc[i]).bit_length()] += 1
+                    last_dc[i] = int(b[-1, 0])
+                    sums[i][0][:] += dc_freq
+                    sums[i][1][:] += ac_freq
+            for comp, (dc_freq, ac_freq) in zip(self._components, sums):
+                dkey, akey = (True, comp.dc_table_id), (False, comp.ac_table_id)
+                if self._huffman_tables.get(dkey, "absent") is None:
+                    builders.setdefault(dkey, HuffmanTableBuilder()).add_frequencies(dc_freq)
+                if self._huffman_tables.get(akey, "absent") is None:
+                    builders.setdefault(akey, HuffmanTableBuilder()).add_frequencies(ac_freq)
+            for key, builder in builders.items():
+                tables[key] = builder.build(optimal=self.most_optimal_coding)
+        for key, table in self._huffman_tables.items():
+            if table is not None:
+                tables[key] = table
+
+        writer = JpegWriter()
+        self._write_headers(writer, tables)
+
+        # --- pass 2: stripe-wise emission with carried state.
+        comp_meta = []
+        for comp in self._components:
+            dc = tables.get((True, comp.dc_table_id))
+            ac = tables.get((False, comp.ac_table_id))
+            if dc is None or ac is None:
+                raise JpegEncodeError("Huffman table is not defined.")
+            comp_meta.append(
+                {
+                    "per_mcu": comp.h * comp.v,
+                    "dc_codes": dc.codes, "dc_sizes": dc.sizes,
+                    "ac_codes": ac.codes, "ac_sizes": ac.sizes,
+                }
+            )
+
+        carry = native_scanner.EncodeCarry(len(self._components))
+        ri = self.restart_interval
+        total_mcus = mcus_per_line * mcus_per_column
+        emitted = 0
+        seg_fill = 0
+        rst = 0
+        for _, blocks in stripes():
+            stripe_mcus = blocks[0].shape[0] // comp_meta[0]["per_mcu"]
+            pos = 0
+            while pos < stripe_mcus:
+                n = stripe_mcus - pos
+                if ri > 0:
+                    n = min(n, ri - seg_fill)
+                seg_comps = [
+                    {**m, "blocks": b[pos * m["per_mcu"]:(pos + n) * m["per_mcu"]]}
+                    for m, b in zip(comp_meta, blocks)
+                ]
+                emitted += n
+                seg_end = ri > 0 and seg_fill + n == ri
+                last = emitted == total_mcus
+                writer.write_bytes(
+                    native_scanner.encode_segment_carry(
+                        seg_comps, n, carry, finalize=seg_end or last
+                    )
+                )
+                pos += n
+                seg_fill += n
+                if seg_end:
+                    if not last:
+                        writer.write_marker(Marker.RST0 + rst)
+                        rst = (rst + 1) & 7
+                    carry.reset()
+                    seg_fill = 0
+
+        writer.write_marker(Marker.EOI)
+        return writer.to_bytes()
+
+    def _write_headers(self, writer: JpegWriter, tables) -> None:
+        """SOI through SOS — shared by the buffered and streaming
+        encode paths (WriteStartOfImage..WriteStartOfScan,
+        JpegEncoder.cs:296-412)."""
         writer.write_marker(Marker.SOI)
 
         dqt_payload = b"".join(t.serialize() for t in self._quant_tables)
@@ -316,14 +527,6 @@ class JpegEncoder:
             successive_approximation_bit_position_low=0,
         )
         writer.write_segment(Marker.SOS, scan.serialize())
-
-        if self.arithmetic:
-            self._emit_scan_arith(writer, comp_blocks)
-        else:
-            self._emit_scan(writer, comp_blocks, tables)
-
-        writer.write_marker(Marker.EOI)
-        return writer.to_bytes()
 
     def _emit_scan_arith(self, writer: JpegWriter, comp_blocks) -> None:
         """Arithmetic (SOF9) scan emission via the native QM coder;
@@ -562,6 +765,65 @@ def encode_rgb(
 
     encoder.set_input([y, cb, cr])
     return encoder.encode(xp=xp)
+
+
+def encode_rgb_stream(
+    reader,
+    width: int,
+    height: int,
+    quality: int = 75,
+    *,
+    subsampling: str = "420",
+    optimize_coding: bool = False,
+    most_optimal_coding: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Bufferless RGB encode: ``reader(y0, y1)`` returns rows [y0, y1)
+    as [y1-y0, W, 3] uint8. Color conversion, transform, and entropy
+    emission all run stripe-at-a-time (set_input_reader), so peak host
+    memory is O(stripe) — the reference's bufferless encode benchmark
+    contract (tests/JpegLibrary.Benchmarks/EncoderBenchmark.cs).
+    Bit-identical to ``encode_rgb`` on the same pixels."""
+    from ..ops import color as color_ops
+
+    def ycbcr_reader(y0: int, y1: int):
+        rgb = np.ascontiguousarray(reader(y0, y1), dtype=np.uint8)
+        try:
+            from ..native import scanner as native_scanner
+
+            return list(native_scanner.rgb_to_ycbcr(rgb))
+        except ImportError:
+            return list(
+                color_ops.rgb_to_ycbcr(rgb[..., 0], rgb[..., 1], rgb[..., 2], xp=np)
+            )
+
+    encoder = JpegEncoder()
+    encoder.most_optimal_coding = most_optimal_coding
+    encoder.restart_interval = restart_interval
+    encoder.set_quantization_table(scale_by_quality(standard_luminance_table(0), quality))
+    encoder.set_quantization_table(scale_by_quality(standard_chrominance_table(1), quality))
+    if optimize_coding or most_optimal_coding:
+        encoder.set_huffman_table(True, 0)
+        encoder.set_huffman_table(False, 0)
+        encoder.set_huffman_table(True, 1)
+        encoder.set_huffman_table(False, 1)
+    else:
+        encoder.set_huffman_table(True, 0, huffman_standard.dc_luminance())
+        encoder.set_huffman_table(False, 0, huffman_standard.ac_luminance())
+        encoder.set_huffman_table(True, 1, huffman_standard.dc_chrominance())
+        encoder.set_huffman_table(False, 1, huffman_standard.ac_chrominance())
+    if subsampling == "420":
+        encoder.add_component(1, 0, 0, 0, 2, 2)
+        encoder.add_component(2, 1, 1, 1, 1, 1)
+        encoder.add_component(3, 1, 1, 1, 1, 1)
+    elif subsampling == "444":
+        encoder.add_component(1, 0, 0, 0, 1, 1)
+        encoder.add_component(2, 1, 1, 1, 1, 1)
+        encoder.add_component(3, 1, 1, 1, 1, 1)
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    encoder.set_input_reader(ycbcr_reader, width, height)
+    return encoder.encode()
 
 
 def encode_gray(plane: np.ndarray, quality: int = 75, *, optimize_coding: bool = False,

@@ -212,6 +212,16 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.jpx_encode_segment_parallel.argtypes = (
         lib.jpx_encode_segment.argtypes + [c.c_int32]  # + n_threads
     )
+    lib.jpx_encode_segment_carry.restype = c.c_int64
+    lib.jpx_encode_segment_carry.argtypes = (
+        lib.jpx_encode_segment.argtypes
+        + [
+            c.POINTER(c.c_int32),   # predictors (in/out)
+            c.POINTER(c.c_uint64),  # carry_reg (in/out)
+            c.POINTER(c.c_int32),   # carry_bits (in/out)
+            c.c_int32,              # finalize
+        ]
+    )
     lib.jpx_encode_prog_dc.restype = c.c_int64
     lib.jpx_encode_prog_dc.argtypes = [
         c.c_int32,

@@ -3923,6 +3923,57 @@ int64_t jpx_encode_segment(
     return bp.n;
 }
 
+// Carry-state variant of jpx_encode_segment for STREAMING encode: the
+// scan is emitted stripe by stripe without ever materializing all the
+// blocks (the pull-based JpegBlockInputReader contract,
+// /root/reference/src/JpegLibrary/JpegBlockInputReader.cs:27 +
+// JpegEncoder.WriteScanData, JpegEncoder.cs:662-741). DC predictors
+// and the partial-byte bit register are carried in/out across calls;
+// with `finalize` the tail is 1-padded and flushed like a segment end.
+// Chained calls are bit-identical to one jpx_encode_segment over the
+// concatenated blocks (Huffman emission is deterministic per (block,
+// predictor) and stuffing applies per completed byte).
+// Returns bytes written, -1 on capacity overflow, -2 on missing code.
+int64_t jpx_encode_segment_carry(
+    int32_t n_comps,
+    const int16_t** blocks, const int32_t* per_mcu,
+    const uint16_t** dc_codes, const uint8_t** dc_sizes,
+    const uint16_t** ac_codes, const uint8_t** ac_sizes,
+    int64_t n_mcus,
+    uint8_t* out, int64_t capacity,
+    int32_t* predictors, uint64_t* carry_reg, int32_t* carry_bits,
+    int32_t finalize) {
+    std::vector<EncComp> comps(n_comps);
+    for (int i = 0; i < n_comps; ++i) {
+        comps[i] = EncComp{blocks[i], per_mcu[i], dc_codes[i], dc_sizes[i],
+                           ac_codes[i], ac_sizes[i], predictors[i], 0};
+    }
+    BitPacker bp{out, capacity, 0, *carry_reg, *carry_bits};
+    bool missing = false;
+    for (int64_t m = 0; m < n_mcus; ++m) {
+        for (int ci = 0; ci < n_comps; ++ci) {
+            EncComp& c = comps[ci];
+            for (int b = 0; b < c.per_mcu; ++b) {
+                const int16_t* block = c.blocks + c.cursor * 64;
+                ++c.cursor;
+                if (!emit_block(bp, c, block, &missing)) {
+                    return missing ? -2 : -1;
+                }
+            }
+        }
+    }
+    if (finalize) {
+        if (!bp.finish()) return -1;
+        *carry_reg = 0;
+        *carry_bits = 0;
+    } else {
+        *carry_reg = bp.reg;
+        *carry_bits = bp.bits;
+    }
+    for (int i = 0; i < n_comps; ++i) predictors[i] = comps[i].predictor;
+    return bp.n;
+}
+
 // Emit one entropy segment as an UNSTUFFED bitstream (no 0xFF 0x00
 // insertion, no final padding) — the per-chunk phase of the parallel
 // scan emitter below. Returns total bits written, -1 overflow, -2

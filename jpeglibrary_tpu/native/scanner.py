@@ -1167,6 +1167,82 @@ def encode_segment(comps: Sequence[dict], n_mcus: int, *, parallel: bool = False
     return out[: int(written)].tobytes()
 
 
+class EncodeCarry:
+    """Cross-call entropy-emission state for streaming encode: per-
+    component DC predictors plus the partial-byte bit register. One
+    instance spans a single entropy segment; ``finalize`` (1-pad +
+    flush) ends it, and restart boundaries start a fresh instance."""
+
+    def __init__(self, n_comps: int):
+        self.predictors = (ctypes.c_int32 * n_comps)()
+        self.reg = ctypes.c_uint64(0)
+        self.bits = ctypes.c_int32(0)
+
+    def reset(self) -> None:
+        for i in range(len(self.predictors)):
+            self.predictors[i] = 0
+        self.reg.value = 0
+        self.bits.value = 0
+
+
+def encode_segment_carry(
+    comps: Sequence[dict], n_mcus: int, carry: EncodeCarry, *, finalize: bool
+) -> bytes:
+    """Streaming (stripe-at-a-time) entropy emission: like
+    ``encode_segment`` but DC predictors and the partial-byte bit
+    register persist in ``carry`` across calls, so a scan can be
+    emitted without ever holding all of its blocks (the reference's
+    bufferless WriteScanData contract, JpegEncoder.cs:662-741).
+    Chained calls are bit-identical to one ``encode_segment`` over the
+    concatenated blocks."""
+    lib = build.load_library()
+    n = len(comps)
+    block_ptrs = (ctypes.c_void_p * n)()
+    per_mcu = (ctypes.c_int32 * n)()
+    dc_code_ptrs = (ctypes.c_void_p * n)()
+    dc_size_ptrs = (ctypes.c_void_p * n)()
+    ac_code_ptrs = (ctypes.c_void_p * n)()
+    ac_size_ptrs = (ctypes.c_void_p * n)()
+    keepalive = []
+    total_blocks = 0
+    for i, c in enumerate(comps):
+        blocks = np.ascontiguousarray(c["blocks"], dtype=np.int16)
+        dc_codes = np.ascontiguousarray(c["dc_codes"], dtype=np.uint16)
+        dc_sizes = np.ascontiguousarray(c["dc_sizes"], dtype=np.uint8)
+        ac_codes = np.ascontiguousarray(c["ac_codes"], dtype=np.uint16)
+        ac_sizes = np.ascontiguousarray(c["ac_sizes"], dtype=np.uint8)
+        keepalive += [blocks, dc_codes, dc_sizes, ac_codes, ac_sizes]
+        block_ptrs[i] = blocks.ctypes.data_as(ctypes.c_void_p)
+        per_mcu[i] = int(c["per_mcu"])
+        dc_code_ptrs[i] = dc_codes.ctypes.data_as(ctypes.c_void_p)
+        dc_size_ptrs[i] = dc_sizes.ctypes.data_as(ctypes.c_void_p)
+        ac_code_ptrs[i] = ac_codes.ctypes.data_as(ctypes.c_void_p)
+        ac_size_ptrs[i] = ac_sizes.ctypes.data_as(ctypes.c_void_p)
+        total_blocks += n_mcus * int(c["per_mcu"])
+
+    cap = total_blocks * 288 + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    written = lib.jpx_encode_segment_carry(
+        n,
+        block_ptrs, per_mcu,
+        dc_code_ptrs, dc_size_ptrs,
+        ac_code_ptrs, ac_size_ptrs,
+        n_mcus,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+        carry.predictors,
+        ctypes.byref(carry.reg),
+        ctypes.byref(carry.bits),
+        1 if finalize else 0,
+    )
+    if written == -2:
+        from ..models.encoder import JpegEncodeError
+
+        raise JpegEncodeError("Huffman table has no code for an emitted symbol.")
+    if written < 0:
+        raise RuntimeError("native encode capacity exceeded")
+    return out[: int(written)].tobytes()
+
+
 _PACK_SCRATCH = __import__("threading").local()
 
 

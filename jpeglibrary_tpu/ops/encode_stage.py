@@ -249,6 +249,47 @@ def dc_ac_symbol_frequencies(blocks_mcu_order: np.ndarray) -> Tuple[np.ndarray, 
     return dc_freq, ac_freq
 
 
+def apply_restart_dc_fixup(
+    dc_freq: np.ndarray,
+    blocks_mcu_order: np.ndarray,
+    per_mcu: int,
+    restart_interval: int,
+    *,
+    first_mcu: int = 0,
+    prev_dc=None,
+) -> None:
+    """Correct a dc_ac_symbol_frequencies histogram for restart-interval
+    DC-predictor resets: the gather counts DC diffs as one unbroken
+    chain with initial predictor 0, but emission resets the predictor
+    at every restart boundary, so the segment-start categories differ —
+    and a category emitted only there would be missing from the built
+    table. (The reference cannot hit this: its encoder never emits
+    restart markers, JpegEncoder.cs:605-660.)
+
+    ``first_mcu``/``prev_dc`` support stripe-wise (streaming) gathering:
+    the stripe starts at global MCU ``first_mcu`` and ``prev_dc`` is the
+    previous stripe's last DC value (None for the first stripe).
+    """
+    dc = np.asarray(blocks_mcu_order[:, 0], dtype=np.int64)
+    ri = restart_interval
+    # Global segment starts strictly after the stripe's first block.
+    first_seg = ((first_mcu + ri - 1) // ri) * ri
+    if first_seg == first_mcu:
+        first_seg += ri
+    starts = np.arange((first_seg - first_mcu) * per_mcu, len(dc), ri * per_mcu)
+    if len(starts):
+        old = bit_count(np.abs(dc[starts] - dc[starts - 1]))
+        new = bit_count(np.abs(dc[starts]))
+        np.subtract.at(dc_freq, old, 1)
+        np.add.at(dc_freq, new, 1)
+    # The stripe's first block: the gather counted cat(dc[0] - 0), which
+    # is correct when the stripe begins a segment; otherwise the true
+    # predecessor is the previous stripe's last DC.
+    if prev_dc is not None and first_mcu % ri != 0:
+        dc_freq[abs(int(dc[0])).bit_length()] -= 1
+        dc_freq[abs(int(dc[0]) - prev_dc).bit_length()] += 1
+
+
 def bit_count(a):
     """Number of bits to represent |value| (BitCountTable semantics,
     JpegEncoder.cs:938-996); 0 -> 0."""

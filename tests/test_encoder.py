@@ -141,3 +141,17 @@ def test_jax_encode_matches_numpy(lake_rgb):
         total += d.size
         diff += int((d > 0).sum())
     assert diff / total < 5e-3  # rare rounding-boundary flips only
+
+
+@pytest.mark.parametrize("ri", [1, 16])
+def test_optimize_coding_with_restarts(lake_rgb, ri):
+    """Optimize-coding histograms must account for restart-boundary DC
+    predictor resets: the segment-start DC diff is the raw DC value, a
+    category that can be absent from the unbroken-chain histogram (at
+    q85/ri16 on lake it is, and emission would raise 'no code for
+    symbol'). The gather applies apply_restart_dc_fixup."""
+    data = encode_rgb(lake_rgb, 85, optimize_coding=True, restart_interval=ri)
+    plain = encode_rgb(lake_rgb, 85, optimize_coding=True)
+    np.testing.assert_array_equal(
+        jt.decode(data).to_uint16_extended(), jt.decode(plain).to_uint16_extended()
+    )
