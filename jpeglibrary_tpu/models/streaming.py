@@ -190,3 +190,64 @@ def decode_rgb_streaming(
         data, stripe_mcu_rows=stripe_mcu_rows, device=device
     ):
         consumer(y0, stripe)
+
+
+def decode_lossless_rows(
+    data: bytes, *, mcu_rows: int = 16
+) -> Iterator[Tuple[int, dict]]:
+    """Bounded-memory lossless (SOF3) decode: yields
+    ``(y0, {component_index: int16 sample rows})`` panels top to
+    bottom, each covering ``mcu_rows`` MCU rows (``mcu_rows * v_i``
+    sample rows per component; the final panel is cropped to the image
+    height for 1x1 sampling). Peak memory is O(width) — the native
+    cursor carries only the bit position, restart-span state, and one
+    previous row per component, the TPU-native form of the reference's
+    16-row scanline ring (JpegPartialScanlineAllocator.cs:11,60).
+
+    Sample values are bit-identical to ``jt.decode(data).planes``
+    (predictor-domain samples, same truncation tolerance)."""
+    from ..io import reader as io_reader
+    from ..native import scanner as native_scanner
+    from ..syntax.frame import FrameHeader, ScanHeader
+    from ..syntax.markers import ALL_SOF_MARKERS, Marker
+
+    dec = JpegDecoder()
+    dec.set_input(data)
+    stream = io_reader.parse_stream(data)
+    scan_iter = iter(stream.scans)
+    frame = None
+    for seg in stream.segments:
+        if seg.marker in (Marker.DQT, Marker.DHT, Marker.DAC, Marker.DRI):
+            dec._process_table_segment(seg, data)
+        elif seg.marker == Marker.SOF3:
+            frame = FrameHeader.parse(seg.payload(data), seg.marker)
+        elif seg.marker in ALL_SOF_MARKERS and seg.marker != Marker.SOF3:
+            raise ValueError(
+                "decode_lossless_rows requires a lossless (SOF3) stream"
+            )
+        elif seg.marker == Marker.SOS:
+            if frame is None:
+                raise ValueError("Frame header was not found before SOS.")
+            scan = next(scan_iter)
+            scan_header = ScanHeader.parse(seg.payload(data))
+            rows = native_scanner.LosslessRowStream(
+                data, scan.spans, frame, scan_header,
+                dec._dc_tables, dec._restart_interval,
+            )
+            rows_per_panel = mcu_rows * rows.rows_per_mcu
+            with rows:
+                y0 = 0
+                while True:
+                    panels = rows.next_rows(mcu_rows)
+                    if panels is None:
+                        return
+                    if rows.rows_per_mcu == 1:
+                        # 1x1 sampling: crop the final panel to height
+                        panels = {
+                            ci: p[: min(len(p), frame.number_of_lines - y0)]
+                            for ci, p in panels.items()
+                        }
+                    yield y0, panels
+                    y0 += rows_per_panel
+            return
+    raise ValueError("No SOS marker found in stream.")

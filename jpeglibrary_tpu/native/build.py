@@ -212,6 +212,24 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.jpx_encode_segment_parallel.argtypes = (
         lib.jpx_encode_segment.argtypes + [c.c_int32]  # + n_threads
     )
+    lib.jpx_lossless_stream_open.restype = c.c_void_p
+    lib.jpx_lossless_stream_open.argtypes = [
+        c.c_void_p,                                   # data
+        c.POINTER(c.c_int64), c.POINTER(c.c_int64), c.c_int32,  # spans
+        c.c_int64,                                    # restart_interval
+        c.c_int64, c.c_int64,                         # mcus per line/column
+        c.c_int32,                                    # n_comps
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),   # comp h/v
+        c.c_void_p,                                   # table blob
+        c.POINTER(c.c_int64),                         # plane widths
+        c.c_int32, c.c_int32,                         # predictor, init
+    ]
+    lib.jpx_lossless_stream_close.restype = None
+    lib.jpx_lossless_stream_close.argtypes = [c.c_void_p]
+    lib.jpx_lossless_stream_next.restype = c.c_int64
+    lib.jpx_lossless_stream_next.argtypes = [
+        c.c_void_p, c.c_int64, c.POINTER(c.c_void_p)
+    ]
     lib.jpx_encode_segment_carry.restype = c.c_int64
     lib.jpx_encode_segment_carry.argtypes = (
         lib.jpx_encode_segment.argtypes

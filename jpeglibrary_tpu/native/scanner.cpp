@@ -2491,6 +2491,214 @@ int jpx_decode_lossless_scan(
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Streaming lossless decode: bounded-memory row-panel cursor
+// ---------------------------------------------------------------------------
+//
+// The TPU-native analogue of the reference's 16-row ring
+// (JpegPartialScanlineAllocator.cs:11,60): a stateful cursor decodes
+// the scan MCU-row-panel at a time into caller-provided buffers,
+// carrying only (a) the bit-reader position, (b) restart-span state,
+// and (c) ONE previous sample row per component (the Rb/Rc context) —
+// peak memory O(width), never O(image). Sample semantics are
+// bit-identical to jpx_decode_lossless_scan.
+
+namespace {
+
+struct LosslessStream {
+    const uint8_t* data;
+    std::vector<int64_t> starts, ends;
+    int64_t restart_interval;
+    int64_t mcus_per_line, mcus_per_column;
+    int n_comps;
+    std::vector<HuffTable> tables;
+    struct SComp {
+        int h, v;
+        int64_t width;
+        std::vector<int16_t> prev_row;  // last decoded sample row
+    };
+    std::vector<SComp> comps;
+    int predictor_sel;
+    int initial_prediction;
+    BitReader br;
+    int span_idx = 0;
+    int64_t mcus_before_restart = 0;
+    int64_t row_mcu = 0;
+    bool exhausted_spans = false;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* jpx_lossless_stream_open(
+    const uint8_t* data,
+    const int64_t* span_starts, const int64_t* span_ends, int32_t n_spans,
+    int64_t restart_interval,
+    int64_t mcus_per_line, int64_t mcus_per_column,
+    int32_t n_comps,
+    const int32_t* comp_h, const int32_t* comp_v,
+    const uint8_t* table_blob,
+    const int64_t* plane_widths,
+    int32_t predictor_sel, int32_t initial_prediction) {
+    if (n_comps <= 0 || n_spans <= 0) return nullptr;
+    auto* st = new LosslessStream();
+    st->data = data;
+    st->starts.assign(span_starts, span_starts + n_spans);
+    st->ends.assign(span_ends, span_ends + n_spans);
+    st->restart_interval = restart_interval;
+    st->mcus_per_line = mcus_per_line;
+    st->mcus_per_column = mcus_per_column;
+    st->n_comps = n_comps;
+    const HuffTable* tb = reinterpret_cast<const HuffTable*>(table_blob);
+    st->tables.assign(tb, tb + n_comps);
+    st->comps.resize(n_comps);
+    for (int i = 0; i < n_comps; ++i) {
+        st->comps[i].h = comp_h[i];
+        st->comps[i].v = comp_v[i];
+        st->comps[i].width = plane_widths[i];
+        st->comps[i].prev_row.assign((size_t)plane_widths[i], 0);
+    }
+    st->predictor_sel = predictor_sel;
+    st->initial_prediction = initial_prediction;
+    st->br.init(data + st->starts[0], st->ends[0] - st->starts[0]);
+    st->mcus_before_restart = restart_interval;
+    return st;
+}
+
+void jpx_lossless_stream_close(void* h) {
+    delete static_cast<LosslessStream*>(h);
+}
+
+// Decode up to `n_mcu_rows` further MCU rows into panels[i] (int16
+// [n_mcu_rows * v_i, width_i], caller-provided). Returns the number of
+// MCU rows delivered (0 at end of image), or -2 on an invalid Huffman
+// code, -1 on premature bitstream end. Like the batch decoder, running
+// out of restart spans zero-fills the remainder (truncation tolerance).
+int64_t jpx_lossless_stream_next(void* hptr, int64_t n_mcu_rows,
+                                 int16_t** panels) {
+    auto* st = static_cast<LosslessStream*>(hptr);
+    if (st == nullptr || n_mcu_rows <= 0) return -3;
+    const int64_t first_row_mcu = st->row_mcu;
+    if (first_row_mcu >= st->mcus_per_column) return 0;
+    const int64_t last_row_mcu =
+        std::min(st->mcus_per_column, first_row_mcu + n_mcu_rows);
+    const int sel = st->predictor_sel;
+    const int init = st->initial_prediction;
+
+    for (int64_t row_mcu = first_row_mcu; row_mcu < last_row_mcu; ++row_mcu) {
+        const int64_t prow_mcu = row_mcu - first_row_mcu;
+        // Tolerated truncation (ran out of restart spans): the caller
+        // provides zero-initialized panels, so the remainder simply
+        // stays zero — parity with the batch decoder's zero-alloc
+        // planes (jpx_decode_lossless_scan returns 0 there).
+        if (st->exhausted_spans) continue;
+        for (int64_t col_mcu = 0; col_mcu < st->mcus_per_line; ++col_mcu) {
+            bool at_restart_start = st->restart_interval > 0 &&
+                st->mcus_before_restart == st->restart_interval;
+            for (int ci = 0; ci < st->n_comps; ++ci) {
+                LosslessStream::SComp& c = st->comps[ci];
+                const HuffTable* table = &st->tables[ci];
+                int64_t offset_x = col_mcu * c.h;
+                for (int y = 0; y < c.v; ++y) {
+                    int64_t prow = prow_mcu * c.v + y;
+                    int16_t* scanline = panels[ci] + prow * c.width;
+                    const int16_t* lastline;
+                    if (y == 0 && row_mcu == 0) {
+                        lastline = nullptr;
+                    } else if (prow == 0) {
+                        lastline = c.prev_row.data();
+                    } else {
+                        lastline = panels[ci] + (prow - 1) * c.width;
+                    }
+                    for (int x = 0; x < c.h; ++x) {
+                        int t;
+                        int32_t diff;
+                        BitReader& br = st->br;
+                        if (br.count < 32) br.fill();
+                        if (br.count >= 32) {
+                            t = decode_huffman_hot(br, table);
+                            if (t < 0) return -2;
+                            if (t == 16) {
+                                diff = 32768;
+                            } else if (t != 0) {
+                                if (t > 16) {
+                                    int err = 0;
+                                    diff = receive_extend(br, t, &err);
+                                    if (err) return -1;
+                                } else {
+                                    uint32_t rawv =
+                                        (uint32_t)(br.bits >> (64 - t));
+                                    br.bits <<= t;
+                                    br.count -= t;
+                                    diff = extend((int32_t)rawv, t);
+                                }
+                            } else {
+                                diff = 0;
+                            }
+                        } else {
+                            t = decode_huffman(br, table);
+                            if (t < 0) return -2;
+                            if (t == 16) {
+                                diff = 32768;
+                            } else if (t != 0) {
+                                int err = 0;
+                                diff = receive_extend(br, t, &err);
+                                if (err) return -1;
+                            } else {
+                                diff = 0;
+                            }
+                        }
+                        int64_t cx = offset_x + x;
+                        if (row_mcu == 0 || at_restart_start) {
+                            if (col_mcu == 0 && x == 0) {
+                                diff += init;
+                            } else {
+                                int ra = scanline[cx - 1];
+                                int rb = y == 0 ? init : lastline[cx];
+                                int rc = y == 0 ? init : lastline[cx - 1];
+                                diff += predict_lossless(sel, ra, rb, rc);
+                            }
+                        } else if (col_mcu == 0) {
+                            diff += lastline[cx];
+                        } else {
+                            int ra = scanline[cx - 1];
+                            int rb = lastline[cx];
+                            int rc = lastline[cx - 1];
+                            diff += predict_lossless(sel, ra, rb, rc);
+                        }
+                        scanline[cx] = (int16_t)diff;
+                    }
+                }
+            }
+            if (st->restart_interval > 0) {
+                if (--st->mcus_before_restart == 0) {
+                    ++st->span_idx;
+                    st->mcus_before_restart = st->restart_interval;
+                    if (st->span_idx >= (int)st->starts.size()) {
+                        st->exhausted_spans = true;
+                        break;  // rest of the zeroed panel stays zero
+                    }
+                    st->br.init(st->data + st->starts[st->span_idx],
+                                st->ends[st->span_idx] -
+                                    st->starts[st->span_idx]);
+                }
+            }
+        }
+        // carry the Rb/Rc context: last sample row of this MCU row
+        for (int ci = 0; ci < st->n_comps; ++ci) {
+            LosslessStream::SComp& c = st->comps[ci];
+            int64_t prow = prow_mcu * c.v + (c.v - 1);
+            std::memcpy(c.prev_row.data(), panels[ci] + prow * c.width,
+                        (size_t)c.width * sizeof(int16_t));
+        }
+    }
+    st->row_mcu = last_row_mcu;
+    return last_row_mcu - first_row_mcu;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Speculative parallel lossless decode (no restart markers)
 // ---------------------------------------------------------------------------
 //

@@ -687,6 +687,125 @@ def decode_lossless_scan(
     return True
 
 
+class LosslessRowStream:
+    """Bounded-memory lossless row-panel cursor — the TPU-native
+    analogue of the reference's 16-row scanline ring
+    (/root/reference/src/JpegLibrary/JpegPartialScanlineAllocator.cs:11,60):
+    each ``next_rows`` call decodes the next MCU rows into fresh
+    panels; the native state carries only the bit-reader position,
+    restart-span cursor, and ONE previous sample row per component, so
+    peak memory is O(width), never O(image). Sample values are
+    bit-identical to the batch decoder (models.lossless /
+    jpx_decode_lossless_scan)."""
+
+    def __init__(
+        self,
+        data: bytes,
+        spans: Sequence[EntropySpan],
+        frame: FrameHeader,
+        scan: ScanHeader,
+        dc_tables: Dict[int, HuffmanDecodingTable],
+        restart_interval: int,
+    ):
+        lib = build.load_library()
+        from ..models.geometry import ceil_div
+        from ..models.huffman_baseline import JpegDecodeError
+
+        resolved = resolve_scan_components(frame, scan)
+        n = len(resolved)
+        comp_h = (ctypes.c_int32 * n)()
+        comp_v = (ctypes.c_int32 * n)()
+        widths = (ctypes.c_int64 * n)()
+        blob = bytearray()
+        self.component_indices = []
+        max_h = frame.max_horizontal_sampling
+        max_v = frame.max_vertical_sampling
+        mpl = ceil_div(frame.samples_per_line, max_h)
+        mpc = ceil_div(frame.number_of_lines, max_v)
+        for i, (comp_index, fc, sc) in enumerate(resolved):
+            table = dc_tables.get(sc.dc_table_selector)
+            if table is None:
+                raise JpegDecodeError(
+                    f"Huffman table of component {comp_index} is not defined."
+                )
+            comp_h[i] = fc.horizontal_sampling_factor
+            comp_v[i] = fc.vertical_sampling_factor
+            widths[i] = mpl * fc.horizontal_sampling_factor
+            blob += pack_huffman_table(table)
+            self.component_indices.append(comp_index)
+
+        pt = scan.successive_approximation_bit_position_low
+        validate_restart_spans(spans, restart_interval, mpl * mpc)
+        n_spans = len(spans)
+        starts = (ctypes.c_int64 * n_spans)(*[s.start for s in spans])
+        ends = (ctypes.c_int64 * n_spans)(*[s.end for s in spans])
+        # keepalives: the native state holds pointers into the input
+        self._buf = np.frombuffer(data, dtype=np.uint8)
+        self._lib = lib
+        self._vs = [int(comp_v[i]) for i in range(n)]
+        self._widths = [int(widths[i]) for i in range(n)]
+        self.mcus_per_column = mpc
+        self.rows_per_mcu = max_v
+        self._handle = lib.jpx_lossless_stream_open(
+            self._buf.ctypes.data_as(ctypes.c_void_p),
+            starts, ends, n_spans,
+            restart_interval, mpl, mpc, n,
+            comp_h, comp_v,
+            bytes(blob), widths,
+            scan.start_of_spectral_selection,
+            1 << (frame.sample_precision - pt - 1),
+        )
+        if not self._handle:
+            raise JpegDecodeError("failed to open lossless row stream")
+
+    def next_rows(self, mcu_rows: int):
+        """Decode the next ``mcu_rows`` MCU rows. Returns
+        {component_index: int16 [rows*v_i, width_i]} (cropped at the
+        image end), or None when the image is complete."""
+        from ..models.huffman_baseline import JpegDecodeError
+
+        if self._handle is None:
+            return None
+        n = len(self.component_indices)
+        panels = [
+            np.zeros((mcu_rows * self._vs[i], self._widths[i]), dtype=np.int16)
+            for i in range(n)
+        ]
+        ptrs = (ctypes.c_void_p * n)(
+            *[p.ctypes.data_as(ctypes.c_void_p) for p in panels]
+        )
+        got = self._lib.jpx_lossless_stream_next(self._handle, mcu_rows, ptrs)
+        if got == 0:
+            return None
+        if got == -2:
+            from ..syntax.huffman import JpegHuffmanError
+
+            raise JpegHuffmanError("Invalid Huffman code encountered.")
+        if got < 0:
+            raise JpegDecodeError("The bit stream ended prematurely.")
+        return {
+            ci: panels[i][: int(got) * self._vs[i]]
+            for i, ci in enumerate(self.component_indices)
+        }
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.jpx_lossless_stream_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 def decode_arithmetic_scan(
     data: bytes,
     spans: Sequence[EntropySpan],

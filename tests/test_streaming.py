@@ -102,3 +102,78 @@ def test_streaming_rejects_progressive(assets_dir, native_lib):
     data = (assets_dir / "huffman_progressive/progress.jpg").read_bytes()
     with pytest.raises(ValueError):
         next(decode_rgb_stripes(data))
+
+
+LOSSLESS_FIXTURES = [f"huffman_lossless/lossless{i}_s22.jpg" for i in range(1, 8)]
+
+
+@pytest.mark.parametrize("rel", LOSSLESS_FIXTURES)
+def test_lossless_rows_bit_exact(assets_dir, native_lib, rel):
+    """The bounded-memory lossless row stream must reproduce the batch
+    decoder's sample planes bit-exactly on all 7 predictor fixtures
+    (subsampled _s22 interleave)."""
+    from jpeglibrary_tpu.models.streaming import decode_lossless_rows
+
+    data = (assets_dir / rel).read_bytes()
+    full = jt.decode(data)  # batch path: full sample planes
+
+    got = {ci: [] for ci in full.samples}
+    for _y0, panels in decode_lossless_rows(data, mcu_rows=3):
+        for ci, p in panels.items():
+            got[ci].append(p)
+    for ci, plane in full.samples.items():
+        stitched = np.concatenate(got[ci], axis=0)
+        # panels cover the padded MCU grid; crop to the plane's rows
+        np.testing.assert_array_equal(stitched[: plane.shape[0]], plane)
+
+
+@pytest.mark.parametrize("predictor", [1, 4, 7])
+def test_lossless_rows_restart_interval(native_lib, predictor):
+    """Row streaming across restart-span boundaries (spans end mid-row):
+    must match the batch decode bit-exactly."""
+    from jpeglibrary_tpu.models.lossless import encode_lossless
+    from jpeglibrary_tpu.models.streaming import decode_lossless_rows
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (53, 41, 3), dtype=np.uint8)
+    # 37 MCUs per restart interval: not a divisor of the 41-pixel rows
+    data = encode_lossless(img, predictor=predictor, restart_interval=37)
+    full = jt.decode(data)
+    got = {ci: [] for ci in full.samples}
+    for _y0, panels in decode_lossless_rows(data, mcu_rows=5):
+        for ci, p in panels.items():
+            got[ci].append(p)
+    for ci, plane in full.samples.items():
+        np.testing.assert_array_equal(np.concatenate(got[ci], axis=0), plane)
+
+
+def test_lossless_rows_bounded_memory(native_lib):
+    """A 12 MP lossless image decodes through the row stream with peak
+    traced memory far below one sample plane set — the 16-row-ring
+    capability (JpegPartialScanlineAllocator.cs:11,60)."""
+    import tracemalloc
+
+    from jpeglibrary_tpu.models.lossless import encode_lossless
+    from jpeglibrary_tpu.models.streaming import decode_lossless_rows
+
+    h, w = 3072, 4096
+    rows = (np.arange(h, dtype=np.uint32)[:, None] // 16).astype(np.uint8)
+    img = np.broadcast_to(rows, (h, w)).copy()
+    data = encode_lossless(img, predictor=1)
+    del img, rows
+
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    count = 0
+    checksum = 0
+    for _y0, panels in decode_lossless_rows(data, mcu_rows=16):
+        count += panels[0].shape[0]
+        checksum += int(panels[0].sum())
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert count == h
+    # int16 plane would be 25 MB; one 16-row panel is 128 KB
+    assert peak < 4 * w * 16 * 2 * 8, f"peak {peak} not O(rows)"
+
+    full = jt.decode(data)
+    assert checksum == int(full.samples[0].sum())
