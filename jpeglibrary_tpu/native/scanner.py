@@ -631,10 +631,18 @@ def decode_lossless_scan(
 
     # Restart-interval parallel path: spans' diff streams are
     # bitstream-independent, so they decode concurrently (no
-    # speculation needed) with a shared reconstruction pass.
+    # speculation needed) with a shared reconstruction pass. Requires a
+    # COMPLETE span table: on a truncated stream the parallel pass would
+    # zero-fill missing diffs and still predict samples for them,
+    # whereas the sequential decoders stop and leave raw zeros — route
+    # truncated inputs to the sequential path for identical semantics.
+    mcus_total = ceil_div(frame.samples_per_line, max_h) * ceil_div(
+        frame.number_of_lines, max_v
+    )
     if (
         restart_interval > 0
         and n_spans > 1
+        and n_spans >= ceil_div(mcus_total, restart_interval)
         and max_h == 1
         and max_v == 1
         and all(comp_h[i] == 1 and comp_v[i] == 1 for i in range(n))

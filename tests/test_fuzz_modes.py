@@ -1,0 +1,134 @@
+"""Differential fuzzing of the NON-baseline native scanners against
+their pure-Python twins (the baseline fused path has its own harness,
+tests/test_fuzz_fused.py): progressive, lossless, and arithmetic
+streams, mutated by truncation / byte flips / garbage, must never
+crash either path, must agree on ok-vs-error disposition, and must
+produce identical planes on success — exactly where threaded C++ with
+corrupt inputs would otherwise diverge silently."""
+
+import io
+
+import numpy as np
+import pytest
+
+from jpeglibrary_tpu.models.decoder import JpegDecoder
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    from jpeglibrary_tpu.native import build
+
+    try:
+        return build.load_library()
+    except ImportError as exc:
+        pytest.skip(f"native scanner unavailable: {exc}")
+
+
+@pytest.fixture(scope="module")
+def small_rgb():
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 64, (8, 8, 3), dtype=np.uint8)
+    img = np.kron(base, np.ones((10, 9, 1), dtype=np.uint8))  # smooth 80x72
+    return (img + rng.integers(0, 8, img.shape, dtype=np.uint8)).astype(np.uint8)
+
+
+def _make_streams(small_rgb):
+    """One small asset per scanner family (restart + no-restart where
+    the native path threads differently)."""
+    from PIL import Image
+
+    from jpeglibrary_tpu.models.encoder import encode_rgb
+    from jpeglibrary_tpu.models.lossless import encode_lossless
+    from jpeglibrary_tpu.models.progressive_encoder import encode_progressive_rgb
+
+    buf = io.BytesIO()
+    Image.fromarray(small_rgb).save(
+        buf, "JPEG", quality=80, progressive=True, subsampling=2
+    )
+    return {
+        "progressive": encode_progressive_rgb(small_rgb, 80, restart_interval=4),
+        "progressive_pil": buf.getvalue(),
+        "lossless": encode_lossless(small_rgb, predictor=4),
+        "lossless_restart": encode_lossless(
+            small_rgb, predictor=6, restart_interval=16
+        ),
+        "arithmetic": encode_rgb(small_rgb, 80, arithmetic=True),
+        "arithmetic_restart": encode_rgb(
+            small_rgb, 80, arithmetic=True, restart_interval=4
+        ),
+    }
+
+
+def _outcome(data, use_native):
+    d = JpegDecoder()
+    d.set_input(data)
+    try:
+        res = d.decode(use_native=use_native)
+        planes = res.coefficients if res.coefficients is not None else res.samples
+        return ("ok", {k: v.copy() for k, v in planes.items()})
+    except Exception as exc:
+        return ("err", type(exc).__name__)
+
+
+def _check_agreement(mutated, context):
+    kind_n, out_n = _outcome(mutated, True)
+    kind_p, out_p = _outcome(mutated, False)
+    assert kind_n == kind_p, (context, kind_n, out_n, kind_p, out_p)
+    if kind_n == "ok":
+        for k in out_p:
+            np.testing.assert_array_equal(out_n[k], out_p[k], err_msg=str(context))
+    return kind_n
+
+
+@pytest.fixture(scope="module")
+def streams(native_lib, small_rgb):
+    return _make_streams(small_rgb)
+
+
+MODES = [
+    "progressive",
+    "progressive_pil",
+    "lossless",
+    "lossless_restart",
+    "arithmetic",
+    "arithmetic_restart",
+]
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_fuzz_truncations(streams, mode):
+    data = streams[mode]
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        cut = int(rng.integers(2, len(data)))
+        _check_agreement(data[:cut], (mode, "trunc", cut))
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_fuzz_byte_flips(streams, mode):
+    data = streams[mode]
+    rng = np.random.default_rng(13)
+    agree_ok = 0
+    for i in range(30):
+        mutated = bytearray(data)
+        for _ in range(int(rng.integers(1, 4))):
+            pos = int(rng.integers(2, len(mutated)))
+            mutated[pos] = int(rng.integers(0, 256))
+        if _check_agreement(bytes(mutated), (mode, "flip", i)) == "ok":
+            agree_ok += 1
+    assert agree_ok > 0  # some mutations must still decode
+
+
+@pytest.mark.parametrize("mode", ["progressive", "lossless", "arithmetic"])
+def test_fuzz_garbage_ecs(streams, mode):
+    """Replace the tail (entropy data) with random garbage: both paths
+    must agree and never crash."""
+    data = streams[mode]
+    rng = np.random.default_rng(17)
+    # find SOS and corrupt after it
+    sos = data.find(b"\xff\xda")
+    assert sos > 0
+    head = data[: sos + 14]
+    for i in range(12):
+        tail = bytes(rng.integers(0, 256, size=int(rng.integers(8, 512)), dtype=np.uint8))
+        _check_agreement(head + tail + b"\xff\xd9", (mode, "garbage", i))
