@@ -918,10 +918,17 @@ def _run_progressive_jobs(data, frame, geometry, coefficient_planes, jobs,
     # serializing scan by scan. Remaining jobs (interleaved DC,
     # arithmetic) keep the future-based schedule. If a rest job depends
     # on a chain job (unusual scan scripts), fall back to futures-only.
+    # Chains pay off when a scan has NO internal parallel seam (no
+    # restart spans): the per-unit pipeline is then the only way to
+    # overlap a component's first->refine->refine chain. With restart
+    # spans, per-scan restart threading decodes each scan at ~Nx and
+    # the future graph already overlaps components — keep that path.
     chain_idx = [
         j
         for j in range(len(jobs))
-        if not jobs[j]["arithmetic"] and len(touches[j][0]) == 1
+        if not jobs[j]["arithmetic"]
+        and len(touches[j][0]) == 1
+        and len(jobs[j]["scan"].spans) <= 1
     ]
     chain_set = set(chain_idx)
     if chain_set and any(
@@ -934,8 +941,9 @@ def _run_progressive_jobs(data, frame, geometry, coefficient_planes, jobs,
     rest_idx = [j for j in range(len(jobs)) if j not in chain_set]
 
     def run_rest(j, futures):
-        for i in deps[j]:
-            futures[i].result()
+        if futures is not None:
+            for i in deps[j]:
+                futures[i].result()
         job = jobs[j]
         if job["arithmetic"]:
             native.decode_arithmetic_scan(
@@ -957,29 +965,33 @@ def _run_progressive_jobs(data, frame, geometry, coefficient_planes, jobs,
         )
         return
 
-    with ThreadPoolExecutor(max_workers=min(4, len(jobs))) as pool:
-        futures = {}
-        for j in rest_idx:
-            futures[j] = pool.submit(run_rest, j, futures)
-        chain_future = None
-        if chain_idx:
-            chain_deps = sorted(
-                {i for j in chain_idx for i in deps[j] if i not in chain_set}
+    # Per-decode executors cost ~5-7 ms in thread spawn alone — the
+    # shared persistent pool removes that fixed overhead entirely.
+    from ..utils.pool import shared_pool
+
+    pool = shared_pool()
+    futures = {}
+    for j in rest_idx:
+        futures[j] = pool.submit(run_rest, j, futures)
+    chain_future = None
+    if chain_idx:
+        chain_deps = sorted(
+            {i for j in chain_idx for i in deps[j] if i not in chain_set}
+        )
+
+        def run_chains():
+            for i in chain_deps:
+                futures[i].result()
+            native.decode_progressive_chains(
+                data, [jobs[j] for j in chain_idx], frame, geometry,
+                coefficient_planes,
             )
 
-            def run_chains():
-                for i in chain_deps:
-                    futures[i].result()
-                native.decode_progressive_chains(
-                    data, [jobs[j] for j in chain_idx], frame, geometry,
-                    coefficient_planes,
-                )
-
-            chain_future = pool.submit(run_chains)
-        for j in rest_idx:
-            futures[j].result()
-        if chain_future is not None:
-            chain_future.result()
+        chain_future = pool.submit(run_chains)
+    for j in rest_idx:
+        futures[j].result()
+    if chain_future is not None:
+        chain_future.result()
 
 
 def decode(data: bytes, **kwargs) -> DecodeResult:

@@ -237,8 +237,8 @@ class JpegEncoder:
                 )
         else:
             # Components are independent; the native transform releases
-            # the GIL, so they run concurrently across host threads.
-            from concurrent.futures import ThreadPoolExecutor
+            # the GIL, so they run concurrently on the shared pool.
+            from ..utils.pool import shared_pool
 
             def one(args):
                 comp, plane, q = args
@@ -256,8 +256,7 @@ class JpegEncoder:
 
             jobs = list(zip(self._components, self._input_planes, quants))
             if len(jobs) > 1:
-                with ThreadPoolExecutor(min(len(jobs), 3)) as pool:
-                    comp_blocks = list(pool.map(one, jobs))
+                comp_blocks = list(shared_pool().map(one, jobs))
             else:
                 comp_blocks = [one(jobs[0])]
 
@@ -628,7 +627,7 @@ class JpegEncoder:
         if native_emit is not None and n_mcus > ri:
             # Restart segments are independent byte-aligned streams —
             # emit them concurrently, write in order with RSTn between.
-            from concurrent.futures import ThreadPoolExecutor
+            from ..utils.pool import shared_pool
 
             spans = []
             mcu = 0
@@ -642,11 +641,7 @@ class JpegEncoder:
                     for c in comps
                 ]
                 return native_emit(seg_comps, count)
-            import os
-
-            workers = max(1, min(len(spans), (os.cpu_count() or 2) - 1))
-            with ThreadPoolExecutor(workers) as pool:
-                payloads = list(pool.map(one, spans))
+            payloads = list(shared_pool().map(one, spans))
             for i, payload in enumerate(payloads):
                 writer.write_bytes(payload)
                 if i + 1 < len(payloads):

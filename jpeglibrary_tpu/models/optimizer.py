@@ -295,8 +295,7 @@ class JpegOptimizer:
         # them concurrently, then write in order with the original
         # terminators between (parallel twin of the serial loop below).
         if native_emit is not None and total_mcus > restart_interval:
-            from concurrent.futures import ThreadPoolExecutor
-            import os
+            from ..utils.pool import shared_pool
 
             spans = []
             mcu = 0
@@ -312,9 +311,7 @@ class JpegOptimizer:
                 ]
                 return native_emit(seg_comps, count)
 
-            workers = max(1, min(len(spans), (os.cpu_count() or 2) - 1))
-            with ThreadPoolExecutor(workers) as pool:
-                payloads = list(pool.map(one, spans))
+            payloads = list(shared_pool().map(one, spans))
             for segment_index, payload in enumerate(payloads):
                 writer.write_bytes(payload)
                 if segment_index + 1 >= len(payloads):

@@ -35,6 +35,11 @@
 #include <thread>
 #include <vector>
 
+#if defined(__BMI2__) && defined(__SSE2__)
+#include <immintrin.h>
+#define JPX_HAVE_REFINE_FAST 1
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -1929,10 +1934,13 @@ static inline int read_block_prog_ac(BitReader& br, const HuffTable* ac,
 }
 
 // AC refinement (JpegHuffmanProgressiveScanDecoder.cs:313-419 incl. the
-// coef >= 0 vs coef > 0 asymmetry).
-static inline int read_block_prog_ac_refined(BitReader& br, const HuffTable* ac,
-                                             const ScanParams& sp, int64_t& eobrun,
-                                             int16_t* block) {
+// coef >= 0 vs coef > 0 asymmetry). Scalar reference implementation;
+// the dispatching wrapper below selects the bitmap fast path when the
+// host has BMI2.
+static inline int read_block_prog_ac_refined_scalar(
+    BitReader& br, const HuffTable* ac,
+    const ScanParams& sp, int64_t& eobrun,
+    int16_t* block) {
     int start = sp.ss, end = sp.se;
     int p1 = 1 << sp.al;
     int m1 = -(1 << sp.al);  // == (-1) << al for al < 31, without UB
@@ -2034,6 +2042,180 @@ static inline int read_block_prog_ac_refined(BitReader& br, const HuffTable* ac,
     return 0;
 }
 
+#ifdef JPX_HAVE_REFINE_FAST
+
+// Nonzero bitmap of a 64-coefficient block: bit i set iff block[i] != 0.
+static inline uint64_t block_nonzero_mask(const int16_t* block) {
+    const __m128i zero = _mm_setzero_si128();
+    uint64_t mask = 0;
+    for (int g = 0; g < 64; g += 16) {
+        __m128i a = _mm_loadu_si128((const __m128i*)(block + g));
+        __m128i b = _mm_loadu_si128((const __m128i*)(block + g + 8));
+        __m128i packed =
+            _mm_packs_epi16(_mm_cmpeq_epi16(a, zero), _mm_cmpeq_epi16(b, zero));
+        uint32_t z = (uint32_t)_mm_movemask_epi8(packed);  // 1 = zero lane
+        mask |= ((uint64_t)(~z & 0xFFFFu)) << g;
+    }
+    return mask;
+}
+
+// Bitmap AC refinement: behaviorally identical to the scalar version,
+// but the per-coefficient walk is replaced by (a) a SIMD nonzero mask,
+// (b) pdep to locate the (r+1)-th zero (the insertion point), and
+// (c) batched correction-bit reads — one branchy iteration per NONZERO
+// coefficient instead of one per band position. This loop dominates
+// progressive decode (the reference's hot path is
+// JpegHuffmanProgressiveScanDecoder.cs:313-419).
+static inline int read_block_prog_ac_refined_fast(
+    BitReader& br, const HuffTable* ac,
+    const ScanParams& sp, int64_t& eobrun,
+    int16_t* block) {
+    const int start = sp.ss, end = sp.se;
+    const int p1 = 1 << sp.al;
+    const int m1 = -(1 << sp.al);
+    const uint64_t band =
+        (end == 63 ? ~0ULL : ((1ULL << (end + 1)) - 1)) & ~((1ULL << start) - 1);
+    uint64_t nz = block_nonzero_mask(block) & band;
+    int k = start;
+
+    // Read one correction bit per set position of m (ascending), apply
+    // the p1/m1 increment on 1-bits. Batched 24 bits per refill away
+    // from the stream end; per-bit with the scalar failure point near
+    // it. Returns 0 ok, 1 premature end.
+    auto apply_correction = [&](uint64_t m) -> int {
+        while (m) {
+            int n = __builtin_popcountll(m);
+            int c = n < 24 ? n : 24;
+            if (br.count < c) br.fill();
+            if (br.count >= c) {
+                uint32_t raw = (uint32_t)(br.bits >> (64 - c));
+                br.bits <<= c;
+                br.count -= c;
+                for (int j = c - 1; j >= 0; --j) {
+                    int kk = __builtin_ctzll(m);
+                    m &= m - 1;
+                    if ((raw >> j) & 1) {
+                        int coef = block[kk];
+                        if ((coef & p1) == 0)
+                            block[kk] =
+                                (int16_t)(coef + (coef >= 0 ? p1 : m1));
+                    }
+                }
+            } else {
+                int kk = __builtin_ctzll(m);
+                m &= m - 1;
+                if (br.count == 0) {
+                    br.fill();
+                    if (br.count == 0) return 1;
+                }
+                int bit = (int)(br.bits >> 63);
+                br.bits <<= 1;
+                --br.count;
+                if (bit) {
+                    int coef = block[kk];
+                    if ((coef & p1) == 0)
+                        block[kk] = (int16_t)(coef + (coef >= 0 ? p1 : m1));
+                }
+            }
+        }
+        return 0;
+    };
+
+    if (eobrun == 0) {
+        while (k <= end) {
+            int s, r;
+            if (br.count < 32) br.fill();
+            if (br.count >= 32) {
+                s = decode_huffman_hot(br, ac);
+                if (s < 0) return 2;
+                r = s >> 4;
+                s &= 15;
+                if (s != 0) {
+                    int bit = (int)(br.bits >> 63);
+                    br.bits <<= 1;
+                    --br.count;
+                    s = bit != 0 ? p1 : m1;
+                } else if (r != 15) {
+                    eobrun = (int64_t)1 << r;
+                    if (r != 0) {
+                        uint32_t raw = (uint32_t)(br.bits >> (64 - r));
+                        br.bits <<= r;
+                        br.count -= r;
+                        eobrun += (int32_t)raw;
+                    }
+                    break;
+                }
+            } else {
+                s = decode_huffman(br, ac);
+                if (s < 0) return 2;
+                r = s >> 4;
+                s &= 15;
+                if (s != 0) {
+                    int32_t bit = br.read(1);
+                    if (bit < 0) return 1;
+                    s = bit != 0 ? p1 : m1;
+                } else if (r != 15) {
+                    eobrun = (int64_t)1 << r;
+                    if (r != 0) {
+                        int32_t bits = br.read(r);
+                        if (bits < 0) return 1;
+                        eobrun += bits;
+                    }
+                    break;
+                }
+            }
+
+            // Traverse from k: skip r zeros, reading one correction bit
+            // per nonzero passed; insert s (if any) at the (r+1)-th
+            // zero — or at end+1 when fewer zeros remain (the scalar
+            // walk's exit state).
+            const uint64_t ge_k = ~((1ULL << k) - 1);
+            const uint64_t zeros = ~nz & band & ge_k;
+            const uint64_t sel = _pdep_u64(1ULL << r, zeros);
+            if (sel != 0) {
+                const int ins = __builtin_ctzll(sel);
+                if (apply_correction(nz & ge_k & (sel - 1))) return 1;
+                if (s != 0) {
+                    block[ins] = (int16_t)s;
+                    nz |= sel;
+                }
+                k = ins + 1;
+            } else {
+                if (apply_correction(nz & ge_k)) return 1;
+                k = end + 1;
+                if (s != 0 && k < 64) block[k] = (int16_t)s;
+                ++k;
+            }
+        }
+    }
+
+    if (eobrun > 0) {
+        if (k <= end) {
+            if (apply_correction(nz & ~((1ULL << k) - 1))) return 1;
+        }
+        --eobrun;
+    }
+    return 0;
+}
+
+#endif  // JPX_HAVE_REFINE_FAST
+
+static inline int read_block_prog_ac_refined(BitReader& br, const HuffTable* ac,
+                                             const ScanParams& sp, int64_t& eobrun,
+                                             int16_t* block) {
+#ifdef JPX_HAVE_REFINE_FAST
+    // JPX_REFINE_SCALAR=1 forces the scalar walk (A/B benchmarking and
+    // differential testing of the two implementations).
+    static const bool use_scalar = [] {
+        const char* e = std::getenv("JPX_REFINE_SCALAR");
+        return e != nullptr && e[0] == '1';
+    }();
+    if (!use_scalar)
+        return read_block_prog_ac_refined_fast(br, ac, sp, eobrun, block);
+#endif
+    return read_block_prog_ac_refined_scalar(br, ac, sp, eobrun, block);
+}
+
 struct ProgSpanTask {
     const uint8_t* data;
     int64_t len;
@@ -2076,11 +2258,15 @@ static int prog_decode_span_single(const ProgSpanTask& task, Component& c,
     int32_t pred = 0;
     int64_t eobrun = 0;
     const bool is_dc = sp.ss == 0;
+    int64_t by = task.first_unit / hbc;
+    int64_t bx = task.first_unit % hbc;
     for (int64_t u = 0; u < task.n_units; ++u) {
-        int64_t unit = task.first_unit + u;
-        int64_t by = unit / hbc;
-        int64_t bx = unit % hbc;
         int16_t* block = c.plane + (by * c.wb + bx) * 64;
+        ++bx;
+        if (bx == hbc) {
+            bx = 0;
+            ++by;
+        }
         int rc;
         if (is_dc) {
             rc = read_block_prog_dc(br, c.dc, sp, pred, block);
@@ -2227,22 +2413,40 @@ static int chain_decode_scan(const uint8_t* data, const ChainScan& cs,
     const bool is_refine = cs.sp.ah != 0;
     int rc = 0;
 
+    // Watermarks are PUBLISHED (and polled) at a 32-unit granularity:
+    // a per-unit release store would bounce the watermark cache line
+    // between producer and consumer cores on every block. The consumer
+    // caches the last observed value and only re-loads when it actually
+    // needs more progress; waits back off pause -> yield -> sleep so
+    // oversubscribed chains don't burn the cores the producers need.
+    int64_t seen = 0;
+    int64_t by = 0, bx = 0;
     for (int64_t u = 0; u < cs.total_units; ++u) {
-        if (gate) {
-            int spins = 0;
-            while (gate->load(std::memory_order_acquire) <= u) {
+        if (gate && u >= seen) {
+            int spins = 0, yields = 0;
+            for (;;) {
+                seen = gate->load(std::memory_order_acquire);
+                if (seen > u) break;
 #if defined(__x86_64__)
                 __builtin_ia32_pause();
 #endif
-                if (++spins > 2048) {
-                    std::this_thread::yield();
+                if (++spins > 1024) {
                     spins = 0;
+                    if (++yields > 64) {
+                        std::this_thread::sleep_for(
+                            std::chrono::microseconds(100));
+                    } else {
+                        std::this_thread::yield();
+                    }
                 }
             }
         }
-        int64_t by = u / cs.hbc;
-        int64_t bx = u % cs.hbc;
         int16_t* block = cs.plane + (by * cs.wb + bx) * 64;
+        ++bx;
+        if (bx == cs.hbc) {
+            bx = 0;
+            ++by;
+        }
         if (is_dc) {
             rc = read_block_prog_dc(br, cs.table, cs.sp, pred, block);
         } else if (!is_refine) {
@@ -2251,7 +2455,8 @@ static int chain_decode_scan(const uint8_t* data, const ChainScan& cs,
             rc = read_block_prog_ac_refined(br, cs.table, cs.sp, eobrun, block);
         }
         if (rc) break;
-        mine->store(u + 1, std::memory_order_release);
+        if (((u + 1) & 31) == 0)
+            mine->store(u + 1, std::memory_order_release);
         if (cs.restart_interval > 0 && --before_restart == 0) {
             ++span_i;
             if (span_i >= cs.n_spans) break;  // tolerated truncation
@@ -2316,17 +2521,68 @@ int jpx_decode_progressive_chains(
         for (int s = 0; s < n_scans; ++s)
             results[s] = chain_decode_scan(data, scans[s], wms.data(), s);
     } else {
-        std::atomic<int> next{0};
+        // Size-aware schedule: with more scans than cores, a flat
+        // one-thread-per-scan fan-out halves the CRITICAL scan's speed
+        // through core contention (wall ~= slowest scan / share). Give
+        // the T-1 largest scans (entropy bytes ~ decode time) dedicated
+        // threads and run the remainder on ONE thread in stream order —
+        // stream order satisfies gates among themselves, and every gate
+        // chain bottoms out, so no circular wait is possible.
+        std::vector<int> order(n_scans);
+        for (int s = 0; s < n_scans; ++s) order[s] = s;
+        auto bytes_of = [&](int s) {
+            int64_t b = 0;
+            for (int i = 0; i < scans[s].n_spans; ++i)
+                b += scans[s].span_ends[i] - scans[s].span_starts[i];
+            return b;
+        };
+        std::sort(order.begin(), order.end(),
+                  [&](int a, int b) { return bytes_of(a) > bytes_of(b); });
+        std::vector<char> dedicated(n_scans, 0);
+        int n_ded = std::min<int>(T - 1, n_scans - 1);
+        for (int i = 0; i < n_ded; ++i) dedicated[order[i]] = 1;
+
+        // Rest-thread order: hoist scans that FEED a dedicated scan
+        // (the critical chain's producers) ahead of the others. Every
+        // wait follows a gate edge, and gates point at strictly
+        // earlier stream indices, so pure stream order on the rest
+        // thread can never cycle. Hoisting breaks that monotonicity,
+        // so it is only safe when the hoisted scan's ENTIRE transitive
+        // gate chain is dedicated: it then waits only on scans that
+        // own their own threads, never on a rest scan displaced behind
+        // it. (Checking just the direct gate deadlocks: hoisted ->
+        // dedicated -> non-hoisted rest scan stuck behind the hoisted
+        // one on this thread.)
+        std::vector<char> feeds(n_scans, 0);
+        for (int s = 0; s < n_scans; ++s)
+            if (dedicated[s] && scans[s].gate >= 0 && !dedicated[scans[s].gate])
+                feeds[scans[s].gate] = 1;
+        auto chain_all_dedicated = [&](int s) {
+            for (int g = scans[s].gate; g >= 0; g = scans[g].gate)
+                if (!dedicated[g]) return false;
+            return true;
+        };
+        std::vector<char> hoisted(n_scans, 0);
+        for (int s = 0; s < n_scans; ++s)
+            if (!dedicated[s] && feeds[s] && chain_all_dedicated(s))
+                hoisted[s] = 1;
+        std::vector<int> rest_order;
+        for (int s = 0; s < n_scans; ++s)
+            if (hoisted[s]) rest_order.push_back(s);
+        for (int s = 0; s < n_scans; ++s)
+            if (!dedicated[s] && !hoisted[s]) rest_order.push_back(s);
+
         std::vector<std::thread> pool;
-        for (int t = 0; t < T; ++t) {
-            pool.emplace_back([&]() {
-                for (;;) {
-                    int s = next.fetch_add(1);
-                    if (s >= n_scans) break;
-                    results[s] = chain_decode_scan(data, scans[s], wms.data(), s);
-                }
+        for (int i = 0; i < n_ded; ++i) {
+            int s = order[i];
+            pool.emplace_back([&, s]() {
+                results[s] = chain_decode_scan(data, scans[s], wms.data(), s);
             });
         }
+        pool.emplace_back([&]() {
+            for (int s : rest_order)
+                results[s] = chain_decode_scan(data, scans[s], wms.data(), s);
+        });
         for (auto& th : pool) th.join();
     }
     for (int rc : results)
