@@ -195,29 +195,45 @@ def make_sharded_full_step(mesh):
 def decode_rgb_sharded(data: bytes, mesh, *, axis: str = "stripe"):
     """Decode ONE image with its transform sharded over the mesh's
     MCU-row-stripe axis — the SP/CP pattern applied to the decode path
-    (SURVEY.md §2.4): the merged-scan sparse payload splits into
-    contiguous per-stripe slices (entries are MCU-row ordered), each
-    device densifies and transforms its stripes locally, zero halo.
+    (SURVEY.md §2.4). IDCT/upsample/color are block-row local, so
+    stripes shard with zero halo, for EVERY mode:
+
+    - single-scan baseline: the merged-scan sparse payload splits into
+      contiguous per-stripe slices (entries are MCU-row ordered) and
+      each device densifies + transforms its stripes locally;
+    - progressive / arithmetic (dense coefficient planes accumulated
+      across scans, the reference's JpegBlockAllocator analogue): each
+      component plane splits into MCU-block-row stripes;
+    - lossless (SOF3 raw sample planes): sample rows split on the
+      max_v grid; upsample + normalize + color run per stripe.
 
     Returns ``(stripes, heights)``: a sharded device array
     [S, 3, stripe_px, W] laid out over the mesh axis, and the true
     pixel height of each stripe (the tail stripe's grid padding decodes
     to empty rows — crop with ``assemble_stripes``).
     """
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     from ..models.decoder import JpegDecoder
-    from ..models.geometry import ceil_div
-    from ..models.streaming import _stripe_geometry, split_payload_stripes
-    from ..ops.pipeline import jitted_transform_mcu_inner
 
     dec = JpegDecoder()
     dec.set_input(data)
     res = dec.decode(sparse_direct=True)
-    if res.packed_mcu is None:
-        raise ValueError("sharded decode requires a single-scan baseline stream")
+    if res.packed_mcu is not None:
+        return _sharded_baseline_sparse(res, mesh, axis)
+    if res.samples is not None:
+        return _sharded_lossless(res, mesh, axis)
+    return _sharded_dense_coefficients(res, mesh, axis)
+
+
+def _sharded_baseline_sparse(res, mesh, axis: str):
+    """Single-scan baseline: per-stripe slices of the sparse payload."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..models.geometry import ceil_div
+    from ..models.streaming import _stripe_geometry, split_payload_stripes
+    from ..ops.pipeline import jitted_transform_mcu_inner
+
     geo = res.geometry
     S = mesh.shape[axis]
     stripe_rows = ceil_div(geo.mcus_per_column, S)
@@ -238,6 +254,118 @@ def decode_rgb_sharded(data: bytes, mesh, *, axis: str = "stripe"):
         out_shardings=sh,
     )
     out = fn(jax.device_put(payloads, sh), jnp.asarray(quants))
+    return out, heights
+
+
+def _sharded_dense_coefficients(res, mesh, axis: str):
+    """Progressive/arithmetic (and any dense-plane) decode: shard the
+    final transform of the accumulated coefficient planes — the
+    reference runs this whole pass serially at Dispose()
+    (JpegHuffmanProgressiveScanDecoder.cs:421-470)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..models.geometry import ceil_div
+    from ..models.streaming import _stripe_geometry
+    from ..ops.pipeline import transform_to_rgb8
+
+    geo = res.geometry
+    S = mesh.shape[axis]
+    stripe_rows = ceil_div(geo.mcus_per_column, S)
+    px = stripe_rows * 8 * geo.max_v
+    sgeo = _stripe_geometry(geo, stripe_rows, px)
+
+    stripes = []
+    for c in geo.components:
+        plane = res.coefficients[c.component_index]  # [Hb, Wb, 64]
+        rows = stripe_rows * c.v
+        padded = np.zeros((S * rows, plane.shape[1], 64), dtype=plane.dtype)
+        padded[: plane.shape[0]] = plane
+        stripes.append(padded.reshape(S, rows, plane.shape[1], 64))
+    quants = tuple(
+        jnp.asarray(res.quant[c.component_index], dtype=jnp.int32)
+        for c in geo.components
+    )
+    heights = [max(0, min(px, geo.height - i * px)) for i in range(S)]
+
+    sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    fn = jax.jit(
+        jax.vmap(
+            lambda cs, qs: transform_to_rgb8(cs, qs, sgeo, xp=jnp, layout="chw"),
+            in_axes=(0, None),
+        ),
+        in_shardings=(
+            tuple(sh for _ in stripes),
+            tuple(rep for _ in quants),
+        ),
+        out_shardings=sh,
+    )
+    out = fn(tuple(jax.device_put(s, sh) for s in stripes), quants)
+    return out, heights
+
+
+def _sharded_lossless(res, mesh, axis: str):
+    """Lossless (SOF3): raw sample planes shard on the max_v row grid;
+    upsample-duplicate + precision normalize + YCbCr->RGB run per
+    stripe (the row-local tail of the reference's
+    JpegPartialScanlineAllocator flush, JpegPartialScanlineAllocator.cs:91-181)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..models.geometry import ceil_div
+    from ..models.lossless import component_sizes
+    from ..ops import color as color_ops
+    from ..ops import decode_stage
+
+    geo = res.geometry
+    S = mesh.shape[axis]
+    H, W = geo.height, geo.width
+    max_v = geo.max_v
+    rows_total = ceil_div(H, max_v)  # lossless MCU rows
+    stripe_mcus = ceil_div(rows_total, S)
+    px = stripe_mcus * max_v
+    sizes = component_sizes(res.frame)
+
+    if len(geo.components) not in (1, 3):
+        raise ValueError(
+            f"RGB output needs 1 or 3 components, got {len(geo.components)}."
+        )
+
+    stripes = []
+    infos = []  # (true component width, hs, vs)
+    for c in geo.components:
+        plane = res.samples[c.component_index]  # padded grid [rows*v, cols*h]
+        rows = stripe_mcus * c.v
+        padded = np.zeros((S * rows, plane.shape[1]), dtype=plane.dtype)
+        padded[: plane.shape[0]] = plane
+        stripes.append(padded.reshape(S, rows, plane.shape[1]))
+        infos.append((sizes[c.component_index][1], c.hs, c.vs))
+
+    def inner(cs):
+        u8 = []
+        for s, (wc, hs, vs) in zip(cs, infos):
+            p = s[:, :wc].astype(jnp.int32)
+            p = decode_stage.upsample_duplicate(p, hs, vs, xp=jnp)[:, :W]
+            u8.append(decode_stage.normalize_to_uint8(p, geo.precision, xp=jnp))
+        if len(u8) == 1:
+            y = u8[0]
+            half = jnp.full_like(y, 128)
+            r, g, b = color_ops.ycbcr_to_rgb(y, half, half, xp=jnp)
+        else:
+            r, g, b = color_ops.ycbcr_to_rgb(u8[0], u8[1], u8[2], xp=jnp)
+        return jnp.stack([r, g, b], axis=0)
+
+    heights = [max(0, min(px, H - i * px)) for i in range(S)]
+    sh = NamedSharding(mesh, P(axis))
+    fn = jax.jit(
+        jax.vmap(inner, in_axes=(0,)),
+        in_shardings=(tuple(sh for _ in stripes),),
+        out_shardings=sh,
+    )
+    out = fn(tuple(jax.device_put(s, sh) for s in stripes))
     return out, heights
 
 
