@@ -186,10 +186,11 @@ class JpegEncoder:
         if n_inputs != len(self._components):
             raise JpegEncodeError("Component count does not match input planes.")
 
-        if self.sample_precision != 8 and self._coefficient_planes is None:
+        if self.sample_precision not in (8, 12) and self._coefficient_planes is None:
             raise JpegEncodeError(
-                "sample_precision != 8 is supported on the coefficient "
-                "(transcode) input path only; the sample transform is 8-bit."
+                "Direct sample encode supports 8- and 12-bit precision "
+                "(T.81 extended sequential); other precisions ride the "
+                "coefficient (transcode) input path."
             )
 
         optimize = (not self.arithmetic) and any(
@@ -225,10 +226,14 @@ class JpegEncoder:
             comp_params = tuple(
                 (c.h, c.v, max_h // c.h, max_v // c.v) for c in self._components
             )
-            fwd = encode_stage.jitted_forward(comp_params, mcus_per_line, mcus_per_column)
+            level_shift = float(1 << (self.sample_precision - 1))
+            fwd = encode_stage.jitted_forward(
+                comp_params, mcus_per_line, mcus_per_column, level_shift
+            )
+            in_dtype = np.uint8 if self.sample_precision == 8 else np.int32
             quants_stacked = np.stack([q.astype(np.int32) for q in quants])
             outs = fwd(
-                tuple(np.asarray(p, dtype=np.uint8) for p in self._input_planes),
+                tuple(np.asarray(p, dtype=in_dtype) for p in self._input_planes),
                 quants_stacked,
             )
             for comp, coeffs in zip(self._components, outs):
@@ -240,15 +245,24 @@ class JpegEncoder:
             # the GIL, so they run concurrently on the shared pool.
             from ..utils.pool import shared_pool
 
+            level_shift = float(1 << (self.sample_precision - 1))
+
             def one(args):
                 comp, plane, q = args
+                plane = np.asarray(plane)
+                if self.sample_precision != 8 and plane.dtype == np.uint8:
+                    raise JpegEncodeError(
+                        "12-bit encode requires >8-bit sample planes "
+                        "(uint16/int32)."
+                    )
                 coeffs = encode_stage.forward_component(
-                    np.asarray(plane),
+                    plane,
                     q,
                     comp.h, comp.v,
                     max_h // comp.h, max_v // comp.v,
                     mcus_per_line, mcus_per_column,
                     xp=np,
+                    level_shift=level_shift,
                 )
                 return encode_stage.mcu_order_blocks(
                     np.asarray(coeffs), comp.h, comp.v
@@ -366,6 +380,7 @@ class JpegEncoder:
                         np.asarray(plane), q,
                         comp.h, comp.v, max_h // comp.h, max_v // comp.v,
                         mcus_per_line, m1 - m0, xp=np,
+                        level_shift=float(1 << (self.sample_precision - 1)),
                     )
                     blocks.append(
                         encode_stage.mcu_order_blocks(coeffs, comp.h, comp.v)
@@ -822,11 +837,19 @@ def encode_rgb_stream(
 
 
 def encode_gray(plane: np.ndarray, quality: int = 75, *, optimize_coding: bool = False,
-                most_optimal_coding: bool = False, xp=np) -> bytes:
-    """Grayscale [H, W] uint8 -> baseline JPEG bytes."""
+                most_optimal_coding: bool = False, precision: int = 8, xp=np) -> bytes:
+    """Grayscale [H, W] -> JPEG bytes. ``precision=8`` (uint8, SOF0) or
+    ``precision=12`` (uint16/int32 samples in [0, 4095], SOF1 extended
+    sequential with optimal tables — beyond the 8-bit-only reference
+    encoder, JpegEncoder.cs:108)."""
     encoder = JpegEncoder()
     encoder.most_optimal_coding = most_optimal_coding
     encoder.set_quantization_table(scale_by_quality(standard_luminance_table(0), quality))
+    if precision != 8:
+        encoder.sample_precision = precision
+        # Annex-K standard tables cover 8-bit symbol ranges only; the
+        # 12-bit symbol alphabet (DC category <= 15) needs built tables.
+        optimize_coding = True
     if optimize_coding or most_optimal_coding:
         encoder.set_huffman_table(True, 0)
         encoder.set_huffman_table(False, 0)

@@ -304,4 +304,5 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.c_void_p, c.c_void_p,          # quant_zz (f32), zz_to_nat (u8)
         c.c_void_p,                      # out int16
         c.c_int32,                       # n_threads
+        c.c_float,                       # level_shift (1 << (P-1))
     ]

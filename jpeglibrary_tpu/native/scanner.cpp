@@ -5040,12 +5040,14 @@ extern "C" {
 // zig-zag, quantize (rint = round-half-even via nearbyintf, matching
 // ZigZagAndQuantizeBlock + JpegMathHelper.RoundToInt16,
 // JpegEncoder.cs:812-827). Exactly one of plane_u8 / plane_i32 is
-// non-null. out: int16 [h/8, w/8, 64] zig-zag.
+// non-null. out: int16 [h/8, w/8, 64] zig-zag. level_shift is
+// 1 << (P - 1): 128 for 8-bit, 2048 for the direct 12-bit sample path
+// (the reference encoder is 8-bit only, JpegEncoder.cs:108).
 void jpx_fdct_quantize(
     const uint8_t* plane_u8, const int32_t* plane_i32,
     int64_t h, int64_t w,
     const float* quant_zz, const uint8_t* zz_to_nat,
-    int16_t* out, int32_t n_threads) {
+    int16_t* out, int32_t n_threads, float level_shift) {
     const int64_t hb = h / 8, wb = w / 8;
     int hw = (int)std::thread::hardware_concurrency();
     if (n_threads <= 0) n_threads = hw > 1 ? hw - 1 : 1;
@@ -5059,12 +5061,14 @@ void jpx_fdct_quantize(
                 if (plane_u8 != nullptr) {
                     for (int r = 0; r < 8; ++r) {
                         const uint8_t* src = plane_u8 + (by * 8 + r) * w + bx * 8;
-                        for (int c = 0; c < 8; ++c) blk[r][c] = (float)src[c] - 128.0f;
+                        for (int c = 0; c < 8; ++c)
+                            blk[r][c] = (float)src[c] - level_shift;
                     }
                 } else {
                     for (int r = 0; r < 8; ++r) {
                         const int32_t* src = plane_i32 + (by * 8 + r) * w + bx * 8;
-                        for (int c = 0; c < 8; ++c) blk[r][c] = (float)src[c] - 128.0f;
+                        for (int c = 0; c < 8; ++c)
+                            blk[r][c] = (float)src[c] - level_shift;
                     }
                 }
                 // transpose -> pass -> transpose -> pass -> * 0.125

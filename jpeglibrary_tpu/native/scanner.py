@@ -959,11 +959,14 @@ def rgb_to_ycbcr(rgb: np.ndarray):
     return y.reshape(shape), cb.reshape(shape), cr.reshape(shape)
 
 
-def fdct_quantize(plane: np.ndarray, quant_zz: np.ndarray) -> np.ndarray:
+def fdct_quantize(
+    plane: np.ndarray, quant_zz: np.ndarray, level_shift: float = 128.0
+) -> np.ndarray:
     """Native threaded FDCT + zig-zag + quantize: [H, W] uint8/int32
     samples (8-aligned dims) -> [Hb, Wb, 64] int16 zig-zag coefficients.
     Same AAN float32 butterfly dataflow as ops.dct.fdct8x8 (compiled
-    with fp-contract off), rint quantization."""
+    with fp-contract off), rint quantization. ``level_shift`` is
+    1 << (P - 1) — 2048 for the direct 12-bit sample encode path."""
     lib = build.load_library()
     from ..ops.zigzag import ZIGZAG_TO_BLOCK
 
@@ -985,6 +988,7 @@ def fdct_quantize(plane: np.ndarray, quant_zz: np.ndarray) -> np.ndarray:
         zz.ctypes.data_as(ctypes.c_void_p),
         out.ctypes.data_as(ctypes.c_void_p),
         0,
+        ctypes.c_float(level_shift),
     )
     return out
 

@@ -81,7 +81,8 @@ def fdct_zigzag_matrix() -> np.ndarray:
     return k.astype(np.float32)
 
 
-def fdct_quantize(plane, quant_zz, xp=np, *, use_matmul: bool = True):
+def fdct_quantize(plane, quant_zz, xp=np, *, use_matmul: bool = True,
+                  level_shift: float = 128.0):
     """[Hb*8, Wb*8] int samples -> [Hb, Wb, 64] int16 zig-zag coeffs.
 
     Level shift, AAN FDCT, zig-zag, rint(c / q) — float32 division then
@@ -89,10 +90,12 @@ def fdct_quantize(plane, quant_zz, xp=np, *, use_matmul: bool = True):
     (JpegEncoder.cs:812-827 with JpegMathHelper.RoundToInt16).
     ``use_matmul`` selects the folded-GEMM formulation (default, ~15x
     faster on host BLAS and MXU-shaped on device); False runs the
-    reference butterfly dataflow."""
+    reference butterfly dataflow. ``level_shift`` = 1 << (P - 1)
+    (2048 for direct 12-bit sample encode — beyond the reference's
+    8-bit-only encoder, JpegEncoder.cs:108)."""
     h, w = plane.shape
     hb, wb = h // 8, w // 8
-    if use_matmul and xp is not np:
+    if use_matmul and xp is not np and level_shift == 128.0:
         from .pipeline import _use_pallas
 
         if _use_pallas():
@@ -107,7 +110,9 @@ def fdct_quantize(plane, quant_zz, xp=np, *, use_matmul: bool = True):
             out = pallas_kernels.fdct_quantize_pallas(flat, quant_zz)
             return out.astype(xp.int16).reshape(hb, wb, 64)
     blocks = plane.reshape(hb, 8, wb, 8)
-    blocks = xp.transpose(blocks, (0, 2, 1, 3)).astype(xp.float32) - xp.float32(128.0)
+    blocks = xp.transpose(blocks, (0, 2, 1, 3)).astype(xp.float32) - xp.float32(
+        level_shift
+    )
     q = quant_zz.astype(xp.float32)
     if use_matmul:
         flat = blocks.reshape(hb * wb, 64)
@@ -126,6 +131,7 @@ def fdct_quantize(plane, quant_zz, xp=np, *, use_matmul: bool = True):
 def forward_component(
     plane, quant_zz, h: int, v: int, hs: int, vs: int,
     mcus_per_line: int, mcus_per_column: int, xp=np,
+    level_shift: float = 128.0,
 ):
     """Full encode transform for one component: [H, W] samples ->
     [mcus_per_column*v, mcus_per_line*h, 64] int16 zig-zag coeffs.
@@ -142,14 +148,17 @@ def forward_component(
             from ..native import scanner as native_scanner
 
             if hs == 1 and vs == 1 and padded.dtype == np.uint8:
-                return native_scanner.fdct_quantize(padded, quant_zz)
+                return native_scanner.fdct_quantize(padded, quant_zz, level_shift)
             sub = subsample_box(padded, hs, vs, xp=np)
-            if sub.dtype in (np.dtype(np.uint8), np.dtype(np.int32)):
-                return native_scanner.fdct_quantize(sub, quant_zz)
+            if sub.dtype not in (np.dtype(np.uint8), np.dtype(np.int32)):
+                # >8-bit sample planes (uint16/int16): widen for the
+                # native int32 input path.
+                sub = sub.astype(np.int32)
+            return native_scanner.fdct_quantize(sub, quant_zz, level_shift)
         except ImportError:
             pass
     sub = subsample_box(padded, hs, vs, xp=xp)
-    return fdct_quantize(sub, quant_zz, xp=xp)
+    return fdct_quantize(sub, quant_zz, xp=xp, level_shift=level_shift)
 
 
 def mcu_order_blocks(coeffs_zz: np.ndarray, h: int, v: int) -> np.ndarray:
@@ -167,6 +176,7 @@ def jitted_forward(
     comp_params: Tuple,  # ((h, v, hs, vs), ...) per component
     mcus_per_line: int,
     mcus_per_column: int,
+    level_shift: float = 128.0,
 ):
     """One compiled device program for the encode transform of all
     components: zero-pad, box subsample, level shift, folded-GEMM FDCT
@@ -186,6 +196,7 @@ def jitted_forward(
                 forward_component(
                     planes[i], quants_stacked[i], h, v, hs, vs,
                     mcus_per_line, mcus_per_column, xp=jnp,
+                    level_shift=level_shift,
                 )
             )
         return tuple(outs)

@@ -155,3 +155,95 @@ def test_optimize_coding_with_restarts(lake_rgb, ri):
     np.testing.assert_array_equal(
         jt.decode(data).to_uint16_extended(), jt.decode(plain).to_uint16_extended()
     )
+
+
+# --- direct 12-bit sample encode (beyond the reference: its encoder is
+# 8-bit only, JpegEncoder.cs:108 rejects 16-bit quant tables and the
+# sample pipeline is byte-typed) ---
+
+
+def _encode12(planes, quant_elements, *, sampling=None):
+    from jpeglibrary_tpu.models.encoder import JpegEncoder
+    from jpeglibrary_tpu.syntax.quantization import QuantizationTable
+
+    enc = JpegEncoder()
+    enc.sample_precision = 12
+    precision = 1 if quant_elements.max() > 255 else 0
+    enc.set_quantization_table(
+        QuantizationTable(precision, 0, quant_elements.astype(np.uint16))
+    )
+    enc.set_huffman_table(True, 0, None)  # builders -> optimize coding
+    enc.set_huffman_table(False, 0, None)
+    sampling = sampling or [(1, 1)] * len(planes)
+    for i, (h, v) in enumerate(sampling):
+        enc.add_component(i + 1, 0, 0, 0, h, v)
+    enc.set_input(planes)
+    return enc.encode()
+
+
+def _psnr12(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(4095.0**2 / mse) if mse else float("inf")
+
+
+def test_direct_12bit_sample_encode_roundtrip():
+    rng = np.random.default_rng(5)
+    h, w = 96, 120
+    grad = np.linspace(0, 4095, w)[None, :] + np.linspace(0, 500, h)[:, None]
+    y = np.clip(grad + rng.integers(-40, 40, size=(h, w)), 0, 4095).astype(np.uint16)
+    data = _encode12([y], np.full(64, 4, dtype=np.uint16))
+    r = jt.decode(data)
+    from jpeglibrary_tpu.syntax.markers import Marker
+
+    assert r.frame.marker == Marker.SOF1  # extended sequential
+    assert r.precision == 12
+    assert _psnr12(r.planes[0], y) > 60
+
+
+def test_direct_12bit_16bit_quant_table():
+    """Quant values > 255 force 16-bit DQT elements (Pq=1) — legal for
+    12-bit frames; decode must reproduce them exactly."""
+    rng = np.random.default_rng(6)
+    y = rng.integers(0, 4096, size=(64, 64), dtype=np.uint16)
+    q = np.full(64, 300, dtype=np.uint16)
+    q[0] = 1
+    data = _encode12([y], q)
+    r = jt.decode(data)
+    assert r.precision == 12
+    np.testing.assert_array_equal(r.quant[0], q)
+
+
+def test_direct_12bit_vs_testorig12_semantics(assets_dir):
+    """Re-encode the decoded samples of the committed 12-bit asset
+    (testorig12.jpg, MetadataIdentifyTests.cs:46-57) through the direct
+    12-bit sample path with 2x1 subsampling like the original; the
+    re-decode must hold high PSNR against the source samples."""
+    src = jt.decode(
+        (assets_dir / "huffman_sequential/testorig12.jpg").read_bytes()
+    )
+    assert src.precision == 12
+    planes = [src.planes[c.component_index] for c in src.geometry.components]
+    # encoder input: full-resolution planes per component (box filter
+    # re-subsamples); upsample the stored chroma to frame resolution
+    H, W = src.height, src.width
+    full = []
+    for p in planes:
+        p = np.asarray(p)
+        if p.shape != (H, W):
+            p = np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)[:H, :W]
+        full.append(np.clip(p, 0, 4095).astype(np.uint16))
+    sampling = [
+        (c.h, c.v)
+        for c in src.geometry.components
+    ]
+    data = _encode12(full, np.full(64, 2, dtype=np.uint16), sampling=sampling)
+    r = jt.decode(data)
+    assert r.precision == 12 and (r.width, r.height) == (W, H)
+    # evaluate over the even-aligned interior: the odd last row/column
+    # (227x149) box-filters against the zero grid padding, matching the
+    # reference's zero-filling block reader (JpegBufferInputReader.cs:27-51)
+    He, We = (H // 2) * 2, (W // 2) * 2
+    for c in r.geometry.components:
+        got = np.asarray(r.planes[c.component_index])[:He, :We]
+        ref = full[c.component_index][:He, :We]
+        assert _psnr12(got, ref) > 40, c.component_index
