@@ -202,7 +202,72 @@ struct Component {
     const HuffTable* ac;
     int16_t* plane;    // [Hb, Wb, 64] zig-zag
     int64_t wb;        // plane width in blocks
+    const uint32_t* dc_comb = nullptr;  // combined symbol+EXTEND tables
+    const uint32_t* ac_comb = nullptr;  // (COMB_BITS-indexed), may be null
 };
+
+// ---------------------------------------------------------------------------
+// Combined symbol+EXTEND lookahead
+// ---------------------------------------------------------------------------
+//
+// One table load resolves the Huffman code AND its appended EXTEND
+// value bits whenever code_len + ssss <= COMB_BITS: the value bits are
+// part of the table index, so the entry stores the fully sign-extended
+// coefficient (or DC diff) and the total advance. This folds the
+// dependent load->shift->extract->EXTEND chain of the hot loop
+// (decode_huffman_hot + manual bit pulls) into load->shift. Entry
+// layout: bits[0:5] total advance (0 = not covered, fall back),
+// bits[5:9] run (AC) , bit 9 = zero-ssss class (EOB/ZRL), bits[16:32]
+// value as int16. 2^COMB_BITS * 4 bytes per table (4 KB at 10 bits —
+// measured fastest on the 4.2 MP q75 asset: 10 beats 8/9/11/12; the six
+// hot tables must share L1d with the bitstream and the emitter buffer).
+static constexpr int COMB_BITS = 10;
+static constexpr uint32_t COMB_SZERO = 1u << 9;
+
+struct CombTable {
+    uint32_t e[1 << COMB_BITS];
+};
+
+// Enumerate the canonical codes straight out of a packed HuffTable
+// (mincode chain: next_min doubles entering each length, maxcode_raw =
+// maxcode[l] >> (16-l) for present lengths; absent lengths have
+// maxcode[l] == 0 — exact for l < 16, and a length-16-only table is
+// degenerate and merely loses acceleration).
+static void build_comb_table(const HuffTable* t, bool is_dc, CombTable* out) {
+    std::memset(out->e, 0, sizeof(out->e));
+    uint32_t next_min = 0;
+    for (int l = 1; l <= 16; ++l) {
+        next_min <<= 1;
+        if (t->maxcode[l] == 0) continue;  // absent (l==16 raw-0: degenerate, skip)
+        uint32_t maxr = (uint32_t)t->maxcode[l] >> (16 - l);
+        if (maxr < next_min) continue;
+        for (uint32_t code = next_min; code <= maxr; ++code) {
+            int symbol = t->values[(uint8_t)(t->valoffset[l] + code)];
+            int s = is_dc ? symbol : (symbol & 15);
+            int r = is_dc ? 0 : (symbol >> 4);
+            int total = l + s;
+            if (total > COMB_BITS || (is_dc && s > 15)) continue;
+            // All COMB_BITS patterns with this code prefix; the next s
+            // bits are the EXTEND raw value.
+            int pad = COMB_BITS - total;
+            uint32_t base = code << (s + pad);
+            for (uint32_t raw = 0; raw < (1u << s); ++raw) {
+                int32_t val =
+                    s == 0 ? 0
+                           : ((int32_t)raw < (1 << (s - 1))
+                                  ? (int32_t)raw - (1 << s) + 1
+                                  : (int32_t)raw);  // ITU-T81 EXTEND
+                uint32_t entry = (uint32_t)total | ((uint32_t)r << 5) |
+                                 (s == 0 ? COMB_SZERO : 0) |
+                                 ((uint32_t)(uint16_t)(int16_t)val << 16);
+                uint32_t lo = base | (raw << pad);
+                for (uint32_t fill = 0; fill < (1u << pad); ++fill)
+                    out->e[lo + fill] = entry;
+            }
+        }
+        next_min = maxr + 1;
+    }
+}
 
 // Decode one 8x8 block (JpegHuffmanBaselineScanDecoder.ReadBlockBaseline).
 // Returns 0 ok, 1 bitstream-end, 2 invalid code.
@@ -891,18 +956,27 @@ static inline int read_block_baseline_sparse(BitReader& br, const Component& c,
     int err = 0;
     if (br.count < 32) br.fill();
     if (br.count >= 32) {
-        int t = decode_huffman_hot(br, c.dc);
-        if (t < 0) return 2;
-        if (t != 0) {
-            if (t > 16) {  // corrupt table: take the careful path
-                int32_t diff = receive_extend(br, t, &err);
-                if (err) return 1;
-                predictor += diff;
-            } else {
-                uint32_t raw = (uint32_t)(br.bits >> (64 - t));
-                br.bits <<= t;
-                br.count -= t;
-                predictor += extend((int32_t)raw, t);
+        const uint32_t ec = c.dc_comb[(uint32_t)(br.bits >> (64 - COMB_BITS))];
+        if (ec) {
+            // combined hit: code + EXTEND resolved in one load
+            const int adv = ec & 31;
+            br.bits <<= adv;
+            br.count -= adv;
+            predictor += (int32_t)(int16_t)(ec >> 16);
+        } else {
+            int t = decode_huffman_hot(br, c.dc);
+            if (t < 0) return 2;
+            if (t != 0) {
+                if (t > 16) {  // corrupt table: take the careful path
+                    int32_t diff = receive_extend(br, t, &err);
+                    if (err) return 1;
+                    predictor += diff;
+                } else {
+                    uint32_t raw = (uint32_t)(br.bits >> (64 - t));
+                    br.bits <<= t;
+                    br.count -= t;
+                    predictor += extend((int32_t)raw, t);
+                }
             }
         }
     } else {
@@ -928,6 +1002,23 @@ static inline int read_block_baseline_sparse(BitReader& br, const Component& c,
         int s, r;
         if (br.count < 32) br.fill();
         if (br.count >= 32) {
+            const uint32_t ec = c.ac_comb[(uint32_t)(br.bits >> (64 - COMB_BITS))];
+            if (ec) {
+                const int adv = ec & 31;
+                br.bits <<= adv;
+                br.count -= adv;
+                if (ec & COMB_SZERO) {
+                    const int rr = (ec >> 5) & 15;
+                    if (rr == 0) break;
+                    i += 16;
+                } else {
+                    i += (ec >> 5) & 15;
+                    em.emit(block_base + (i < 63 ? i : 63),
+                            (int32_t)(int16_t)(ec >> 16));
+                    ++i;
+                }
+                continue;
+            }
             s = decode_huffman_hot(br, c.ac);
             if (s < 0) return 2;
             r = s >> 4;
@@ -1363,6 +1454,16 @@ int64_t jpx_decode_baseline_scan_sparse(
         comps[i].wb = 0;
         comp_off[i] = cpm;
         cpm += (int64_t)comp_h[i] * comp_v[i] * 64;
+    }
+    // Combined symbol+EXTEND tables (one per component table slot; the
+    // ~16 KB build cost is microseconds against any real scan). Thread
+    // copies of Component share these via pointer — read-only after here.
+    std::vector<CombTable> comb_tables(2 * n_comps);
+    for (int i = 0; i < n_comps; ++i) {
+        build_comb_table(comps[i].dc, true, &comb_tables[2 * i]);
+        build_comb_table(comps[i].ac, false, &comb_tables[2 * i + 1]);
+        comps[i].dc_comb = comb_tables[2 * i].e;
+        comps[i].ac_comb = comb_tables[2 * i + 1].e;
     }
     const int64_t total_mcus = mcus_per_line * mcus_per_column;
 
