@@ -1923,25 +1923,36 @@ struct ScanParams {
 };
 
 // DC first/refine for one block; predictor updated. Returns 0 ok,
-// 1 premature end, 2 invalid code.
+// 1 premature end, 2 invalid code. `comb` is the optional combined
+// symbol+EXTEND table for the DC table (null: plain decode).
 static inline int read_block_prog_dc(BitReader& br, const HuffTable* dc,
+                                     const uint32_t* comb,
                                      const ScanParams& sp, int32_t& predictor,
                                      int16_t* block) {
     if (sp.ah == 0) {
         int s;
         if (br.count < 32) br.fill();
         if (br.count >= 32) {  // hot path: one refill serves code + bits
-            s = decode_huffman_hot(br, dc);
-            if (s < 0) return 2;
-            if (s != 0 && s <= 16) {
-                uint32_t raw = (uint32_t)(br.bits >> (64 - s));
-                br.bits <<= s;
-                br.count -= s;
-                s = extend((int32_t)raw, s);
-            } else if (s != 0) {
-                int err = 0;
-                s = receive_extend(br, s, &err);
-                if (err) return 1;
+            const uint32_t ec =
+                comb ? comb[(uint32_t)(br.bits >> (64 - COMB_BITS))] : 0;
+            if (ec) {  // code + EXTEND in one load
+                const int adv = ec & 31;
+                br.bits <<= adv;
+                br.count -= adv;
+                s = (int32_t)(int16_t)(ec >> 16);
+            } else {
+                s = decode_huffman_hot(br, dc);
+                if (s < 0) return 2;
+                if (s != 0 && s <= 16) {
+                    uint32_t raw = (uint32_t)(br.bits >> (64 - s));
+                    br.bits <<= s;
+                    br.count -= s;
+                    s = extend((int32_t)raw, s);
+                } else if (s != 0) {
+                    int err = 0;
+                    s = receive_extend(br, s, &err);
+                    if (err) return 1;
+                }
             }
         } else {
             s = decode_huffman(br, dc);
@@ -1968,8 +1979,12 @@ static inline int read_block_prog_dc(BitReader& br, const HuffTable* dc,
     return 0;
 }
 
-// AC first scan for one block; eobrun updated.
+// AC first scan for one block; eobrun updated. `comb` is the optional
+// combined symbol+EXTEND table for the AC table (EOB's eobrun extension
+// bits are NOT folded — a comb hit on an EOB code advances the code
+// only; the rr bits are pulled from the same refill window).
 static inline int read_block_prog_ac(BitReader& br, const HuffTable* ac,
+                                     const uint32_t* comb,
                                      const ScanParams& sp, int64_t& eobrun,
                                      int16_t* block) {
     if (eobrun != 0) {
@@ -1982,6 +1997,34 @@ static inline int read_block_prog_ac(BitReader& br, const HuffTable* ac,
         int s, r;
         if (br.count < 32) br.fill();
         if (br.count >= 32) {  // hot path: one refill per coefficient
+            const uint32_t ec =
+                comb ? comb[(uint32_t)(br.bits >> (64 - COMB_BITS))] : 0;
+            if (ec) {
+                const int adv = ec & 31;
+                br.bits <<= adv;
+                br.count -= adv;
+                if (ec & COMB_SZERO) {
+                    const int rr = (ec >> 5) & 15;
+                    if (rr == 15) {  // ZRL
+                        i += 16;
+                        continue;
+                    }
+                    eobrun = (int64_t)1 << rr;
+                    if (rr != 0) {  // count >= 22 after adv <= 10
+                        uint32_t raw = (uint32_t)(br.bits >> (64 - rr));
+                        br.bits <<= rr;
+                        br.count -= rr;
+                        eobrun += (int32_t)raw;
+                    }
+                    --eobrun;
+                    break;
+                }
+                i += (ec >> 5) & 15;
+                block[i < 63 ? i : 63] =
+                    (int16_t)(((int32_t)(int16_t)(ec >> 16)) << sp.al);
+                ++i;
+                continue;
+            }
             s = decode_huffman_hot(br, ac);
             if (s < 0) return 2;
             r = s >> 4;
@@ -2341,7 +2384,8 @@ static int prog_decode_span_interleaved(const ProgSpanTask& task, Component* com
                 int64_t by = row * c.v + y;
                 for (int x = 0; x < c.h; ++x) {
                     int64_t bx = col * c.h + x;
-                    int rc = read_block_prog_dc(br, c.dc, sp, pred[ci],
+                    int rc = read_block_prog_dc(br, c.dc, c.dc_comb, sp,
+                                                pred[ci],
                                                 c.plane + (by * c.wb + bx) * 64);
                     if (rc) return rc;
                 }
@@ -2370,9 +2414,9 @@ static int prog_decode_span_single(const ProgSpanTask& task, Component& c,
         }
         int rc;
         if (is_dc) {
-            rc = read_block_prog_dc(br, c.dc, sp, pred, block);
+            rc = read_block_prog_dc(br, c.dc, c.dc_comb, sp, pred, block);
         } else if (sp.ah == 0) {
-            rc = read_block_prog_ac(br, c.ac, sp, eobrun, block);
+            rc = read_block_prog_ac(br, c.ac, c.ac_comb, sp, eobrun, block);
         } else {
             rc = read_block_prog_ac_refined(br, c.ac, sp, eobrun, block);
         }
@@ -2410,6 +2454,21 @@ int jpx_decode_progressive_scan(
         comps[i].ac = reinterpret_cast<const HuffTable*>(ac_blob) + i;
         comps[i].plane = planes[i];
         comps[i].wb = plane_wb[i];
+    }
+    // Combined symbol+EXTEND tables for the first-pass scans (refine
+    // scans read raw bits, not symbols). Shared read-only by threads.
+    std::vector<CombTable> comb_tables;
+    if (ah == 0) {
+        comb_tables.resize(n_comps);
+        for (int i = 0; i < n_comps; ++i) {
+            if (ss == 0) {
+                build_comb_table(comps[i].dc, true, &comb_tables[i]);
+                comps[i].dc_comb = comb_tables[i].e;
+            } else {
+                build_comb_table(comps[i].ac, false, &comb_tables[i]);
+                comps[i].ac_comb = comb_tables[i].e;
+            }
+        }
     }
 
     std::vector<ProgSpanTask> tasks;
@@ -2493,6 +2552,7 @@ struct ChainScan {
     int64_t restart_interval;
     ScanParams sp;
     const HuffTable* table;  // DC table for ss==0, else AC table
+    const uint32_t* comb = nullptr;  // combined table (ah==0 scans only)
     int16_t* plane;
     int64_t wb;           // plane row stride in blocks
     int64_t hbc;          // blocks per row for this component
@@ -2549,9 +2609,9 @@ static int chain_decode_scan(const uint8_t* data, const ChainScan& cs,
             ++by;
         }
         if (is_dc) {
-            rc = read_block_prog_dc(br, cs.table, cs.sp, pred, block);
+            rc = read_block_prog_dc(br, cs.table, cs.comb, cs.sp, pred, block);
         } else if (!is_refine) {
-            rc = read_block_prog_ac(br, cs.table, cs.sp, eobrun, block);
+            rc = read_block_prog_ac(br, cs.table, cs.comb, cs.sp, eobrun, block);
         } else {
             rc = read_block_prog_ac_refined(br, cs.table, cs.sp, eobrun, block);
         }
@@ -2609,6 +2669,14 @@ int jpx_decode_progressive_chains(
         cs.total_units = total_units_arr[s];
         cs.gate = gates[s];
         if (cs.gate >= s) return 3;  // gates must point backwards
+    }
+    // Combined symbol+EXTEND tables for the first-pass scans.
+    std::vector<CombTable> comb_tables(n_scans);
+    for (int s = 0; s < n_scans; ++s) {
+        if (ah_arr[s] == 0) {
+            build_comb_table(scans[s].table, ss_arr[s] == 0, &comb_tables[s]);
+            scans[s].comb = comb_tables[s].e;
+        }
     }
 
     std::vector<ChainWatermark> wms(n_scans);
