@@ -70,7 +70,10 @@ ASSET = "/root/reference/tests/Assets/baseline/HETissueSlide.jpg"
 # (least exposed to CPU steal).
 SHAPES = ((3, 2, 4), (3, 1, 4), (2, 2, 4), (1, 1, 4))
 
-SWEEP_BUDGET_S = 300.0  # hard; value-independent
+SWEEP_BUDGET_S = 600.0  # hard; value-independent (chosen up front: round-2
+                        # runs showed quiet windows can take minutes to appear
+                        # under tenant load; the budget never extends based on
+                        # observed values)
 WINDOWS_PER_VISIT = 3
 WINDOW_REPEAT = 2  # x len(variants) images per window
 
@@ -81,15 +84,6 @@ def _pct(sorted_vals, q):
     i = min(len(sorted_vals) - 1, max(0, int(round(q * (len(sorted_vals) - 1)))))
     return sorted_vals[i]
 
-
-def _median_time(f, n=3):
-    times = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        f()
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return times[n // 2]
 
 
 def main() -> None:
@@ -216,10 +210,21 @@ def main() -> None:
     # ---- per-mode matrix (all numbers land in the captured JSON) ----
     modes = {}
 
-    def mode(name, f, megapixels, n=3):
+    def mode(name, f, megapixels, n=5):
+        # Report BOTH the median (what the run delivered) and the best
+        # (capability when the shared host was quiet) — same transparency
+        # as the sweep's distribution.
         f()  # warm
-        t = _median_time(f, n)
-        modes[name] = round(megapixels / t, 2)
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        modes[name] = {
+            "p50": round(megapixels / times[n // 2], 2),
+            "best": round(megapixels / times[0], 2),
+        }
 
     mode("sof0_encode", lambda: jt.encode_rgb(rgb, 75), mp)
     mode("sof0_encode_optimized", lambda: jt.encode_rgb(rgb, 75, optimize_coding=True), mp)
