@@ -2788,6 +2788,7 @@ static inline int predict_lossless(int sel, int ra, int rb, int rc) {
 struct LosslessComp {
     int h, v;
     const HuffTable* table;
+    const uint32_t* comb = nullptr;  // combined category+EXTEND table
     int16_t* plane;   // [rows, width] int16 sample plane (padded grid)
     int64_t width;
 };
@@ -2811,10 +2812,13 @@ int jpx_decode_lossless_scan(
     if (n_comps <= 0 || n_spans <= 0) return 3;
 
     std::vector<LosslessComp> comps(n_comps);
+    std::vector<CombTable> combs(n_comps);
     for (int i = 0; i < n_comps; ++i) {
         comps[i].h = comp_h[i];
         comps[i].v = comp_v[i];
         comps[i].table = reinterpret_cast<const HuffTable*>(table_blob) + i;
+        build_comb_table(comps[i].table, /*is_dc=*/true, &combs[i]);
+        comps[i].comb = combs[i].e;
         comps[i].plane = planes[i];
         comps[i].width = plane_widths[i];
     }
@@ -2845,6 +2849,15 @@ int jpx_decode_lossless_scan(
                         int32_t diff;
                         if (br.count < 32) br.fill();
                         if (br.count >= 32) {
+                            const uint32_t ec =
+                                c.comb[(uint32_t)(br.bits >> (64 - COMB_BITS))];
+                            if (ec) {  // category + EXTEND in one load
+                                const int adv = ec & 31;
+                                br.bits <<= adv;
+                                br.count -= adv;
+                                diff = (int32_t)(int16_t)(ec >> 16);
+                                goto have_diff;
+                            }
                             t = decode_huffman_hot(br, c.table);
                             if (t < 0) return 2;
                             if (t == 16) {
@@ -2876,6 +2889,7 @@ int jpx_decode_lossless_scan(
                                 diff = 0;
                             }
                         }
+                    have_diff:;
                         int64_t cx = offset_x + x;
                         if (row_mcu == 0 || at_restart_start) {
                             if (col_mcu == 0 && x == 0) {
@@ -2936,6 +2950,7 @@ struct LosslessStream {
     int64_t mcus_per_line, mcus_per_column;
     int n_comps;
     std::vector<HuffTable> tables;
+    std::vector<CombTable> combs;  // combined category+EXTEND tables
     struct SComp {
         int h, v;
         int64_t width;
@@ -2976,6 +2991,9 @@ void* jpx_lossless_stream_open(
     st->n_comps = n_comps;
     const HuffTable* tb = reinterpret_cast<const HuffTable*>(table_blob);
     st->tables.assign(tb, tb + n_comps);
+    st->combs.resize(n_comps);
+    for (int i = 0; i < n_comps; ++i)
+        build_comb_table(&st->tables[i], /*is_dc=*/true, &st->combs[i]);
     st->comps.resize(n_comps);
     for (int i = 0; i < n_comps; ++i) {
         st->comps[i].h = comp_h[i];
@@ -3041,6 +3059,15 @@ int64_t jpx_lossless_stream_next(void* hptr, int64_t n_mcu_rows,
                         BitReader& br = st->br;
                         if (br.count < 32) br.fill();
                         if (br.count >= 32) {
+                            const uint32_t ec = st->combs[ci]
+                                .e[(uint32_t)(br.bits >> (64 - COMB_BITS))];
+                            if (ec) {  // category + EXTEND in one load
+                                const int adv = ec & 31;
+                                br.bits <<= adv;
+                                br.count -= adv;
+                                diff = (int32_t)(int16_t)(ec >> 16);
+                                goto stream_have_diff;
+                            }
                             t = decode_huffman_hot(br, table);
                             if (t < 0) return -2;
                             if (t == 16) {
@@ -3073,6 +3100,7 @@ int64_t jpx_lossless_stream_next(void* hptr, int64_t n_mcu_rows,
                                 diff = 0;
                             }
                         }
+                    stream_have_diff:;
                         int64_t cx = offset_x + x;
                         if (row_mcu == 0 || at_restart_start) {
                             if (col_mcu == 0 && x == 0) {
@@ -3157,11 +3185,23 @@ static inline bool ll_rec_eq(const LlRecord& a, const LlRecord& b) {
     return a.byte_off == b.byte_off && a.bit_count == b.bit_count;
 }
 
-// Decode one lossless diff (ReadSampleLossless semantics).
-static inline int ll_read_diff(BitReader& br, const HuffTable* t, int32_t* out) {
+// Decode one lossless diff (ReadSampleLossless semantics). `comb` is
+// the optional combined category+EXTEND table (cat==16 is never
+// covered — its 32768 special case always takes the fallback).
+static inline int ll_read_diff(BitReader& br, const HuffTable* t,
+                               const uint32_t* comb, int32_t* out) {
     int cat;
     if (br.count < 32) br.fill();
     if (br.count >= 32) {
+        const uint32_t ec =
+            comb ? comb[(uint32_t)(br.bits >> (64 - COMB_BITS))] : 0;
+        if (ec) {
+            const int adv = ec & 31;
+            br.bits <<= adv;
+            br.count -= adv;
+            *out = (int32_t)(int16_t)(ec >> 16);
+            return 0;
+        }
         cat = decode_huffman_hot(br, t);
         if (cat < 0) return 2;
         if (cat == 16) { *out = 32768; return 0; }
@@ -3191,7 +3231,8 @@ static inline int ll_read_diff(BitReader& br, const HuffTable* t, int32_t* out) 
 // position falls in [tail_from, tail_to].
 static void ll_speculative_scan(const uint8_t* base, int64_t span_len,
                                 int64_t from, int64_t tail_from, int64_t tail_to,
-                                const HuffTable* tables, int n_comps,
+                                const HuffTable* tables,
+                                const CombTable* combs, int n_comps,
                                 int64_t max_mcus, int64_t head_n,
                                 std::vector<int16_t>& diffs,
                                 std::vector<LlRecord>& head,
@@ -3219,7 +3260,7 @@ static void ll_speculative_scan(const uint8_t* base, int64_t span_len,
             if (rec.byte_off > tail_to + 8) return;  // covered the window
             for (int ci = 0; ci < n_comps; ++ci) {
                 int32_t d;
-                int rc = ll_read_diff(br, tables + ci, &d);
+                int rc = ll_read_diff(br, tables + ci, combs[ci].e, &d);
                 if (rc == 2) { failed = true; break; }
                 if (rc == 1) return;  // end of stream: keep what we have
                 diffs.push_back((int16_t)d);
@@ -3264,6 +3305,9 @@ int jpx_decode_lossless_scan_parallel(
     int32_t n_threads) {
     if (n_comps <= 0 || n_comps > 4) return -1;
     const HuffTable* tables = reinterpret_cast<const HuffTable*>(table_blob);
+    std::vector<CombTable> combs(n_comps);
+    for (int i = 0; i < n_comps; ++i)
+        build_comb_table(tables + i, /*is_dc=*/true, &combs[i]);
     const uint8_t* base = data + span_start;
     const int64_t span_len = span_end - span_start;
     const int64_t total_mcus = mcus_per_line * mcus_per_column;
@@ -3290,7 +3334,8 @@ int jpx_decode_lossless_scan_parallel(
             int64_t tail_to = tail_from + kOverlap;
             pool.emplace_back([&, t, from, tail_from, tail_to]() {
                 ll_speculative_scan(base, span_len, from, tail_from, tail_to,
-                                    tables, n_comps, total_mcus + 16, kHeadN,
+                                    tables, combs.data(), n_comps,
+                                    total_mcus + 16, kHeadN,
                                     outs[t].diffs, outs[t].head, outs[t].tail);
             });
         }
@@ -3397,6 +3442,9 @@ int jpx_decode_lossless_restart_parallel(
     int32_t n_threads) {
     if (n_comps <= 0 || n_comps > 4 || restart_interval <= 0) return 3;
     const HuffTable* tables = reinterpret_cast<const HuffTable*>(table_blob);
+    std::vector<CombTable> combs(n_comps);
+    for (int i = 0; i < n_comps; ++i)
+        build_comb_table(tables + i, /*is_dc=*/true, &combs[i]);
     const int64_t total_mcus = mcus_per_line * mcus_per_column;
 
     struct Span {
@@ -3427,7 +3475,7 @@ int jpx_decode_lossless_restart_parallel(
         for (int64_t m = 0; m < sp.n_mcus; ++m) {
             for (int ci = 0; ci < n_comps; ++ci) {
                 int32_t d;
-                int rc = ll_read_diff(br, tables + ci, &d);
+                int rc = ll_read_diff(br, tables + ci, combs[ci].e, &d);
                 if (rc) { rc_out = rc; return; }
                 out[m * n_comps + ci] = (int16_t)d;
             }
