@@ -918,17 +918,16 @@ def _run_progressive_jobs(data, frame, geometry, coefficient_planes, jobs,
     # serializing scan by scan. Remaining jobs (interleaved DC,
     # arithmetic) keep the future-based schedule. If a rest job depends
     # on a chain job (unusual scan scripts), fall back to futures-only.
-    # Chains pay off when a scan has NO internal parallel seam (no
-    # restart spans): the per-unit pipeline is then the only way to
-    # overlap a component's first->refine->refine chain. With restart
-    # spans, per-scan restart threading decodes each scan at ~Nx and
-    # the future graph already overlaps components — keep that path.
+    # Restart-span scans route through chains too: measured on a 4.2 MP
+    # ri=64 stream, the futures graph's scan-level barriers (a refine
+    # scan can't START until its producer FINISHES) cap it at ~150 MP/s
+    # while the per-unit pipeline reaches ~210 — the barrier costs more
+    # than intra-scan restart threading recovers on a 4-core host.
     chain_idx = [
         j
         for j in range(len(jobs))
         if not jobs[j]["arithmetic"]
         and len(touches[j][0]) == 1
-        and len(jobs[j]["scan"].spans) <= 1
     ]
     chain_set = set(chain_idx)
     if chain_set and any(

@@ -67,6 +67,27 @@ def validate_restart_spans(
         raise JpegDecodeError("Expect restart marker.")
 
 
+_PI64 = ctypes.POINTER(ctypes.c_int64)
+
+
+def _span_ptrs(spans: Sequence[EntropySpan]):
+    """(starts_ptr, ends_ptr, keepalive) for a span sequence.
+
+    Array-backed SpanTables pass their int64 arrays straight through —
+    zero per-span Python work for restart-heavy streams. The returned
+    keepalive tuple must stay referenced for the duration of the
+    native call."""
+    from ..io.reader import SpanTable
+
+    if isinstance(spans, SpanTable):
+        sa, ea = spans.starts, spans.ends
+    else:
+        n = len(spans)
+        sa = np.fromiter((s.start for s in spans), np.int64, n)
+        ea = np.fromiter((s.end for s in spans), np.int64, n)
+    return sa.ctypes.data_as(_PI64), ea.ctypes.data_as(_PI64), (sa, ea)
+
+
 def default_threads() -> int:
     env = os.environ.get("JPX_SCAN_THREADS")
     if env:
@@ -126,8 +147,7 @@ def decode_baseline_scan(
         spans, restart_interval, geo.mcus_per_line * geo.mcus_per_column
     )
     n_spans = len(spans)
-    starts = (ctypes.c_int64 * n_spans)(*[s.start for s in spans])
-    ends = (ctypes.c_int64 * n_spans)(*[s.end for s in spans])
+    starts, ends, _span_keep = _span_ptrs(spans)
 
     buf = np.frombuffer(data, dtype=np.uint8)
     dc_arr = bytes(dc_blob)
@@ -299,8 +319,7 @@ def decode_baseline_scan_sparse(
         spans, restart_interval, geo.mcus_per_line * geo.mcus_per_column
     )
     n_spans = len(spans)
-    starts = (ctypes.c_int64 * n_spans)(*[s.start for s in spans])
-    ends = (ctypes.c_int64 * n_spans)(*[s.end for s in spans])
+    starts, ends, _span_keep = _span_ptrs(spans)
     buf = np.frombuffer(data, dtype=np.uint8)
 
     cap = total + total // 0xFFFF + 16 * (n_spans + 1) + 1024
@@ -385,12 +404,13 @@ def decode_progressive_chains(
         cg = geometry.components[comp_index]
         hbc = ceil_div(geometry.width, 8 * cg.hs)
         vbc = ceil_div(geometry.height, 8 * cg.vs)
-        validate_restart_spans(job["scan"].spans, job["restart_interval"], hbc * vbc)
-        offsets.append(len(starts_l))
-        counts.append(len(job["scan"].spans))
-        for sp in job["scan"].spans:
-            starts_l.append(sp.start)
-            ends_l.append(sp.end)
+        spans = job["scan"].spans
+        validate_restart_spans(spans, job["restart_interval"], hbc * vbc)
+        offsets.append(sum(len(a) for a in starts_l))
+        counts.append(len(spans))
+        _, _, (sa, ea) = _span_ptrs(spans)
+        starts_l.append(sa)
+        ends_l.append(ea)
         ris[s] = job["restart_interval"]
         ss[s] = hdr.start_of_spectral_selection
         se[s] = hdr.end_of_spectral_selection
@@ -407,9 +427,13 @@ def decode_progressive_chains(
         hbcs[s] = hbc
         totals[s] = hbc * vbc
 
-    n_sp = len(starts_l)
-    starts = (ctypes.c_int64 * n_sp)(*starts_l)
-    ends = (ctypes.c_int64 * n_sp)(*ends_l)
+    starts_cat = (
+        np.concatenate(starts_l) if starts_l else np.empty(0, np.int64)
+    )
+    ends_cat = np.concatenate(ends_l) if ends_l else np.empty(0, np.int64)
+    starts = starts_cat.ctypes.data_as(_PI64)
+    ends = ends_cat.ctypes.data_as(_PI64)
+    keepalive.append((starts_cat, ends_cat))
     offs = (ctypes.c_int32 * n)(*offsets)
     cnts = (ctypes.c_int32 * n)(*counts)
     buf = np.frombuffer(data, dtype=np.uint8)
@@ -512,9 +536,17 @@ def decode_progressive_scan(
 
     validate_restart_spans(spans, restart_interval, total_units)
     n_spans = len(spans)
-    starts = (ctypes.c_int64 * n_spans)(*[s.start for s in spans])
-    ends = (ctypes.c_int64 * n_spans)(*[s.end for s in spans])
+    starts, ends, _span_keep = _span_ptrs(spans)
     buf = np.frombuffer(data, dtype=np.uint8)
+
+    # Like the chain wrapper: unless the caller pinned JPX_SCAN_THREADS
+    # (serving pipelines set 1 and parallelize across images), give a
+    # restart-span scan every core. The scan dependency graph narrows
+    # to a single heavy refinement scan at its tail, and 2-of-4 threads
+    # there leaves half the host idle exactly when nothing else runs.
+    threads = default_threads()
+    if n_spans > 1 and not os.environ.get("JPX_SCAN_THREADS"):
+        threads = max(threads, min(n_spans, os.cpu_count() or 2))
 
     rc = lib.jpx_decode_progressive_scan(
         buf.ctypes.data_as(ctypes.c_void_p),
@@ -529,7 +561,7 @@ def decode_progressive_scan(
         scan.end_of_spectral_selection,
         scan.successive_approximation_bit_position_high,
         scan.successive_approximation_bit_position_low,
-        default_threads(),
+        threads,
     )
     if rc == 2:
         from ..syntax.huffman import JpegHuffmanError
@@ -591,8 +623,7 @@ def decode_lossless_scan(
         * ceil_div(frame.number_of_lines, max_v),
     )
     n_spans = len(spans)
-    starts = (ctypes.c_int64 * n_spans)(*[s.start for s in spans])
-    ends = (ctypes.c_int64 * n_spans)(*[s.end for s in spans])
+    starts, ends, _span_keep = _span_ptrs(spans)
     buf = np.frombuffer(data, dtype=np.uint8)
 
     # Speculative parallel path: single span, 1x1 sampling, enough
@@ -745,8 +776,7 @@ class LosslessRowStream:
         pt = scan.successive_approximation_bit_position_low
         validate_restart_spans(spans, restart_interval, mpl * mpc)
         n_spans = len(spans)
-        starts = (ctypes.c_int64 * n_spans)(*[s.start for s in spans])
-        ends = (ctypes.c_int64 * n_spans)(*[s.end for s in spans])
+        starts, ends, self._span_keep = _span_ptrs(spans)
         # keepalives: the native state holds pointers into the input
         self._buf = np.frombuffer(data, dtype=np.uint8)
         self._lib = lib
@@ -887,8 +917,7 @@ def decode_arithmetic_scan(
 
     validate_restart_spans(spans, restart_interval, total_units)
     n_spans = len(spans)
-    starts = (ctypes.c_int64 * n_spans)(*[s.start for s in spans])
-    ends = (ctypes.c_int64 * n_spans)(*[s.end for s in spans])
+    starts, ends, _span_keep = _span_ptrs(spans)
     buf = np.frombuffer(data, dtype=np.uint8)
 
     rc = lib.jpx_decode_arithmetic_scan(
