@@ -2632,6 +2632,55 @@ static int chain_decode_scan(const uint8_t* data, const ChainScan& cs,
     return rc;
 }
 
+// Decode ONE restart span of a multi-span chain scan: units
+// [k*ri, min(total, (k+1)*ri)). No gating inside — the scheduler only
+// dispatches a span once its gate scan's watermark covers the span's
+// END unit, and restart boundaries reset every bit of entropy state
+// (bit reader, DC predictor, EOB run), so spans of one scan are
+// mutually independent.
+static int chain_decode_span(const uint8_t* data, const ChainScan& cs,
+                             int32_t k) {
+    const int64_t u0 = (int64_t)k * cs.restart_interval;
+    const int64_t u1 =
+        std::min<int64_t>(cs.total_units, u0 + cs.restart_interval);
+    BitReader br;
+    br.init(data + cs.span_starts[k], cs.span_ends[k] - cs.span_starts[k]);
+    int32_t pred = 0;
+    int64_t eobrun = 0;
+    const bool is_dc = cs.sp.ss == 0;
+    const bool is_refine = cs.sp.ah != 0;
+    int64_t by = u0 / cs.hbc, bx = u0 % cs.hbc;
+    for (int64_t u = u0; u < u1; ++u) {
+        int16_t* block = cs.plane + (by * cs.wb + bx) * 64;
+        ++bx;
+        if (bx == cs.hbc) {
+            bx = 0;
+            ++by;
+        }
+        int rc;
+        if (is_dc) {
+            rc = read_block_prog_dc(br, cs.table, cs.comb, cs.sp, pred, block);
+        } else if (!is_refine) {
+            rc = read_block_prog_ac(br, cs.table, cs.comb, cs.sp, eobrun, block);
+        } else {
+            rc = read_block_prog_ac_refined(br, cs.table, cs.sp, eobrun, block);
+        }
+        if (rc) return rc;
+    }
+    return 0;
+}
+
+// Per-scan scheduling state for the span-claiming worker pool.
+struct alignas(64) ChainSched {
+    std::atomic<int32_t> next{0};     // next span index to claim
+    std::atomic<int32_t> prefix{0};   // first not-yet-done span
+    std::atomic<char> claimed{0};     // whole-scan claim (span-less scans)
+    std::atomic<char> finished{0};
+    std::unique_ptr<std::atomic<char>[]> done;  // per span
+    int32_t n_work = 0;  // spans that actually carry units
+    bool spanwise = false;
+};
+
 }  // namespace
 
 extern "C" {
@@ -2683,77 +2732,137 @@ int jpx_decode_progressive_chains(
     std::vector<int> results(n_scans, 0);
     int hw = (int)std::thread::hardware_concurrency();
     int T = n_threads > 0 ? n_threads : (hw > 0 ? hw : 1);
-    T = std::min<int>(T, n_scans);
 
     if (T <= 1) {
         // Sequential: stream order satisfies every gate by construction.
         for (int s = 0; s < n_scans; ++s)
             results[s] = chain_decode_scan(data, scans[s], wms.data(), s);
-    } else {
-        // Size-aware schedule: with more scans than cores, a flat
-        // one-thread-per-scan fan-out halves the CRITICAL scan's speed
-        // through core contention (wall ~= slowest scan / share). Give
-        // the T-1 largest scans (entropy bytes ~ decode time) dedicated
-        // threads and run the remainder on ONE thread in stream order —
-        // stream order satisfies gates among themselves, and every gate
-        // chain bottoms out, so no circular wait is possible.
-        std::vector<int> order(n_scans);
-        for (int s = 0; s < n_scans; ++s) order[s] = s;
-        auto bytes_of = [&](int s) {
-            int64_t b = 0;
-            for (int i = 0; i < scans[s].n_spans; ++i)
-                b += scans[s].span_ends[i] - scans[s].span_starts[i];
-            return b;
-        };
-        std::sort(order.begin(), order.end(),
-                  [&](int a, int b) { return bytes_of(a) > bytes_of(b); });
-        std::vector<char> dedicated(n_scans, 0);
-        int n_ded = std::min<int>(T - 1, n_scans - 1);
-        for (int i = 0; i < n_ded; ++i) dedicated[order[i]] = 1;
-
-        // Rest-thread order: hoist scans that FEED a dedicated scan
-        // (the critical chain's producers) ahead of the others. Every
-        // wait follows a gate edge, and gates point at strictly
-        // earlier stream indices, so pure stream order on the rest
-        // thread can never cycle. Hoisting breaks that monotonicity,
-        // so it is only safe when the hoisted scan's ENTIRE transitive
-        // gate chain is dedicated: it then waits only on scans that
-        // own their own threads, never on a rest scan displaced behind
-        // it. (Checking just the direct gate deadlocks: hoisted ->
-        // dedicated -> non-hoisted rest scan stuck behind the hoisted
-        // one on this thread.)
-        std::vector<char> feeds(n_scans, 0);
-        for (int s = 0; s < n_scans; ++s)
-            if (dedicated[s] && scans[s].gate >= 0 && !dedicated[scans[s].gate])
-                feeds[scans[s].gate] = 1;
-        auto chain_all_dedicated = [&](int s) {
-            for (int g = scans[s].gate; g >= 0; g = scans[g].gate)
-                if (!dedicated[g]) return false;
-            return true;
-        };
-        std::vector<char> hoisted(n_scans, 0);
-        for (int s = 0; s < n_scans; ++s)
-            if (!dedicated[s] && feeds[s] && chain_all_dedicated(s))
-                hoisted[s] = 1;
-        std::vector<int> rest_order;
-        for (int s = 0; s < n_scans; ++s)
-            if (hoisted[s]) rest_order.push_back(s);
-        for (int s = 0; s < n_scans; ++s)
-            if (!dedicated[s] && !hoisted[s]) rest_order.push_back(s);
-
-        std::vector<std::thread> pool;
-        for (int i = 0; i < n_ded; ++i) {
-            int s = order[i];
-            pool.emplace_back([&, s]() {
-                results[s] = chain_decode_scan(data, scans[s], wms.data(), s);
-            });
-        }
-        pool.emplace_back([&]() {
-            for (int s : rest_order)
-                results[s] = chain_decode_scan(data, scans[s], wms.data(), s);
-        });
-        for (auto& th : pool) th.join();
+        for (int rc : results)
+            if (rc) return rc;
+        return 0;
     }
+
+    // Span-claiming worker pool. Work items are restart spans (for
+    // multi-span scans) or whole scans (span-less: decoded with the
+    // per-unit watermark pipeline in chain_decode_scan). Workers scan
+    // the job list in stream order and take the EARLIEST runnable
+    // item; a span is runnable once its gate scan's watermark covers
+    // the span's end unit. Progress argument: the earliest unfinished
+    // scan's transitive gate chain is finished, so its work is always
+    // runnable; any worker finishing an item rescans from scan 0 and
+    // picks it up, and a worker parked inside a span-less scan's
+    // per-unit gate poll sits above a producer that is either finished
+    // or actively progressing — no cycle is possible because gates
+    // point strictly backwards in stream order.
+    std::vector<ChainSched> sched(n_scans);
+    int64_t total_items = 0;
+    for (int s = 0; s < n_scans; ++s) {
+        ChainScan& cs = scans[s];
+        ChainSched& sc = sched[s];
+        sc.spanwise = cs.restart_interval > 0 && cs.n_spans > 1;
+        if (sc.spanwise) {
+            int64_t required =
+                (cs.total_units + cs.restart_interval - 1) / cs.restart_interval;
+            sc.n_work = (int32_t)std::min<int64_t>(cs.n_spans, required);
+            sc.done.reset(new std::atomic<char>[sc.n_work]);
+            for (int32_t k = 0; k < sc.n_work; ++k)
+                sc.done[k].store(0, std::memory_order_relaxed);
+            total_items += sc.n_work;
+        } else {
+            total_items += 1;
+        }
+    }
+    T = (int)std::min<int64_t>(T, total_items);
+
+    auto finish_scan = [&](int s) {
+        wms[s].v.store(INT64_MAX, std::memory_order_release);
+        sched[s].finished.store(1, std::memory_order_release);
+    };
+
+    // All done[]/prefix operations are seq_cst (the defaults): the
+    // LAST completer in the total order observes every done flag set
+    // and drives prefix all the way to n_work, so the scan always
+    // finishes — with weaker orders two completers can each miss the
+    // other's flag and leave the prefix stuck.
+    auto complete_span = [&](int s, int32_t k) {
+        ChainSched& sc = sched[s];
+        const ChainScan& cs = scans[s];
+        sc.done[k].store(1);
+        int32_t p = sc.prefix.load();
+        while (p < sc.n_work && sc.done[p].load()) {
+            if (sc.prefix.compare_exchange_weak(p, p + 1)) {
+                ++p;
+                // Monotone watermark raise (stale stores must not
+                // lower it: a consumer could then spin on a value a
+                // faster sibling already published past).
+                int64_t w = std::min<int64_t>(
+                    cs.total_units, (int64_t)p * cs.restart_interval);
+                int64_t cur = wms[s].v.load(std::memory_order_relaxed);
+                while (cur < w &&
+                       !wms[s].v.compare_exchange_weak(
+                           cur, w, std::memory_order_release)) {
+                }
+            }
+        }
+        if (p >= sc.n_work) finish_scan(s);
+    };
+
+    auto worker = [&]() {
+        int idle = 0;
+        for (;;) {
+            bool any_open = false;
+            bool did_work = false;
+            for (int s = 0; s < n_scans && !did_work; ++s) {
+                ChainSched& sc = sched[s];
+                if (sc.finished.load(std::memory_order_acquire)) continue;
+                any_open = true;
+                const ChainScan& cs = scans[s];
+                if (!sc.spanwise) {
+                    char expect = 0;
+                    if (sc.claimed.compare_exchange_strong(expect, 1)) {
+                        int rc = chain_decode_scan(data, cs, wms.data(), s);
+                        if (rc) results[s] = rc;
+                        sc.finished.store(1, std::memory_order_release);
+                        did_work = true;
+                    }
+                    continue;
+                }
+                int32_t k = sc.next.load();
+                while (k < sc.n_work) {
+                    if (cs.gate >= 0) {
+                        int64_t u1 = std::min<int64_t>(
+                            cs.total_units,
+                            (int64_t)(k + 1) * cs.restart_interval);
+                        if (wms[cs.gate].v.load(std::memory_order_acquire) < u1)
+                            break;  // not runnable yet; try later scans
+                    }
+                    if (sc.next.compare_exchange_weak(k, k + 1)) {
+                        int rc = chain_decode_span(data, cs, k);
+                        if (rc) results[s] = rc;
+                        complete_span(s, k);
+                        did_work = true;
+                        break;
+                    }
+                }
+            }
+            if (!any_open) return;
+            if (did_work) {
+                idle = 0;
+            } else {
+#if defined(__x86_64__)
+                __builtin_ia32_pause();
+#endif
+                if (++idle > 256) {
+                    idle = 0;
+                    std::this_thread::yield();
+                }
+            }
+        }
+    };
+
+    std::vector<std::thread> pool;
+    for (int t = 0; t < T; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
     for (int rc : results)
         if (rc) return rc;
     return 0;
