@@ -630,13 +630,19 @@ def decode_lossless_scan(
     # threads and data. Diff symbols are context-free, so chunks decode
     # concurrently and a cheap prediction pass reconstructs; stitch
     # failure (rc -1) falls back to the sequential decode below.
+    # A lone lossless decode is host-entropy-bound, so unless the
+    # caller pinned JPX_SCAN_THREADS (serving pipelines parallelize
+    # across images), the scan gets every core.
+    threads = default_threads()
+    if not os.environ.get("JPX_SCAN_THREADS"):
+        threads = max(threads, os.cpu_count() or 2)
     if (
         n_spans == 1
         and restart_interval == 0
         and max_h == 1
         and max_v == 1
         and all(comp_h[i] == 1 and comp_v[i] == 1 for i in range(n))
-        and default_threads() > 2
+        and threads > 2
     ):
         rc = lib.jpx_decode_lossless_scan_parallel(
             buf.ctypes.data_as(ctypes.c_void_p),
@@ -648,7 +654,7 @@ def decode_lossless_scan(
             plane_ptrs, widths,
             scan.start_of_spectral_selection,
             1 << (frame.sample_precision - pt - 1),
-            default_threads(),
+            threads,
         )
         if rc == 0:
             return True
@@ -677,7 +683,7 @@ def decode_lossless_scan(
         and max_h == 1
         and max_v == 1
         and all(comp_h[i] == 1 and comp_v[i] == 1 for i in range(n))
-        and default_threads() > 1
+        and threads > 1
     ):
         rc = lib.jpx_decode_lossless_restart_parallel(
             buf.ctypes.data_as(ctypes.c_void_p),
@@ -690,7 +696,7 @@ def decode_lossless_scan(
             plane_ptrs, widths,
             scan.start_of_spectral_selection,
             1 << (frame.sample_precision - pt - 1),
-            default_threads(),
+            threads,
         )
         if rc == 0:
             return True
@@ -920,6 +926,13 @@ def decode_arithmetic_scan(
     starts, ends, _span_keep = _span_ptrs(spans)
     buf = np.frombuffer(data, dtype=np.uint8)
 
+    # Same policy as the progressive scan wrapper: a restart-span scan
+    # gets every core unless the caller pinned JPX_SCAN_THREADS
+    # (serving pipelines parallelize across images instead).
+    threads = default_threads()
+    if n_spans > 1 and not os.environ.get("JPX_SCAN_THREADS"):
+        threads = max(threads, min(n_spans, os.cpu_count() or 2))
+
     rc = lib.jpx_decode_arithmetic_scan(
         buf.ctypes.data_as(ctypes.c_void_p),
         starts, ends, n_spans,
@@ -935,7 +948,7 @@ def decode_arithmetic_scan(
         scan.end_of_spectral_selection,
         scan.successive_approximation_bit_position_high,
         scan.successive_approximation_bit_position_low,
-        default_threads(),
+        threads,
     )
     if rc == 2:
         raise JpegDecodeError("Invalid arithmetic code.")
