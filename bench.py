@@ -135,6 +135,11 @@ def main() -> None:
     # unmeasured pass per swept shape (compiles the grouped vmapped
     # transform so no measured window pays a device compile). Also
     # warm PIL/turbo.
+    # One native thread per image through the sweep: the pipeline's
+    # parallelism is its scan workers; letting each image also fan out
+    # native threads oversubscribes the 4-core host (this is the
+    # configuration the swept shapes were tuned under).
+    prev_threads = os.environ.pop("JPX_SCAN_THREADS", None)
     os.environ["JPX_SCAN_THREADS"] = "1"
     for v in variants:
         dec = JpegDecoder()
@@ -208,6 +213,13 @@ def main() -> None:
     best_ratio = sorted(o / t for (o, t) in windows[best_shape])
 
     # ---- per-mode matrix (all numbers land in the captured JSON) ----
+    # Restore the native thread policy: the single-image mode decodes
+    # below parallelize INTERNALLY (restart spans / scan chains), so
+    # leaking the sweep's 1-thread override would cripple them.
+    if prev_threads is None:
+        os.environ.pop("JPX_SCAN_THREADS", None)
+    else:
+        os.environ["JPX_SCAN_THREADS"] = prev_threads
     modes = {}
 
     def mode(name, f, megapixels, n=5):

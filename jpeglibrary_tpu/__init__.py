@@ -59,7 +59,13 @@ def enable_compile_cache() -> None:
 
 
 from .models.decoder import DecodeResult, ImageInfo, JpegDecoder, decode
-from .models.encoder import JpegEncoder, encode_gray, encode_rgb, encode_rgb_stream
+from .models.encoder import (
+    JpegEncoder,
+    encode_gray,
+    encode_rgb,
+    encode_rgb_stream,
+    encode_rgb_stripes,
+)
 from .models.optimizer import JpegOptimizer, optimize
 from .models.transcode import transcode
 
@@ -71,6 +77,7 @@ __all__ = [
     "JpegEncoder",
     "encode_rgb",
     "encode_rgb_stream",
+    "encode_rgb_stripes",
     "encode_gray",
     "JpegOptimizer",
     "optimize",

@@ -277,6 +277,34 @@ def parse_stream(data: bytes, *, require_soi: bool = True) -> JpegStream:
     return JpegStream(segments=tuple(segments), scans=tuple(scans), consumed=consumed)
 
 
+def resolve_dnl(stream: JpegStream, data: bytes, frame):
+    """Resolve a deferred line count (T.81 B.2.5 DNL).
+
+    A SOF whose number-of-lines field is 0 defers the image height to a
+    DNL segment emitted at the end of the first scan. The static
+    container walk has already recorded every segment, so the height is
+    available before any scan decodes: return ``frame`` with
+    ``number_of_lines`` patched from the DNL payload. Streams with a
+    nonzero SOF height pass through untouched. (The reference only
+    enumerates the DNL marker, JpegMarker.cs; honoring it is a
+    beyond-reference capability that pairs with the streaming
+    unknown-height encoder.)
+    """
+    if frame.number_of_lines != 0:
+        return frame
+    for seg in stream.segments:
+        if seg.marker == Marker.DNL:
+            payload = seg.payload(data)
+            if len(payload) >= 2:
+                lines = (payload[0] << 8) | payload[1]
+                if lines > 0:
+                    return dataclasses.replace(frame, number_of_lines=lines)
+            raise JpegStreamError(seg.payload_start, "Invalid DNL segment.")
+    raise JpegStreamError(
+        0, "Frame header defines zero lines and no DNL segment is present."
+    )
+
+
 def unstuff_entropy_bytes(data: bytes) -> bytes:
     """Remove 0xFF00 byte stuffing and 0xFF fill runs from an ECS span.
 

@@ -429,7 +429,9 @@ class JpegDecoder:
         for seg in stream.segments:
             self._dispatch_marker(seg, data)
             if seg.marker in ALL_SOF_MARKERS:
-                frame = FrameHeader.parse(seg.payload(data), seg.marker)
+                frame = io_reader.resolve_dnl(
+                    stream, data, FrameHeader.parse(seg.payload(data), seg.marker)
+                )
                 marker = seg.marker
             elif load_quantization_tables and seg.marker == Marker.DQT:
                 for table in parse_dqt_segment(seg.payload(data)):
@@ -532,7 +534,9 @@ class JpegDecoder:
                     raise JpegUnsupportedError(
                         f"This type of JPEG stream is not supported ({Marker(seg.marker).name})."
                     )
-                frame = FrameHeader.parse(seg.payload(data), seg.marker)
+                frame = io_reader.resolve_dnl(
+                    stream, data, FrameHeader.parse(seg.payload(data), seg.marker)
+                )
                 sof_marker = seg.marker
                 geometry = frame_geometry(frame)
                 # Fresh per-frame entropy state (the reference creates a

@@ -94,6 +94,9 @@ class JpegEncoder:
         self._input_planes: Optional[List[np.ndarray]] = None
         #: pull-based stripe reader (set_input_reader) — streaming encode
         self._input_reader = None
+        #: push-based stripe iterator (set_input_stream) — unknown-height
+        #: streaming encode with a trailing DNL segment
+        self._input_stream = None
         #: pre-quantized zig-zag coefficient planes (one [Hb, Wb, 64]
         #: int16 per component) — the lossless-transcode entry: encode()
         #: skips the sample transform entirely (models/transcode.py)
@@ -152,12 +155,34 @@ class JpegEncoder:
         stripe) memory, unlike the reference, whose optimize path
         buffers the whole coefficient image (JpegEncoder.cs:414)."""
         self._input_reader = reader
+        self._input_stream = None
         self._width = width
         self._height = height
+
+    def set_input_stream(self, stripes, width: int) -> None:
+        """Push-based input for UNKNOWN-height streaming encode:
+        ``stripes`` is an iterable yielding row stripes top to bottom
+        (each a [rows, W, C] array or a list of [rows, W] planes).
+        Every stripe except the last must cover whole MCU rows
+        (a multiple of 8*max_v sample rows).
+
+        encode() emits the SOF with a zero line count and appends the
+        true count after the scan in a DNL segment (T.81 B.2.5), so the
+        producer never needs to know the height up front — live capture
+        / scanline sources encode as the rows arrive. Beyond the
+        reference (its encoder requires height at AddComponent time and
+        never writes DNL). Requires fixed Huffman tables: two-pass
+        table optimization needs the whole image."""
+        self._input_stream = iter(stripes)
+        self._input_reader = None
+        self._input_planes = None
+        self._width = width
+        self._height = 0
 
     def set_input(self, planes, width: Optional[int] = None, height: Optional[int] = None) -> None:
         """Input samples: [H, W, C] uint8 array or a list of [H, W] planes."""
         self._input_reader = None
+        self._input_stream = None
         if isinstance(planes, np.ndarray) and planes.ndim == 3:
             self._input_planes = [planes[..., i] for i in range(planes.shape[-1])]
             self._height, self._width = planes.shape[:2]
@@ -172,6 +197,8 @@ class JpegEncoder:
     # -- encode --
 
     def encode(self, xp=np) -> bytes:
+        if self._input_stream is not None:
+            return self._encode_streaming_dnl()
         if self._input_reader is not None:
             return self._encode_streaming()
         if self._input_planes is None and self._coefficient_planes is None:
@@ -483,6 +510,159 @@ class JpegEncoder:
 
         writer.write_marker(Marker.EOI)
         return writer.to_bytes()
+
+    def _encode_streaming_dnl(self) -> bytes:
+        """Unknown-height streaming encode (set_input_stream): consume
+        row stripes as they arrive, emit the SOF with zero lines, and
+        define the true line count in a trailing DNL segment
+        (T.81 B.2.5). Entropy emission carries DC-predictor and
+        bit-register state across stripes exactly like the known-height
+        streaming path, so the scan bytes are bit-identical to a
+        buffered encode of the same pixels."""
+        if self.arithmetic:
+            raise JpegEncodeError(
+                "Streaming encode supports Huffman entropy coding only."
+            )
+        if not self._components:
+            raise JpegEncodeError("No component is specified.")
+        if any(t is None for t in self._huffman_tables.values()):
+            raise JpegEncodeError(
+                "Unknown-height streaming encode requires fixed Huffman "
+                "tables (two-pass table optimization needs the whole image)."
+            )
+        try:
+            from ..native import scanner as native_scanner
+        except ImportError as e:
+            raise JpegEncodeError(
+                "Unknown-height streaming encode requires the native "
+                "emission kernel."
+            ) from e
+
+        tables = {k: t for k, t in self._huffman_tables.items() if t is not None}
+        quant_by_id = {t.identifier: t for t in self._quant_tables}
+        max_h = max(c.h for c in self._components)
+        max_v = max(c.v for c in self._components)
+        mcus_per_line = ceil_div(self._width, 8 * max_h)
+        rows_per_mcu = 8 * max_v
+        quants = []
+        for comp in self._components:
+            qt = quant_by_id.get(comp.quantization_table_id)
+            if qt is None or qt.is_empty:
+                raise JpegEncodeError(
+                    f"Quantization table {comp.quantization_table_id} is not defined."
+                )
+            quants.append(qt.elements)
+
+        comp_meta = []
+        for comp in self._components:
+            dc = tables.get((True, comp.dc_table_id))
+            ac = tables.get((False, comp.ac_table_id))
+            if dc is None or ac is None:
+                raise JpegEncodeError("Huffman table is not defined.")
+            comp_meta.append(
+                {
+                    "per_mcu": comp.h * comp.v,
+                    "dc_codes": dc.codes, "dc_sizes": dc.sizes,
+                    "ac_codes": ac.codes, "ac_sizes": ac.sizes,
+                }
+            )
+
+        writer = JpegWriter()
+        self._height = 0  # SOF number-of-lines: deferred to DNL
+        self._write_headers(writer, tables)
+
+        def transform(planes):
+            if isinstance(planes, np.ndarray) and planes.ndim == 3:
+                planes = [planes[..., i] for i in range(planes.shape[-1])]
+            if len(planes) != len(self._components):
+                raise JpegEncodeError(
+                    "Component count does not match stream planes."
+                )
+            rows = int(np.asarray(planes[0]).shape[0])
+            m_rows = ceil_div(rows, rows_per_mcu)
+            blocks = []
+            for comp, plane, q in zip(self._components, planes, quants):
+                coeffs = encode_stage.forward_component(
+                    np.asarray(plane), q,
+                    comp.h, comp.v, max_h // comp.h, max_v // comp.v,
+                    mcus_per_line, m_rows, xp=np,
+                    level_shift=float(1 << (self.sample_precision - 1)),
+                )
+                blocks.append(encode_stage.mcu_order_blocks(coeffs, comp.h, comp.v))
+            return rows, m_rows, blocks
+
+        carry = native_scanner.EncodeCarry(len(self._components))
+        ri = self.restart_interval
+        lines = 0
+        seg_fill = 0
+        rst = 0
+        pending = None  # one-stripe lookahead: the last stripe finalizes
+        stream = self._input_stream
+        self._input_stream = None
+        for planes in stream:
+            nxt = transform(planes)
+            if pending is not None:
+                rows, m_rows, _ = pending
+                if rows != m_rows * rows_per_mcu:
+                    raise JpegEncodeError(
+                        "Only the final stripe may cover partial MCU rows."
+                    )
+                seg_fill, rst = self._emit_stream_stripe(
+                    writer, native_scanner, carry, comp_meta, pending[2],
+                    ri, seg_fill, rst, last=False,
+                )
+                lines += rows
+            pending = nxt
+        if pending is None:
+            raise JpegEncodeError("Input stream yielded no stripes.")
+        self._emit_stream_stripe(
+            writer, native_scanner, carry, comp_meta, pending[2],
+            ri, seg_fill, rst, last=True,
+        )
+        lines += pending[0]
+        if lines > 0xFFFF:
+            raise JpegEncodeError("Accumulated line count exceeds 65535.")
+
+        # DNL directly after the scan's entropy data (T.81 B.2.5: end
+        # of the first scan), then EOI.
+        writer.write_segment(Marker.DNL, bytes([(lines >> 8) & 0xFF, lines & 0xFF]))
+        writer.write_marker(Marker.EOI)
+        self._height = lines
+        return writer.to_bytes()
+
+    def _emit_stream_stripe(
+        self, writer, native_scanner, carry, comp_meta, blocks,
+        ri, seg_fill, rst, *, last,
+    ):
+        """Emit one transformed stripe through the carry emitter,
+        splitting at restart-interval boundaries. Returns the updated
+        (seg_fill, rst) cycle state."""
+        stripe_mcus = blocks[0].shape[0] // comp_meta[0]["per_mcu"]
+        pos = 0
+        while pos < stripe_mcus:
+            n = stripe_mcus - pos
+            if ri > 0:
+                n = min(n, ri - seg_fill)
+            seg_comps = [
+                {**m, "blocks": b[pos * m["per_mcu"]:(pos + n) * m["per_mcu"]]}
+                for m, b in zip(comp_meta, blocks)
+            ]
+            seg_end = ri > 0 and seg_fill + n == ri
+            is_last = last and pos + n == stripe_mcus
+            writer.write_bytes(
+                native_scanner.encode_segment_carry(
+                    seg_comps, n, carry, finalize=seg_end or is_last
+                )
+            )
+            pos += n
+            seg_fill += n
+            if seg_end:
+                if not is_last:
+                    writer.write_marker(Marker.RST0 + rst)
+                    rst = (rst + 1) & 7
+                carry.reset()
+                seg_fill = 0
+        return seg_fill, rst
 
     def _write_headers(self, writer: JpegWriter, tables) -> None:
         """SOI through SOS — shared by the buffered and streaming
@@ -833,6 +1013,58 @@ def encode_rgb_stream(
     else:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     encoder.set_input_reader(ycbcr_reader, width, height)
+    return encoder.encode()
+
+
+def encode_rgb_stripes(
+    stripes,
+    width: int,
+    quality: int = 75,
+    *,
+    subsampling: str = "420",
+    restart_interval: int = 0,
+) -> bytes:
+    """Unknown-height RGB streaming encode: ``stripes`` yields
+    [rows, W, 3] uint8 row bands top to bottom (whole MCU rows except
+    the last). The height is defined after the scan by a DNL segment
+    (T.81 B.2.5), so live row sources encode without knowing their
+    length. Fixed Annex-K tables (single pass). Beyond the reference:
+    its encoder requires the height up front and never writes DNL."""
+    from ..ops import color as color_ops
+
+    def ycbcr_stripes():
+        for rgb in stripes:
+            rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+            try:
+                from ..native import scanner as native_scanner
+
+                yield list(native_scanner.rgb_to_ycbcr(rgb))
+            except ImportError:
+                yield list(
+                    color_ops.rgb_to_ycbcr(
+                        rgb[..., 0], rgb[..., 1], rgb[..., 2], xp=np
+                    )
+                )
+
+    encoder = JpegEncoder()
+    encoder.restart_interval = restart_interval
+    encoder.set_quantization_table(scale_by_quality(standard_luminance_table(0), quality))
+    encoder.set_quantization_table(scale_by_quality(standard_chrominance_table(1), quality))
+    encoder.set_huffman_table(True, 0, huffman_standard.dc_luminance())
+    encoder.set_huffman_table(False, 0, huffman_standard.ac_luminance())
+    encoder.set_huffman_table(True, 1, huffman_standard.dc_chrominance())
+    encoder.set_huffman_table(False, 1, huffman_standard.ac_chrominance())
+    if subsampling == "420":
+        encoder.add_component(1, 0, 0, 0, 2, 2)
+        encoder.add_component(2, 1, 1, 1, 1, 1)
+        encoder.add_component(3, 1, 1, 1, 1, 1)
+    elif subsampling == "444":
+        encoder.add_component(1, 0, 0, 0, 1, 1)
+        encoder.add_component(2, 1, 1, 1, 1, 1)
+        encoder.add_component(3, 1, 1, 1, 1, 1)
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    encoder.set_input_stream(ycbcr_stripes(), width)
     return encoder.encode()
 
 

@@ -101,7 +101,9 @@ class JpegOptimizer:
                     )
                 if frame is not None:
                     raise JpegOptimizeError("Multiple frame is not supported.")
-                frame = FrameHeader.parse(seg.payload(data), seg.marker)
+                frame = io_reader.resolve_dnl(
+                    stream, data, FrameHeader.parse(seg.payload(data), seg.marker)
+                )
                 geometry = frame_geometry(frame)
                 planes = allocate_coefficient_planes(geometry)
             elif seg.marker == Marker.SOS:
@@ -199,7 +201,9 @@ class JpegOptimizer:
                     )
                     writer.write_segment(Marker.DQT, payload)
                     dqt_written = True
-            elif m == Marker.DRI:
+            elif m in (Marker.DRI, Marker.DNL):
+                # DNL is structural, not metadata: a zero-lines SOF is
+                # invalid without it, so it survives stripping.
                 writer.write_segment(m, seg.payload(data))
             elif m == Marker.SOS:
                 writer.write_segment(m, seg.payload(data))

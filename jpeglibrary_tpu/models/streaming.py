@@ -220,7 +220,9 @@ def decode_lossless_rows(
         if seg.marker in (Marker.DQT, Marker.DHT, Marker.DAC, Marker.DRI):
             dec._process_table_segment(seg, data)
         elif seg.marker == Marker.SOF3:
-            frame = FrameHeader.parse(seg.payload(data), seg.marker)
+            frame = io_reader.resolve_dnl(
+                stream, data, FrameHeader.parse(seg.payload(data), seg.marker)
+            )
         elif seg.marker in ALL_SOF_MARKERS and seg.marker != Marker.SOF3:
             raise ValueError(
                 "decode_lossless_rows requires a lossless (SOF3) stream"

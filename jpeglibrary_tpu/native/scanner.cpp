@@ -1753,6 +1753,9 @@ int64_t jpx_decode_image_baseline_sparse(
                 comp_q[i] = seg[6 + 3 * i + 2];
                 if (comp_q[i] > 3 || comp_h[i] < 1 || comp_v[i] < 1) return -10;
             }
+            // height == 0 defers the line count to a DNL segment
+            // (T.81 B.2.5) — the general Python path resolves it.
+            if (height == 0 || width == 0) return -10;
             got_sof = true;
         } else if (marker >= 0xC2 && marker <= 0xCF && marker != 0xC4 &&
                    marker != 0xC8 && marker != 0xCC) {
