@@ -66,6 +66,8 @@ from .models.encoder import (
     encode_rgb_stream,
     encode_rgb_stripes,
 )
+from .models.hierarchical import encode_hierarchical
+from .models.lossless import encode_lossless
 from .models.optimizer import JpegOptimizer, optimize
 from .models.transcode import transcode
 
@@ -79,6 +81,8 @@ __all__ = [
     "encode_rgb_stream",
     "encode_rgb_stripes",
     "encode_gray",
+    "encode_lossless",
+    "encode_hierarchical",
     "JpegOptimizer",
     "optimize",
     "transcode",

@@ -428,7 +428,13 @@ class JpegDecoder:
         marker = 0
         for seg in stream.segments:
             self._dispatch_marker(seg, data)
-            if seg.marker in ALL_SOF_MARKERS:
+            if seg.marker == Marker.DHP:
+                # Hierarchical (Annex J): DHP carries the authoritative
+                # full-resolution dimensions; report it as the marker
+                # (later per-frame SOFs are pyramid levels, not the image).
+                frame = FrameHeader.parse(seg.payload(data), seg.marker)
+                marker = seg.marker
+            elif seg.marker in ALL_SOF_MARKERS and marker != Marker.DHP:
                 frame = io_reader.resolve_dnl(
                     stream, data, FrameHeader.parse(seg.payload(data), seg.marker)
                 )
@@ -511,6 +517,17 @@ class JpegDecoder:
                 )
 
         stream = self._parsed()
+
+        if any(seg.marker == Marker.DHP for seg in stream.segments):
+            # Hierarchical stream (T.81 Annex J): multi-frame pyramid
+            # with EXP-expanded differential refinements. (The fused
+            # native walk above rejects DHP/EXP streams, so this check
+            # sees every hierarchical input.)
+            from .hierarchical import decode_hierarchical
+
+            return decode_hierarchical(
+                self, stream, data, use_native=use_native, xp=xp
+            )
 
         frame: Optional[FrameHeader] = None
         sof_marker: Optional[int] = None

@@ -95,7 +95,12 @@ def decode_lossless_scan(
 
     predictor_sel = scan.start_of_spectral_selection
     pt = scan.successive_approximation_bit_position_low
-    initial_prediction = 1 << (frame.sample_precision - pt - 1)
+    # Differential frames (T.81 J, predictor selection 0) code raw
+    # diffs: prediction is 0 everywhere, including scan/restart starts
+    # and line starts.
+    initial_prediction = (
+        (1 << (frame.sample_precision - pt - 1)) if predictor_sel else 0
+    )
 
     cursor = _SpanCursor(data, spans)
     mcus_before_restart = restart_interval
@@ -127,8 +132,10 @@ def decode_lossless_scan(
                                 rc = initial_prediction if y == 0 else int(lastline[cx - 1])
                                 diff += _predict(predictor_sel, ra, rb, rc)
                         elif col_mcu == 0:
-                            # Start of line: Rb (reference :136-139).
-                            diff += int(lastline[cx])
+                            # Start of line: Rb (reference :136-139);
+                            # sel 0 (differential): raw diff, no Rb.
+                            if predictor_sel:
+                                diff += int(lastline[cx])
                         else:
                             ra = int(scanline[cx - 1])
                             rb = int(lastline[cx])
@@ -220,6 +227,7 @@ def encode_lossless(
     restart_interval: int = 0,
     sampling=None,
     size=None,
+    differential: bool = False,
 ) -> bytes:
     """Encode sample planes as a lossless (SOF3) JPEG.
 
@@ -241,6 +249,14 @@ def encode_lossless(
     [mcus_per_column*v, mcus_per_line*h] and ``size`` = (H, W) supplies
     the true frame dimensions; restart intervals are not combined with
     sampling.
+
+    ``differential``: encode a hierarchical differential-lossless frame
+    (T.81 Annex J, SOF7): ``planes`` then hold raw signed sample
+    DIFFERENCES (int, mod-2^16 wrapped) that are entropy-coded directly
+    with predictor selection 0 — no prediction, no initial-prediction
+    seed, no point-transform shift. The emitted frame is SOF7 with
+    Ss = 0; the caller (models.hierarchical) embeds it after a DHP
+    segment. ``predictor``/``point_transform`` are ignored.
     """
     from ..io.writer import JpegWriter
     from ..syntax.frame import (
@@ -280,6 +296,9 @@ def encode_lossless(
                     f"plane shape {p.shape} != padded grid {(mpc * cv, mpl * ch)}"
                 )
 
+    if differential:
+        predictor = 0
+        point_transform = 0
     pt = point_transform
     init = 1 << (precision - pt - 1)
 
@@ -289,8 +308,14 @@ def encode_lossless(
     raws_c = []
     for p, (ch, cv) in zip(planes, sampling):
         s16 = (p.astype(np.int32) >> pt).astype(np.int16)
-        diff = _lossless_diffs(s16, predictor, init, v=cv, h=ch).astype(np.int32)
-        if ri > 0:
+        if differential:
+            # Values ARE the diffs (mod-2^16); no prediction pass.
+            diff = s16.astype(np.int32)
+        else:
+            diff = _lossless_diffs(s16, predictor, init, v=cv, h=ch).astype(
+                np.int32
+            )
+        if ri > 0 and not differential:
             # Restart-start pixels re-predict row-0 style.
             s = s16.astype(np.int32)
             pos = np.arange(ri, h * w, ri, dtype=np.int64)
@@ -379,8 +404,9 @@ def encode_lossless(
     writer.write_marker(Marker.SOI)
     dht_payload = b"".join(t.serialize(0, i) for i, t in enumerate(tables))
     writer.write_segment(Marker.DHT, dht_payload)
+    sof = Marker.SOF7 if differential else Marker.SOF3
     frame = FrameHeader(
-        marker=Marker.SOF3,
+        marker=sof,
         sample_precision=precision,
         number_of_lines=h,
         samples_per_line=w,
@@ -389,7 +415,7 @@ def encode_lossless(
             for i in range(n_comps)
         ),
     )
-    writer.write_segment(Marker.SOF3, frame.serialize())
+    writer.write_segment(sof, frame.serialize())
     if ri > 0:
         writer.write_segment(Marker.DRI, bytes([(ri >> 8) & 0xFF, ri & 0xFF]))
     scan = ScanHeader(

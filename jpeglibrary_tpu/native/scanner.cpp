@@ -1760,6 +1760,10 @@ int64_t jpx_decode_image_baseline_sparse(
         } else if (marker >= 0xC2 && marker <= 0xCF && marker != 0xC4 &&
                    marker != 0xC8 && marker != 0xCC) {
             return -10;  // other SOF types: Python path
+        } else if (marker == 0xDE || marker == 0xDF) {
+            // DHP/EXP: hierarchical stream — the SOF0 here is only the
+            // base pyramid frame; differential frames follow.
+            return -10;
         } else if (marker == 0xC4) {  // DHT
             int off = 0;
             while (off + 17 <= seg_n) {
@@ -1850,7 +1854,10 @@ int64_t jpx_decode_image_baseline_sparse(
             ends.push_back(p);
             done = true;
             scan_terminator = b2;
-            if (b2 == 0xDA) return -10;  // multi-scan: Python path
+            // Only EOI / DNL legally follow a complete single scan; any
+            // other marker (another SOS, a hierarchical differential
+            // SOF, EXP, ...) means this was not the whole image.
+            if (b2 != 0xD9 && b2 != 0xDC) return -10;
         }
         if (!done) {
             starts.push_back(span_start);
@@ -3013,7 +3020,9 @@ int jpx_decode_lossless_scan(
                                 diff += predict_lossless(predictor_sel, ra, rb, rc);
                             }
                         } else if (col_mcu == 0) {
-                            diff += lastline[cx];
+                            // Differential frames (T.81 J, sel 0) code
+                            // raw diffs: no Rb at line starts either.
+                            if (predictor_sel) diff += lastline[cx];
                         } else {
                             int ra = scanline[cx - 1];
                             int rb = lastline[cx];
@@ -3224,7 +3233,7 @@ int64_t jpx_lossless_stream_next(void* hptr, int64_t n_mcu_rows,
                                 diff += predict_lossless(sel, ra, rb, rc);
                             }
                         } else if (col_mcu == 0) {
-                            diff += lastline[cx];
+                            if (sel) diff += lastline[cx];  // sel 0: raw diffs
                         } else {
                             int ra = scanline[cx - 1];
                             int rb = lastline[cx];
@@ -3521,7 +3530,7 @@ int jpx_decode_lossless_scan_parallel(
                                                initial_prediction);
                         }
                     } else if (x == 0) {
-                        diff += last[0];
+                        if (predictor_sel) diff += last[0];  // sel 0: raw diffs
                     } else {
                         diff += ll_predict(predictor_sel, line[x - 1], last[x],
                                            last[x - 1]);
@@ -3634,7 +3643,7 @@ int jpx_decode_lossless_restart_parallel(
                                                initial_prediction);
                         }
                     } else if (x == 0) {
-                        diff += last[0];
+                        if (predictor_sel) diff += last[0];  // sel 0: raw diffs
                     } else {
                         diff += ll_predict(predictor_sel, line[x - 1], last[x],
                                            last[x - 1]);

@@ -615,6 +615,13 @@ def decode_lossless_scan(
     max_h = frame.max_horizontal_sampling
     max_v = frame.max_vertical_sampling
     pt = scan.successive_approximation_bit_position_low
+    # Differential frames (T.81 J, predictor selection 0) code raw
+    # diffs: no initial prediction seed.
+    init_pred = (
+        (1 << (frame.sample_precision - pt - 1))
+        if scan.start_of_spectral_selection
+        else 0
+    )
     # Lossless MCU = one sample per component (T.81 H.2).
     validate_restart_spans(
         spans,
@@ -653,7 +660,7 @@ def decode_lossless_scan(
             bytes(blob),
             plane_ptrs, widths,
             scan.start_of_spectral_selection,
-            1 << (frame.sample_precision - pt - 1),
+            init_pred,
             threads,
         )
         if rc == 0:
@@ -695,7 +702,7 @@ def decode_lossless_scan(
             bytes(blob),
             plane_ptrs, widths,
             scan.start_of_spectral_selection,
-            1 << (frame.sample_precision - pt - 1),
+            init_pred,
             threads,
         )
         if rc == 0:
@@ -719,7 +726,7 @@ def decode_lossless_scan(
         bytes(blob),
         plane_ptrs, widths,
         scan.start_of_spectral_selection,
-        1 << (frame.sample_precision - pt - 1),
+        init_pred,
     )
     if rc == 2:
         from ..syntax.huffman import JpegHuffmanError
@@ -797,7 +804,9 @@ class LosslessRowStream:
             comp_h, comp_v,
             bytes(blob), widths,
             scan.start_of_spectral_selection,
-            1 << (frame.sample_precision - pt - 1),
+            (1 << (frame.sample_precision - pt - 1))
+            if scan.start_of_spectral_selection
+            else 0,
         )
         if not self._handle:
             raise JpegDecodeError("failed to open lossless row stream")
