@@ -752,7 +752,13 @@ class JpegDecoder:
                 )
             component_quant[comp_index] = qt.elements.copy()
 
-        if sof_marker in (Marker.SOF9, Marker.SOF10):
+        # Differential frames (SOF5/SOF13, hierarchical mode) use the
+        # SAME scan coding as their sequential counterparts — the DC
+        # predictor starts at 0 either way and the level shift lives in
+        # the transform stage, so the scan decoders are shared verbatim
+        # (only the hierarchical finalize differs: no level shift, add
+        # to the reference).
+        if sof_marker in (Marker.SOF9, Marker.SOF10, Marker.SOF13):
             from . import arithmetic
 
             decoded_native = False
@@ -778,9 +784,9 @@ class JpegDecoder:
                 if self._arithmetic_state is None:
                     self._arithmetic_state = arithmetic.ArithmeticDecoder()
                 fn = (
-                    arithmetic.decode_sequential_scan
-                    if sof_marker == Marker.SOF9
-                    else arithmetic.decode_progressive_scan
+                    arithmetic.decode_progressive_scan
+                    if sof_marker == Marker.SOF10
+                    else arithmetic.decode_sequential_scan
                 )
                 fn(
                     data,
@@ -827,7 +833,7 @@ class JpegDecoder:
                     coefficient_planes,
                     geometry,
                 )
-        elif sof_marker in (Marker.SOF0, Marker.SOF1):
+        elif sof_marker in (Marker.SOF0, Marker.SOF1, Marker.SOF5):
             decoded_native = False
             if use_native:
                 try:

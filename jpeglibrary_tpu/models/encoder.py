@@ -87,6 +87,12 @@ class JpegEncoder:
         #: DAC conditioning when arithmetic: (dc_l, dc_u) and ac_kx
         self.dc_conditioning = (0, 1)
         self.ac_conditioning = 5
+        #: hierarchical differential DCT frame (T.81 Annex J): the SOF
+        #: marker becomes SOF5 (Huffman) / SOF13 (arithmetic) and the
+        #: input MUST be pre-quantized coefficient planes of the
+        #: DIFFERENTIAL samples (FDCT with no level shift) — set by
+        #: models.hierarchical when emitting DCT refinement frames.
+        self.differential = False
         self._quant_tables: List[QuantizationTable] = []
         #: (is_dc, identifier) -> HuffmanEncodingTable or None (None = build)
         self._huffman_tables: Dict[tuple, Optional[HuffmanEncodingTable]] = {}
@@ -218,6 +224,13 @@ class JpegEncoder:
                 "Direct sample encode supports 8- and 12-bit precision "
                 "(T.81 extended sequential); other precisions ride the "
                 "coefficient (transcode) input path."
+            )
+        if self.differential and self._coefficient_planes is None:
+            raise JpegEncodeError(
+                "Differential frames take pre-quantized coefficient planes "
+                "of the sample differences (set_coefficient_planes) — the "
+                "sample path would apply a level shift differential frames "
+                "must not have."
             )
 
         optimize = (not self.arithmetic) and any(
@@ -673,7 +686,11 @@ class JpegEncoder:
         dqt_payload = b"".join(t.serialize() for t in self._quant_tables)
         writer.write_segment(Marker.DQT, dqt_payload)
 
-        if self.arithmetic:
+        if self.differential:
+            # Differential frames keep one marker per entropy coder
+            # regardless of precision (T.81 Table B.1).
+            sof_marker = Marker.SOF13 if self.arithmetic else Marker.SOF5
+        elif self.arithmetic:
             sof_marker = Marker.SOF9
         else:
             sof_marker = Marker.SOF1 if self.sample_precision > 8 else Marker.SOF0

@@ -175,9 +175,11 @@ def decode_hierarchical(decoder, stream: io_reader.JpegStream, data: bytes, *,
                 else:
                     refs[fc.identifier] = vals & 0xFFFF
         elif coefficient_planes is not None:
-            # Non-differential DCT frame: dequantize + IDCT + level
+            # DCT frame. Non-differential: dequantize + IDCT + level
             # shift, clamped to the sample range (the writer clamp,
             # J.1.1.3) — the clamped values are the reference.
+            # Differential (SOF5/SOF13): IDCT with NO level shift gives
+            # the spatial differences; add to the reference and clamp.
             for cg in geometry.components:
                 fc = frame.components[cg.component_index]
                 hc = ceil_div(frame.number_of_lines * cg.v, geometry.max_v)
@@ -185,10 +187,25 @@ def decode_hierarchical(decoder, stream: io_reader.JpegStream, data: bytes, *,
                 plane = decode_stage.component_plane(
                     coefficient_planes[cg.component_index],
                     component_quant[cg.component_index].astype(np.int32),
-                    geometry.level_shift,
+                    0 if differential else geometry.level_shift,
                     1, 1, hc, wc,
                 )
-                refs[fc.identifier] = np.clip(plane, 0, mask)
+                if differential:
+                    ref = refs.get(fc.identifier)
+                    if ref is None:
+                        raise JpegDecodeError(
+                            f"Differential frame component {fc.identifier} "
+                            "has no reference (no prior frame coded it)."
+                        )
+                    if ref.shape != (hc, wc):
+                        raise JpegDecodeError(
+                            f"Reference for component {fc.identifier} is "
+                            f"{ref.shape}, differential frame needs "
+                            f"{(hc, wc)} (missing or wrong EXP segment?)."
+                        )
+                    refs[fc.identifier] = np.clip(ref + plane, 0, mask)
+                else:
+                    refs[fc.identifier] = np.clip(plane, 0, mask)
         frame = None
         sof_marker = None
         geometry = None
@@ -209,12 +226,13 @@ def decode_hierarchical(decoder, stream: io_reader.JpegStream, data: bytes, *,
             pending_exp = (payload[0] >> 4, payload[0] & 0xF)
         elif seg.marker in ALL_SOF_MARKERS:
             finalize_frame()
-            if seg.marker in (Marker.SOF5, Marker.SOF6, Marker.SOF11,
-                              Marker.SOF13, Marker.SOF14, Marker.SOF15):
+            if seg.marker in (Marker.SOF6, Marker.SOF11, Marker.SOF14,
+                              Marker.SOF15):
                 raise JpegUnsupportedError(
                     "Hierarchical frame type not supported "
                     f"({Marker(seg.marker).name}); differential frames "
-                    "are supported in the Huffman lossless mode (SOF7)."
+                    "are supported as lossless SOF7 and sequential DCT "
+                    "SOF5/SOF13."
                 )
             frame = io_reader.resolve_dnl(
                 stream, data, FrameHeader.parse(seg.payload(data), seg.marker)
@@ -361,6 +379,9 @@ def encode_hierarchical(
     precision: int = 8,
     levels: int = 3,
     base: str = "lossless",
+    refinement: str = "lossless",
+    final_lossless: bool = True,
+    arithmetic: bool = False,
     quality: int = 75,
     restart_interval: int = 0,
 ) -> bytes:
@@ -373,14 +394,22 @@ def encode_hierarchical(
 
     ``levels``: number of frames. Level 0 is the base at
     ceil(dim / 2^(levels-1)); each refinement doubles resolution via an
-    EXP segment and codes the residual as a differential-lossless
-    (SOF7) frame, so the final full-resolution output decodes
-    BIT-EXACTLY (lossless base) or exactly refines the lossy base
-    (``base="dct"``: a baseline SOF0 frame at ``quality``).
+    EXP segment and codes the residual as a differential frame.
 
-    ``restart_interval`` (samples per restart segment) applies to the
-    differential frames — their diff streams are context-free, giving
-    the decoder its restart-parallel seam.
+    ``base``: ``"lossless"`` (SOF3) or ``"dct"`` (sequential DCT at
+    ``quality``; SOF9 with ``arithmetic``).
+
+    ``refinement``: ``"lossless"`` codes residuals as
+    differential-lossless SOF7 frames (final output decodes BIT-EXACTLY
+    regardless of base). ``"dct"`` codes them as differential
+    sequential DCT frames (SOF5, or SOF13 with ``arithmetic``) at
+    ``quality`` — the classic lossy Annex-J pyramid; with
+    ``final_lossless`` (default) the LAST refinement stays SOF7 so the
+    full-resolution output is still exact.
+
+    ``restart_interval`` applies to the differential frames (samples
+    per restart segment for SOF7, MCUs for SOF5/SOF13) — their streams
+    restart-partition, giving the decoder its parallel seam.
     """
     from ..io.writer import JpegWriter
     from .lossless import encode_lossless
@@ -400,8 +429,12 @@ def encode_hierarchical(
         raise ValueError("levels must be >= 1")
     if base not in ("lossless", "dct"):
         raise ValueError(f"base mode {base!r} not in ('lossless', 'dct')")
-    if base == "dct" and precision != 8:
-        raise ValueError("DCT base frames require precision=8")
+    if refinement not in ("lossless", "dct"):
+        raise ValueError(
+            f"refinement mode {refinement!r} not in ('lossless', 'dct')"
+        )
+    if (base == "dct" or refinement == "dct") and precision != 8:
+        raise ValueError("DCT frames require precision=8")
     mask = (1 << precision) - 1
 
     # Pyramid: level levels-1 is the input; each lower level halves.
@@ -415,6 +448,48 @@ def encode_hierarchical(
         assert jpeg_bytes[:2] == b"\xff\xd8" and jpeg_bytes[-2:] == b"\xff\xd9"
         return jpeg_bytes[2:-2]
 
+    def make_dct_encoder(differential: bool):
+        """A 1x1-sampled JpegEncoder with quality-scaled Annex-K quant
+        tables (luminance for component 0, chrominance otherwise) —
+        shared by the DCT base frame and the SOF5/SOF13 refinements."""
+        from . import encoder as encoder_mod
+        from ..syntax.quantization import (
+            scale_by_quality,
+            standard_chrominance_table,
+            standard_luminance_table,
+        )
+        from ..syntax import huffman_standard
+
+        enc = encoder_mod.JpegEncoder()
+        enc.arithmetic = arithmetic
+        enc.differential = differential
+        enc.restart_interval = restart_interval if differential else 0
+        quants = [scale_by_quality(standard_luminance_table(0), quality)]
+        enc.set_quantization_table(quants[0])
+        if not arithmetic:
+            if differential:
+                # Residual statistics are nothing like Annex K's —
+                # registering builders switches on 2-pass optimize.
+                enc.set_huffman_table(True, 0, None)
+                enc.set_huffman_table(False, 0, None)
+            else:
+                enc.set_huffman_table(True, 0, huffman_standard.dc_luminance())
+                enc.set_huffman_table(False, 0, huffman_standard.ac_luminance())
+        if n_comps > 1:
+            quants.append(scale_by_quality(standard_chrominance_table(1), quality))
+            enc.set_quantization_table(quants[1])
+            if not arithmetic:
+                if differential:
+                    enc.set_huffman_table(True, 1, None)
+                    enc.set_huffman_table(False, 1, None)
+                else:
+                    enc.set_huffman_table(True, 1, huffman_standard.dc_chrominance())
+                    enc.set_huffman_table(False, 1, huffman_standard.ac_chrominance())
+        for i in range(n_comps):
+            q = 0 if i == 0 else 1
+            enc.add_component(i + 1, q, q, q, 1, 1)
+        return enc, [np.asarray(q.elements, dtype=np.int32) for q in quants]
+
     # Base frame + its reconstruction (the decoder's reference).
     base_planes = pyramid[0]
     if base == "lossless":
@@ -427,29 +502,7 @@ def encode_hierarchical(
         )
         recon = [p & mask for p in base_planes]
     else:
-        from . import encoder as encoder_mod
-        from ..syntax.quantization import (
-            scale_by_quality,
-            standard_chrominance_table,
-            standard_luminance_table,
-        )
-        from ..syntax import huffman_standard
-
-        enc = encoder_mod.JpegEncoder()
-        enc.set_quantization_table(
-            scale_by_quality(standard_luminance_table(0), quality)
-        )
-        enc.set_huffman_table(True, 0, huffman_standard.dc_luminance())
-        enc.set_huffman_table(False, 0, huffman_standard.ac_luminance())
-        if n_comps > 1:
-            enc.set_quantization_table(
-                scale_by_quality(standard_chrominance_table(1), quality)
-            )
-            enc.set_huffman_table(True, 1, huffman_standard.dc_chrominance())
-            enc.set_huffman_table(False, 1, huffman_standard.ac_chrominance())
-        for i in range(n_comps):
-            q = 0 if i == 0 else 1
-            enc.add_component(i + 1, q, q, q, 1, 1)
+        enc, _quants = make_dct_encoder(differential=False)
         enc.set_input([np.clip(p, 0, 255).astype(np.uint8) for p in base_planes])
         full = enc.encode()
         base_bytes = strip(full)
@@ -484,23 +537,52 @@ def encode_hierarchical(
         th, tw = target[0].shape
         # EXP: expand the reference by 2 in both axes (J.1.1.2), crop.
         writer.write_segment(Marker.EXP, bytes([0x11]))
-        diffs = []
-        new_recon = []
-        for p, r in zip(target, recon):
-            ref = expand_reference(r, 1, 1)[:th, :tw]
-            diffs.append(((p & mask) - ref).astype(np.int16))
-            new_recon.append(p & mask)
-        recon = new_recon
-        writer.write_bytes(
-            strip(
-                encode_lossless(
-                    diffs,
-                    precision=precision,
-                    differential=True,
-                    restart_interval=restart_interval,
+        expanded = [expand_reference(r, 1, 1)[:th, :tw] for r in recon]
+        diffs = [
+            ((p & mask) - ref).astype(np.int32)
+            for p, ref in zip(target, expanded)
+        ]
+        use_dct = refinement == "dct" and not (
+            final_lossless and level == levels - 1
+        )
+        if use_dct:
+            # Differential sequential DCT frame (SOF5 / SOF13): FDCT of
+            # the spatial residuals with NO level shift (J.1.1.3),
+            # quantized; the decoder adds the clamped IDCT back onto
+            # the expanded reference, so the next level diffs against
+            # the DECODER-side reconstruction (computed here with the
+            # same component_plane the decoder uses — exact parity).
+            from ..ops import encode_stage
+
+            enc, quants = make_dct_encoder(differential=True)
+            coeff_planes = []
+            new_recon = []
+            hb, wb = ceil_div(th, 8), ceil_div(tw, 8)
+            comp_quants = [quants[0]] + [quants[-1]] * (n_comps - 1)
+            for d, ref, qz in zip(diffs, expanded, comp_quants):
+                coeffs = encode_stage.forward_component(
+                    d, qz, 1, 1, 1, 1, wb, hb, xp=np, level_shift=0.0
+                )
+                coeff_planes.append(coeffs)
+                plane = decode_stage.component_plane(
+                    coeffs.astype(np.int32), qz, 0, 1, 1, th, tw
+                )
+                new_recon.append(np.clip(ref + plane, 0, mask))
+            enc.set_coefficient_planes(coeff_planes, tw, th)
+            recon = new_recon
+            writer.write_bytes(strip(enc.encode()))
+        else:
+            recon = [p & mask for p in target]
+            writer.write_bytes(
+                strip(
+                    encode_lossless(
+                        [d.astype(np.int16) for d in diffs],
+                        precision=precision,
+                        differential=True,
+                        restart_interval=restart_interval,
+                    )
                 )
             )
-        )
 
     writer.write_marker(Marker.EOI)
     return writer.to_bytes()

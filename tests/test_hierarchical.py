@@ -185,3 +185,95 @@ class TestProgressiveResolution:
         assert np.array_equal(
             res.to_uint8()[..., 0], downsample2(img.astype(np.int32)).astype(np.uint8)
         )
+
+
+class TestDctDifferentialFrames:
+    """SOF5/SOF13: differential sequential DCT refinements (Annex J) —
+    the classic lossy pyramid. Beyond the reference, which rejects
+    every hierarchical SOF."""
+
+    def _sof_markers(self, data):
+        from jpeglibrary_tpu.io.reader import parse_stream
+        from jpeglibrary_tpu.syntax.markers import ALL_SOF_MARKERS
+
+        return [
+            Marker(s.marker)
+            for s in parse_stream(data).segments
+            if s.marker in ALL_SOF_MARKERS
+        ]
+
+    def test_dct_refinement_final_lossless_exact(self):
+        # SOF0 base + SOF5 middle + SOF7 final: bit-exact output.
+        img = _test_image(96, 80)
+        data = encode_hierarchical(
+            img, levels=3, base="dct", refinement="dct", quality=80
+        )
+        assert self._sof_markers(data) == [Marker.SOF0, Marker.SOF5, Marker.SOF7]
+        res = jt.decode(data)
+        assert np.array_equal(res.to_uint8()[..., 0], img)
+
+    def test_fully_lossy_pyramid_close(self):
+        img = _test_image(128, 96)
+        data = encode_hierarchical(
+            img, levels=3, base="dct", refinement="dct",
+            final_lossless=False, quality=90,
+        )
+        assert self._sof_markers(data) == [Marker.SOF0, Marker.SOF5, Marker.SOF5]
+        out = jt.decode(data).to_uint8()[..., 0].astype(np.int32)
+        err = np.abs(out - img.astype(np.int32))
+        assert err.mean() < 4 and err.max() < 48
+
+    def test_three_component_dct_refinement_exact(self):
+        img = _test_image(64, 64)
+        img3 = np.stack([img, 255 - img, np.roll(img, 5, axis=0)], axis=-1)
+        data = encode_hierarchical(
+            img3, levels=2, base="lossless", refinement="dct", quality=75
+        )
+        # final_lossless keeps the single refinement SOF7... levels=2
+        # means ONE refinement, which stays lossless. Use 3 levels so a
+        # true SOF5 frame exists.
+        assert self._sof_markers(data) == [Marker.SOF3, Marker.SOF7]
+        data = encode_hierarchical(
+            img3, levels=3, base="lossless", refinement="dct", quality=75
+        )
+        assert self._sof_markers(data) == [Marker.SOF3, Marker.SOF5, Marker.SOF7]
+        res = jt.decode(data)
+        assert np.array_equal(res.to_uint8(), img3)
+
+    def test_arithmetic_pyramid_sof13(self):
+        img = _test_image(80, 72, seed=9)
+        data = encode_hierarchical(
+            img, levels=3, base="dct", refinement="dct",
+            arithmetic=True, quality=85,
+        )
+        assert self._sof_markers(data) == [Marker.SOF9, Marker.SOF13, Marker.SOF7]
+        res = jt.decode(data)
+        assert np.array_equal(res.to_uint8()[..., 0], img)
+
+    def test_python_scanner_parity_sof5(self):
+        img = _test_image(56, 56, seed=11)
+        data = encode_hierarchical(
+            img, levels=3, base="dct", refinement="dct", quality=70
+        )
+        a = jt.JpegDecoder(); a.set_input(data)
+        b = jt.JpegDecoder(); b.set_input(data)
+        assert np.array_equal(
+            a.decode(use_native=True).to_uint8(),
+            b.decode(use_native=False).to_uint8(),
+        )
+
+    def test_restart_interval_in_sof5(self):
+        img = _test_image(88, 88, seed=2)
+        data = encode_hierarchical(
+            img, levels=3, base="dct", refinement="dct",
+            quality=75, restart_interval=4,
+        )
+        assert b"\xff\xdd" in data
+        assert b"\xff\xd0" in data  # RST0 actually emitted
+        res = jt.decode(data)
+        assert np.array_equal(res.to_uint8()[..., 0], img)
+
+    def test_dct_refinement_requires_8bit(self):
+        img = np.zeros((16, 16), dtype=np.int32)
+        with pytest.raises(ValueError):
+            encode_hierarchical(img, precision=12, refinement="dct")
