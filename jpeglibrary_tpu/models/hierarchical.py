@@ -47,8 +47,9 @@ from ..syntax.markers import (
 )
 from .geometry import allocate_coefficient_planes, ceil_div, frame_geometry
 
-#: Differential SOF markers (T.81 Table B.1). Huffman lossless (SOF7)
-#: is implemented; the DCT/arithmetic differential modes raise.
+#: Differential SOF markers (T.81 Table B.1). Implemented: lossless
+#: SOF7, sequential DCT SOF5/SOF13, progressive DCT SOF6/SOF14; the
+#: arithmetic-lossless pair (SOF11-frame SOF15) raises.
 DIFFERENTIAL_SOF_MARKERS = frozenset(
     {Marker.SOF5, Marker.SOF6, Marker.SOF7, Marker.SOF13, Marker.SOF14, Marker.SOF15}
 )
@@ -226,13 +227,11 @@ def decode_hierarchical(decoder, stream: io_reader.JpegStream, data: bytes, *,
             pending_exp = (payload[0] >> 4, payload[0] & 0xF)
         elif seg.marker in ALL_SOF_MARKERS:
             finalize_frame()
-            if seg.marker in (Marker.SOF6, Marker.SOF11, Marker.SOF14,
-                              Marker.SOF15):
+            if seg.marker in (Marker.SOF11, Marker.SOF15):
                 raise JpegUnsupportedError(
                     "Hierarchical frame type not supported "
-                    f"({Marker(seg.marker).name}); differential frames "
-                    "are supported as lossless SOF7 and sequential DCT "
-                    "SOF5/SOF13."
+                    f"({Marker(seg.marker).name}): the arithmetic "
+                    "lossless processes are not implemented."
                 )
             frame = io_reader.resolve_dnl(
                 stream, data, FrameHeader.parse(seg.payload(data), seg.marker)
@@ -292,7 +291,8 @@ def decode_hierarchical(decoder, stream: io_reader.JpegStream, data: bytes, *,
                             decoder._dc_tables, decoder._restart_interval,
                             sample_planes,
                         )
-                elif sof_marker in (Marker.SOF2, Marker.SOF10):
+                elif sof_marker in (Marker.SOF2, Marker.SOF6, Marker.SOF10,
+                                    Marker.SOF14):
                     for comp_index, fc, _sc in resolve_scan_components(
                         frame, scan_header
                     ):
@@ -316,7 +316,8 @@ def decode_hierarchical(decoder, stream: io_reader.JpegStream, data: bytes, *,
                             "dac_dc": dict(decoder._dac_dc),
                             "dac_ac": dict(decoder._dac_ac),
                             "restart_interval": decoder._restart_interval,
-                            "arithmetic": sof_marker == Marker.SOF10,
+                            "arithmetic": sof_marker in (Marker.SOF10,
+                                                         Marker.SOF14),
                         }
                     )
                 else:
@@ -403,9 +404,11 @@ def encode_hierarchical(
     differential-lossless SOF7 frames (final output decodes BIT-EXACTLY
     regardless of base). ``"dct"`` codes them as differential
     sequential DCT frames (SOF5, or SOF13 with ``arithmetic``) at
-    ``quality`` — the classic lossy Annex-J pyramid; with
-    ``final_lossless`` (default) the LAST refinement stays SOF7 so the
-    full-resolution output is still exact.
+    ``quality`` — the classic lossy Annex-J pyramid; ``"progressive"``
+    codes the same quantized residuals with progressive scan scripts
+    (SOF6, or SOF14 with ``arithmetic``). With ``final_lossless``
+    (default) the LAST refinement stays SOF7 so the full-resolution
+    output is still exact.
 
     ``restart_interval`` applies to the differential frames (samples
     per restart segment for SOF7, MCUs for SOF5/SOF13) — their streams
@@ -429,11 +432,12 @@ def encode_hierarchical(
         raise ValueError("levels must be >= 1")
     if base not in ("lossless", "dct"):
         raise ValueError(f"base mode {base!r} not in ('lossless', 'dct')")
-    if refinement not in ("lossless", "dct"):
+    if refinement not in ("lossless", "dct", "progressive"):
         raise ValueError(
-            f"refinement mode {refinement!r} not in ('lossless', 'dct')"
+            f"refinement mode {refinement!r} not in "
+            "('lossless', 'dct', 'progressive')"
         )
-    if (base == "dct" or refinement == "dct") and precision != 8:
+    if (base == "dct" or refinement != "lossless") and precision != 8:
         raise ValueError("DCT frames require precision=8")
     mask = (1 << precision) - 1
 
@@ -542,16 +546,18 @@ def encode_hierarchical(
             ((p & mask) - ref).astype(np.int32)
             for p, ref in zip(target, expanded)
         ]
-        use_dct = refinement == "dct" and not (
+        use_dct = refinement != "lossless" and not (
             final_lossless and level == levels - 1
         )
         if use_dct:
-            # Differential sequential DCT frame (SOF5 / SOF13): FDCT of
-            # the spatial residuals with NO level shift (J.1.1.3),
-            # quantized; the decoder adds the clamped IDCT back onto
-            # the expanded reference, so the next level diffs against
-            # the DECODER-side reconstruction (computed here with the
-            # same component_plane the decoder uses — exact parity).
+            # Differential DCT frame (SOF5/SOF13 sequential, SOF6/SOF14
+            # progressive): FDCT of the spatial residuals with NO level
+            # shift (J.1.1.3), quantized; the decoder adds the clamped
+            # IDCT back onto the expanded reference, so the next level
+            # diffs against the DECODER-side reconstruction (computed
+            # here with the same component_plane the decoder uses —
+            # exact parity). Progressive coefficient coding is lossless,
+            # so the reconstruction is entropy-coder-independent.
             from ..ops import encode_stage
 
             enc, quants = make_dct_encoder(differential=True)
@@ -568,9 +574,51 @@ def encode_hierarchical(
                     coeffs.astype(np.int32), qz, 0, 1, 1, th, tw
                 )
                 new_recon.append(np.clip(ref + plane, 0, mask))
-            enc.set_coefficient_planes(coeff_planes, tw, th)
             recon = new_recon
-            writer.write_bytes(strip(enc.encode()))
+            if refinement == "progressive":
+                from ..syntax.quantization import (
+                    scale_by_quality,
+                    standard_chrominance_table,
+                    standard_luminance_table,
+                )
+                from .progressive_encoder import (
+                    SCRIPT_1,
+                    SCRIPT_3,
+                    encode_progressive,
+                )
+
+                qtabs = [scale_by_quality(standard_luminance_table(0), quality)]
+                if n_comps > 1:
+                    qtabs.append(
+                        scale_by_quality(standard_chrominance_table(1), quality)
+                    )
+                qids = [0] + [len(qtabs) - 1] * (n_comps - 1)
+                if n_comps == 3:
+                    script = SCRIPT_3
+                elif n_comps == 1:
+                    script = SCRIPT_1
+                else:
+                    # Spectral-selection-only script for 2/4 components.
+                    script = [(tuple(range(n_comps)), 0, 0, 0, 0)] + [
+                        ((i,), 1, 63, 0, 0) for i in range(n_comps)
+                    ]
+                frame_bytes = encode_progressive(
+                    [],
+                    qtabs,
+                    [(1, 1)] * n_comps,
+                    quant_ids=qids,
+                    table_ids=[min(i, 1) for i in range(n_comps)],
+                    script=script,
+                    arithmetic=arithmetic,
+                    coefficients=coeff_planes,
+                    size=(th, tw),
+                    restart_interval=restart_interval,
+                    differential=True,
+                )
+                writer.write_bytes(strip(frame_bytes))
+            else:
+                enc.set_coefficient_planes(coeff_planes, tw, th)
+                writer.write_bytes(strip(enc.encode()))
         else:
             recon = [p & mask for p in target]
             writer.write_bytes(

@@ -121,9 +121,18 @@ def encode_progressive(
     size: Optional[Tuple[int, int]] = None,
     precision: int = 8,
     restart_interval: int = 0,
+    differential: bool = False,
 ) -> bytes:
     """Core progressive encode: sample planes -> SOF2 (Huffman) or
     SOF10 (arithmetic QM coder) stream.
+
+    ``differential`` emits the hierarchical differential markers
+    instead (SOF6 Huffman / SOF14 arithmetic, T.81 Table B.1) — the
+    scan coding is IDENTICAL (progressive coefficient coding is
+    lossless), only the frame type and the decoder's finalize (no
+    level shift, add to the reference) differ. Callers pass
+    ``coefficients`` holding quantized FDCTs of residuals computed
+    with no level shift (models/hierarchical.py).
 
     ``coefficients`` (with ``size`` = (H, W)): pre-quantized zig-zag
     planes, skipping the sample transform — the lossless-transcode
@@ -272,7 +281,10 @@ def encode_progressive(
         qt = quant_tables[qid]
         dqt += qt.serialize()
     writer.write_segment(Marker.DQT, dqt)
-    sof = Marker.SOF10 if arithmetic else Marker.SOF2
+    if differential:
+        sof = Marker.SOF14 if arithmetic else Marker.SOF6
+    else:
+        sof = Marker.SOF10 if arithmetic else Marker.SOF2
     frame = FrameHeader(
         marker=sof,
         sample_precision=precision,

@@ -277,3 +277,95 @@ class TestDctDifferentialFrames:
         img = np.zeros((16, 16), dtype=np.int32)
         with pytest.raises(ValueError):
             encode_hierarchical(img, precision=12, refinement="dct")
+
+
+class TestProgressiveDifferentialFrames:
+    """SOF6/SOF14: differential progressive DCT refinements."""
+
+    def _sof_markers(self, data):
+        from jpeglibrary_tpu.io.reader import parse_stream
+        from jpeglibrary_tpu.syntax.markers import ALL_SOF_MARKERS
+
+        return [
+            Marker(s.marker)
+            for s in parse_stream(data).segments
+            if s.marker in ALL_SOF_MARKERS
+        ]
+
+    def test_sof6_refinement_exact(self):
+        img = _test_image(96, 80, seed=21)
+        data = encode_hierarchical(
+            img, levels=3, base="dct", refinement="progressive", quality=80
+        )
+        assert self._sof_markers(data) == [Marker.SOF0, Marker.SOF6, Marker.SOF7]
+        res = jt.decode(data)
+        assert np.array_equal(res.to_uint8()[..., 0], img)
+
+    def test_sof6_three_component_lossy_close(self):
+        img = _test_image(80, 64, seed=22)
+        img3 = np.stack([img, 255 - img, np.roll(img, 3, axis=1)], axis=-1)
+        data = encode_hierarchical(
+            img3, levels=2, base="dct", refinement="progressive",
+            final_lossless=False, quality=90,
+        )
+        assert self._sof_markers(data) == [Marker.SOF0, Marker.SOF6]
+        out = jt.decode(data).to_uint8().astype(np.int32)
+        err = np.abs(out - img3.astype(np.int32))
+        assert err.mean() < 4 and err.max() < 64
+
+    def test_sof14_arithmetic_exact(self):
+        img = _test_image(72, 88, seed=23)
+        data = encode_hierarchical(
+            img, levels=3, base="dct", refinement="progressive",
+            arithmetic=True, quality=85,
+        )
+        assert self._sof_markers(data) == [Marker.SOF9, Marker.SOF14, Marker.SOF7]
+        res = jt.decode(data)
+        assert np.array_equal(res.to_uint8()[..., 0], img)
+
+    def test_sof6_python_scanner_parity(self):
+        img = _test_image(48, 56, seed=24)
+        data = encode_hierarchical(
+            img, levels=3, base="dct", refinement="progressive", quality=70
+        )
+        a = jt.JpegDecoder(); a.set_input(data)
+        b = jt.JpegDecoder(); b.set_input(data)
+        assert np.array_equal(
+            a.decode(use_native=True).to_uint8(),
+            b.decode(use_native=False).to_uint8(),
+        )
+
+    def test_sof6_matches_sof5_reconstruction(self):
+        # Progressive coefficient coding is lossless, so SOF5 and SOF6
+        # pyramids of the same quality decode IDENTICALLY.
+        img = _test_image(64, 96, seed=25)
+        seq = encode_hierarchical(
+            img, levels=2, base="dct", refinement="dct",
+            final_lossless=False, quality=60,
+        )
+        prog = encode_hierarchical(
+            img, levels=2, base="dct", refinement="progressive",
+            final_lossless=False, quality=60,
+        )
+        assert np.array_equal(
+            jt.decode(seq).to_uint8(), jt.decode(prog).to_uint8()
+        )
+
+    def test_lone_sof6_rejected(self):
+        from jpeglibrary_tpu.models.progressive_encoder import (
+            SCRIPT_1, encode_progressive,
+        )
+        from jpeglibrary_tpu.syntax.quantization import (
+            scale_by_quality, standard_luminance_table,
+        )
+
+        coeffs = np.zeros((2, 2, 64), dtype=np.int16)
+        data = encode_progressive(
+            [], [scale_by_quality(standard_luminance_table(0), 75)],
+            [(1, 1)], quant_ids=[0], table_ids=[0], script=SCRIPT_1,
+            coefficients=[coeffs], size=(16, 16), differential=True,
+        )
+        dec = jt.JpegDecoder()
+        dec.set_input(data)
+        with pytest.raises(ValueError):
+            dec.decode()
