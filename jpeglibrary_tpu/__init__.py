@@ -68,6 +68,7 @@ from .models.encoder import (
 )
 from .models.hierarchical import encode_hierarchical
 from .models.lossless import encode_lossless
+from .models.arithmetic_lossless import encode_lossless_arithmetic
 from .models.optimizer import JpegOptimizer, optimize
 from .models.transcode import transcode
 
@@ -82,6 +83,7 @@ __all__ = [
     "encode_rgb_stripes",
     "encode_gray",
     "encode_lossless",
+    "encode_lossless_arithmetic",
     "encode_hierarchical",
     "JpegOptimizer",
     "optimize",

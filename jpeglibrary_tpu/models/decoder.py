@@ -559,7 +559,7 @@ class JpegDecoder:
                 # Fresh per-frame entropy state (the reference creates a
                 # new scan decoder per SOF, JpegDecoder.cs:558-590).
                 self._arithmetic_state = None
-                if sof_marker == Marker.SOF3:
+                if sof_marker in (Marker.SOF3, Marker.SOF11):
                     from .lossless import allocate_sample_planes
 
                     sample_planes = allocate_sample_planes(frame)
@@ -606,7 +606,25 @@ class JpegDecoder:
                     )
                     continue
                 with metrics.stage("decode.entropy_scan"):
-                    if sof_marker == Marker.SOF3:
+                    if sof_marker == Marker.SOF11:
+                        from . import arithmetic
+                        from .arithmetic_lossless import (
+                            decode_lossless_scan_arithmetic,
+                        )
+
+                        if self._arithmetic_state is None:
+                            self._arithmetic_state = arithmetic.ArithmeticDecoder()
+                        decode_lossless_scan_arithmetic(
+                            data,
+                            scan.spans,
+                            frame,
+                            scan_header,
+                            self._dac_dc,
+                            self._arithmetic_state,
+                            self._restart_interval,
+                            sample_planes,
+                        )
+                    elif sof_marker == Marker.SOF3:
                         decoded_native = False
                         if use_native:
                             try:

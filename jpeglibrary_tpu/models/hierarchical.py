@@ -113,7 +113,7 @@ def decode_hierarchical(decoder, stream: io_reader.JpegStream, data: bytes, *,
     """Decode a hierarchical stream (called by JpegDecoder.decode when a
     DHP segment is present). Returns a DecodeResult whose sample planes
     are the fully refined reference components at DHP resolution."""
-    from .decoder import DecodeResult, JpegUnsupportedError
+    from .decoder import DecodeResult
     from .huffman_baseline import JpegDecodeError
     from ..utils import metrics
 
@@ -227,12 +227,6 @@ def decode_hierarchical(decoder, stream: io_reader.JpegStream, data: bytes, *,
             pending_exp = (payload[0] >> 4, payload[0] & 0xF)
         elif seg.marker in ALL_SOF_MARKERS:
             finalize_frame()
-            if seg.marker in (Marker.SOF11, Marker.SOF15):
-                raise JpegUnsupportedError(
-                    "Hierarchical frame type not supported "
-                    f"({Marker(seg.marker).name}): the arithmetic "
-                    "lossless processes are not implemented."
-                )
             frame = io_reader.resolve_dnl(
                 stream, data, FrameHeader.parse(seg.payload(data), seg.marker)
             )
@@ -258,7 +252,8 @@ def decode_hierarchical(decoder, stream: io_reader.JpegStream, data: bytes, *,
                         )
                     refs[fc.identifier] = expanded[:hc, :wc]
             pending_exp = None
-            if sof_marker in (Marker.SOF3, Marker.SOF7):
+            if sof_marker in (Marker.SOF3, Marker.SOF7, Marker.SOF11,
+                              Marker.SOF15):
                 from .lossless import allocate_sample_planes
 
                 sample_planes = allocate_sample_planes(frame)
@@ -270,7 +265,18 @@ def decode_hierarchical(decoder, stream: io_reader.JpegStream, data: bytes, *,
             scan = next(scan_iter)
             scan_header = ScanHeader.parse(seg.payload(data))
             with metrics.stage("decode.entropy_scan"):
-                if sample_planes is not None:
+                if sof_marker in (Marker.SOF11, Marker.SOF15):
+                    from .arithmetic import ArithmeticDecoder
+                    from .arithmetic_lossless import (
+                        decode_lossless_scan_arithmetic,
+                    )
+
+                    decode_lossless_scan_arithmetic(
+                        data, scan.spans, frame, scan_header,
+                        decoder._dac_dc, ArithmeticDecoder(),
+                        decoder._restart_interval, sample_planes,
+                    )
+                elif sample_planes is not None:
                     decoded_native = False
                     if use_native:
                         try:
@@ -397,8 +403,13 @@ def encode_hierarchical(
     ceil(dim / 2^(levels-1)); each refinement doubles resolution via an
     EXP segment and codes the residual as a differential frame.
 
-    ``base``: ``"lossless"`` (SOF3) or ``"dct"`` (sequential DCT at
-    ``quality``; SOF9 with ``arithmetic``).
+    ``base``: ``"lossless"`` (SOF3, or SOF11 with ``arithmetic``) or
+    ``"dct"`` (sequential DCT at ``quality``; SOF9 with
+    ``arithmetic``).
+
+    ``arithmetic`` switches EVERY frame to the QM-coded process:
+    SOF3->SOF11, SOF0->SOF9, SOF5->SOF13, SOF6->SOF14, SOF7->SOF15 —
+    an all-arithmetic Annex-J pyramid.
 
     ``refinement``: ``"lossless"`` codes residuals as
     differential-lossless SOF7 frames (final output decodes BIT-EXACTLY
@@ -497,13 +508,24 @@ def encode_hierarchical(
     # Base frame + its reconstruction (the decoder's reference).
     base_planes = pyramid[0]
     if base == "lossless":
-        base_bytes = strip(
-            encode_lossless(
-                [p.astype(np.int32) for p in base_planes],
-                precision=precision,
-                predictor=1,
+        if arithmetic:
+            from .arithmetic_lossless import encode_lossless_arithmetic
+
+            base_bytes = strip(
+                encode_lossless_arithmetic(
+                    [p.astype(np.int32) for p in base_planes],
+                    precision=precision,
+                    predictor=1,
+                )
             )
-        )
+        else:
+            base_bytes = strip(
+                encode_lossless(
+                    [p.astype(np.int32) for p in base_planes],
+                    precision=precision,
+                    predictor=1,
+                )
+            )
         recon = [p & mask for p in base_planes]
     else:
         enc, _quants = make_dct_encoder(differential=False)
@@ -621,16 +643,23 @@ def encode_hierarchical(
                 writer.write_bytes(strip(enc.encode()))
         else:
             recon = [p & mask for p in target]
-            writer.write_bytes(
-                strip(
-                    encode_lossless(
-                        [d.astype(np.int16) for d in diffs],
-                        precision=precision,
-                        differential=True,
-                        restart_interval=restart_interval,
-                    )
+            if arithmetic:
+                from .arithmetic_lossless import encode_lossless_arithmetic
+
+                frame_bytes = encode_lossless_arithmetic(
+                    [d.astype(np.int16) for d in diffs],
+                    precision=precision,
+                    differential=True,
+                    restart_interval=restart_interval,
                 )
-            )
+            else:
+                frame_bytes = encode_lossless(
+                    [d.astype(np.int16) for d in diffs],
+                    precision=precision,
+                    differential=True,
+                    restart_interval=restart_interval,
+                )
+            writer.write_bytes(strip(frame_bytes))
 
     writer.write_marker(Marker.EOI)
     return writer.to_bytes()

@@ -45,8 +45,9 @@ def transcode(
 
     ``mode``: one of {"optimized", "optimal", "progressive",
     "arithmetic", "arithmetic-progressive"} for DCT inputs. Lossless
-    (SOF3) inputs re-encode predictively (``predictor`` overrides the
-    input's selector) with fresh optimal tables — ``mode`` is ignored.
+    (SOF3/SOF11) inputs re-encode predictively (``predictor`` overrides
+    the input's selector): the arithmetic modes target SOF11, the rest
+    SOF3 with fresh optimal tables.
     ``restart_interval`` adds DRI/RSTn seams where the target coding
     supports them (optimized / arithmetic / lossless).
     """
@@ -55,11 +56,17 @@ def transcode(
     res = dec.decode()
 
     if res.samples is not None:
-        # Lossless input: re-encode the sample planes predictively with
-        # fresh optimal tables (the decoded planes are already the
-        # padded per-component MCU grids the interleaved walk covers).
+        # Lossless input (SOF3 or SOF11): re-encode the sample planes
+        # predictively (the decoded planes are already the padded
+        # per-component MCU grids the interleaved walk covers). The
+        # arithmetic modes emit SOF11 (adaptive QM coding), everything
+        # else SOF3 with fresh optimal tables — so SOF3 <-> SOF11
+        # conversion is just transcode(data, "arithmetic") /
+        # transcode(data, "optimal").
+        from .arithmetic_lossless import encode_lossless_arithmetic
         from .lossless import encode_lossless
 
+        to_arith = mode in ("arithmetic", "arithmetic-progressive")
         frame = res.frame
         sampling = [
             (fc.horizontal_sampling_factor, fc.vertical_sampling_factor)
@@ -73,14 +80,30 @@ def transcode(
 
         def enc(sel):
             if all_1x1:
+                cropped = [
+                    p[: frame.number_of_lines, : frame.samples_per_line]
+                    for p in planes
+                ]
+                if to_arith:
+                    return encode_lossless_arithmetic(
+                        cropped,
+                        precision=frame.sample_precision,
+                        predictor=sel,
+                        restart_interval=restart_interval,
+                    )
                 return encode_lossless(
-                    [
-                        p[: frame.number_of_lines, : frame.samples_per_line]
-                        for p in planes
-                    ],
+                    cropped,
                     precision=frame.sample_precision,
                     predictor=sel,
                     restart_interval=restart_interval,
+                )
+            if to_arith:
+                return encode_lossless_arithmetic(
+                    planes,
+                    precision=frame.sample_precision,
+                    predictor=sel,
+                    sampling=sampling,
+                    size=(frame.number_of_lines, frame.samples_per_line),
                 )
             return encode_lossless(
                 planes,

@@ -86,7 +86,10 @@ class Marker(enum.IntEnum):
 #: SOF markers understood by the decoder dispatch
 #: (reference: ScanDecoder/JpegScanDecoder.cs:18-36).
 SUPPORTED_SOF_MARKERS = frozenset(
-    {Marker.SOF0, Marker.SOF1, Marker.SOF2, Marker.SOF3, Marker.SOF9, Marker.SOF10}
+    {
+        Marker.SOF0, Marker.SOF1, Marker.SOF2, Marker.SOF3,
+        Marker.SOF9, Marker.SOF10, Marker.SOF11,
+    }
 )
 
 ALL_SOF_MARKERS = frozenset(

@@ -246,7 +246,9 @@ class TestDctDifferentialFrames:
             img, levels=3, base="dct", refinement="dct",
             arithmetic=True, quality=85,
         )
-        assert self._sof_markers(data) == [Marker.SOF9, Marker.SOF13, Marker.SOF7]
+        # All-arithmetic pyramid: the final lossless refinement is a
+        # SOF15 (arithmetic differential lossless) frame.
+        assert self._sof_markers(data) == [Marker.SOF9, Marker.SOF13, Marker.SOF15]
         res = jt.decode(data)
         assert np.array_equal(res.to_uint8()[..., 0], img)
 
@@ -319,7 +321,7 @@ class TestProgressiveDifferentialFrames:
             img, levels=3, base="dct", refinement="progressive",
             arithmetic=True, quality=85,
         )
-        assert self._sof_markers(data) == [Marker.SOF9, Marker.SOF14, Marker.SOF7]
+        assert self._sof_markers(data) == [Marker.SOF9, Marker.SOF14, Marker.SOF15]
         res = jt.decode(data)
         assert np.array_equal(res.to_uint8()[..., 0], img)
 
