@@ -247,17 +247,53 @@ def _decode_diff(state: ArithmeticDecoder, reader, st: np.ndarray,
 class _LosslessComp:
     __slots__ = ("index", "h", "v", "plane", "diffs", "stats", "lo", "hi")
 
-    def __init__(self, index, h, v, plane, cond: Optional[ConditioningTable]):
+    def __init__(self, index, h, v, plane, stats: np.ndarray,
+                 cond: Optional[ConditioningTable]):
         self.index = index
         self.h = h
         self.v = v
         self.plane = plane
         self.diffs = np.zeros(plane.shape, dtype=np.int32)
-        self.stats = np.zeros(N_STATS, dtype=np.uint8)
+        # Statistics are a property of the TABLE selector, shared by
+        # every component referencing it (T.81 statistical areas, same
+        # keying as ArithmeticDecoder.get_stats).
+        self.stats = stats
         dc_l = cond.dc_l if cond is not None else 0
         dc_u = cond.dc_u if cond is not None else 1
         self.lo = (1 << dc_l) >> 1
         self.hi = (1 << dc_u) >> 1
+
+
+def decode_scan(
+    data: bytes,
+    spans: Sequence[EntropySpan],
+    frame: FrameHeader,
+    scan: ScanHeader,
+    dac_dc: Dict[int, ConditioningTable],
+    state: ArithmeticDecoder,
+    restart_interval: int,
+    sample_planes: Dict[int, np.ndarray],
+    *,
+    use_native: bool = True,
+) -> None:
+    """Decode one SOF11/SOF15 scan: native C++ scanner when available,
+    pure-Python twin otherwise (bit-identical either way — fuzzed
+    against each other in tests/test_arithmetic_lossless.py)."""
+    if use_native:
+        try:
+            from ..native import scanner as native_scanner
+
+            native_scanner.decode_lossless_arith_scan(
+                data, spans, frame, scan, dac_dc, restart_interval,
+                sample_planes,
+            )
+            return
+        except ImportError:
+            pass
+    decode_lossless_scan_arithmetic(
+        data, spans, frame, scan, dac_dc, state, restart_interval,
+        sample_planes,
+    )
 
 
 def decode_lossless_scan_arithmetic(
@@ -276,13 +312,18 @@ def decode_lossless_scan_arithmetic(
     only the entropy layer differs."""
     resolved = resolve_scan_components(frame, scan)
     comps = []
+    stats_by_id: Dict[int, np.ndarray] = {}
     for comp_index, fc, sc in resolved:
+        stats = stats_by_id.setdefault(
+            sc.dc_table_selector, np.zeros(N_STATS, dtype=np.uint8)
+        )
         comps.append(
             _LosslessComp(
                 comp_index,
                 fc.horizontal_sampling_factor,
                 fc.vertical_sampling_factor,
                 sample_planes[comp_index],
+                stats,
                 dac_dc.get(sc.dc_table_selector),
             )
         )
@@ -374,6 +415,7 @@ def encode_lossless_arithmetic(
     sampling: Optional[Sequence] = None,
     size: Optional[tuple] = None,
     dc_conditioning=(0, 1),
+    use_native: bool = True,
 ) -> bytes:
     """Encode sample planes as an arithmetic lossless JPEG (SOF11; with
     ``differential`` a hierarchical SOF15 frame coding raw diffs with
@@ -443,8 +485,84 @@ def encode_lossless_arithmetic(
             padded[sh:, :] = padded[sh - 1 : sh, :]
         comp_planes.append(padded)
 
+    entropy_blob = None
+    if use_native:
+        try:
+            from ..native import scanner as native_scanner
+
+            entropy_blob = native_scanner.encode_lossless_arith(
+                comp_planes,
+                list(sampling),
+                [min(i, 1) for i in range(n_comps)],
+                (lo, hi),
+                predictor,
+                initial_prediction,
+                point_transform,
+                restart_interval,
+            )
+        except ImportError:
+            entropy_blob = None
+    if entropy_blob is None:
+        entropy_blob = _encode_scan_python(
+            comp_planes, sampling, n_comps, mcus_per_line, mcus_per_column,
+            predictor, initial_prediction, point_transform,
+            restart_interval, lo, hi,
+        )
+
+    # --- container (SOI/EOI always present; hierarchical embedding
+    # strips them, same contract as encode_lossless) ---
+    writer = JpegWriter()
+    writer.write_marker(Marker.SOI)
+    sof_marker = Marker.SOF15 if differential else Marker.SOF11
+    frame = FrameHeader(
+        marker=sof_marker,
+        sample_precision=precision,
+        number_of_lines=h,
+        samples_per_line=w,
+        components=tuple(
+            FrameComponent(i + 1, sampling[i][0], sampling[i][1], 0)
+            for i in range(n_comps)
+        ),
+    )
+    writer.write_segment(sof_marker, frame.serialize())
+    dac = bytearray()
+    for tid in range(min(n_comps, 2)):
+        dac += bytes([tid, (dc_u << 4) | dc_l])
+    writer.write_segment(Marker.DAC, bytes(dac))
+    if restart_interval > 0:
+        writer.write_segment(
+            Marker.DRI,
+            bytes([(restart_interval >> 8) & 0xFF, restart_interval & 0xFF]),
+        )
+    scan = ScanHeader(
+        components=tuple(
+            ScanComponent(i + 1, min(i, 1), 0) for i in range(n_comps)
+        ),
+        start_of_spectral_selection=predictor,
+        end_of_spectral_selection=0,
+        successive_approximation_bit_position_high=0,
+        successive_approximation_bit_position_low=point_transform,
+    )
+    writer.write_segment(Marker.SOS, scan.serialize())
+    writer.write_bytes(entropy_blob)
+    writer.write_marker(Marker.EOI)
+    return writer.to_bytes()
+
+
+def _encode_scan_python(
+    comp_planes, sampling, n_comps, mcus_per_line, mcus_per_column,
+    predictor, initial_prediction, point_transform, restart_interval,
+    lo, hi,
+) -> bytes:
+    """Pure-Python entropy encode (native twin:
+    jpx_encode_lossless_arith) — one blob with inline RSTn markers."""
     enc = ArithmeticEncoder()
-    stats = [np.zeros(N_STATS, dtype=np.uint8) for _ in range(n_comps)]
+    # Statistics shared per table selector (component i uses selector
+    # min(i, 1)), mirroring the decoder and T.81 statistical areas.
+    stats_by_id = [
+        np.zeros(N_STATS, dtype=np.uint8) for _ in range(min(n_comps, 2))
+    ]
+    stats = [stats_by_id[min(i, 1)] for i in range(n_comps)]
     diffs = [np.zeros(p.shape, dtype=np.int32) for p in comp_planes]
     segments = []  # encoded entropy segments split at restart marks
 
@@ -511,45 +629,9 @@ def encode_lossless_arithmetic(
                     for d in diffs:
                         d[:] = 0
     segments.append(enc.flush())
-
-    # --- container (SOI/EOI always present; hierarchical embedding
-    # strips them, same contract as encode_lossless) ---
-    writer = JpegWriter()
-    writer.write_marker(Marker.SOI)
-    sof_marker = Marker.SOF15 if differential else Marker.SOF11
-    frame = FrameHeader(
-        marker=sof_marker,
-        sample_precision=precision,
-        number_of_lines=h,
-        samples_per_line=w,
-        components=tuple(
-            FrameComponent(i + 1, sampling[i][0], sampling[i][1], 0)
-            for i in range(n_comps)
-        ),
-    )
-    writer.write_segment(sof_marker, frame.serialize())
-    dac = bytearray()
-    for tid in range(min(n_comps, 2)):
-        dac += bytes([tid, (dc_u << 4) | dc_l])
-    writer.write_segment(Marker.DAC, bytes(dac))
-    if restart_interval > 0:
-        writer.write_segment(
-            Marker.DRI,
-            bytes([(restart_interval >> 8) & 0xFF, restart_interval & 0xFF]),
-        )
-    scan = ScanHeader(
-        components=tuple(
-            ScanComponent(i + 1, min(i, 1), 0) for i in range(n_comps)
-        ),
-        start_of_spectral_selection=predictor,
-        end_of_spectral_selection=0,
-        successive_approximation_bit_position_high=0,
-        successive_approximation_bit_position_low=point_transform,
-    )
-    writer.write_segment(Marker.SOS, scan.serialize())
+    blob = bytearray()
     for k, seg in enumerate(segments):
         if k > 0:
-            writer.write_marker(Marker.RST0 + ((k - 1) & 7))
-        writer.write_bytes(seg)
-    writer.write_marker(Marker.EOI)
-    return writer.to_bytes()
+            blob += bytes([0xFF, 0xD0 + ((k - 1) & 7)])
+        blob += seg
+    return bytes(blob)

@@ -608,13 +608,11 @@ class JpegDecoder:
                 with metrics.stage("decode.entropy_scan"):
                     if sof_marker == Marker.SOF11:
                         from . import arithmetic
-                        from .arithmetic_lossless import (
-                            decode_lossless_scan_arithmetic,
-                        )
+                        from .arithmetic_lossless import decode_scan
 
                         if self._arithmetic_state is None:
                             self._arithmetic_state = arithmetic.ArithmeticDecoder()
-                        decode_lossless_scan_arithmetic(
+                        decode_scan(
                             data,
                             scan.spans,
                             frame,
@@ -623,6 +621,7 @@ class JpegDecoder:
                             self._arithmetic_state,
                             self._restart_interval,
                             sample_planes,
+                            use_native=use_native,
                         )
                     elif sof_marker == Marker.SOF3:
                         decoded_native = False

@@ -267,14 +267,13 @@ def decode_hierarchical(decoder, stream: io_reader.JpegStream, data: bytes, *,
             with metrics.stage("decode.entropy_scan"):
                 if sof_marker in (Marker.SOF11, Marker.SOF15):
                     from .arithmetic import ArithmeticDecoder
-                    from .arithmetic_lossless import (
-                        decode_lossless_scan_arithmetic,
-                    )
+                    from .arithmetic_lossless import decode_scan
 
-                    decode_lossless_scan_arithmetic(
+                    decode_scan(
                         data, scan.spans, frame, scan_header,
                         decoder._dac_dc, ArithmeticDecoder(),
                         decoder._restart_interval, sample_planes,
+                        use_native=use_native,
                     )
                 elif sample_planes is not None:
                     decoded_native = False

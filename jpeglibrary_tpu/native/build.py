@@ -119,6 +119,31 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, widths
         c.c_int32, c.c_int32,            # predictor_sel, initial_prediction
     ]
+    lib.jpx_decode_lossless_arith.restype = c.c_int32
+    lib.jpx_decode_lossless_arith.argtypes = [
+        c.c_void_p,
+        c.POINTER(c.c_int64), c.POINTER(c.c_int64), c.c_int32,  # spans
+        c.c_int64,                       # restart_interval
+        c.c_int64, c.c_int64,            # mcus per line / column
+        c.c_int32,                       # n_comps
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # comp_h, comp_v
+        c.POINTER(c.c_int32),            # table_ids
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # cond_lo, cond_hi
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, widths
+        c.c_int32, c.c_int32,            # predictor_sel, initial_prediction
+    ]
+    lib.jpx_encode_lossless_arith.restype = c.c_int64
+    lib.jpx_encode_lossless_arith.argtypes = [
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, widths
+        c.c_int64, c.c_int64,            # mcus per line / column
+        c.c_int32,                       # n_comps
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # comp_h, comp_v
+        c.POINTER(c.c_int32),            # table_ids
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # cond_lo, cond_hi
+        c.c_int32, c.c_int32, c.c_int32,  # predictor, init_pred, pt
+        c.c_int64,                       # restart_interval
+        c.c_void_p, c.c_int64,           # out, cap
+    ]
     lib.jpx_decode_lossless_restart_parallel.restype = c.c_int32
     lib.jpx_decode_lossless_restart_parallel.argtypes = [
         c.c_void_p,

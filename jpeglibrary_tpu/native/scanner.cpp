@@ -5537,3 +5537,359 @@ extern "C" void jpx_box_subsample(const uint8_t* in, int64_t h, int64_t w,
     }
     for (auto& th : pool) th.join();
 }
+
+// ---------------------------------------------------------------------------
+// Arithmetic lossless (SOF11 / SOF15), T.81 H.2 — native twins of
+// models/arithmetic_lossless.py (which documents the coding model).
+// Statistics: 25 contexts x 4 bins + two magnitude-ladder sets
+// (X at 100 / 129, mantissa at pos+14) = 158 bins, shared per DC table
+// selector. Bit-identical to the Python implementation by construction
+// (same ArithState / ArithEncoder register machines).
+// ---------------------------------------------------------------------------
+
+static const int H2_STATS = 158;
+
+static inline int h2_classify(int32_t v, int32_t lo, int32_t hi) {
+    if (v == 0) return 0;
+    int sign = v < 0 ? 1 : 0;
+    int32_t mval = (v < 0 ? -v : v) - 1;
+    int32_t mcat = 0;
+    if (mval) {
+        mcat = 1;
+        while (mval > 1) { mval >>= 1; mcat <<= 1; }
+    }
+    if (mcat < lo) return 0;
+    if (mcat > hi) return 3 + sign;
+    return 1 + sign;
+}
+
+static inline int h2_decode_diff(ArithState& s, BitReader& br, uint8_t* st,
+                                 int base, bool db_large, int32_t* out) {
+    if (s.decode(br, st + base) == 0) { *out = 0; return 0; }
+    int sign = s.decode(br, st + base + 1);
+    int pos = base + 2 + sign;
+    int m = s.decode(br, st + pos);
+    if (m != 0) {
+        pos = db_large ? 129 : 100;
+        while (s.decode(br, st + pos) != 0) {
+            m <<= 1;
+            if (m == 0x8000) return 2;
+            ++pos;
+        }
+    }
+    int v = m;
+    pos += 14;
+    m >>= 1;
+    while (m != 0) {
+        if (s.decode(br, st + pos) != 0) v |= m;
+        m >>= 1;
+    }
+    v += 1;
+    *out = sign ? -v : v;
+    return 0;
+}
+
+static inline void h2_encode_diff(ArithEncoder& e, uint8_t* st, int base,
+                                  bool db_large, int32_t v) {
+    if (v == 0) {
+        e.encode(0, st + base);
+        return;
+    }
+    e.encode(1, st + base);
+    int sign = v < 0 ? 1 : 0;
+    e.encode(sign, st + base + 1);
+    int32_t mval = (v < 0 ? -v : v) - 1;
+    int pos = base + 2 + sign;
+    int32_t mcat;
+    if (mval == 0) {
+        e.encode(0, st + pos);
+        mcat = 0;
+    } else {
+        e.encode(1, st + pos);
+        int k = floor_log2_i32(mval);
+        pos = db_large ? 129 : 100;
+        for (int i = 0; i < k; ++i) e.encode(1, st + pos + i);
+        e.encode(0, st + pos + k);
+        pos += k;
+        mcat = 1 << k;
+    }
+    pos += 14;
+    for (int32_t m = mcat >> 1; m != 0; m >>= 1) {
+        e.encode((mval & m) ? 1 : 0, st + pos);
+    }
+}
+
+extern "C" {
+
+int jpx_decode_lossless_arith(
+    const uint8_t* data,
+    const int64_t* span_starts, const int64_t* span_ends, int32_t n_spans,
+    int64_t restart_interval,
+    int64_t mcus_per_line, int64_t mcus_per_column,
+    int32_t n_comps,
+    const int32_t* comp_h, const int32_t* comp_v,
+    const int32_t* table_ids,
+    const int32_t* cond_lo, const int32_t* cond_hi,
+    int16_t** planes, const int64_t* plane_widths,
+    int32_t predictor_sel, int32_t initial_prediction) {
+    if (n_comps <= 0 || n_spans <= 0) return 3;
+
+    // Statistics shared per table selector.
+    uint8_t stats_by_id[16][H2_STATS];
+    memset(stats_by_id, 0, sizeof(stats_by_id));
+    std::vector<uint8_t*> stats(n_comps);
+    std::vector<std::vector<int32_t>> diffs(n_comps);
+    for (int i = 0; i < n_comps; ++i) {
+        int tid = table_ids[i] & 15;
+        stats[i] = stats_by_id[tid];
+        diffs[i].assign((size_t)(mcus_per_column * comp_v[i]) *
+                            (size_t)plane_widths[i],
+                        0);
+    }
+
+    int span_idx = 0;
+    BitReader br;
+    br.init(data + span_starts[0], span_ends[0] - span_starts[0]);
+    ArithState s;
+    s.reset();
+    int64_t mcus_before_restart = restart_interval;
+
+    for (int64_t row_mcu = 0; row_mcu < mcus_per_column; ++row_mcu) {
+        for (int64_t col_mcu = 0; col_mcu < mcus_per_line; ++col_mcu) {
+            bool at_restart_start =
+                restart_interval > 0 && mcus_before_restart == restart_interval;
+            for (int ci = 0; ci < n_comps; ++ci) {
+                int h = comp_h[ci], v = comp_v[ci];
+                int64_t width = plane_widths[ci];
+                int16_t* plane = planes[ci];
+                int32_t* dplane = diffs[ci].data();
+                uint8_t* st = stats[ci];
+                int32_t lo = cond_lo[ci], hi = cond_hi[ci];
+                int64_t offset_x = col_mcu * h;
+                int64_t offset_y = row_mcu * v;
+                for (int y = 0; y < v; ++y) {
+                    int64_t row = offset_y + y;
+                    int16_t* scanline = plane + row * width;
+                    const int16_t* lastline =
+                        (y == 0 && row_mcu == 0) ? nullptr
+                                                 : plane + (row - 1) * width;
+                    int32_t* drow = dplane + row * width;
+                    const int32_t* dlast =
+                        row == 0 ? nullptr : dplane + (row - 1) * width;
+                    for (int x = 0; x < h; ++x) {
+                        int64_t cx = offset_x + x;
+                        int32_t da = cx > 0 ? drow[cx - 1] : 0;
+                        int32_t db = dlast ? dlast[cx] : 0;
+                        int qa = h2_classify(da, lo, hi);
+                        int qb = h2_classify(db, lo, hi);
+                        int32_t diff;
+                        int rc = h2_decode_diff(s, br, st, 4 * (qb * 5 + qa),
+                                                qb >= 3, &diff);
+                        if (rc != 0) return rc;
+                        drow[cx] = diff;
+                        int pred;
+                        if (row_mcu == 0 || at_restart_start) {
+                            if (col_mcu == 0 && x == 0) {
+                                pred = initial_prediction;
+                            } else {
+                                int ra = scanline[cx - 1];
+                                int rb = y == 0 ? initial_prediction : lastline[cx];
+                                int rc2 = y == 0 ? initial_prediction : lastline[cx - 1];
+                                pred = predict_lossless(predictor_sel, ra, rb, rc2);
+                            }
+                        } else if (col_mcu == 0) {
+                            pred = predictor_sel ? lastline[cx] : 0;
+                        } else {
+                            int ra = scanline[cx - 1];
+                            int rb = lastline[cx];
+                            int rc2 = lastline[cx - 1];
+                            pred = predict_lossless(predictor_sel, ra, rb, rc2);
+                        }
+                        scanline[cx] = (int16_t)(pred + diff);
+                    }
+                }
+            }
+
+            if (restart_interval > 0) {
+                if (--mcus_before_restart == 0) {
+                    bool last = row_mcu == mcus_per_column - 1 &&
+                                col_mcu == mcus_per_line - 1;
+                    if (last) return 0;
+                    ++span_idx;
+                    if (span_idx >= n_spans) return 0;  // tolerated truncation
+                    br.init(data + span_starts[span_idx],
+                            span_ends[span_idx] - span_starts[span_idx]);
+                    s.reset();
+                    memset(stats_by_id, 0, sizeof(stats_by_id));
+                    // Conditioning history reset: only the rows the
+                    // next segment can READ stale diffs from need
+                    // zeroing — the partial rows of the next MCU row
+                    // plus the row above (Db). Rows further back are
+                    // never read again; rows further down are written
+                    // before being read. Equivalent to a full zero
+                    // (the Python twin's semantics) at O(width) cost.
+                    {
+                        bool wrap = col_mcu == mcus_per_line - 1;
+                        int64_t next_row_mcu = wrap ? row_mcu + 1 : row_mcu;
+                        for (int i = 0; i < n_comps; ++i) {
+                            int v = comp_v[i];
+                            int64_t width = plane_widths[i];
+                            int64_t r0 = next_row_mcu * v - 1;
+                            if (r0 < 0) r0 = 0;
+                            int64_t r1 = next_row_mcu * v + v;  // exclusive
+                            int64_t rows = mcus_per_column * v;
+                            if (r1 > rows) r1 = rows;
+                            if (r1 > r0)
+                                memset(diffs[i].data() + r0 * width, 0,
+                                       (size_t)(r1 - r0) * width *
+                                           sizeof(int32_t));
+                        }
+                    }
+                    mcus_before_restart = restart_interval;
+                }
+            }
+        }
+    }
+    return 0;
+}
+
+// Encode padded per-component sample planes (int32, component
+// resolution on the MCU grid) into one entropy stream with inline RSTn
+// markers between restart segments. Returns bytes written, or -1 on
+// buffer overflow.
+int64_t jpx_encode_lossless_arith(
+    const int32_t** planes, const int64_t* plane_widths,
+    int64_t mcus_per_line, int64_t mcus_per_column,
+    int32_t n_comps,
+    const int32_t* comp_h, const int32_t* comp_v,
+    const int32_t* table_ids,
+    const int32_t* cond_lo, const int32_t* cond_hi,
+    int32_t predictor_sel, int32_t initial_prediction,
+    int32_t point_transform,
+    int64_t restart_interval,
+    uint8_t* out, int64_t cap) {
+    if (n_comps <= 0) return -2;
+
+    uint8_t stats_by_id[16][H2_STATS];
+    memset(stats_by_id, 0, sizeof(stats_by_id));
+    std::vector<uint8_t*> stats(n_comps);
+    std::vector<std::vector<int32_t>> diffs(n_comps);
+    std::vector<std::vector<int16_t>> recon(n_comps);
+    for (int i = 0; i < n_comps; ++i) {
+        stats[i] = stats_by_id[table_ids[i] & 15];
+        size_t sz = (size_t)(mcus_per_column * comp_v[i]) *
+                    (size_t)plane_widths[i];
+        diffs[i].assign(sz, 0);
+        recon[i].assign(sz, 0);
+    }
+
+    ArithEncoder e;
+    e.init(out, cap);
+    int64_t mcus_before_restart = restart_interval;
+    int restart_idx = 0;
+
+    for (int64_t row_mcu = 0; row_mcu < mcus_per_column; ++row_mcu) {
+        for (int64_t col_mcu = 0; col_mcu < mcus_per_line; ++col_mcu) {
+            bool at_restart_start =
+                restart_interval > 0 && mcus_before_restart == restart_interval;
+            for (int ci = 0; ci < n_comps; ++ci) {
+                int h = comp_h[ci], v = comp_v[ci];
+                int64_t width = plane_widths[ci];
+                const int32_t* plane = planes[ci];
+                int16_t* rplane = recon[ci].data();
+                int32_t* dplane = diffs[ci].data();
+                uint8_t* st = stats[ci];
+                int32_t lo = cond_lo[ci], hi = cond_hi[ci];
+                int64_t offset_x = col_mcu * h;
+                int64_t offset_y = row_mcu * v;
+                for (int y = 0; y < v; ++y) {
+                    int64_t row = offset_y + y;
+                    int16_t* scanline = rplane + row * width;
+                    const int16_t* lastline =
+                        (y == 0 && row_mcu == 0) ? nullptr
+                                                 : rplane + (row - 1) * width;
+                    int32_t* drow = dplane + row * width;
+                    const int32_t* dlast =
+                        row == 0 ? nullptr : dplane + (row - 1) * width;
+                    for (int x = 0; x < h; ++x) {
+                        int64_t cx = offset_x + x;
+                        int pred;
+                        if (row_mcu == 0 || at_restart_start) {
+                            if (col_mcu == 0 && x == 0) {
+                                pred = initial_prediction;
+                            } else {
+                                int ra = scanline[cx - 1];
+                                int rb = y == 0 ? initial_prediction : lastline[cx];
+                                int rc2 = y == 0 ? initial_prediction : lastline[cx - 1];
+                                pred = predict_lossless(predictor_sel, ra, rb, rc2);
+                            }
+                        } else if (col_mcu == 0) {
+                            pred = predictor_sel ? lastline[cx] : 0;
+                        } else {
+                            int ra = scanline[cx - 1];
+                            int rb = lastline[cx];
+                            int rc2 = lastline[cx - 1];
+                            pred = predict_lossless(predictor_sel, ra, rb, rc2);
+                        }
+                        int32_t sample = plane[row * width + cx] >> point_transform;
+                        int32_t diff = (int16_t)(sample - pred);
+                        int32_t da = cx > 0 ? drow[cx - 1] : 0;
+                        int32_t db = dlast ? dlast[cx] : 0;
+                        int qa = h2_classify(da, lo, hi);
+                        int qb = h2_classify(db, lo, hi);
+                        h2_encode_diff(e, st, 4 * (qb * 5 + qa), qb >= 3, diff);
+                        if (e.overflow) return -1;
+                        drow[cx] = diff;
+                        scanline[cx] = (int16_t)(pred + diff);
+                    }
+                }
+            }
+
+            if (restart_interval > 0) {
+                if (--mcus_before_restart == 0) {
+                    bool last = row_mcu == mcus_per_column - 1 &&
+                                col_mcu == mcus_per_line - 1;
+                    if (!last) {
+                        e.flush();
+                        if (e.overflow || e.n + 2 > e.cap) return -1;
+                        e.out[e.n++] = 0xFF;
+                        e.out[e.n++] = (uint8_t)(0xD0 + (restart_idx & 7));
+                        ++restart_idx;
+                        e.a = 0x10000;
+                        e.c = 0;
+                        e.ct = 11;
+                        e.pending = -1;
+                        e.sc = 0;
+                        memset(stats_by_id, 0, sizeof(stats_by_id));
+                        // Boundary-rows-only conditioning reset (see
+                        // the decoder's restart handler for why this
+                        // is equivalent to a full zero).
+                        {
+                            bool wrap = col_mcu == mcus_per_line - 1;
+                            int64_t next_row_mcu = wrap ? row_mcu + 1 : row_mcu;
+                            for (int i = 0; i < n_comps; ++i) {
+                                int v = comp_v[i];
+                                int64_t width = plane_widths[i];
+                                int64_t r0 = next_row_mcu * v - 1;
+                                if (r0 < 0) r0 = 0;
+                                int64_t r1 = next_row_mcu * v + v;
+                                int64_t rows = mcus_per_column * v;
+                                if (r1 > rows) r1 = rows;
+                                if (r1 > r0)
+                                    memset(diffs[i].data() + r0 * width, 0,
+                                           (size_t)(r1 - r0) * width *
+                                               sizeof(int32_t));
+                            }
+                        }
+                        mcus_before_restart = restart_interval;
+                    }
+                }
+            }
+        }
+    }
+    e.flush();
+    if (e.overflow) return -1;
+    return e.n;
+}
+
+}  // extern "C"

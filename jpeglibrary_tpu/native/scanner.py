@@ -1468,3 +1468,136 @@ def pack_sparse(planes: Sequence[np.ndarray], *, bucket_factor: float = 1.5) -> 
     packed = np.zeros((bucket, 2), dtype=np.int16)
     packed[:n_entries] = out[:n_entries]
     return packed
+
+
+def decode_lossless_arith_scan(
+    data: bytes,
+    spans: Sequence[EntropySpan],
+    frame: FrameHeader,
+    scan: ScanHeader,
+    dac_dc,
+    restart_interval: int,
+    sample_planes: Dict[int, np.ndarray],
+) -> bool:
+    """Native SOF11/SOF15 scan decode (T.81 H.2); returns True when
+    handled. Bit-identical to
+    models.arithmetic_lossless.decode_lossless_scan_arithmetic."""
+    lib = build.load_library()
+    from ..models.geometry import ceil_div
+    from ..models.huffman_baseline import JpegDecodeError
+
+    resolved = resolve_scan_components(frame, scan)
+    n = len(resolved)
+    comp_h = (ctypes.c_int32 * n)()
+    comp_v = (ctypes.c_int32 * n)()
+    table_ids = (ctypes.c_int32 * n)()
+    cond_lo = (ctypes.c_int32 * n)()
+    cond_hi = (ctypes.c_int32 * n)()
+    plane_ptrs = (ctypes.c_void_p * n)()
+    widths = (ctypes.c_int64 * n)()
+    keepalive = []
+    for i, (comp_index, fc, sc) in enumerate(resolved):
+        comp_h[i] = fc.horizontal_sampling_factor
+        comp_v[i] = fc.vertical_sampling_factor
+        table_ids[i] = sc.dc_table_selector
+        cond = dac_dc.get(sc.dc_table_selector)
+        dc_l = cond.dc_l if cond is not None else 0
+        dc_u = cond.dc_u if cond is not None else 1
+        cond_lo[i] = (1 << dc_l) >> 1
+        cond_hi[i] = (1 << dc_u) >> 1
+        plane = sample_planes[comp_index]
+        assert plane.dtype == np.int16 and plane.flags.c_contiguous
+        keepalive.append(plane)
+        plane_ptrs[i] = plane.ctypes.data_as(ctypes.c_void_p)
+        widths[i] = plane.shape[1]
+
+    max_h = frame.max_horizontal_sampling
+    max_v = frame.max_vertical_sampling
+    pt = scan.successive_approximation_bit_position_low
+    init_pred = (
+        (1 << (frame.sample_precision - pt - 1))
+        if scan.start_of_spectral_selection
+        else 0
+    )
+    n_spans = len(spans)
+    starts, ends, _span_keep = _span_ptrs(spans)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    rc = lib.jpx_decode_lossless_arith(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        starts, ends, n_spans,
+        restart_interval,
+        ceil_div(frame.samples_per_line, max_h),
+        ceil_div(frame.number_of_lines, max_v),
+        n,
+        comp_h, comp_v, table_ids, cond_lo, cond_hi,
+        plane_ptrs, widths,
+        scan.start_of_spectral_selection,
+        init_pred,
+    )
+    if rc == 2:
+        from ..models.huffman_baseline import JpegDecodeError as _E
+
+        raise _E("Invalid arithmetic code.")
+    if rc != 0:
+        raise JpegDecodeError(f"native scanner error {rc}")
+    return True
+
+
+def encode_lossless_arith(
+    comp_planes: Sequence[np.ndarray],
+    sampling,
+    table_ids,
+    cond_lo_hi,
+    predictor: int,
+    initial_prediction: int,
+    point_transform: int,
+    restart_interval: int,
+) -> bytes:
+    """Native SOF11/SOF15 entropy encode: padded int32 component
+    planes -> one entropy blob with inline RSTn markers. Bit-identical
+    to the pure-Python encoder loop."""
+    lib = build.load_library()
+    n = len(comp_planes)
+    comp_h = (ctypes.c_int32 * n)()
+    comp_v = (ctypes.c_int32 * n)()
+    tids = (ctypes.c_int32 * n)()
+    cond_lo = (ctypes.c_int32 * n)()
+    cond_hi = (ctypes.c_int32 * n)()
+    plane_ptrs = (ctypes.c_void_p * n)()
+    widths = (ctypes.c_int64 * n)()
+    keepalive = []
+    total = 0
+    lo, hi = cond_lo_hi
+    for i, p in enumerate(comp_planes):
+        comp_h[i], comp_v[i] = sampling[i]
+        tids[i] = table_ids[i]
+        cond_lo[i] = lo
+        cond_hi[i] = hi
+        p = np.ascontiguousarray(p, dtype=np.int32)
+        keepalive.append(p)
+        plane_ptrs[i] = p.ctypes.data_as(ctypes.c_void_p)
+        widths[i] = p.shape[1]
+        total += p.size
+    max_v = max(s[1] for s in sampling)
+    max_h = max(s[0] for s in sampling)
+    mcus_per_column = comp_planes[0].shape[0] // sampling[0][1]
+    mcus_per_line = comp_planes[0].shape[1] // sampling[0][0]
+
+    cap = total * 6 + 4096
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        written = lib.jpx_encode_lossless_arith(
+            plane_ptrs, widths,
+            mcus_per_line, mcus_per_column,
+            n,
+            comp_h, comp_v, tids, cond_lo, cond_hi,
+            predictor, initial_prediction, point_transform,
+            restart_interval,
+            out.ctypes.data_as(ctypes.c_void_p), cap,
+        )
+        if written >= 0:
+            return out[:written].tobytes()
+        if written == -1:
+            cap *= 2
+            continue
+        raise RuntimeError(f"native arithmetic lossless encode error {written}")

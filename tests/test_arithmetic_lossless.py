@@ -216,3 +216,71 @@ class TestTranscode:
         b = jt.decode(sof3)
         for i in range(3):
             assert np.array_equal(a.planes[i], b.planes[i])
+
+
+class TestNativeParity:
+    """The C++ scanner twins must be BYTE-identical (encode) and
+    plane-identical (decode) to the pure-Python implementations."""
+
+    @pytest.fixture(autouse=True)
+    def _native(self):
+        from jpeglibrary_tpu.native import build
+
+        try:
+            build.load_library()
+        except ImportError as exc:
+            pytest.skip(f"native scanner unavailable: {exc}")
+
+    @pytest.mark.parametrize("predictor,interval", [
+        (1, 0), (4, 1), (7, 3), (2, 64), (5, 7),
+    ])
+    def test_encode_bytes_identical(self, predictor, interval):
+        img = _test_image(45, 53, seed=predictor + interval)
+        a = encode_lossless_arithmetic(
+            img, predictor=predictor, restart_interval=interval,
+            use_native=True,
+        )
+        b = encode_lossless_arithmetic(
+            img, predictor=predictor, restart_interval=interval,
+            use_native=False,
+        )
+        assert a == b
+
+    def test_decode_planes_identical(self):
+        img = _test_image(61, 47, seed=31)
+        data = encode_lossless_arithmetic(
+            img, predictor=3, restart_interval=5
+        )
+        a = jt.JpegDecoder(); a.set_input(data)
+        b = jt.JpegDecoder(); b.set_input(data)
+        assert np.array_equal(
+            a.decode(use_native=True).to_uint8(),
+            b.decode(use_native=False).to_uint8(),
+        )
+
+    def test_conditioning_parity(self):
+        img = _test_image(30, 34, seed=33)
+        a = encode_lossless_arithmetic(
+            img, predictor=4, dc_conditioning=(2, 5), use_native=True
+        )
+        b = encode_lossless_arithmetic(
+            img, predictor=4, dc_conditioning=(2, 5), use_native=False
+        )
+        assert a == b
+        assert np.array_equal(jt.decode(a).to_uint8()[..., 0],
+                              img.astype(np.uint8))
+
+    def test_16bit_parity(self):
+        rng = np.random.default_rng(34)
+        img = rng.integers(0, 65536, (21, 27)).astype(np.int32)
+        a = encode_lossless_arithmetic(
+            img, precision=16, predictor=7, restart_interval=4,
+            use_native=True,
+        )
+        b = encode_lossless_arithmetic(
+            img, precision=16, predictor=7, restart_interval=4,
+            use_native=False,
+        )
+        assert a == b
+        out = jt.decode(a).planes[0][:21, :27].astype(np.int32) & 0xFFFF
+        assert np.array_equal(out, img)

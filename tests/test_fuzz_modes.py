@@ -37,6 +37,9 @@ def _make_streams(small_rgb):
     the native path threads differently)."""
     from PIL import Image
 
+    from jpeglibrary_tpu.models.arithmetic_lossless import (
+        encode_lossless_arithmetic,
+    )
     from jpeglibrary_tpu.models.encoder import encode_rgb
     from jpeglibrary_tpu.models.lossless import encode_lossless
     from jpeglibrary_tpu.models.progressive_encoder import encode_progressive_rgb
@@ -55,6 +58,12 @@ def _make_streams(small_rgb):
         "arithmetic": encode_rgb(small_rgb, 80, arithmetic=True),
         "arithmetic_restart": encode_rgb(
             small_rgb, 80, arithmetic=True, restart_interval=4
+        ),
+        "arith_lossless": encode_lossless_arithmetic(
+            small_rgb.astype(np.int32), predictor=4
+        ),
+        "arith_lossless_restart": encode_lossless_arithmetic(
+            small_rgb.astype(np.int32), predictor=6, restart_interval=16
         ),
     }
 
@@ -92,6 +101,8 @@ MODES = [
     "lossless_restart",
     "arithmetic",
     "arithmetic_restart",
+    "arith_lossless",
+    "arith_lossless_restart",
 ]
 
 
@@ -119,7 +130,9 @@ def test_fuzz_byte_flips(streams, mode):
     assert agree_ok > 0  # some mutations must still decode
 
 
-@pytest.mark.parametrize("mode", ["progressive", "lossless", "arithmetic"])
+@pytest.mark.parametrize(
+    "mode", ["progressive", "lossless", "arithmetic", "arith_lossless"]
+)
 def test_fuzz_garbage_ecs(streams, mode):
     """Replace the tail (entropy data) with random garbage: both paths
     must agree and never crash."""
