@@ -70,10 +70,11 @@ ASSET = "/root/reference/tests/Assets/baseline/HETissueSlide.jpg"
 # (least exposed to CPU steal).
 SHAPES = ((3, 2, 4), (3, 1, 4), (2, 2, 4), (1, 1, 4))
 
-SWEEP_BUDGET_S = 600.0  # hard; value-independent (chosen up front: round-2
-                        # runs showed quiet windows can take minutes to appear
-                        # under tenant load; the budget never extends based on
-                        # observed values)
+SWEEP_BUDGET_S = float(os.environ.get("JPX_BENCH_BUDGET_S", "600"))
+# hard; value-independent (chosen up front: round-2 runs showed quiet
+# windows can take minutes to appear under tenant load; the budget
+# never extends based on observed values). The env override exists for
+# smoke-testing the harness — the driver runs the 600 s default.
 WINDOWS_PER_VISIT = 3
 WINDOW_REPEAT = 2  # x len(variants) images per window
 
