@@ -75,6 +75,7 @@ class DecodeResult:
         samples: Optional[Dict[int, np.ndarray]] = None,
         packed_mcu: Optional[np.ndarray] = None,
         xp=np,
+        adobe_transform: Optional[int] = None,
     ):
         self.frame = frame
         self.geometry = geometry
@@ -86,8 +87,33 @@ class DecodeResult:
         #: the zero-copy serving path; dense planes materialize lazily
         #: on first host access via the ``coefficients`` property.
         self.packed_mcu = packed_mcu
+        #: APP14 "Adobe" transform byte (0 none, 1 YCbCr, 2 YCCK), or
+        #: None when the stream carries no Adobe tag.
+        self.adobe_transform = adobe_transform
         self._xp = xp
         self._planes: Optional[Dict[int, np.ndarray]] = None
+
+    @property
+    def color_transform(self) -> str:
+        """The stream's component color interpretation, by the libjpeg
+        heuristics (jdapimin.c default_decompress_parms): 3 components
+        are YCbCr unless an Adobe tag says transform 0 or the component
+        IDs literally spell 'R','G','B'; 4 components are CMYK, or YCCK
+        when the Adobe tag says transform 2. 1/2 components pass
+        through ("gray" / "unknown")."""
+        n = len(self.frame.components)
+        ids = tuple(fc.identifier for fc in self.frame.components)
+        if n == 3:
+            if self.adobe_transform is not None:
+                return "ycbcr" if self.adobe_transform != 0 else "rgb"
+            if ids == (0x52, 0x47, 0x42):  # 'R','G','B'
+                return "rgb"
+            return "ycbcr"
+        if n == 4:
+            return "ycck" if self.adobe_transform == 2 else "cmyk"
+        if n == 1:
+            return "gray"
+        return "unknown"
 
     @property
     def coefficients(self) -> Optional[Dict[int, np.ndarray]]:
@@ -209,6 +235,12 @@ class DecodeResult:
         ship to the device as one flat (delta, value) stream."""
         if self.samples is not None:
             raise ValueError("lossless results have no device transform stage")
+        if self.color_transform not in ("ycbcr", "gray"):
+            raise ValueError(
+                "device RGB transform covers YCbCr/grayscale streams; "
+                f"this stream is {self.color_transform} — use the host "
+                "to_rgb8()/to_cmyk8() writers."
+            )
         from ..ops.pipeline import (
             jitted_transform,
             jitted_transform_delta,
@@ -264,14 +296,59 @@ class DecodeResult:
             decode_stage.normalize_to_uint8(self.planes[i], self.precision)
             for i in sorted(self.planes)
         ]
+        transform = self.color_transform
         if len(u8) == 1:
             half = np.full_like(u8[0], 128)
             r, g, b = color_ops.ycbcr_to_rgb(u8[0], half, half)
+        elif len(u8) == 3 and transform == "rgb":
+            # RGB-coded stream (Adobe transform 0 or 'R','G','B' ids):
+            # components ARE the channels.
+            r, g, b = u8
         elif len(u8) == 3:
             r, g, b = color_ops.ycbcr_to_rgb(u8[0], u8[1], u8[2])
+        elif len(u8) == 4:
+            # CMYK / YCCK via to_cmyk8, then naive CMYK -> RGB
+            # (x * (255 - k) / 255), the conversion PIL and most
+            # viewers apply to ink values.
+            c, m, y, k = np.moveaxis(self.to_cmyk8().astype(np.uint32), -1, 0)
+            s = 255 - k
+            r = ((255 - c) * s + 127) // 255
+            g = ((255 - m) * s + 127) // 255
+            b = ((255 - y) * s + 127) // 255
+            return np.stack([r, g, b], axis=-1).astype(np.uint8)
         else:
-            raise ValueError(f"RGB output needs 1 or 3 components, got {len(u8)}.")
+            raise ValueError(
+                f"RGB output needs 1, 3 or 4 components, got {len(u8)}."
+            )
         return np.stack([r, g, b], axis=-1)
+
+    def to_cmyk8(self) -> np.ndarray:
+        """[H, W, 4] uint8 ink values for a 4-component stream.
+
+        YCCK (Adobe transform 2) converts the YCbCr triple back to
+        'RGB' and complements it (libjpeg ycck_cmyk_convert,
+        jdcolor.c); Adobe-tagged files additionally store every channel
+        inverted (255 - ink), so the tag flips all four at the end —
+        the same two-step rule libjpeg + PIL apply, verified against
+        PIL channel-for-channel (tests/test_color_transforms.py)."""
+        u8 = [
+            decode_stage.normalize_to_uint8(self.planes[i], self.precision)
+            for i in sorted(self.planes)
+        ]
+        if len(u8) != 4:
+            raise ValueError(f"CMYK output needs 4 components, got {len(u8)}.")
+        from ..ops import color as color_ops
+
+        if self.color_transform == "ycck":
+            r_, g_, b_ = color_ops.ycbcr_to_rgb(u8[0], u8[1], u8[2])
+            c, m, y = 255 - r_, 255 - g_, 255 - b_
+        else:
+            c, m, y = u8[0], u8[1], u8[2]
+        k = u8[3]
+        out = np.stack([c, m, y, k], axis=-1).astype(np.int32)
+        if self.adobe_transform is not None:
+            out = 255 - out
+        return out.astype(np.uint8)
 
     def to_uint8(self) -> np.ndarray:
         """[H, W, C] uint8, precision-aware writer semantics (8-bit
@@ -502,7 +579,7 @@ class JpegDecoder:
             except ImportError:
                 fused = None
             if fused is not None:
-                payload, frame, geometry, quant = fused
+                payload, frame, geometry, quant, adobe = fused
                 metrics.count("decode.images")
                 metrics.count(
                     "decode.megapixels",
@@ -514,6 +591,7 @@ class JpegDecoder:
                     quant=quant,
                     packed_mcu=payload,
                     xp=xp,
+                    adobe_transform=adobe,
                 )
 
         stream = self._parsed()
@@ -541,11 +619,18 @@ class JpegDecoder:
         progressive_jobs = []
         scan_iter = iter(stream.scans)
 
+        self._adobe_transform = None
         for seg in stream.segments:
             if self._marker_handlers:
                 self._dispatch_marker(seg, data)
             if seg.marker in (Marker.DQT, Marker.DHT, Marker.DAC, Marker.DRI):
                 self._process_table_segment(seg, data)
+            elif seg.marker == Marker.APP14:
+                # Adobe color-transform tag (libjpeg semantics): drives
+                # RGB / CMYK / YCCK output interpretation.
+                payload = seg.payload(data)
+                if len(payload) >= 12 and payload[:5] == b"Adobe":
+                    self._adobe_transform = payload[11]
             elif seg.marker in ALL_SOF_MARKERS:
                 if seg.marker not in SUPPORTED_SOF_MARKERS:
                     raise JpegUnsupportedError(
@@ -731,7 +816,8 @@ class JpegDecoder:
 
         if sample_planes is not None:
             return DecodeResult(
-                frame=frame, geometry=geometry, samples=sample_planes, xp=xp
+                frame=frame, geometry=geometry, samples=sample_planes, xp=xp,
+                adobe_transform=self._adobe_transform,
             )
         quant_by_comp = {
             idx: component_quant[idx].astype(np.int32) for idx in component_quant
@@ -743,6 +829,7 @@ class JpegDecoder:
             quant=quant_by_comp,
             packed_mcu=sparse_payload,
             xp=xp,
+            adobe_transform=self._adobe_transform,
         )
 
     def _decode_scan(

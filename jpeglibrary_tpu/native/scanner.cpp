@@ -1714,6 +1714,7 @@ int64_t jpx_decode_image_baseline_sparse(
     int32_t width = 0, height = 0, precision = 0, n_comps = 0;
     int32_t sof_marker = 0xC0;
     int32_t comp_h[4], comp_v[4], comp_q[4], comp_dc[4], comp_ac[4], comp_id[4];
+    int32_t adobe_transform = -1;  // APP14 "Adobe" color transform
     int64_t restart_interval = 0;
     int64_t pos = 2;
     bool got_sof = false;
@@ -1821,8 +1822,11 @@ int64_t jpx_decode_image_baseline_sparse(
             }
             sos_end = pos + seg_len;
             break;
+        } else if (marker == 0xEE) {  // APP14: Adobe color transform
+            if (seg_n >= 12 && memcmp(seg, "Adobe", 5) == 0)
+                adobe_transform = seg[11];
         }
-        // APPn/COM/anything else: skip
+        // other APPn/COM/anything else: skip
         pos += seg_len;
     }
     if (sos_end < 0 || !got_sof) return -10;
@@ -1902,6 +1906,9 @@ int64_t jpx_decode_image_baseline_sparse(
         info[12 + i] = i < n_comps ? comp_q[i] : 0;
     }
     info[16] = sof_marker;  // 0xC0 or 0xC1 (the walk accepts both)
+    for (int i = 0; i < 4; ++i)
+        info[17 + i] = i < n_comps ? comp_id[i] : 0;
+    info[21] = adobe_transform;  // -1 = no Adobe APP14
 
     int64_t n = jpx_decode_baseline_scan_sparse(
         data,

@@ -181,14 +181,17 @@ def decode_image_sparse(data: bytes, *, bucket_factor: float = 1.5):
     no per-image Python marker/table work (GIL-held time drops to the
     ctypes call itself). Returns ``(payload, frame, geometry, quant)``
     or ``None`` when the stream is not a single-scan interleaved
-    baseline image (the caller takes the general path)."""
+    baseline image (the caller takes the general path). The returned
+    tuple's last element is the Adobe APP14 color transform (or None),
+    needed for RGB/CMYK/YCCK output decisions."""
     lib = build.load_library()
     from ..syntax.frame import FrameComponent, FrameHeader
     from ..syntax.markers import Marker
     from ..models.geometry import frame_geometry
 
     buf = np.frombuffer(data, dtype=np.uint8)
-    info = np.zeros(17, dtype=np.int32)
+    info = np.zeros(22, dtype=np.int32)
+    info[21] = -1
     quants = np.zeros((4, 64), dtype=np.uint16)
     out = _pack_scratch(1 << 21)
     written = lib.jpx_decode_image_baseline_sparse(
@@ -247,7 +250,10 @@ def decode_image_sparse(data: bytes, *, bucket_factor: float = 1.5):
         number_of_lines=int(info[1]),
         samples_per_line=int(info[0]),
         components=tuple(
-            FrameComponent(i + 1, int(info[4 + i]), int(info[8 + i]), int(info[12 + i]))
+            FrameComponent(
+                int(info[17 + i]) or i + 1,
+                int(info[4 + i]), int(info[8 + i]), int(info[12 + i]),
+            )
             for i in range(n_comps)
         ),
     )
@@ -255,7 +261,10 @@ def decode_image_sparse(data: bytes, *, bucket_factor: float = 1.5):
     quant = {
         i: quants[int(info[12 + i])].astype(np.int32) for i in range(n_comps)
     }
-    return packed.reshape(-1), frame, geometry, quant
+    adobe = int(info[21])
+    return packed.reshape(-1), frame, geometry, quant, (
+        adobe if adobe >= 0 else None
+    )
 
 
 def decode_baseline_scan_sparse(
