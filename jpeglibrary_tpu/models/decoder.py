@@ -282,9 +282,47 @@ class DecodeResult:
         coeffs, quants = self._device_inputs()
         return jitted_transform(self.geometry, "rgb8p")(coeffs, quants)
 
-    def to_rgb8(self) -> np.ndarray:
+    def _subres_u8(self) -> Dict[int, np.ndarray]:
+        """Writer-normalized uint8 planes at COMPONENT resolution
+        (pre-upsample) — what filters that must see clamped sample
+        values (fancy upsampling) operate on, exactly as libjpeg
+        upsamples range-limited JSAMPLEs."""
+        from .geometry import ceil_div
+
+        out: Dict[int, np.ndarray] = {}
+        if self.samples is not None:
+            from .lossless import component_sizes
+
+            sizes = component_sizes(self.frame)
+            for cg in self.geometry.components:
+                hc, wc = sizes[cg.component_index]
+                p = self.samples[cg.component_index][:hc, :wc].astype(np.int32)
+                out[cg.component_index] = decode_stage.normalize_to_uint8(
+                    p, self.precision
+                )
+        else:
+            for cg in self.geometry.components:
+                idx = cg.component_index
+                hc = ceil_div(self.height, cg.vs)
+                wc = ceil_div(self.width, cg.hs)
+                plane = decode_stage.component_plane(
+                    self.coefficients[idx],
+                    self.quant[idx].astype(np.int32),
+                    self.geometry.level_shift,
+                    1, 1, hc, wc,
+                )
+                out[idx] = decode_stage.normalize_to_uint8(plane, self.precision)
+        return out
+
+    def to_rgb8(self, *, upsample: str = "duplicate") -> np.ndarray:
         """[H, W, 3] uint8 RGB on host: clamp writer + fixed-point
         YCbCr->RGB (grayscale fills Cb=Cr=128, DecodeAction.cs:58-66).
+
+        ``upsample``: ``"duplicate"`` (default) keeps the reference's
+        nearest-neighbor chroma semantics; ``"fancy"`` applies
+        libjpeg's default triangular filter
+        (ops/decode_stage.upsample_fancy, bit-exact to jdsample.c) for
+        smoother 4:2:0/4:2:2 output that matches libjpeg viewers.
 
         Pure host computation with the bit-exact reference semantics —
         the device-resident serving output is ``to_rgb8_device()``
@@ -292,10 +330,23 @@ class DecodeResult:
         remote-attached chip can cost more than the whole decode)."""
         from ..ops import color as color_ops
 
-        u8 = [
-            decode_stage.normalize_to_uint8(self.planes[i], self.precision)
-            for i in sorted(self.planes)
-        ]
+        if upsample not in ("duplicate", "fancy"):
+            raise ValueError(f"unknown upsample mode {upsample!r}")
+        if upsample == "fancy":
+            sub = self._subres_u8()
+            u8 = []
+            for cg in self.geometry.components:
+                p = decode_stage.upsample_fancy(
+                    sub[cg.component_index], cg.hs, cg.vs
+                )
+                u8.append(
+                    p[: self.height, : self.width].astype(np.uint8)
+                )
+        else:
+            u8 = [
+                decode_stage.normalize_to_uint8(self.planes[i], self.precision)
+                for i in sorted(self.planes)
+            ]
         transform = self.color_transform
         if len(u8) == 1:
             half = np.full_like(u8[0], 128)

@@ -64,6 +64,43 @@ def upsample_duplicate(plane, hs: int, vs: int, xp=np):
     return plane
 
 
+def _fancy_double_h(p, xp):
+    """Double the column count with libjpeg's h2v1 triangular weights.
+    Edge replication reproduces jdsample.c's first/last-column special
+    cases exactly: (4s+1)>>2 == s and (4s+2)>>2 == s."""
+    left = xp.concatenate([p[:, :1], p[:, :-1]], axis=1)
+    right = xp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+    even = (3 * p + left + 1) >> 2
+    odd = (3 * p + right + 2) >> 2
+    return xp.stack([even, odd], axis=2).reshape(p.shape[0], -1)
+
+
+def upsample_fancy(plane, hs: int, vs: int, xp=np):
+    """Triangular ("fancy") chroma upsampling, bit-exact to libjpeg's
+    jdsample.c h2v1_fancy_upsample / h2v2_fancy_upsample — the libjpeg
+    DEFAULT filter, offered beyond the reference's duplication
+    semantics. Inputs must already be clamped to sample range (the
+    filter is applied to writer-normalized values, as libjpeg applies
+    it to range-limited JSAMPLEs). libjpeg has fancy kernels only for
+    the h2v1/h2v2 factors; every other factor falls back to
+    duplication, the same selection rule jdsample.c uses."""
+    p = xp.asarray(plane).astype(xp.int32)
+    if hs == 2 and vs == 1:
+        return _fancy_double_h(p, xp)
+    if hs == 2 and vs == 2:
+        up = xp.concatenate([p[:1], p[:-1]], axis=0)
+        down = xp.concatenate([p[1:], p[-1:]], axis=0)
+        # Output row 2v blends input rows (v, v-1) 3:1; row 2v+1 blends
+        # (v, v+1) 3:1 — jdsample.c's thiscolsum chain.
+        t = xp.stack([3 * p + up, 3 * p + down], axis=1).reshape(-1, p.shape[1])
+        left = xp.concatenate([t[:, :1], t[:, :-1]], axis=1)
+        right = xp.concatenate([t[:, 1:], t[:, -1:]], axis=1)
+        even = (3 * t + left + 8) >> 4
+        odd = (3 * t + right + 7) >> 4
+        return xp.stack([even, odd], axis=2).reshape(t.shape[0], -1)
+    return upsample_duplicate(p, hs, vs, xp=xp)
+
+
 def component_plane(coeffs_zz, quant_zz, level_shift: int, hs: int, vs: int,
                     height: int, width: int, xp=np):
     """Full decode transform for one component: coeffs -> cropped int32 plane."""

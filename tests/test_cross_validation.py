@@ -134,3 +134,50 @@ def test_pil_decodes_our_progressive_and_transcodes():
     a = np.asarray(Image.open(io.BytesIO(base)).convert("RGB"))
     b = np.asarray(Image.open(io.BytesIO(opt)).convert("RGB"))
     np.testing.assert_array_equal(a, b)
+
+
+class TestFancyUpsampling:
+    """to_rgb8(upsample="fancy") is bit-exact to libjpeg's default
+    triangular filter, so subsampled streams cross-validate at
+    IDCT-rounding tightness — no upsample-divergence tolerance."""
+
+    @pytest.mark.parametrize("subsampling", [0, 1, 2])
+    def test_matches_pil_tight(self, subsampling):
+        img = _scene(120, 136, seed=7)
+        data = _pil_bytes(img, quality=75, subsampling=subsampling)
+        theirs = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        ours = jt.decode(data).to_rgb8(upsample="fancy")
+        diff = np.abs(ours.astype(np.int32) - theirs.astype(np.int32))
+        assert diff.max() <= 3 and diff.mean() <= 0.2
+
+    def test_progressive_matches_pil_tight(self):
+        img = _scene(96, 112, seed=8)
+        data = _pil_bytes(img, quality=85, subsampling=2, progressive=True)
+        theirs = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        ours = jt.decode(data).to_rgb8(upsample="fancy")
+        diff = np.abs(ours.astype(np.int32) - theirs.astype(np.int32))
+        assert diff.max() <= 3 and diff.mean() <= 0.2
+
+    def test_444_identical_to_duplicate(self):
+        # No subsampling -> the filter never runs: both modes must be
+        # byte-identical (fancy only changes chroma interpolation).
+        img = _scene(64, 72, seed=9)
+        data = _pil_bytes(img, quality=80, subsampling=0)
+        r = jt.decode(data)
+        assert np.array_equal(
+            r.to_rgb8(upsample="fancy"), r.to_rgb8(upsample="duplicate")
+        )
+
+    def test_odd_dimensions(self):
+        img = _scene(77, 93, seed=10)
+        data = _pil_bytes(img, quality=70, subsampling=2)
+        theirs = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        ours = jt.decode(data).to_rgb8(upsample="fancy")
+        diff = np.abs(ours.astype(np.int32) - theirs.astype(np.int32))
+        assert diff.max() <= 3
+
+    def test_unknown_mode_rejected(self):
+        img = _scene(16, 16, seed=11)
+        data = _pil_bytes(img, quality=80)
+        with pytest.raises(ValueError):
+            jt.decode(data).to_rgb8(upsample="bicubic")
