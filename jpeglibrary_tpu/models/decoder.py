@@ -226,7 +226,7 @@ class DecodeResult:
         with metrics.stage("transform.pack_sparse"):
             self._packed = native_scanner.pack_sparse(planes).reshape(-1)
 
-    def to_rgb8_device(self, *, sparse: bool = True):
+    def to_rgb8_device(self, *, sparse: bool = True, upsample: str = "duplicate"):
         """Decode to device-resident **planar [3, H, W]** RGB (the
         serving path: output stays in HBM for a downstream TPU
         consumer; CHW keeps W on the lane dimension — an interleaved
@@ -256,7 +256,7 @@ class DecodeResult:
                 [self.quant[c.component_index] for c in self.geometry.components]
             ).astype(np.int32)
             with metrics.stage("transform.dispatch"):
-                return jitted_transform_mcu(self.geometry, "rgb8")(
+                return jitted_transform_mcu(self.geometry, "rgb8", upsample)(
                     self.packed_mcu, quants
                 )
         if sparse:
@@ -275,12 +275,12 @@ class DecodeResult:
                         packed = native_scanner.pack_sparse(planes).reshape(-1)
                 with metrics.stage("transform.dispatch"):
                     # numpy args: the transfer rides the single jit dispatch
-                    return jitted_transform_delta(self.geometry, "rgb8")(packed, quants)
+                    return jitted_transform_delta(self.geometry, "rgb8", upsample)(packed, quants)
             except ImportError:
                 packed = pack_sparse(self.coefficients, self.geometry)
-                return jitted_transform_packed(self.geometry, "rgb8")(packed, quants)
+                return jitted_transform_packed(self.geometry, "rgb8", upsample)(packed, quants)
         coeffs, quants = self._device_inputs()
-        return jitted_transform(self.geometry, "rgb8p")(coeffs, quants)
+        return jitted_transform(self.geometry, "rgb8p", upsample)(coeffs, quants)
 
     def _subres_u8(self) -> Dict[int, np.ndarray]:
         """Writer-normalized uint8 planes at COMPONENT resolution

@@ -61,7 +61,7 @@ def _transform_planes(coeffs: Tuple, quants: Tuple, geometry: FrameGeometry, xp)
 
 
 def transform_to_rgb8(coeffs: Tuple, quants: Tuple, geometry: FrameGeometry, xp=np,
-                      *, layout: str = "hwc"):
+                      *, layout: str = "hwc", upsample: str = "duplicate"):
     """Coefficient planes -> uint8 RGB ([H, W, 3] or planar [3, H, W]).
 
     Matches the reference JpegDecode app output path: 8-bit clamp writer
@@ -74,10 +74,26 @@ def transform_to_rgb8(coeffs: Tuple, quants: Tuple, geometry: FrameGeometry, xp=
     inflates ~42x in memory and on the transfer wire; the planar form
     keeps W minor and transfers at true size.
     """
-    planes = _transform_planes(coeffs, quants, geometry, xp)
-    u8 = [
-        decode_stage.normalize_to_uint8(p, geometry.precision, xp=xp) for p in planes
-    ]
+    if upsample == "fancy":
+        # libjpeg's default triangular filter, applied to the clamped
+        # writer output at component resolution (decode_stage.
+        # upsample_fancy) — pure adds/shifts, XLA fuses it into the
+        # same program.
+        u8 = []
+        for cg, cz, qz in zip(geometry.components, coeffs, quants):
+            hc = -(-geometry.height // cg.vs)
+            wc = -(-geometry.width // cg.hs)
+            plane = decode_stage.component_plane(
+                cz, qz, geometry.level_shift, 1, 1, hc, wc, xp=xp
+            )
+            p8 = decode_stage.normalize_to_uint8(plane, geometry.precision, xp=xp)
+            p8 = decode_stage.upsample_fancy(p8, cg.hs, cg.vs, xp=xp)
+            u8.append(p8[: geometry.height, : geometry.width].astype(xp.uint8))
+    else:
+        planes = _transform_planes(coeffs, quants, geometry, xp)
+        u8 = [
+            decode_stage.normalize_to_uint8(p, geometry.precision, xp=xp) for p in planes
+        ]
     if len(u8) == 1:
         y = u8[0]
         half = xp.full_like(y, 128)
@@ -126,7 +142,7 @@ def pack_sparse(coefficients, geometry: FrameGeometry, *, bucket_factor: float =
 
 
 @functools.lru_cache(maxsize=64)
-def jitted_transform_delta(geometry: FrameGeometry, output: str = "rgb8"):
+def jitted_transform_delta(geometry: FrameGeometry, output: str = "rgb8", upsample: str = "duplicate"):
     """Compiled transform taking the native 4-byte sparse wire format:
     a FLAT int16 [2n] buffer of interleaved (delta uint16, value int16)
     entries in concatenated-plane flat order (native
@@ -162,14 +178,14 @@ def jitted_transform_delta(geometry: FrameGeometry, output: str = "rgb8"):
             off += size
         quants = tuple(quants_stacked[i] for i in range(len(shapes)))
         if output == "rgb8":
-            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp, layout="chw")
+            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp, layout="chw", upsample=upsample)
         return transform_to_u16(tuple(coeffs), quants, geometry, xp=jnp)
 
     return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=64)
-def jitted_transform_mcu_inner(geometry: FrameGeometry, output: str = "rgb8"):
+def jitted_transform_mcu_inner(geometry: FrameGeometry, output: str = "rgb8", upsample: str = "duplicate"):
     """Un-jitted transform for the MCU-interleaved sparse wire format
     produced by the merged native decode+pack
     (native.scanner.decode_baseline_scan_sparse): a FLAT int16 [2n]
@@ -213,14 +229,14 @@ def jitted_transform_mcu_inner(geometry: FrameGeometry, output: str = "rgb8"):
             off += size
         quants = tuple(quants_stacked[i] for i in range(len(comps)))
         if output == "rgb8":
-            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp, layout="chw")
+            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp, layout="chw", upsample=upsample)
         return transform_to_u16(tuple(coeffs), quants, geometry, xp=jnp)
 
     return fn
 
 
 @functools.lru_cache(maxsize=64)
-def jitted_transform_mcu(geometry: FrameGeometry, output: str = "rgb8"):
+def jitted_transform_mcu(geometry: FrameGeometry, output: str = "rgb8", upsample: str = "duplicate"):
     """Compiled single-image form of jitted_transform_mcu_inner."""
     from .. import enable_compile_cache
 
@@ -228,11 +244,11 @@ def jitted_transform_mcu(geometry: FrameGeometry, output: str = "rgb8"):
 
     import jax
 
-    return jax.jit(jitted_transform_mcu_inner(geometry, output))
+    return jax.jit(jitted_transform_mcu_inner(geometry, output, upsample))
 
 
 @functools.lru_cache(maxsize=64)
-def jitted_transform_packed(geometry: FrameGeometry, output: str = "rgb8"):
+def jitted_transform_packed(geometry: FrameGeometry, output: str = "rgb8", upsample: str = "duplicate"):
     """Compiled transform taking the flat packed sparse buffer (numpy
     fallback wire format); densification is a device scatter-add.
     jax.jit re-specializes per bucket size."""
@@ -259,14 +275,14 @@ def jitted_transform_packed(geometry: FrameGeometry, output: str = "rgb8"):
             off += size
         quants = tuple(quants_stacked[i] for i in range(len(shapes)))
         if output == "rgb8":
-            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp, layout="chw")
+            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp, layout="chw", upsample=upsample)
         return transform_to_u16(tuple(coeffs), quants, geometry, xp=jnp)
 
     return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=64)
-def jitted_transform(geometry: FrameGeometry, output: str = "rgb8"):
+def jitted_transform(geometry: FrameGeometry, output: str = "rgb8", upsample: str = "duplicate"):
     """Compile (and cache) the transform for one frame geometry.
 
     Returns a jitted callable(coeffs_tuple, quants_tuple) -> device
@@ -281,9 +297,11 @@ def jitted_transform(geometry: FrameGeometry, output: str = "rgb8"):
     import jax.numpy as jnp
 
     if output == "rgb8":
-        fn = lambda c, q: transform_to_rgb8(c, q, geometry, xp=jnp)
+        fn = lambda c, q: transform_to_rgb8(c, q, geometry, xp=jnp, upsample=upsample)
     elif output == "rgb8p":
-        fn = lambda c, q: transform_to_rgb8(c, q, geometry, xp=jnp, layout="chw")
+        fn = lambda c, q: transform_to_rgb8(
+            c, q, geometry, xp=jnp, layout="chw", upsample=upsample
+        )
     elif output == "u16":
         fn = lambda c, q: transform_to_u16(c, q, geometry, xp=jnp)
     else:

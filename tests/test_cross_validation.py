@@ -181,3 +181,15 @@ class TestFancyUpsampling:
         data = _pil_bytes(img, quality=80)
         with pytest.raises(ValueError):
             jt.decode(data).to_rgb8(upsample="bicubic")
+
+    def test_device_path_matches_host(self):
+        # The fused device transform's fancy variant must agree with
+        # the host writer exactly (same integer ops, XLA-fused).
+        img = _scene(80, 96, seed=12)
+        data = _pil_bytes(img, quality=75, subsampling=2)
+        r = jt.decode(data)
+        host = r.to_rgb8(upsample="fancy")
+        dev = np.moveaxis(
+            np.asarray(r.to_rgb8_device(sparse=True, upsample="fancy")), 0, -1
+        )
+        assert np.array_equal(host, dev)
