@@ -132,6 +132,19 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, widths
         c.c_int32, c.c_int32,            # predictor_sel, initial_prediction
     ]
+    lib.jpx_decode_lossless_arith_restart_parallel.restype = c.c_int32
+    lib.jpx_decode_lossless_arith_restart_parallel.argtypes = [
+        c.c_void_p,
+        c.POINTER(c.c_int64), c.POINTER(c.c_int64), c.c_int32,  # spans
+        c.c_int64,                       # restart_interval
+        c.c_int64, c.c_int64,            # mcus per line / column
+        c.c_int32,                       # n_comps
+        c.POINTER(c.c_int32),            # table_ids
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # cond_lo, cond_hi
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, widths
+        c.c_int32, c.c_int32,            # predictor_sel, initial_prediction
+        c.c_int32,                       # n_threads
+    ]
     lib.jpx_encode_lossless_arith.restype = c.c_int64
     lib.jpx_encode_lossless_arith.argtypes = [
         c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, widths

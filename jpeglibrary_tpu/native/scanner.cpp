@@ -5900,3 +5900,134 @@ int64_t jpx_encode_lossless_arith(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Restart-parallel arithmetic lossless decode (SOF11/SOF15)
+// ---------------------------------------------------------------------------
+//
+// Each restart span's QM stream is fully self-contained (registers,
+// statistics AND the Da/Db conditioning history reset), so spans
+// decode diffs concurrently; out-of-span conditioning reads are 0 by
+// the sequential decoder's boundary-row zeroing semantics, which here
+// falls out of indexing (a span only ever reads its own writes).
+// Reconstruction reuses the bit-free prediction pass structure of
+// jpx_decode_lossless_restart_parallel. 1x1 sampling only (wrapper
+// gates). Returns 0 ok, 2 invalid code, 3 bad args.
+
+extern "C" {
+
+int jpx_decode_lossless_arith_restart_parallel(
+    const uint8_t* data,
+    const int64_t* span_starts, const int64_t* span_ends, int32_t n_spans,
+    int64_t restart_interval,
+    int64_t mcus_per_line, int64_t mcus_per_column,
+    int32_t n_comps,
+    const int32_t* table_ids,
+    const int32_t* cond_lo, const int32_t* cond_hi,
+    int16_t** planes, const int64_t* plane_widths,
+    int32_t predictor_sel, int32_t initial_prediction,
+    int32_t n_threads) {
+    if (n_comps <= 0 || n_comps > 4 || restart_interval <= 0) return 3;
+    const int64_t total_mcus = mcus_per_line * mcus_per_column;
+
+    struct Span {
+        int64_t start, end, first_mcu, n_mcus;
+    };
+    std::vector<Span> spans;
+    {
+        int64_t mcu = 0;
+        for (int32_t s = 0; s < n_spans && mcu < total_mcus; ++s) {
+            int64_t nm = std::min<int64_t>(restart_interval, total_mcus - mcu);
+            spans.push_back({span_starts[s], span_ends[s], mcu, nm});
+            mcu += nm;
+        }
+    }
+
+    std::unique_ptr<int16_t[]> diffs(new int16_t[(size_t)(total_mcus * n_comps)]);
+    std::memset(diffs.get(), 0, (size_t)(total_mcus * n_comps) * sizeof(int16_t));
+
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+    int T = std::min<int>(n_threads, (int)spans.size());
+
+    std::vector<int> results(spans.size(), 0);
+    auto decode_span = [&](const Span& sp, int& rc_out) {
+        BitReader br;
+        br.init(data + sp.start, sp.end - sp.start);
+        ArithState s;
+        s.reset();
+        uint8_t stats_by_id[16][H2_STATS];
+        memset(stats_by_id, 0, sizeof(stats_by_id));
+        int16_t* out = diffs.get() + sp.first_mcu * n_comps;
+        for (int64_t m = 0; m < sp.n_mcus; ++m) {
+            int64_t flat = sp.first_mcu + m;
+            int64_t col = flat % mcus_per_line;
+            for (int ci = 0; ci < n_comps; ++ci) {
+                // In-span conditioning neighbors only; everything else
+                // reads as 0 (the sequential boundary-zero semantics).
+                int32_t da = (col > 0 && m >= 1) ? out[(m - 1) * n_comps + ci] : 0;
+                int32_t db = (m >= mcus_per_line) ? out[(m - mcus_per_line) * n_comps + ci] : 0;
+                int qa = h2_classify(da, cond_lo[ci], cond_hi[ci]);
+                int qb = h2_classify(db, cond_lo[ci], cond_hi[ci]);
+                int32_t d;
+                int rc = h2_decode_diff(s, br, stats_by_id[table_ids[ci] & 15],
+                                        4 * (qb * 5 + qa), qb >= 3, &d);
+                if (rc) { rc_out = rc; return; }
+                out[m * n_comps + ci] = (int16_t)d;
+            }
+        }
+        rc_out = 0;
+    };
+    if (T <= 1) {
+        for (size_t k = 0; k < spans.size(); ++k) decode_span(spans[k], results[k]);
+    } else {
+        std::vector<std::thread> pool;
+        for (int tid = 0; tid < T; ++tid) {
+            pool.emplace_back([&, tid]() {
+                for (size_t k = tid; k < spans.size(); k += T)
+                    decode_span(spans[k], results[k]);
+            });
+        }
+        for (auto& th : pool) th.join();
+    }
+    for (int rc : results)
+        if (rc) return rc;
+
+    // Reconstruction: bit-free prediction pass per component.
+    std::vector<std::thread> pool;
+    for (int ci = 0; ci < n_comps; ++ci) {
+        pool.emplace_back([&, ci]() {
+            int16_t* plane = planes[ci];
+            int64_t width = plane_widths[ci];
+            const int16_t* d = diffs.get();
+            for (int64_t r = 0; r < mcus_per_column; ++r) {
+                int16_t* line = plane + r * width;
+                const int16_t* last = r > 0 ? plane + (r - 1) * width : nullptr;
+                for (int64_t x = 0; x < mcus_per_line; ++x) {
+                    int64_t flat = r * mcus_per_line + x;
+                    int32_t diff = d[flat * n_comps + ci];
+                    bool restart_start = flat % restart_interval == 0;
+                    if (r == 0 || restart_start) {
+                        if (x == 0) {
+                            diff += initial_prediction;
+                        } else {
+                            diff += ll_predict(predictor_sel, line[x - 1],
+                                               initial_prediction,
+                                               initial_prediction);
+                        }
+                    } else if (x == 0) {
+                        if (predictor_sel) diff += last[0];  // sel 0: raw diffs
+                    } else {
+                        diff += ll_predict(predictor_sel, line[x - 1], last[x],
+                                           last[x - 1]);
+                    }
+                    line[x] = (int16_t)diff;
+                }
+            }
+        });
+    }
+    for (auto& th : pool) th.join();
+    return 0;
+}
+
+}  // extern "C"

@@ -1531,6 +1531,49 @@ def decode_lossless_arith_scan(
     n_spans = len(spans)
     starts, ends, _span_keep = _span_ptrs(spans)
     buf = np.frombuffer(data, dtype=np.uint8)
+
+    # Restart-parallel path: spans are QM-self-contained (registers +
+    # statistics + conditioning history reset), so they decode diffs
+    # concurrently with a bit-free prediction pass after — the same
+    # two-phase structure as the Huffman lossless parallel decode.
+    # Requires a complete span table (truncation -> sequential for
+    # identical error semantics) and 1x1 sampling.
+    mcus_total = ceil_div(frame.samples_per_line, max_h) * ceil_div(
+        frame.number_of_lines, max_v
+    )
+    threads = default_threads()
+    if not os.environ.get("JPX_SCAN_THREADS"):
+        threads = max(threads, os.cpu_count() or 2)
+    if (
+        restart_interval > 0
+        and n_spans > 1
+        and n_spans >= ceil_div(mcus_total, restart_interval)
+        and max_h == 1
+        and max_v == 1
+        and all(comp_h[i] == 1 and comp_v[i] == 1 for i in range(n))
+        and threads > 1
+    ):
+        rc = lib.jpx_decode_lossless_arith_restart_parallel(
+            buf.ctypes.data_as(ctypes.c_void_p),
+            starts, ends, n_spans,
+            restart_interval,
+            ceil_div(frame.samples_per_line, max_h),
+            ceil_div(frame.number_of_lines, max_v),
+            n,
+            table_ids, cond_lo, cond_hi,
+            plane_ptrs, widths,
+            scan.start_of_spectral_selection,
+            init_pred,
+            threads,
+        )
+        if rc == 0:
+            return True
+        if rc == 2:
+            from ..models.huffman_baseline import JpegDecodeError as _E
+
+            raise _E("Invalid arithmetic code.")
+        # other rc: sequential fallback
+
     rc = lib.jpx_decode_lossless_arith(
         buf.ctypes.data_as(ctypes.c_void_p),
         starts, ends, n_spans,

@@ -284,3 +284,20 @@ class TestNativeParity:
         assert a == b
         out = jt.decode(a).planes[0][:21, :27].astype(np.int32) & 0xFFFF
         assert np.array_equal(out, img)
+
+    def test_restart_parallel_path_parity(self):
+        # Big enough to engage the restart-parallel native decode (many
+        # spans, 1x1): must equal the sequential Python twin and the
+        # source exactly.
+        rng = np.random.default_rng(40)
+        img = np.clip(
+            np.linspace(0, 255, 160)[None, :] + rng.normal(0, 18, (120, 160)),
+            0, 255,
+        ).astype(np.int32)
+        data = encode_lossless_arithmetic(img, predictor=5, restart_interval=40)
+        a = jt.JpegDecoder(); a.set_input(data)
+        b = jt.JpegDecoder(); b.set_input(data)
+        ra = a.decode(use_native=True).to_uint8()
+        rb = b.decode(use_native=False).to_uint8()
+        assert np.array_equal(ra, rb)
+        assert np.array_equal(ra[..., 0], img.astype(np.uint8))
