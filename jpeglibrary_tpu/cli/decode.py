@@ -18,6 +18,18 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--metrics", action="store_true", help="print per-stage timing counters"
     )
+    parser.add_argument(
+        "--fancy-upsampling",
+        action="store_true",
+        help="triangular chroma upsampling (libjpeg's default filter) "
+        "instead of the reference's duplication",
+    )
+    parser.add_argument(
+        "--cmyk",
+        action="store_true",
+        help="write 4-component streams as CMYK ink values (TIFF/PNG-"
+        "compatible array) instead of the RGB view",
+    )
     args = parser.parse_args(argv)
 
     from PIL import Image
@@ -29,8 +41,12 @@ def main(argv=None) -> int:
         metrics.enable()
     data = open(args.source, "rb").read()
     result = jt.decode(data)
-    rgb = result.to_rgb8()
-    Image.fromarray(rgb, mode="RGB").save(args.output)
+    if args.cmyk:
+        Image.fromarray(result.to_cmyk8(), mode="CMYK").save(args.output)
+    else:
+        upsample = "fancy" if args.fancy_upsampling else "duplicate"
+        rgb = result.to_rgb8(upsample=upsample)
+        Image.fromarray(rgb, mode="RGB").save(args.output)
     print(f"{args.source}: {result.width}x{result.height} -> {args.output}")
     if args.metrics:
         print(metrics.report())
