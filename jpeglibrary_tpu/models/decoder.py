@@ -76,6 +76,7 @@ class DecodeResult:
         packed_mcu: Optional[np.ndarray] = None,
         xp=np,
         adobe_transform: Optional[int] = None,
+        errors=(),
     ):
         self.frame = frame
         self.geometry = geometry
@@ -90,6 +91,9 @@ class DecodeResult:
         #: APP14 "Adobe" transform byte (0 none, 1 YCbCr, 2 YCCK), or
         #: None when the stream carries no Adobe tag.
         self.adobe_transform = adobe_transform
+        #: tolerant-decode recovery notes (empty on clean decodes; the
+        #: default strict mode raises instead of recording)
+        self.errors = list(errors)
         self._xp = xp
         self._planes: Optional[Dict[int, np.ndarray]] = None
 
@@ -598,7 +602,8 @@ class JpegDecoder:
         return self._arithmetic_state
 
     def decode(
-        self, *, use_native: bool = True, sparse_direct: bool = False, xp=np
+        self, *, use_native: bool = True, sparse_direct: bool = False,
+        tolerant: bool = False, xp=np
     ) -> DecodeResult:
         """Full decode: walk segments in order, decode every scan, then
         run the batched transform stage.
@@ -609,13 +614,35 @@ class JpegDecoder:
         coefficient planes (which then materialize lazily if a host
         path asks for them). Ineligible streams fall back to the dense
         path transparently.
+
+        ``tolerant`` (error recovery, BEYOND the reference, which
+        throws like our default): scan-level decode errors are
+        collected into ``DecodeResult.errors`` instead of raised — a
+        truncated or corrupt stream yields the decodable prefix
+        (undeedcoded blocks stay zero coefficients = mid-gray after the
+        level shift), and independent progressive scans still apply.
+        Raises only when NOTHING decodes.
         """
         from ..utils import metrics
+
+        import contextlib
+
+        errors: list = []
+
+        @contextlib.contextmanager
+        def scan_guard(what: str):
+            try:
+                yield
+            except ValueError as exc:
+                if not tolerant:
+                    raise
+                errors.append(f"{what}: {type(exc).__name__}: {exc}")
 
         data = self._data
         if (
             sparse_direct
             and use_native
+            and not tolerant
             and data is not None
             and not self._marker_handlers
             and self._restart_interval == 0
@@ -741,7 +768,9 @@ class JpegDecoder:
                         }
                     )
                     continue
-                with metrics.stage("decode.entropy_scan"):
+                with scan_guard(
+                    f"scan at offset {scan.header_segment.offset}"
+                ), metrics.stage("decode.entropy_scan"):
                     if sof_marker == Marker.SOF11:
                         from . import arithmetic
                         from .arithmetic_lossless import decode_scan
@@ -848,10 +877,27 @@ class JpegDecoder:
 
         if progressive_jobs:
             with metrics.stage("decode.entropy_scan"):
-                _run_progressive_jobs(
-                    data, frame, geometry, coefficient_planes, progressive_jobs,
-                    arithmetic_state_factory=lambda: self._make_arithmetic_state(),
-                )
+                try:
+                    _run_progressive_jobs(
+                        data, frame, geometry, coefficient_planes, progressive_jobs,
+                        arithmetic_state_factory=lambda: self._make_arithmetic_state(),
+                    )
+                except ValueError as exc:
+                    if not tolerant:
+                        raise
+                    # The parallel run may have partially applied
+                    # refinement scans (non-idempotent): reset and
+                    # re-run per scan, skipping the broken ones.
+                    errors.append(
+                        f"progressive scans: {type(exc).__name__}: {exc}"
+                    )
+                    for p in coefficient_planes.values():
+                        p[:] = 0
+                    _run_progressive_jobs_tolerant(
+                        data, frame, geometry, coefficient_planes,
+                        progressive_jobs, errors,
+                        arithmetic_state_factory=lambda: self._make_arithmetic_state(),
+                    )
 
         if frame is None or (
             coefficient_planes is None
@@ -868,7 +914,7 @@ class JpegDecoder:
         if sample_planes is not None:
             return DecodeResult(
                 frame=frame, geometry=geometry, samples=sample_planes, xp=xp,
-                adobe_transform=self._adobe_transform,
+                adobe_transform=self._adobe_transform, errors=errors,
             )
         quant_by_comp = {
             idx: component_quant[idx].astype(np.int32) for idx in component_quant
@@ -881,6 +927,7 @@ class JpegDecoder:
             packed_mcu=sparse_payload,
             xp=xp,
             adobe_transform=self._adobe_transform,
+            errors=errors,
         )
 
     def _decode_scan(
@@ -1028,6 +1075,57 @@ class JpegDecoder:
 
 def _scan_bands_overlap(a, b) -> bool:
     return max(a[0], b[0]) <= min(a[1], b[1])
+
+
+def _run_progressive_jobs_tolerant(data, frame, geometry, coefficient_planes,
+                                   jobs, errors, *, arithmetic_state_factory):
+    """Sequential per-scan recovery pass (tolerant decode): each scan
+    runs independently in stream order; a scan that errors is recorded
+    and skipped — later scans still apply (refinements of a skipped
+    band refine zeros, which is the standard progressive-truncation
+    behavior)."""
+    from . import arithmetic as arith_mod
+    from . import huffman_progressive
+
+    try:
+        from ..native import scanner as native_scanner
+
+        native_scanner.build.load_library()
+        native = native_scanner
+    except ImportError:
+        native = None
+
+    for k, job in enumerate(jobs):
+        try:
+            if native is not None:
+                if job["arithmetic"]:
+                    native.decode_arithmetic_scan(
+                        data, job["scan"].spans, frame, job["scan_header"],
+                        job["dac_dc"], job["dac_ac"], job["restart_interval"],
+                        coefficient_planes, geometry, progressive=True,
+                    )
+                else:
+                    native.decode_progressive_scan(
+                        data, job["scan"].spans, frame, job["scan_header"],
+                        job["dc_tables"], job["ac_tables"],
+                        job["restart_interval"], coefficient_planes, geometry,
+                    )
+            elif job["arithmetic"]:
+                arith_mod.decode_progressive_scan(
+                    data, job["scan"].spans, frame, job["scan_header"],
+                    job["dac_dc"], job["dac_ac"], arithmetic_state_factory(),
+                    job["restart_interval"], coefficient_planes, geometry,
+                )
+            else:
+                huffman_progressive.decode_progressive_scan(
+                    data, job["scan"].spans, frame, job["scan_header"],
+                    job["dc_tables"], job["ac_tables"],
+                    job["restart_interval"], coefficient_planes, geometry,
+                )
+        except ValueError as exc:
+            errors.append(
+                f"progressive scan {k}: {type(exc).__name__}: {exc}"
+            )
 
 
 def _run_progressive_jobs(data, frame, geometry, coefficient_planes, jobs,
