@@ -443,6 +443,11 @@ def encode_lossless_arithmetic(
         raise ValueError("predictor selection must be 1..7")
     if sampling is None:
         sampling = [(1, 1)] * n_comps
+    elif size is None and any(s != (1, 1) for s in sampling):
+        # Same contract as encode_lossless: sub-sampled layouts need
+        # the full-frame size — silently cropping equal-shape planes to
+        # their component grids would discard data.
+        raise ValueError("size=(H, W) is required with sampling")
     if size is not None:
         # Interleaved sub-sampled layout: ``size`` = full-frame (H, W);
         # each plane is its component's own (possibly padded)

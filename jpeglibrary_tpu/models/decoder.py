@@ -1129,7 +1129,7 @@ def _run_progressive_jobs_tolerant(data, frame, geometry, coefficient_planes,
 
 
 def _run_progressive_jobs(data, frame, geometry, coefficient_planes, jobs,
-                          *, arithmetic_state_factory):
+                          *, arithmetic_state_factory, use_native=True):
     """Run progressive scan jobs, in parallel where the data allows.
 
     Scans touching disjoint (component, spectral band) pairs are
@@ -1142,13 +1142,15 @@ def _run_progressive_jobs(data, frame, geometry, coefficient_planes, jobs,
 
     from ..syntax.frame import resolve_scan_components
 
-    try:
-        from ..native import scanner as native_scanner
+    native = None
+    if use_native:
+        try:
+            from ..native import scanner as native_scanner
 
-        native_scanner.build.load_library()
-        native = native_scanner
-    except ImportError:
-        native = None
+            native_scanner.build.load_library()
+            native = native_scanner
+        except ImportError:
+            native = None
 
     if native is None:
         # Sequential Python fallback in stream order.

@@ -47,9 +47,9 @@ from ..syntax.markers import (
 )
 from .geometry import allocate_coefficient_planes, ceil_div, frame_geometry
 
-#: Differential SOF markers (T.81 Table B.1). Implemented: lossless
-#: SOF7, sequential DCT SOF5/SOF13, progressive DCT SOF6/SOF14; the
-#: arithmetic-lossless pair (SOF11-frame SOF15) raises.
+#: Differential SOF markers (T.81 Table B.1) — ALL implemented:
+#: lossless SOF7/SOF15 (Huffman/arithmetic), sequential DCT
+#: SOF5/SOF13, progressive DCT SOF6/SOF14.
 DIFFERENTIAL_SOF_MARKERS = frozenset(
     {Marker.SOF5, Marker.SOF6, Marker.SOF7, Marker.SOF13, Marker.SOF14, Marker.SOF15}
 )
@@ -146,6 +146,7 @@ def decode_hierarchical(decoder, stream: io_reader.JpegStream, data: bytes, *,
             _run_progressive_jobs(
                 data, frame, geometry, coefficient_planes, progressive_jobs,
                 arithmetic_state_factory=lambda: decoder._make_arithmetic_state(),
+                use_native=use_native,
             )
             progressive_jobs = []
         mask = (1 << frame.sample_precision) - 1
@@ -181,10 +182,16 @@ def decode_hierarchical(decoder, stream: io_reader.JpegStream, data: bytes, *,
             # J.1.1.3) — the clamped values are the reference.
             # Differential (SOF5/SOF13): IDCT with NO level shift gives
             # the spatial differences; add to the reference and clamp.
+            # Component sizes use the SAME integer-ratio convention as
+            # the lossless frames and the final DHP check
+            # (lossless.component_sizes) so pyramid stages agree for
+            # every sampling layout.
+            from .lossless import component_sizes
+
+            dct_sizes = component_sizes(frame)
             for cg in geometry.components:
                 fc = frame.components[cg.component_index]
-                hc = ceil_div(frame.number_of_lines * cg.v, geometry.max_v)
-                wc = ceil_div(frame.samples_per_line * cg.h, geometry.max_h)
+                hc, wc = dct_sizes[cg.component_index]
                 plane = decode_stage.component_plane(
                     coefficient_planes[cg.component_index],
                     component_quant[cg.component_index].astype(np.int32),
@@ -462,40 +469,44 @@ def encode_hierarchical(
         assert jpeg_bytes[:2] == b"\xff\xd8" and jpeg_bytes[-2:] == b"\xff\xd9"
         return jpeg_bytes[2:-2]
 
-    def make_dct_encoder(differential: bool):
-        """A 1x1-sampled JpegEncoder with quality-scaled Annex-K quant
-        tables (luminance for component 0, chrominance otherwise) —
-        shared by the DCT base frame and the SOF5/SOF13 refinements."""
-        from . import encoder as encoder_mod
+    def quality_tables():
+        """Quality-scaled Annex-K quant tables: luminance for component
+        0, chrominance shared by the rest — the ONE source of truth for
+        every DCT frame in the pyramid."""
         from ..syntax.quantization import (
             scale_by_quality,
             standard_chrominance_table,
             standard_luminance_table,
         )
+
+        qtabs = [scale_by_quality(standard_luminance_table(0), quality)]
+        if n_comps > 1:
+            qtabs.append(scale_by_quality(standard_chrominance_table(1), quality))
+        return qtabs
+
+    def make_dct_encoder(differential: bool):
+        """A 1x1-sampled JpegEncoder over quality_tables() — the DCT
+        base frame and the SOF5/SOF13 sequential refinements."""
+        from . import encoder as encoder_mod
         from ..syntax import huffman_standard
 
         enc = encoder_mod.JpegEncoder()
         enc.arithmetic = arithmetic
         enc.differential = differential
         enc.restart_interval = restart_interval if differential else 0
-        quants = [scale_by_quality(standard_luminance_table(0), quality)]
-        enc.set_quantization_table(quants[0])
+        quants = quality_tables()
+        for qt in quants:
+            enc.set_quantization_table(qt)
         if not arithmetic:
-            if differential:
-                # Residual statistics are nothing like Annex K's —
-                # registering builders switches on 2-pass optimize.
-                enc.set_huffman_table(True, 0, None)
-                enc.set_huffman_table(False, 0, None)
-            else:
-                enc.set_huffman_table(True, 0, huffman_standard.dc_luminance())
-                enc.set_huffman_table(False, 0, huffman_standard.ac_luminance())
-        if n_comps > 1:
-            quants.append(scale_by_quality(standard_chrominance_table(1), quality))
-            enc.set_quantization_table(quants[1])
-            if not arithmetic:
+            for tid in range(len(quants)):
                 if differential:
-                    enc.set_huffman_table(True, 1, None)
-                    enc.set_huffman_table(False, 1, None)
+                    # Residual statistics are nothing like Annex K's —
+                    # registering builders switches on 2-pass optimize.
+                    enc.set_huffman_table(True, tid, None)
+                    enc.set_huffman_table(False, tid, None)
+                elif tid == 0:
+                    enc.set_huffman_table(True, 0, huffman_standard.dc_luminance())
+                    enc.set_huffman_table(False, 0, huffman_standard.ac_luminance())
                 else:
                     enc.set_huffman_table(True, 1, huffman_standard.dc_chrominance())
                     enc.set_huffman_table(False, 1, huffman_standard.ac_chrominance())
@@ -581,7 +592,8 @@ def encode_hierarchical(
             # so the reconstruction is entropy-coder-independent.
             from ..ops import encode_stage
 
-            enc, quants = make_dct_encoder(differential=True)
+            qtabs = quality_tables()
+            quants = [np.asarray(q.elements, dtype=np.int32) for q in qtabs]
             coeff_planes = []
             new_recon = []
             hb, wb = ceil_div(th, 8), ceil_div(tw, 8)
@@ -597,22 +609,12 @@ def encode_hierarchical(
                 new_recon.append(np.clip(ref + plane, 0, mask))
             recon = new_recon
             if refinement == "progressive":
-                from ..syntax.quantization import (
-                    scale_by_quality,
-                    standard_chrominance_table,
-                    standard_luminance_table,
-                )
                 from .progressive_encoder import (
                     SCRIPT_1,
                     SCRIPT_3,
                     encode_progressive,
                 )
 
-                qtabs = [scale_by_quality(standard_luminance_table(0), quality)]
-                if n_comps > 1:
-                    qtabs.append(
-                        scale_by_quality(standard_chrominance_table(1), quality)
-                    )
                 qids = [0] + [len(qtabs) - 1] * (n_comps - 1)
                 if n_comps == 3:
                     script = SCRIPT_3
@@ -638,6 +640,7 @@ def encode_hierarchical(
                 )
                 writer.write_bytes(strip(frame_bytes))
             else:
+                enc, _ = make_dct_encoder(differential=True)
                 enc.set_coefficient_planes(coeff_planes, tw, th)
                 writer.write_bytes(strip(enc.encode()))
         else:
