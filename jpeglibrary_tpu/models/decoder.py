@@ -362,10 +362,12 @@ class DecodeResult:
         elif len(u8) == 3:
             r, g, b = color_ops.ycbcr_to_rgb(u8[0], u8[1], u8[2])
         elif len(u8) == 4:
-            # CMYK / YCCK via to_cmyk8, then naive CMYK -> RGB
-            # (x * (255 - k) / 255), the conversion PIL and most
-            # viewers apply to ink values.
-            c, m, y, k = np.moveaxis(self.to_cmyk8().astype(np.uint32), -1, 0)
+            # CMYK / YCCK via to_cmyk8 (which honors the upsample
+            # mode), then naive CMYK -> RGB (x * (255 - k) / 255), the
+            # conversion PIL and most viewers apply to ink values.
+            c, m, y, k = np.moveaxis(
+                self.to_cmyk8(upsample=upsample).astype(np.uint32), -1, 0
+            )
             s = 255 - k
             r = ((255 - c) * s + 127) // 255
             g = ((255 - m) * s + 127) // 255
@@ -377,7 +379,7 @@ class DecodeResult:
             )
         return np.stack([r, g, b], axis=-1)
 
-    def to_cmyk8(self) -> np.ndarray:
+    def to_cmyk8(self, *, upsample: str = "duplicate") -> np.ndarray:
         """[H, W, 4] uint8 ink values for a 4-component stream.
 
         YCCK (Adobe transform 2) converts the YCbCr triple back to
@@ -385,11 +387,23 @@ class DecodeResult:
         jdcolor.c); Adobe-tagged files additionally store every channel
         inverted (255 - ink), so the tag flips all four at the end —
         the same two-step rule libjpeg + PIL apply, verified against
-        PIL channel-for-channel (tests/test_color_transforms.py)."""
-        u8 = [
-            decode_stage.normalize_to_uint8(self.planes[i], self.precision)
-            for i in sorted(self.planes)
-        ]
+        PIL channel-for-channel (tests/test_color_transforms.py).
+        ``upsample`` selects the chroma filter like ``to_rgb8``."""
+        if upsample not in ("duplicate", "fancy"):
+            raise ValueError(f"unknown upsample mode {upsample!r}")
+        if upsample == "fancy":
+            sub = self._subres_u8()
+            u8 = [
+                decode_stage.upsample_fancy(
+                    sub[cg.component_index], cg.hs, cg.vs
+                )[: self.height, : self.width].astype(np.uint8)
+                for cg in self.geometry.components
+            ]
+        else:
+            u8 = [
+                decode_stage.normalize_to_uint8(self.planes[i], self.precision)
+                for i in sorted(self.planes)
+            ]
         if len(u8) != 4:
             raise ValueError(f"CMYK output needs 4 components, got {len(u8)}.")
         from ..ops import color as color_ops
@@ -496,6 +510,13 @@ class JpegDecoder:
     def set_input(self, data: bytes) -> None:
         self._data = bytes(data)
         self._stream = None
+        # Per-image stream state resets with the input (the reference
+        # SetInput zeroes _restartInterval, JpegDecoder.cs:61) — a
+        # stale DRI from a previous image would otherwise truncate the
+        # next image's single-span scan to one restart interval.
+        self._restart_interval = 0
+        self._adobe_transform = None
+        self._arithmetic_state = None
 
     def _parsed(self) -> io_reader.JpegStream:
         if self._data is None:
@@ -741,32 +762,38 @@ class JpegDecoder:
                 ):
                     # Progressive scans: collect jobs and run them after
                     # the walk — independent (component, band) scans
-                    # decode in parallel threads.
+                    # decode in parallel threads. The whole collection
+                    # runs under scan_guard so a tolerant decode skips
+                    # (and records) a scan whose tables are broken
+                    # instead of aborting the walk.
                     from ..syntax.frame import resolve_scan_components
 
-                    for comp_index, fc, _sc in resolve_scan_components(
-                        frame, scan_header
+                    with scan_guard(
+                        f"scan at offset {scan.header_segment.offset}"
                     ):
-                        qt = self._quant_tables.get(fc.quantization_table_selector)
-                        if qt is None or qt.is_empty:
-                            raise ValueError(
-                                f"Quantization table of component {comp_index} is not defined."
-                            )
-                        component_quant[comp_index] = qt.elements.copy()
-                    if coefficient_planes is None:
-                        coefficient_planes = allocate_coefficient_planes(geometry)
-                    progressive_jobs.append(
-                        {
-                            "scan": scan,
-                            "scan_header": scan_header,
-                            "dc_tables": dict(self._dc_tables),
-                            "ac_tables": dict(self._ac_tables),
-                            "dac_dc": dict(self._dac_dc),
-                            "dac_ac": dict(self._dac_ac),
-                            "restart_interval": self._restart_interval,
-                            "arithmetic": sof_marker == Marker.SOF10,
-                        }
-                    )
+                        for comp_index, fc, _sc in resolve_scan_components(
+                            frame, scan_header
+                        ):
+                            qt = self._quant_tables.get(fc.quantization_table_selector)
+                            if qt is None or qt.is_empty:
+                                raise ValueError(
+                                    f"Quantization table of component {comp_index} is not defined."
+                                )
+                            component_quant[comp_index] = qt.elements.copy()
+                        if coefficient_planes is None:
+                            coefficient_planes = allocate_coefficient_planes(geometry)
+                        progressive_jobs.append(
+                            {
+                                "scan": scan,
+                                "scan_header": scan_header,
+                                "dc_tables": dict(self._dc_tables),
+                                "ac_tables": dict(self._ac_tables),
+                                "dac_dc": dict(self._dac_dc),
+                                "dac_ac": dict(self._dac_ac),
+                                "restart_interval": self._restart_interval,
+                                "arithmetic": sof_marker == Marker.SOF10,
+                            }
+                        )
                     continue
                 with scan_guard(
                     f"scan at offset {scan.header_segment.offset}"
@@ -905,6 +932,15 @@ class JpegDecoder:
             and sparse_payload is None
         ):
             raise ValueError("No image data decoded.")
+
+        if tolerant and coefficient_planes is not None:
+            # Components whose every scan failed never registered a
+            # quant table; identity-fill so the transform stage renders
+            # their (all-zero) planes as mid-gray instead of raising.
+            for cg in geometry.components:
+                component_quant.setdefault(
+                    cg.component_index, np.ones(64, dtype=np.uint16)
+                )
 
         metrics.count("decode.images")
         metrics.count(

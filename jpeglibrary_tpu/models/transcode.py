@@ -47,10 +47,39 @@ def transcode(
     "arithmetic", "arithmetic-progressive"} for DCT inputs. Lossless
     (SOF3/SOF11) inputs re-encode predictively (``predictor`` overrides
     the input's selector): the arithmetic modes target SOF11, the rest
-    SOF3 with fresh optimal tables.
+    SOF3 with fresh optimal tables; the input scan's point transform is
+    carried through.
     ``restart_interval`` adds DRI/RSTn seams where the target coding
     supports them (optimized / arithmetic / lossless).
+
+    An Adobe APP14 tag on the input is copied into the output verbatim
+    (like jpegtran): the tag changes the stream's color interpretation
+    (RGB / CMYK / YCCK), so dropping it would alter decoded colors.
     """
+    out = _transcode_inner(
+        data, mode, restart_interval=restart_interval, predictor=predictor
+    )
+    from ..io.reader import parse_stream
+    from ..syntax.markers import Marker as _M
+
+    for seg in parse_stream(data).segments:
+        if seg.marker == _M.APP14:
+            payload = seg.payload(data)
+            if len(payload) >= 12 and payload[:5] == b"Adobe":
+                assert out[:2] == b"\xff\xd8"
+                return out[:2] + data[seg.offset : seg.payload_end] + out[2:]
+        if seg.marker == _M.SOS:
+            break
+    return out
+
+
+def _transcode_inner(
+    data: bytes,
+    mode: str = "optimized",
+    *,
+    restart_interval: int = 0,
+    predictor: Optional[int] = None,
+) -> bytes:
     dec = JpegDecoder()
     dec.set_input(data)
     res = dec.decode()
@@ -73,10 +102,30 @@ def transcode(
             for fc in frame.components
         ]
         all_1x1 = all(s == (1, 1) for s in sampling)
+        # The input scan's point transform: decoded planes hold
+        # Pt-shifted values, so re-encode must shift them back up and
+        # declare the same Pt — a conformant third-party decoder
+        # renders sample<<Pt either way.
+        from ..io.reader import parse_stream
+        from ..syntax.frame import ScanHeader as _SH
+        from ..syntax.markers import Marker as _M
+
+        stream = parse_stream(data)
+        pt = 0
+        for seg in stream.segments:
+            if seg.marker == _M.SOS:
+                pt = _SH.parse(seg.payload(data)).successive_approximation_bit_position_low
+                break
         planes = [
-            res.samples[i].astype(np.int64) & 0xFFFF
+            (res.samples[i].astype(np.int64) & 0xFFFF) << pt
             for i in range(len(frame.components))
         ]
+        if restart_interval > 0 and not all_1x1 and not to_arith:
+            raise ValueError(
+                "restart_interval with sub-sampled Huffman lossless "
+                "output is not supported (encode_lossless limitation); "
+                "use the arithmetic target or restart_interval=0."
+            )
 
         def enc(sel):
             if all_1x1:
@@ -89,12 +138,14 @@ def transcode(
                         cropped,
                         precision=frame.sample_precision,
                         predictor=sel,
+                        point_transform=pt,
                         restart_interval=restart_interval,
                     )
                 return encode_lossless(
                     cropped,
                     precision=frame.sample_precision,
                     predictor=sel,
+                    point_transform=pt,
                     restart_interval=restart_interval,
                 )
             if to_arith:
@@ -102,13 +153,16 @@ def transcode(
                     planes,
                     precision=frame.sample_precision,
                     predictor=sel,
+                    point_transform=pt,
                     sampling=sampling,
                     size=(frame.number_of_lines, frame.samples_per_line),
+                    restart_interval=restart_interval,
                 )
             return encode_lossless(
                 planes,
                 precision=frame.sample_precision,
                 predictor=sel,
+                point_transform=pt,
                 sampling=sampling,
                 size=(frame.number_of_lines, frame.samples_per_line),
             )

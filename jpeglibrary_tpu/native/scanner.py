@@ -250,8 +250,10 @@ def decode_image_sparse(data: bytes, *, bucket_factor: float = 1.5):
         number_of_lines=int(info[1]),
         samples_per_line=int(info[0]),
         components=tuple(
+            # info[17+i] is always filled by the walk (component id 0
+            # is legal — no or-fallback, it would alias ids).
             FrameComponent(
-                int(info[17 + i]) or i + 1,
+                int(info[17 + i]),
                 int(info[4 + i]), int(info[8 + i]), int(info[12 + i]),
             )
             for i in range(n_comps)
@@ -898,6 +900,11 @@ def decode_arithmetic_scan(
     geo = geometry or frame_geometry(frame)
     resolved = resolve_scan_components(frame, scan)
     is_dc_scan = scan.start_of_spectral_selection == 0
+    if progressive and len(resolved) > 1 and not is_dc_scan:
+        # Same T.81 G.1.1.1 validation as the Huffman progressive
+        # wrapper: interleaved AC scans are malformed and would make
+        # the native unit walk write garbage silently.
+        raise JpegDecodeError("Progressive AC scans must be non-interleaved.")
     needs_dc = (not progressive) or is_dc_scan
     needs_ac = (not progressive) or not is_dc_scan
 
@@ -1087,7 +1094,9 @@ def encode_prog_dc(blocks_list, per_mcu, n_mcus: int, ah: int, al: int,
         codes[i] = ca.ctypes.data_as(ctypes.c_void_p)
         sizes[i] = sa.ctypes.data_as(ctypes.c_void_p)
     total = sum(int(n_mcus) * int(per_mcu[i]) for i in range(n))
-    cap = total * 6 + 4096
+    # DC worst case: 16-bit code + 15 diff bits ~ 4 B/block, doubled by
+    # 0xFF stuffing -> 8 covers any valid stream.
+    cap = total * 8 + 4096
     out = np.empty(cap, dtype=np.uint8)
     written = lib.jpx_encode_prog_dc(
         n, block_ptrs, pm, n_mcus, ah, al, codes, sizes, None,
@@ -1117,7 +1126,10 @@ def _encode_prog_ac(fn_name, blocks, ss, se, al, table=None, freq=None):
         return None
     ca = np.ascontiguousarray(table.codes, dtype=np.uint16)
     sa = np.ascontiguousarray(table.sizes, dtype=np.uint8)
-    cap = blocks.shape[0] * 300 + 4096
+    # True worst case: 63 coefficients x (16-bit code + 15 value bits)
+    # ~ 244 B/block, doubled by 0xFF stuffing -> 512 covers any valid
+    # stream (np.empty is lazy-committed, so the slack is virtual).
+    cap = blocks.shape[0] * 512 + 4096
     out = np.empty(cap, dtype=np.uint8)
     written = fn(
         blocks.ctypes.data_as(ctypes.c_void_p), blocks.shape[0],
@@ -1328,7 +1340,9 @@ def encode_segment(comps: Sequence[dict], n_mcus: int, *, parallel: bool = False
         ac_size_ptrs[i] = ac_sizes.ctypes.data_as(ctypes.c_void_p)
         total_blocks += n_mcus * int(c["per_mcu"])
 
-    cap = total_blocks * 288 + 1024  # worst case incl. stuffing
+    # 64 x (16-bit code + 15 value bits) ~ 248 B/block, doubled by
+    # 0xFF stuffing -> 512 covers any valid stream.
+    cap = total_blocks * 512 + 1024
     out = np.empty(cap, dtype=np.uint8)
     if parallel:
         written = lib.jpx_encode_segment_parallel(
@@ -1411,7 +1425,7 @@ def encode_segment_carry(
         ac_size_ptrs[i] = ac_sizes.ctypes.data_as(ctypes.c_void_p)
         total_blocks += n_mcus * int(c["per_mcu"])
 
-    cap = total_blocks * 288 + 1024
+    cap = total_blocks * 512 + 1024  # worst case incl. stuffing
     out = np.empty(cap, dtype=np.uint8)
     written = lib.jpx_encode_segment_carry(
         n,

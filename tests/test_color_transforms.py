@@ -160,3 +160,74 @@ class TestRgbCoded:
         r = dec.decode(sparse_direct=True)
         assert r.color_transform == "rgb"
         assert np.abs(r.to_rgb8().astype(int) - img.astype(int)).mean() < 3
+
+
+class TestTranscodePreservesAdobe:
+    def test_cmyk_transcode_keeps_colors(self):
+        img = _img(40, 48, 4, seed=20)
+        buf = io.BytesIO()
+        Image.fromarray(img, mode="CMYK").save(buf, "JPEG", quality=95)
+        data = buf.getvalue()
+        out = jt.transcode(data, "optimal")
+        a, b = jt.decode(data), jt.decode(out)
+        assert b.adobe_transform == a.adobe_transform
+        assert np.array_equal(a.to_cmyk8(), b.to_cmyk8())
+        # PIL sees the same colors through the transcoded stream too.
+        pa = np.asarray(Image.open(io.BytesIO(data)))
+        pb = np.asarray(Image.open(io.BytesIO(out)))
+        assert np.array_equal(pa, pb)
+
+    def test_rgb_coded_adobe_zero_survives(self):
+        img = _img(32, 40, 3, seed=21)
+        base = _splice_after_soi(
+            TestRgbCoded()._encode_rgb_as_is(img, (1, 2, 3)), _adobe_app14(0)
+        )
+        out = jt.transcode(base, "arithmetic")
+        assert jt.decode(out).color_transform == "rgb"
+        assert np.array_equal(
+            jt.decode(base).to_rgb8(), jt.decode(out).to_rgb8()
+        )
+
+
+class TestFancyFourComponent:
+    def test_fancy_applies_to_ycck(self):
+        # Subsampled YCCK: fancy and duplicate must genuinely differ,
+        # and fancy must match PIL (libjpeg merges fancy upsampling
+        # into its YCCK path) within rounding.
+        from jpeglibrary_tpu.models.encoder import JpegEncoder
+        from jpeglibrary_tpu.ops import color as color_ops
+        from jpeglibrary_tpu.syntax import huffman_standard
+        from jpeglibrary_tpu.syntax.quantization import (
+            scale_by_quality,
+            standard_luminance_table,
+        )
+
+        ink = _img(48, 64, 4, seed=22)
+        y, cb, cr = color_ops.rgb_to_ycbcr(ink[..., 0], ink[..., 1], ink[..., 2])
+        enc = JpegEncoder()
+        enc.set_quantization_table(scale_by_quality(standard_luminance_table(0), 90))
+        enc.set_huffman_table(True, 0, huffman_standard.dc_luminance())
+        enc.set_huffman_table(False, 0, huffman_standard.ac_luminance())
+        enc.add_component(1, 0, 0, 0, 2, 2)
+        enc.add_component(2, 0, 0, 0, 1, 1)
+        enc.add_component(3, 0, 0, 0, 1, 1)
+        enc.add_component(4, 0, 0, 0, 2, 2)
+        enc.set_input([
+            np.asarray(y, dtype=np.uint8),
+            np.asarray(cb, dtype=np.uint8)[::2, ::2].copy(),
+            np.asarray(cr, dtype=np.uint8)[::2, ::2].copy(),
+            (255 - ink[..., 3]).astype(np.uint8),
+        ])
+        data = _splice_after_soi(enc.encode(), _adobe_app14(2))
+        r = jt.decode(data)
+        assert r.color_transform == "ycck"
+        dup = r.to_cmyk8(upsample="duplicate")
+        fan = r.to_cmyk8(upsample="fancy")
+        assert not np.array_equal(dup, fan)
+        pil = np.asarray(Image.open(io.BytesIO(data)))
+        d = np.abs(fan.astype(int) - pil.astype(int))
+        assert d.max() <= 3
+        # to_rgb8 honors the flag for 4-component streams too.
+        assert not np.array_equal(
+            r.to_rgb8(upsample="duplicate"), r.to_rgb8(upsample="fancy")
+        )

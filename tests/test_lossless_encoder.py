@@ -123,3 +123,32 @@ def test_python_decoder_agrees_on_generated_stream(rng):
     a = jt.decode(enc, use_native=True)
     b = jt.decode(enc, use_native=False)
     np.testing.assert_array_equal(a.samples[0], b.samples[0])
+
+
+def test_transcode_preserves_point_transform():
+    """A Pt>0 lossless input must transcode to a Pt-declaring stream
+    whose decoded (Pt-domain) samples match the input's exactly — a
+    conformant third-party decoder renders sample<<Pt either way."""
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.models.lossless import encode_lossless
+    from jpeglibrary_tpu.syntax.frame import ScanHeader
+    from jpeglibrary_tpu.io.reader import parse_stream
+    from jpeglibrary_tpu.syntax.markers import Marker
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (40, 44)).astype(np.int32)
+    src = encode_lossless(img, predictor=3, point_transform=2)
+    out = jt.transcode(src, "optimal")
+    sos = next(
+        s for s in parse_stream(out).segments if s.marker == Marker.SOS
+    )
+    assert ScanHeader.parse(sos.payload(out)).successive_approximation_bit_position_low == 2
+    a, b = jt.decode(src), jt.decode(out)
+    assert np.array_equal(a.planes[0], b.planes[0])
+    # arithmetic target too
+    out11 = jt.transcode(src, "arithmetic")
+    sos11 = next(
+        s for s in parse_stream(out11).segments if s.marker == Marker.SOS
+    )
+    assert ScanHeader.parse(sos11.payload(out11)).successive_approximation_bit_position_low == 2
+    assert np.array_equal(a.planes[0], jt.decode(out11).planes[0])

@@ -144,3 +144,25 @@ def test_missing_restart_marker_mid_scan_raises(assets_dir):
     decoder.set_input(corrupt)
     with pytest.raises((JpegDecodeError, JpegStreamError)):
         decoder.decode()
+
+
+def test_decoder_reuse_resets_stream_state():
+    """set_input must clear the previous image's DRI (and Adobe tag):
+    the reference SetInput zeroes _restartInterval (JpegDecoder.cs:61).
+    A stale interval would silently truncate the next image's single
+    entropy span to one restart interval of MCUs."""
+    import jpeglibrary_tpu as jt
+
+    rng = np.random.default_rng(3)
+    img = np.clip(
+        np.linspace(0, 255, 64)[None, :, None] + rng.normal(0, 10, (64, 64, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    with_dri = jt.encode_rgb(img, 80, restart_interval=4)
+    without = jt.encode_rgb(img, 80)
+    dec = jt.JpegDecoder()
+    dec.set_input(with_dri)
+    first = dec.decode().to_rgb8()
+    dec.set_input(without)
+    second = dec.decode().to_rgb8()
+    assert np.array_equal(first, second)

@@ -117,3 +117,29 @@ class TestOtherModes:
         data = jt.encode_lossless_arithmetic(img, predictor=2)
         r = _decode_tolerant(data[: len(data) * 2 // 3])
         assert r.to_uint8().shape == (48, 48, 1)
+
+
+class TestTolerantTables:
+    def test_progressive_bad_dqt_id_records_not_raises(self):
+        from jpeglibrary_tpu.models.progressive_encoder import (
+            encode_progressive_rgb,
+        )
+
+        img = _img(64, 64, seed=30)
+        data = bytearray(encode_progressive_rgb(img, 80))
+        # Point the CHROMA components at DQT slot 3 (never defined):
+        # scans touching them fail table validation, luma-only scans
+        # still decode.
+        sof = bytes(data).find(b"\xff\xc2")
+        ncomp = data[sof + 9]
+        for i in range(1, ncomp):
+            data[sof + 10 + 3 * i + 2] = 3
+        dec = jt.JpegDecoder()
+        dec.set_input(bytes(data))
+        with pytest.raises(ValueError):
+            dec.decode()
+        dec2 = jt.JpegDecoder()
+        dec2.set_input(bytes(data))
+        r = dec2.decode(tolerant=True)
+        assert r.errors  # recorded, not raised
+        assert r.to_rgb8().shape == (64, 64, 3)
