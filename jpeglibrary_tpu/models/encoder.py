@@ -495,31 +495,11 @@ class JpegEncoder:
         rst = 0
         for _, blocks in stripes():
             stripe_mcus = blocks[0].shape[0] // comp_meta[0]["per_mcu"]
-            pos = 0
-            while pos < stripe_mcus:
-                n = stripe_mcus - pos
-                if ri > 0:
-                    n = min(n, ri - seg_fill)
-                seg_comps = [
-                    {**m, "blocks": b[pos * m["per_mcu"]:(pos + n) * m["per_mcu"]]}
-                    for m, b in zip(comp_meta, blocks)
-                ]
-                emitted += n
-                seg_end = ri > 0 and seg_fill + n == ri
-                last = emitted == total_mcus
-                writer.write_bytes(
-                    native_scanner.encode_segment_carry(
-                        seg_comps, n, carry, finalize=seg_end or last
-                    )
-                )
-                pos += n
-                seg_fill += n
-                if seg_end:
-                    if not last:
-                        writer.write_marker(Marker.RST0 + rst)
-                        rst = (rst + 1) & 7
-                    carry.reset()
-                    seg_fill = 0
+            emitted += stripe_mcus
+            seg_fill, rst = self._emit_stream_stripe(
+                writer, native_scanner, carry, comp_meta, blocks,
+                ri, seg_fill, rst, last=emitted == total_mcus,
+            )
 
         writer.write_marker(Marker.EOI)
         return writer.to_bytes()
@@ -887,11 +867,17 @@ def _encode_block(write_bits, c, block) -> None:
             run += 1
         else:
             while run > 15:
+                if int(ac_sizes[0xF0]) == 0:
+                    raise JpegEncodeError(
+                        "Huffman table has no code for symbol 0xf0."
+                    )
                 write_bits(int(ac_codes[0xF0]), int(ac_sizes[0xF0]))
                 run -= 16
             _encode_run_length(write_bits, ac_codes, ac_sizes, run, t)
             run = 0
     if run > 0:
+        if int(ac_sizes[0]) == 0:
+            raise JpegEncodeError("Huffman table has no code for symbol 0x0.")
         write_bits(int(ac_codes[0]), int(ac_sizes[0]))
 
 
@@ -916,6 +902,45 @@ def _encode_run_length(write_bits, codes, sizes, run: int, value: int) -> None:
 # High-level convenience mirroring the JpegEncode app
 # (apps/JpegEncode/EncodeAction.cs:17-72)
 # ---------------------------------------------------------------------------
+
+def _configure_rgb_encoder(
+    quality: int,
+    subsampling: str,
+    *,
+    optimize_coding: bool = False,
+    most_optimal_coding: bool = False,
+    restart_interval: int = 0,
+    arithmetic: bool = False,
+) -> "JpegEncoder":
+    """Shared setup for the encode_rgb* family: quality-scaled Annex-K
+    quant tables, standard-or-built Huffman tables, 4:2:0/4:4:4
+    component wiring (one source of truth — the three entry points
+    previously drifted)."""
+    encoder = JpegEncoder()
+    encoder.most_optimal_coding = most_optimal_coding
+    encoder.restart_interval = restart_interval
+    encoder.arithmetic = arithmetic
+    encoder.set_quantization_table(scale_by_quality(standard_luminance_table(0), quality))
+    encoder.set_quantization_table(scale_by_quality(standard_chrominance_table(1), quality))
+    if optimize_coding or most_optimal_coding:
+        for is_dc in (True, False):
+            encoder.set_huffman_table(is_dc, 0)
+            encoder.set_huffman_table(is_dc, 1)
+    else:
+        encoder.set_huffman_table(True, 0, huffman_standard.dc_luminance())
+        encoder.set_huffman_table(False, 0, huffman_standard.ac_luminance())
+        encoder.set_huffman_table(True, 1, huffman_standard.dc_chrominance())
+        encoder.set_huffman_table(False, 1, huffman_standard.ac_chrominance())
+    if subsampling == "420":
+        encoder.add_component(1, 0, 0, 0, 2, 2)
+    elif subsampling == "444":
+        encoder.add_component(1, 0, 0, 0, 1, 1)
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    encoder.add_component(2, 1, 1, 1, 1, 1)
+    encoder.add_component(3, 1, 1, 1, 1, 1)
+    return encoder
+
 
 def encode_rgb(
     rgb: np.ndarray,
@@ -943,33 +968,13 @@ def encode_rgb(
     except ImportError:
         y, cb, cr = color_ops.rgb_to_ycbcr(rgb[..., 0], rgb[..., 1], rgb[..., 2], xp=np)
 
-    encoder = JpegEncoder()
-    encoder.most_optimal_coding = most_optimal_coding
-    encoder.restart_interval = restart_interval
-    encoder.arithmetic = arithmetic
-    encoder.set_quantization_table(scale_by_quality(standard_luminance_table(0), quality))
-    encoder.set_quantization_table(scale_by_quality(standard_chrominance_table(1), quality))
-    if optimize_coding or most_optimal_coding:
-        encoder.set_huffman_table(True, 0)
-        encoder.set_huffman_table(False, 0)
-        encoder.set_huffman_table(True, 1)
-        encoder.set_huffman_table(False, 1)
-    else:
-        encoder.set_huffman_table(True, 0, huffman_standard.dc_luminance())
-        encoder.set_huffman_table(False, 0, huffman_standard.ac_luminance())
-        encoder.set_huffman_table(True, 1, huffman_standard.dc_chrominance())
-        encoder.set_huffman_table(False, 1, huffman_standard.ac_chrominance())
-    if subsampling == "420":
-        encoder.add_component(1, 0, 0, 0, 2, 2)
-        encoder.add_component(2, 1, 1, 1, 1, 1)
-        encoder.add_component(3, 1, 1, 1, 1, 1)
-    elif subsampling == "444":
-        encoder.add_component(1, 0, 0, 0, 1, 1)
-        encoder.add_component(2, 1, 1, 1, 1, 1)
-        encoder.add_component(3, 1, 1, 1, 1, 1)
-    else:
-        raise ValueError(f"unsupported subsampling {subsampling!r}")
-
+    encoder = _configure_rgb_encoder(
+        quality, subsampling,
+        optimize_coding=optimize_coding,
+        most_optimal_coding=most_optimal_coding,
+        restart_interval=restart_interval,
+        arithmetic=arithmetic,
+    )
     encoder.set_input([y, cb, cr])
     return encoder.encode(xp=xp)
 
@@ -1004,31 +1009,12 @@ def encode_rgb_stream(
                 color_ops.rgb_to_ycbcr(rgb[..., 0], rgb[..., 1], rgb[..., 2], xp=np)
             )
 
-    encoder = JpegEncoder()
-    encoder.most_optimal_coding = most_optimal_coding
-    encoder.restart_interval = restart_interval
-    encoder.set_quantization_table(scale_by_quality(standard_luminance_table(0), quality))
-    encoder.set_quantization_table(scale_by_quality(standard_chrominance_table(1), quality))
-    if optimize_coding or most_optimal_coding:
-        encoder.set_huffman_table(True, 0)
-        encoder.set_huffman_table(False, 0)
-        encoder.set_huffman_table(True, 1)
-        encoder.set_huffman_table(False, 1)
-    else:
-        encoder.set_huffman_table(True, 0, huffman_standard.dc_luminance())
-        encoder.set_huffman_table(False, 0, huffman_standard.ac_luminance())
-        encoder.set_huffman_table(True, 1, huffman_standard.dc_chrominance())
-        encoder.set_huffman_table(False, 1, huffman_standard.ac_chrominance())
-    if subsampling == "420":
-        encoder.add_component(1, 0, 0, 0, 2, 2)
-        encoder.add_component(2, 1, 1, 1, 1, 1)
-        encoder.add_component(3, 1, 1, 1, 1, 1)
-    elif subsampling == "444":
-        encoder.add_component(1, 0, 0, 0, 1, 1)
-        encoder.add_component(2, 1, 1, 1, 1, 1)
-        encoder.add_component(3, 1, 1, 1, 1, 1)
-    else:
-        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    encoder = _configure_rgb_encoder(
+        quality, subsampling,
+        optimize_coding=optimize_coding,
+        most_optimal_coding=most_optimal_coding,
+        restart_interval=restart_interval,
+    )
     encoder.set_input_reader(ycbcr_reader, width, height)
     return encoder.encode()
 
@@ -1063,24 +1049,9 @@ def encode_rgb_stripes(
                     )
                 )
 
-    encoder = JpegEncoder()
-    encoder.restart_interval = restart_interval
-    encoder.set_quantization_table(scale_by_quality(standard_luminance_table(0), quality))
-    encoder.set_quantization_table(scale_by_quality(standard_chrominance_table(1), quality))
-    encoder.set_huffman_table(True, 0, huffman_standard.dc_luminance())
-    encoder.set_huffman_table(False, 0, huffman_standard.ac_luminance())
-    encoder.set_huffman_table(True, 1, huffman_standard.dc_chrominance())
-    encoder.set_huffman_table(False, 1, huffman_standard.ac_chrominance())
-    if subsampling == "420":
-        encoder.add_component(1, 0, 0, 0, 2, 2)
-        encoder.add_component(2, 1, 1, 1, 1, 1)
-        encoder.add_component(3, 1, 1, 1, 1, 1)
-    elif subsampling == "444":
-        encoder.add_component(1, 0, 0, 0, 1, 1)
-        encoder.add_component(2, 1, 1, 1, 1, 1)
-        encoder.add_component(3, 1, 1, 1, 1, 1)
-    else:
-        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    encoder = _configure_rgb_encoder(
+        quality, subsampling, restart_interval=restart_interval
+    )
     encoder.set_input_stream(ycbcr_stripes(), width)
     return encoder.encode()
 

@@ -419,7 +419,13 @@ static void speculative_scan(const uint8_t* base, int64_t span_len,
                              Component* comps, int n_comps,
                              int64_t max_mcus, std::vector<McuRecord>& out) {
     int16_t scratch[64];
-    const int kMaxRetries = 64;
+    // Thread 0 starts at the true stream start: a failure there is a
+    // truly corrupt stream and must NOT be retried at the next byte —
+    // the stitch maps its first record to MCU 0 unconditionally, so a
+    // shifted self-sync would re-decode garbage without error. Leaving
+    // out empty aborts the speculative path into the sequential one,
+    // which raises properly (mirrors the sparse guard below).
+    const int kMaxRetries = from == 0 ? 1 : 64;
     for (int attempt = 0; attempt < kMaxRetries; ++attempt) {
         int64_t start = from + attempt;
         if (start >= span_len) return;
@@ -1809,6 +1815,7 @@ int64_t jpx_decode_image_baseline_sparse(
             restart_interval = (seg[0] << 8) | seg[1];
         } else if (marker == 0xDA) {  // SOS
             if (!got_sof) return -10;
+            if (seg_n < 1) return -10;  // length must cover Ns itself
             int ns = seg[0];
             if (ns != n_comps || seg_n < 1 + 2 * ns + 3) return -10;
             for (int i = 0; i < ns; ++i) {
