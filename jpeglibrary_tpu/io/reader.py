@@ -171,20 +171,6 @@ _RST_FIRST = int(Marker.RST0)
 _RST_LAST = int(Marker.RST7)
 
 
-def _find_marker(data: bytes, pos: int) -> Tuple[Optional[int], int, int]:
-    """Find the next marker at/after pos (single-probe variant).
-
-    Kept for callers outside the batch walk; same semantics as the
-    event table. Returns (marker_byte_or_None, ff_offset, after).
-    """
-    mpos, mbyte = _marker_events(data)
-    i = int(np.searchsorted(mpos, pos))
-    n = len(data)
-    if i >= mpos.size:
-        return None, n, n
-    return int(mbyte[i]), int(mpos[i]), int(mpos[i]) + 2
-
-
 def parse_stream(data: bytes, *, require_soi: bool = True) -> JpegStream:
     """Walk a complete JPEG stream.
 
@@ -210,7 +196,16 @@ def parse_stream(data: bytes, *, require_soi: bool = True) -> JpegStream:
     if require_soi and marker != Marker.SOI:
         raise JpegStreamError(0, "Marker SOI expected.")
     if marker is not None:
-        segments.append(Segment(marker=marker, offset=ff_off, payload_start=pos, payload_end=pos))
+        if marker in STANDALONE_MARKERS:
+            segments.append(
+                Segment(marker=marker, offset=ff_off, payload_start=pos, payload_end=pos)
+            )
+        else:
+            # require_soi=False tables blob starting with a
+            # length-prefixed marker (DQT/DHT, JpegDecoder.LoadTables
+            # semantics): let the main loop parse its payload instead
+            # of recording a bogus empty segment and walking into it.
+            pos = ff_off
 
     consumed = pos
     while pos < n:

@@ -67,6 +67,14 @@ class JpegOptimizer:
 
     def set_input(self, data: bytes) -> None:
         self._data = bytes(data)
+        # Per-image state resets with the input (the decoder's
+        # set_input does the same): stale scan records from a previous
+        # image would pair with the new image's scans in optimize().
+        self._scan_records = []
+        self._frame = None
+        self._geometry = None
+        self._planes = None
+        self._tables = {}
 
     def scan(self) -> None:
         """Pass 1: decode + frequency statistics + table build."""
@@ -91,6 +99,8 @@ class JpegOptimizer:
                     registry[t.identifier] = t
             elif seg.marker == Marker.DRI:
                 payload = seg.payload(data)
+                if len(payload) < 2:
+                    raise JpegOptimizeError("Truncated DRI segment.")
                 restart_interval = (payload[0] << 8) | payload[1]
             elif seg.marker in ALL_SOF_MARKERS:
                 if seg.marker == Marker.SOF2:
@@ -140,6 +150,14 @@ class JpegOptimizer:
                         planes[comp_index], cg.h, cg.v
                     )
                     dc_freq, ac_freq = encode_stage.dc_ac_symbol_frequencies(blocks)
+                    if restart_interval > 0:
+                        # Pass 2 resets DC predictors at every restart
+                        # boundary; correct the one-chain histogram so
+                        # segment-start categories are present in the
+                        # built table (same fixup the encoder applies).
+                        encode_stage.apply_restart_dc_fixup(
+                            dc_freq, blocks, cg.h * cg.v, restart_interval
+                        )
                     builders.setdefault(
                         (True, sc.dc_table_selector), HuffmanTableBuilder()
                     ).add_frequencies(dc_freq)
@@ -350,10 +368,25 @@ class JpegOptimizer:
 
 
 def parse_all_quant_tables(stream: io_reader.JpegStream, data: bytes) -> List[QuantizationTable]:
+    """All DQT definitions, collapsed to one up-front segment. A table
+    id REDEFINED with different values mid-stream (legal per T.81 —
+    later scans dequantize with the later table) cannot be collapsed
+    without changing decoded pixels, so it is refused."""
+    import numpy as np
+
     tables: Dict[int, QuantizationTable] = {}
     for seg in stream.segments:
         if seg.marker == Marker.DQT:
             for t in parse_dqt_segment(seg.payload(data)):
+                prev = tables.get(t.identifier)
+                if prev is not None and not np.array_equal(
+                    prev.elements, t.elements
+                ):
+                    raise JpegOptimizeError(
+                        f"Quantization table {t.identifier} is redefined "
+                        "mid-stream; collapsing the definitions would "
+                        "change decoded pixels."
+                    )
                 tables[t.identifier] = t
     return list(tables.values())
 

@@ -121,57 +121,22 @@ def decode_rgb_stripes(
         raise ValueError(
             "streaming decode requires a single-scan baseline (SOF0/1) stream"
         )
-    geo = res.geometry
-    packed = res.packed_mcu.reshape(-1, 2)
-    deltas = packed[:, 0].astype(np.int64) & 0xFFFF
-    # Trim bucket padding: padding entries are (0, 0); real entries have
-    # a nonzero value or are escapes with delta 0xFFFF.
-    pad = np.flatnonzero((deltas == 0) & (packed[:, 1] == 0))
-    n_entries = int(pad[0]) if len(pad) else len(packed)
-    pos = np.cumsum(deltas[:n_entries]) - 1
-
-    cpm = 64 * sum(c.h * c.v for c in geo.components)
-    coefs_per_mcu_row = geo.mcus_per_line * cpm
-    quants = np.stack(
-        [res.quant[c.component_index] for c in geo.components]
-    ).astype(np.int32)
+    # Payload slicing (escape-skip, delta rebase, bucket ladder) is the
+    # shared split_payload_stripes — one implementation for this path
+    # and the stripe-sharded mesh decode.
+    stripes_arr, geo, quants, heights = split_payload_stripes(
+        res, stripe_mcu_rows
+    )
 
     from ..ops.pipeline import jitted_transform_mcu
 
     px_per_mcu_row = 8 * geo.max_v
-    for r0 in range(0, geo.mcus_per_column, stripe_mcu_rows):
+    for i, (payload, height) in enumerate(zip(stripes_arr, heights)):
+        r0 = i * stripe_mcu_rows
         r1 = min(r0 + stripe_mcu_rows, geo.mcus_per_column)
         y0 = r0 * px_per_mcu_row
-        height = min((r1 - r0) * px_per_mcu_row, geo.height - y0)
         sgeo = _stripe_geometry(geo, r1 - r0, height)
-
-        lo = int(np.searchsorted(pos, r0 * coefs_per_mcu_row, side="left"))
-        hi = int(np.searchsorted(pos, r1 * coefs_per_mcu_row, side="left"))
-        # Skip escape entries at the chunk head; their accumulated
-        # offset is folded into the rebased first delta below.
-        first = lo
-        while first < hi and packed[first, 1] == 0 and deltas[first] == 0xFFFF:
-            first += 1
-        body = packed[first:hi]
-
-        if len(body):
-            lead = int(pos[first]) - r0 * coefs_per_mcu_row + 1
-            n_esc = lead // 0xFFFF
-            rem = lead - n_esc * 0xFFFF
-        else:
-            n_esc = rem = 0
-        n_out = n_esc + len(body)
-        bucket = 1024  # same ladder as the packers: stripes of a given
-        while bucket < n_out:  # shape share compiled programs
-            bucket = (int(bucket * 1.5) + 1023) & ~1023
-        out = np.zeros((bucket, 2), dtype=np.int16)
-        if n_esc:
-            out[:n_esc, 0] = np.int16(-1)  # 0xFFFF escapes
-        if len(body):
-            out[n_esc:n_out] = body
-            out[n_esc, 0] = np.int16(rem)  # rebased first delta
-
-        stripe = jitted_transform_mcu(sgeo, "rgb8")(out.reshape(-1), quants)
+        stripe = jitted_transform_mcu(sgeo, "rgb8")(payload, quants)
         if not device:
             stripe = np.asarray(stripe)
         yield y0, stripe
@@ -230,6 +195,16 @@ def decode_lossless_rows(
         elif seg.marker == Marker.SOS:
             if frame is None:
                 raise ValueError("Frame header was not found before SOS.")
+            if len(stream.scans) > 1:
+                # Multi-scan (non-interleaved per-component) lossless
+                # streams would need one row cursor per scan stitched
+                # row-wise; refuse rather than silently yield only the
+                # first scan's component(s).
+                raise ValueError(
+                    "decode_lossless_rows supports single-scan "
+                    "(interleaved) lossless streams; this stream has "
+                    f"{len(stream.scans)} scans — use jt.decode()."
+                )
             scan = next(scan_iter)
             scan_header = ScanHeader.parse(seg.payload(data))
             rows = native_scanner.LosslessRowStream(

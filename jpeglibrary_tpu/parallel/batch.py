@@ -12,6 +12,7 @@ API amortize away; it is also the unit that shards across a mesh
 
 from __future__ import annotations
 
+import functools
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence
 
@@ -36,6 +37,20 @@ def scan_images(datas: Sequence[bytes], *, max_workers: Optional[int] = None) ->
 
 def _group_key(r: DecodeResult):
     return r.geometry
+
+
+def _stacked_quants(batch, geometry) -> np.ndarray:
+    """[B, n_comps, 64] int32 — each image's OWN quant tables, vmapped
+    alongside its payload (grouping is by geometry only, which says
+    nothing about quality)."""
+    return np.stack(
+        [
+            np.stack(
+                [r.quant[c.component_index] for c in geometry.components]
+            )
+            for r in batch
+        ]
+    ).astype(np.int32)
 
 
 def decode_batch_rgb(
@@ -74,9 +89,9 @@ def decode_batch_rgb(
             all(r.packed_mcu is not None for r in batch)
             and len({r.packed_mcu.shape for r in batch}) == 1
         ):
-            quants = np.stack(
-                [batch[0].quant[c.component_index] for c in geometry.components]
-            ).astype(np.int32)
+            # Per-image quant tables, vmapped alongside the payloads:
+            # same-geometry images may carry different quality tables.
+            quants = _stacked_quants(batch, geometry)
             stacked = np.stack([r.packed_mcu for r in batch])
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -108,9 +123,7 @@ def decode_batch_rgb(
             pass
 
         if packed_batch is not None:
-            quants = np.stack(
-                [batch[0].quant[c.component_index] for c in geometry.components]
-            ).astype(np.int32)
+            quants = _stacked_quants(batch, geometry)
             fn = _batched_transform_delta(geometry)
             inp = packed_batch
             if mesh is not None:
@@ -119,7 +132,11 @@ def decode_batch_rgb(
                 inp = jax.device_put(inp, NamedSharding(mesh, P("data")))
         else:
             quants = tuple(
-                jnp.asarray(batch[0].quant[c.component_index], dtype=jnp.int32)
+                jnp.asarray(
+                    np.stack(
+                        [r.quant[c.component_index] for r in batch]
+                    ).astype(np.int32)
+                )
                 for c in geometry.components
             )
             fn = _batched_transform(geometry)
@@ -193,9 +210,7 @@ def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2,
         )
         if groupable:
             geo = ress[0].geometry
-            quants = np.stack(
-                [ress[0].quant[c.component_index] for c in geo.components]
-            ).astype(np.int32)
+            quants = _stacked_quants(ress, geo)
             stacked = np.stack([r.packed_mcu for r in ress])
             out = _batched_mcu_transform(geo)(stacked, quants)
             jax.block_until_ready(out)
@@ -230,22 +245,19 @@ def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2,
                 yield rgb
 
 
-_BATCHED_MCU_CACHE: Dict[object, object] = {}
-
-
+@functools.lru_cache(maxsize=64)
 def _batched_mcu_transform(geometry):
     """vmapped MCU-order sparse transform: [B, 2n] int16 payload batch
-    -> [B, 3, H, W] planar RGB (jit re-specializes per (B, bucket))."""
+    -> [B, 3, H, W] planar RGB (jit re-specializes per (B, bucket)).
+    Bounded like the sibling caches in ops/pipeline.py — a long-running
+    server seeing many geometries must not accumulate executables
+    forever."""
     import jax
 
-    fn = _BATCHED_MCU_CACHE.get(geometry)
-    if fn is None:
-        from ..ops.pipeline import jitted_transform_mcu_inner
+    from ..ops.pipeline import jitted_transform_mcu_inner
 
-        inner = jitted_transform_mcu_inner(geometry, "rgb8")
-        fn = jax.jit(jax.vmap(inner, in_axes=(0, None)))
-        _BATCHED_MCU_CACHE[geometry] = fn
-    return fn
+    inner = jitted_transform_mcu_inner(geometry, "rgb8")
+    return jax.jit(jax.vmap(inner, in_axes=(0, 0)))
 
 
 def encode_batch_rgb(images, quality: int = 75, *, subsampling: str = "420",
@@ -269,38 +281,28 @@ def encode_batch_rgb(images, quality: int = 75, *, subsampling: str = "420",
         return list(pool.map(one, images))
 
 
-_TRANSFORM_CACHE: Dict[object, object] = {}
-_DELTA_CACHE: Dict[object, object] = {}
-
-
+@functools.lru_cache(maxsize=64)
 def _batched_transform_delta(geometry):
     """vmapped delta-sparse transform: [B, n, 2] int16 packed batch ->
     [B, H, W, 3] RGB."""
     import jax
 
-    fn = _DELTA_CACHE.get(geometry)
-    if fn is None:
-        from ..ops.pipeline import jitted_transform_delta
+    from ..ops.pipeline import jitted_transform_delta
 
-        inner = jitted_transform_delta(geometry, "rgb8")
-        fn = jax.jit(jax.vmap(inner, in_axes=(0, None)))
-        _DELTA_CACHE[geometry] = fn
-    return fn
+    inner = jitted_transform_delta(geometry, "rgb8")
+    return jax.jit(jax.vmap(inner, in_axes=(0, 0)))
 
 
+@functools.lru_cache(maxsize=64)
 def _batched_transform(geometry):
     import jax
     import jax.numpy as jnp
 
     from ..ops.pipeline import transform_to_rgb8
 
-    fn = _TRANSFORM_CACHE.get(geometry)
-    if fn is None:
-        fn = jax.jit(
-            jax.vmap(
-                lambda cs, qs: transform_to_rgb8(cs, qs, geometry, xp=jnp),
-                in_axes=(0, None),
-            )
+    return jax.jit(
+        jax.vmap(
+            lambda cs, qs: transform_to_rgb8(cs, qs, geometry, xp=jnp),
+            in_axes=(0, 0),
         )
-        _TRANSFORM_CACHE[geometry] = fn
-    return fn
+    )

@@ -135,16 +135,23 @@ _REAL_WORKER = textwrap.dedent(
         return jax.make_array_from_callback(shape, sh, cb)
 
     coeffs = tuple(global_coeff(c.component_index) for c in geo.components)
-    quants = tuple(
-        jax.make_array_from_callback(
-            local[mine[0]].quant[c.component_index].shape,
-            rep,
-            lambda idx, ci=c.component_index: np.asarray(
-                local[mine[0]].quant[ci].astype(np.int32)
-            )[idx],
-        )
-        for c in geo.components
-    )
+
+    def global_quant(comp_index):
+        # Per-image quant tables, batch-sharded like the coefficients
+        # (the batched transform vmaps quants so same-geometry images
+        # with different quality stay correct).
+        shape = (len(datas), 64)
+
+        def cb(idx):
+            imgs = [order[j] for j in range(*idx[0].indices(len(datas)))]
+            stacked = np.stack(
+                [local[i].quant[comp_index].astype(np.int32) for i in imgs]
+            )
+            return stacked[(slice(None),) + tuple(idx[1:])]
+
+        return jax.make_array_from_callback(shape, sh, cb)
+
+    quants = tuple(global_quant(c.component_index) for c in geo.components)
     out = _batched_transform(geo)(coeffs, quants)
     jax.block_until_ready(out)
 

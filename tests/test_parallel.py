@@ -139,3 +139,30 @@ def test_batched_transform_rgb_matches_loop(assets_dir):
     single = r.to_rgb8()
     for i in range(4):
         np.testing.assert_array_equal(np.asarray(batch[i]), single)
+
+
+def test_batch_mixed_quality_same_geometry():
+    """Same-geometry images with DIFFERENT quant tables must each
+    dequantize with their own tables — grouping is by geometry, so the
+    quants ride the vmap alongside the payloads."""
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.parallel.batch import decode_batch_rgb, decode_stream_rgb
+
+    rng = np.random.default_rng(5)
+    img = np.clip(
+        np.linspace(0, 255, 96)[None, :, None] + rng.normal(0, 18, (80, 96, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    q90 = jt.encode_rgb(img, 90)
+    q25 = jt.encode_rgb(img, 25)
+    singles = [jt.decode(q90).to_rgb8(), jt.decode(q25).to_rgb8()]
+    outs = decode_batch_rgb([q90, q25])
+    for got, expect in zip(outs, singles):
+        np.testing.assert_array_equal(np.asarray(got), expect)
+    # grouped streaming path too
+    stream = [
+        np.moveaxis(np.asarray(o), 0, -1)
+        for o in decode_stream_rgb([q90, q25, q90, q25], group=4)
+    ]
+    for got, expect in zip(stream, singles * 2):
+        np.testing.assert_array_equal(got, expect)
