@@ -85,7 +85,11 @@ struct BitReader {
     // with one SWAR test), bulk-insert as many whole bytes as fit —
     // this serves the vast majority of refills at ~1 load per 7 bytes
     // instead of a branchy per-byte loop.
-    inline void fill() {
+    // always_inline: an out-of-line fill() takes &this, which blocks
+    // scalar replacement of `bits`/`count` — the hot loops then pay a
+    // stack store->load round trip on the critical bit-buffer chain
+    // every symbol (measured ~20% of scan time).
+    __attribute__((always_inline)) inline void fill() {
         while (count <= 56) {
             if (end - p >= 8) {
                 uint64_t v;
@@ -903,6 +907,12 @@ struct SparseEmitter {
         overflow = false;
     }
 
+    // Typed 32-bit stores (not memcpy): a char-level store would force
+    // the compiler to treat the write as aliasing n/cap/last_pos; a
+    // uint32_t store's TBAA class is disjoint from the int64 fields,
+    // so the hot loop can keep the emitter state in registers. The
+    // buffer is raw numpy-allocated storage (4-byte aligned: entries
+    // are two int16), accessed as uint32 throughout the C++ side.
     inline void emit(int64_t pos, int32_t val) {
         int64_t gap = pos - last_pos;
         if (__builtin_expect(first_pos < 0, 0)) {
@@ -911,15 +921,15 @@ struct SparseEmitter {
             first_pos = pos;
             gap = 0;
         }
+        uint32_t* o32 = reinterpret_cast<uint32_t*>(out);
         while (__builtin_expect(gap >= 0xFFFF, 0)) {
             if (n >= cap) { overflow = true; return; }
-            std::memcpy(out + 2 * n, "\xff\xff\x00\x00", 4);  // escape entry
+            o32[n] = 0x0000FFFFu;  // escape entry (delta 0xFFFF, value 0)
             ++n;
             gap -= 0xFFFF;
         }
         if (__builtin_expect(n >= cap, 0)) { overflow = true; return; }
-        uint32_t packed = (uint16_t)gap | ((uint32_t)(uint16_t)val << 16);
-        std::memcpy(out + 2 * n, &packed, 4);  // one 32-bit store (LE)
+        o32[n] = (uint16_t)gap | ((uint32_t)(uint16_t)val << 16);
         ++n;
         last_pos = pos;
     }
@@ -1112,9 +1122,13 @@ static int decode_span_sparse(const SpanTask& task, Component* comps, int n_comp
 // back to the sequential single-span decode.
 
 struct VecSparseEmitter {
-    std::vector<int16_t> buf;  // interleaved (delta, value) backing store
-    int16_t* w = nullptr;      // write cursor (2 int16 per entry)
-    int16_t* wend = nullptr;
+    // One packed uint32 per entry: low 16 bits = delta (uint16), high
+    // 16 = value (int16). All C++ accesses go through uint32 (never
+    // int16) so the emit store's TBAA class is disjoint from the int64
+    // bookkeeping fields — the hot loop keeps them in registers.
+    std::vector<uint32_t> buf;
+    uint32_t* w = nullptr;     // write cursor (1 uint32 per entry)
+    uint32_t* wend = nullptr;
     int64_t n = 0;             // entries emitted
     int64_t last_pos = -1;     // thread-local position of last entry
     int64_t first_pos = -1;
@@ -1142,17 +1156,14 @@ struct VecSparseEmitter {
         // must be a valid resume point for the fixup walk.
         int64_t gap = pos - last_pos;
         while (__builtin_expect(gap >= 0xFFFF, 0)) {
-            if (w + 2 > wend) grow();
-            std::memcpy(w, "\xff\xff\x00\x00", 4);
-            w += 2;
+            if (w + 1 > wend) grow();
+            *w++ = 0x0000FFFFu;  // escape entry (delta 0xFFFF, value 0)
             ++n;
             gap -= 0xFFFF;
         }
         if (__builtin_expect(first_pos < 0, 0)) first_pos = pos;
-        if (__builtin_expect(w + 2 > wend, 0)) grow();
-        uint32_t packed = (uint16_t)gap | ((uint32_t)(uint16_t)val << 16);
-        std::memcpy(w, &packed, 4);  // one 32-bit store (LE)
-        w += 2;
+        if (__builtin_expect(w + 1 > wend, 0)) grow();
+        *w++ = (uint16_t)gap | ((uint32_t)(uint16_t)val << 16);
         ++n;
         last_pos = pos;
     }
@@ -1275,7 +1286,7 @@ static int64_t decode_span_sparse_speculative(
             VecSparseEmitter em;
             // Size roughly the byte share (natural images emit about
             // one entry per compressed byte); buffers grow as needed.
-            em.buf.resize((size_t)(2 * (until - from) + 4096));
+            em.buf.resize((size_t)((until - from) + 2048));
             speculative_scan_sparse(data, len, from, until, cv, n_comps,
                                     cpm, comp_off, total_mcus + 16,
                                     recs, em, dcs);
@@ -1383,12 +1394,12 @@ static int64_t decode_span_sparse_speculative(
         // real entry's absolute position.
         int64_t pos = R[c.rec_start].em_last_pos;
         int64_t e = e_begin;
-        while (e < e_end && (uint16_t)buf[2 * e] == 0xFFFF && buf[2 * e + 1] == 0) {
+        while (e < e_end && buf[e] == 0x0000FFFFu) {  // escape entries
             pos += 0xFFFF;
             ++e;
         }
         if (e >= e_end) continue;  // escape-only slice (no real entries)
-        int64_t first_abs = pos + (uint16_t)buf[2 * e] + rebase;
+        int64_t first_abs = pos + (uint16_t)buf[e] + rebase;
         int64_t last_abs = R[c.rec_end].em_last_pos + rebase;
         int64_t n_entries = e_end - e;
 
@@ -1400,23 +1411,24 @@ static int64_t decode_span_sparse_speculative(
                 int64_t idx = *it >> 2;
                 if (idx >= e_end) break;
                 int ci = (int)(*it & 3);
-                buf[2 * idx + 1] =
-                    (int16_t)(buf[2 * idx + 1] + c.dc_delta[ci]);
+                // (int16)(stored + delta) — same truncation as the
+                // sequential emission's (int16)pred_true.
+                int16_t patched = (int16_t)((int32_t)(int16_t)(buf[idx] >> 16) +
+                                            c.dc_delta[ci]);
+                buf[idx] = (buf[idx] & 0xFFFFu) |
+                           ((uint32_t)(uint16_t)patched << 16);
             }
         }
 
         int64_t gap = first_abs - prev_abs;
         int64_t n_esc = gap / 0xFFFF;
         if (out_n + n_esc + n_entries > capacity) return -1;
-        for (int64_t k = 0; k < n_esc; ++k) {
-            out[2 * out_n] = (int16_t)0xFFFF;
-            out[2 * out_n + 1] = 0;
-            ++out_n;
-        }
+        uint32_t* o32 = reinterpret_cast<uint32_t*>(out);
+        for (int64_t k = 0; k < n_esc; ++k) o32[out_n++] = 0x0000FFFFu;
         gap -= n_esc * 0xFFFF;
-        std::memcpy(out + 2 * out_n, buf.data() + 2 * e,
-                    (size_t)(2 * n_entries) * sizeof(int16_t));
-        out[2 * out_n] = (int16_t)(uint16_t)gap;
+        std::memcpy(o32 + out_n, buf.data() + e, (size_t)n_entries * 4);
+        // patch first delta, keep its value half
+        o32[out_n] = (o32[out_n] & 0xFFFF0000u) | (uint16_t)gap;
         out_n += n_entries;
         prev_abs = last_abs;
     }
@@ -1503,17 +1515,15 @@ int64_t jpx_decode_baseline_scan_sparse(
             // Leading escapes would break the in-place layout; redo the
             // head by shifting if needed (pathological all-zero head).
             int64_t n_esc = gap / 0xFFFF;
+            uint32_t* o32 = reinterpret_cast<uint32_t*>(out);
             if (n_esc > 0) {
                 if (em.n + n_esc > capacity) return -1;
-                std::memmove(out + 2 * n_esc, out, (size_t)(2 * em.n) * sizeof(int16_t));
-                for (int64_t e = 0; e < n_esc; ++e) {
-                    out[2 * e] = (int16_t)0xFFFF;
-                    out[2 * e + 1] = 0;
-                }
+                std::memmove(o32 + n_esc, o32, (size_t)em.n * 4);
+                for (int64_t e = 0; e < n_esc; ++e) o32[e] = 0x0000FFFFu;
                 em.n += n_esc;
                 gap -= n_esc * 0xFFFF;
             }
-            out[2 * n_esc] = (int16_t)(uint16_t)gap;
+            o32[n_esc] = (o32[n_esc] & 0xFFFF0000u) | (uint16_t)gap;
         }
         return em.n;
     }
@@ -1580,6 +1590,7 @@ int64_t jpx_decode_baseline_scan_sparse(
     // overlapping moves are safe with memmove.
     int64_t out_n = 0;
     int64_t prev_last = -1;
+    uint32_t* o32 = reinterpret_cast<uint32_t*>(out);
     for (auto& so : spans_out) {
         if (so.em.n == 0) continue;
         int64_t gap = so.em.first_pos - prev_last;
@@ -1589,15 +1600,12 @@ int64_t jpx_decode_baseline_scan_sparse(
         // non-empty span the region starts at offset 0 with no slack, so
         // escape writes at out_n..out_n+n_esc-1 would clobber the span's
         // own leading entries. memmove is overlap-safe in both directions.
-        std::memmove(out + 2 * (out_n + n_esc), out + 2 * so.region_off,
-                     (size_t)(2 * so.em.n) * sizeof(int16_t));
-        for (int64_t e = 0; e < n_esc; ++e) {
-            out[2 * out_n] = (int16_t)0xFFFF;
-            out[2 * out_n + 1] = 0;
-            ++out_n;
-        }
+        std::memmove(o32 + out_n + n_esc, o32 + so.region_off,
+                     (size_t)so.em.n * 4);
+        for (int64_t e = 0; e < n_esc; ++e) o32[out_n++] = 0x0000FFFFu;
         gap -= n_esc * 0xFFFF;
-        out[2 * out_n] = (int16_t)(uint16_t)gap;  // patch first delta
+        // patch first delta, keep its value half
+        o32[out_n] = (o32[out_n] & 0xFFFF0000u) | (uint16_t)gap;
         out_n += so.em.n;
         prev_last = so.em.last_pos;
     }
