@@ -222,21 +222,37 @@ def main() -> None:
     else:
         os.environ["JPX_SCAN_THREADS"] = prev_threads
     modes = {}
+    mode_probes = [turbo_max]  # host-availability scale, shared with the sweep
 
-    def mode(name, f, megapixels, n=5):
-        # Report BOTH the median (what the run delivered) and the best
-        # (capability when the shared host was quiet) — same transparency
-        # as the sweep's distribution.
+    def mode(name, f, megapixels, n=7):
+        # Same load discipline as the sweep: every timed run is
+        # bracketed (before/after) by the single-threaded turbo probe,
+        # and `quiet_p50` is the median over runs whose bracketing
+        # probes reached 80% of the fastest probe seen anywhere this
+        # run (sweep included). The filter references only the probe —
+        # an objective availability measure — never the mode's own
+        # numbers. p50/best over ALL runs are kept for transparency.
         f()  # warm
-        times = []
+        runs = []
         for _ in range(n):
+            before = turbo_probe()
             t0 = time.perf_counter()
             f()
-            times.append(time.perf_counter() - t0)
-        times.sort()
+            rate = megapixels / (time.perf_counter() - t0)
+            after = turbo_probe()
+            probe = min(before, after)
+            mode_probes.append(max(before, after))
+            runs.append((rate, probe))
+        rates = sorted(r for r, _ in runs)
+        scale = max(mode_probes)
+        quiet_rates = sorted(r for r, p in runs if p >= 0.8 * scale)
         modes[name] = {
-            "p50": round(megapixels / times[n // 2], 2),
-            "best": round(megapixels / times[0], 2),
+            "p50": round(rates[len(rates) // 2], 2),
+            "best": round(rates[-1], 2),
+            "quiet_p50": round(
+                quiet_rates[len(quiet_rates) // 2] if quiet_rates else rates[-1], 2
+            ),
+            "n_quiet": len(quiet_rates),
         }
 
     mode("sof0_encode", lambda: jt.encode_rgb(rgb, 75), mp)
