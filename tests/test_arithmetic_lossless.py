@@ -301,3 +301,22 @@ class TestNativeParity:
         rb = b.decode(use_native=False).to_uint8()
         assert np.array_equal(ra, rb)
         assert np.array_equal(ra[..., 0], img.astype(np.uint8))
+
+    @pytest.mark.parametrize("threads", ["1", "2", "4"])
+    def test_restart_parallel_thread_counts_identical(self, threads, monkeypatch):
+        # The span->thread assignment must not affect output: force the
+        # worker count (1 = sequential native path, the gate requires
+        # threads > 1) and compare bit-exactly across counts and against
+        # the source. 3-component so per-component conditioning state is
+        # interleaved within each span.
+        rng = np.random.default_rng(41)
+        img = np.clip(
+            np.linspace(0, 255, 96)[None, :] + rng.normal(0, 25, (80, 96)),
+            0, 255,
+        ).astype(np.int32)
+        img3 = np.stack([img, 255 - img, np.roll(img, 7, axis=0)], axis=-1)
+        data = encode_lossless_arithmetic(img3, predictor=1, restart_interval=16)
+        monkeypatch.setenv("JPX_SCAN_THREADS", threads)
+        dec = jt.JpegDecoder(); dec.set_input(data)
+        out = dec.decode(use_native=True).to_uint8()
+        assert np.array_equal(out, img3.astype(np.uint8))
