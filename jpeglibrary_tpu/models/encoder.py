@@ -931,12 +931,20 @@ def _configure_rgb_encoder(
         encoder.set_huffman_table(False, 0, huffman_standard.ac_luminance())
         encoder.set_huffman_table(True, 1, huffman_standard.dc_chrominance())
         encoder.set_huffman_table(False, 1, huffman_standard.ac_chrominance())
-    if subsampling == "420":
-        encoder.add_component(1, 0, 0, 0, 2, 2)
-    elif subsampling == "444":
-        encoder.add_component(1, 0, 0, 0, 1, 1)
-    else:
+    # Luma sampling factors per JFIF convention; chroma is always 1x1.
+    # The reference app exposes only 4:2:0 (EncodeAction.cs:54-56); the
+    # extra ratios are the standard libjpeg set and ride the same
+    # arbitrary-(h,v) component machinery.
+    luma_hv = {
+        "420": (2, 2),
+        "444": (1, 1),
+        "422": (2, 1),
+        "440": (1, 2),
+        "411": (4, 1),
+    }.get(subsampling)
+    if luma_hv is None:
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    encoder.add_component(1, 0, 0, 0, *luma_hv)
     encoder.add_component(2, 1, 1, 1, 1, 1)
     encoder.add_component(3, 1, 1, 1, 1, 1)
     return encoder

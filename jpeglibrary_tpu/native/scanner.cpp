@@ -5524,10 +5524,11 @@ void jpx_rgb_to_ycbcr(const uint8_t* rgb, int64_t n,
 // in: uint8 [h, w] (h % vs == 0, w % hs == 0); out: int32 [h/vs, w/hs].
 extern "C" void jpx_box_subsample(const uint8_t* in, int64_t h, int64_t w,
                                   int32_t hs, int32_t vs, int32_t* out) {
-    int shift = 0;
-    for (int v = hs; v > 1; v >>= 1) ++shift;
-    for (int v = vs; v > 1; v >>= 1) ++shift;
-    const int32_t delta = shift > 0 ? (1 << (shift - 1)) : 0;
+    // Round-half-up divide by the box size (== the reference's
+    // (sum + 2^(s-1)) >> s for power-of-two boxes; correct for the
+    // non-power-of-two factors T.81 also allows, e.g. 3).
+    const int32_t n = hs * vs;
+    const int32_t delta = n / 2;
     const int64_t oh = h / vs, ow = w / hs;
 
     int hw = (int)std::thread::hardware_concurrency();
@@ -5542,7 +5543,7 @@ extern "C" void jpx_box_subsample(const uint8_t* in, int64_t h, int64_t w,
                     const uint8_t* row = in + (oy * vs + dy) * w + ox * hs;
                     for (int32_t dx = 0; dx < hs; ++dx) sum += row[dx];
                 }
-                out[oy * ow + ox] = shift > 0 ? ((sum + delta) >> shift) : sum;
+                out[oy * ow + ox] = (sum + delta) / n;
             }
         }
     };

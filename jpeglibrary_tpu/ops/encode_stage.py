@@ -40,9 +40,11 @@ def pad_to_grid(plane, height_padded: int, width_padded: int, xp=np):
 
 
 def subsample_box(plane, hs: int, vs: int, xp=np):
-    """Box-filter downsample by (hs, vs) with the reference rounding:
-    (sum + 2^(shift-1)) >> shift (ReadBlockWithSubsample,
-    JpegEncoder.cs:756-787). Input dims must divide evenly."""
+    """Box-filter downsample by (hs, vs), round-half-up: (sum + n//2)//n
+    with n = hs*vs — identical to the reference's (sum + 2^(s-1)) >> s
+    (ReadBlockWithSubsample, JpegEncoder.cs:756-787) for the power-of-two
+    boxes the reference supports, and correct for non-power-of-two
+    factors (e.g. 3) it does not. Input dims must divide evenly."""
     if hs == 1 and vs == 1:
         return plane.astype(xp.int32) if plane.dtype != xp.int32 else plane
     if xp is np and plane.dtype == np.uint8:
@@ -55,8 +57,12 @@ def subsample_box(plane, hs: int, vs: int, xp=np):
     h, w = plane.shape
     x = plane.astype(xp.int32).reshape(h // vs, vs, w // hs, hs)
     total = xp.sum(x, axis=(1, 3))
-    shift = (hs.bit_length() - 1) + (vs.bit_length() - 1)
-    return (total + (1 << (shift - 1))) >> shift
+    # Round-half-up divide by the box size. For power-of-two boxes this
+    # equals the reference's (sum + 2^(s-1)) >> s exactly; for the
+    # non-power-of-two factors T.81 also allows (e.g. 3), the shift
+    # form would scale samples by n/2^s — a real divide is required.
+    n = hs * vs
+    return (total + n // 2) // n
 
 
 import functools

@@ -247,3 +247,88 @@ def test_direct_12bit_vs_testorig12_semantics(assets_dir):
         got = np.asarray(r.planes[c.component_index])[:He, :We]
         ref = full[c.component_index][:He, :We]
         assert _psnr12(got, ref) > 40, c.component_index
+
+
+@pytest.mark.parametrize("subsampling", ["422", "440", "411"])
+def test_roundtrip_psnr_extended_subsamplings(lake_rgb, subsampling):
+    """The libjpeg-standard ratios beyond the reference app's 4:2:0
+    (EncodeAction.cs:54-56): luma (2,1)/(1,2)/(4,1), chroma 1x1."""
+    from PIL import Image
+
+    enc = encode_rgb(lake_rgb, 75, subsampling=subsampling)
+    rgb2 = jt.decode(enc).to_rgb8()
+    assert rgb2.shape == lake_rgb.shape
+    assert _psnr(rgb2, lake_rgb) > 30.0
+    pil = np.asarray(Image.open(io.BytesIO(enc)).convert("RGB"))
+    assert _psnr(rgb2, pil) > 35.0
+
+
+@pytest.mark.parametrize("hv", [(3, 1), (1, 3), (3, 2), (3, 3), (4, 4)])
+def test_exotic_luma_sampling_roundtrip(hv):
+    """Arbitrary T.81 sampling factors (incl. 3x, which libjpeg cannot
+    decode) must round-trip through our own encoder+decoder. Dimensions
+    are multiples of 8*h/8*v so chroma edge fill (zero-pad, reference
+    JpegBufferInputReader.cs:36-39 semantics) does not enter."""
+    from jpeglibrary_tpu.models.encoder import JpegEncoder
+    from jpeglibrary_tpu.syntax import huffman_standard
+    from jpeglibrary_tpu.syntax.quantization import (
+        scale_by_quality,
+        standard_chrominance_table,
+        standard_luminance_table,
+    )
+
+    h, v = hv
+    height, width = 8 * v * 3, 8 * h * 3
+    yy = (
+        np.linspace(30, 220, width)[None, :] + np.linspace(0, 30, height)[:, None]
+    ).astype(np.uint8)
+    ycc = np.stack(
+        [yy, np.full_like(yy, 120), np.full_like(yy, 136)], axis=-1
+    )
+    enc = JpegEncoder()
+    enc.set_quantization_table(scale_by_quality(standard_luminance_table(0), 95))
+    enc.set_quantization_table(scale_by_quality(standard_chrominance_table(1), 95))
+    enc.set_huffman_table(True, 0, huffman_standard.dc_luminance())
+    enc.set_huffman_table(False, 0, huffman_standard.ac_luminance())
+    enc.set_huffman_table(True, 1, huffman_standard.dc_chrominance())
+    enc.set_huffman_table(False, 1, huffman_standard.ac_chrominance())
+    enc.add_component(1, 0, 0, 0, h, v)
+    enc.add_component(2, 1, 1, 1, 1, 1)
+    enc.add_component(3, 1, 1, 1, 1, 1)
+    enc.set_input(ycc)
+    out = jt.decode(enc.encode()).to_uint8()
+    assert np.abs(out[..., 0].astype(int) - yy.astype(int)).max() <= 4
+    assert np.abs(out[..., 1].astype(int) - 120).max() <= 4
+    assert np.abs(out[..., 2].astype(int) - 136).max() <= 4
+
+
+def test_five_component_frame_roundtrip():
+    """T.81 allows up to 255 components per frame (<=4 per scan); the
+    encoder must split scans and the decoder must reassemble planes."""
+    from jpeglibrary_tpu.models.encoder import JpegEncoder
+    from jpeglibrary_tpu.syntax import huffman_standard
+    from jpeglibrary_tpu.syntax.quantization import (
+        scale_by_quality,
+        standard_luminance_table,
+    )
+
+    rng = np.random.default_rng(3)
+    planes = [
+        np.clip(
+            np.linspace(10 + 20 * i, 200, 56)[None, :] + rng.normal(0, 8, (40, 56)),
+            0,
+            255,
+        ).astype(np.uint8)
+        for i in range(5)
+    ]
+    enc = JpegEncoder()
+    enc.set_quantization_table(scale_by_quality(standard_luminance_table(0), 92))
+    enc.set_huffman_table(True, 0, huffman_standard.dc_luminance())
+    enc.set_huffman_table(False, 0, huffman_standard.ac_luminance())
+    for i in range(5):
+        enc.add_component(i + 1, 0, 0, 0, 1, 1)
+    enc.set_input(planes)
+    out = jt.decode(enc.encode()).to_uint8()
+    assert out.shape == (40, 56, 5)
+    for i in range(5):
+        assert np.abs(out[..., i].astype(int) - planes[i].astype(int)).max() <= 24
