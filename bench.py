@@ -279,6 +279,18 @@ def main() -> None:
         m = r.width * r.height / 1e6
         mode(name, lambda d=d: jt.decode(d), m)
 
+    # Peak host memory (the reference benchmark runs MemoryDiagnoser;
+    # ru_maxrss is the whole-process high-water mark across the run —
+    # sweep pipelines, all modes, and the JAX runtime included).
+    try:
+        import resource
+
+        peak_rss_mb = round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1
+        )
+    except Exception:
+        peak_rss_mb = None
+
     print(
         json.dumps(
             {
@@ -301,6 +313,7 @@ def main() -> None:
                 "n_quiet_windows": n_quiet,
                 "best_shape": list(best_shape),
                 "ratio_p50_all_shapes": round(_pct(all_ratio, 0.5), 3),
+                "peak_rss_mb": peak_rss_mb,
                 "modes": modes,
             }
         )
