@@ -913,7 +913,7 @@ struct SparseEmitter {
     // so the hot loop can keep the emitter state in registers. The
     // buffer is raw numpy-allocated storage (4-byte aligned: entries
     // are two int16), accessed as uint32 throughout the C++ side.
-    inline void emit(int64_t pos, int32_t val) {
+    __attribute__((always_inline)) inline void emit(int64_t pos, int32_t val) {
         int64_t gap = pos - last_pos;
         if (__builtin_expect(first_pos < 0, 0)) {
             // First entry: delta is patched at compaction (the true
@@ -937,7 +937,7 @@ struct SparseEmitter {
 
 // Huffman symbol decode straight off the bit buffer — caller must
 // guarantee count >= 16 real bits. Identical lookup to decode_huffman.
-static inline int decode_huffman_hot(BitReader& br, const HuffTable* t) {
+__attribute__((always_inline)) static inline int decode_huffman_hot(BitReader& br, const HuffTable* t) {
     uint32_t code16 = (uint32_t)(br.bits >> 48);
     int entry = t->lookahead[code16 >> 8];
     int size = entry >> 8;
@@ -1437,6 +1437,29 @@ static int64_t decode_span_sparse_speculative(
     return out_n;
 }
 
+// Patch an in-place single-span emission's first delta — positions are
+// relative to -1 — inserting leading escape entries when the first
+// nonzero sits >= 0xFFFF coefficients in (pathological all-zero head;
+// the shift is safe, capacity permitting). Returns the final entry
+// count, or -1 on capacity.
+static int64_t finalize_single_span(SparseEmitter& em, int16_t* out,
+                                    int64_t capacity) {
+    if (em.n > 0) {
+        int64_t gap = em.first_pos + 1;
+        int64_t n_esc = gap / 0xFFFF;
+        uint32_t* o32 = reinterpret_cast<uint32_t*>(out);
+        if (n_esc > 0) {
+            if (em.n + n_esc > capacity) return -1;
+            std::memmove(o32 + n_esc, o32, (size_t)em.n * 4);
+            for (int64_t e = 0; e < n_esc; ++e) o32[e] = 0x0000FFFFu;
+            em.n += n_esc;
+            gap -= n_esc * 0xFFFF;
+        }
+        o32[n_esc] = (o32[n_esc] & 0xFFFF0000u) | (uint16_t)gap;
+    }
+    return em.n;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1509,23 +1532,7 @@ int64_t jpx_decode_baseline_scan_sparse(
         if (rc == 4 || em.overflow) return -1;
         if (rc == 2) return -2;
         if (rc == 1) return -3;
-        if (em.n > 0) {
-            // Patch the first delta: position relative to -1.
-            int64_t gap = em.first_pos + 1;
-            // Leading escapes would break the in-place layout; redo the
-            // head by shifting if needed (pathological all-zero head).
-            int64_t n_esc = gap / 0xFFFF;
-            uint32_t* o32 = reinterpret_cast<uint32_t*>(out);
-            if (n_esc > 0) {
-                if (em.n + n_esc > capacity) return -1;
-                std::memmove(o32 + n_esc, o32, (size_t)em.n * 4);
-                for (int64_t e = 0; e < n_esc; ++e) o32[e] = 0x0000FFFFu;
-                em.n += n_esc;
-                gap -= n_esc * 0xFFFF;
-            }
-            o32[n_esc] = (o32[n_esc] & 0xFFFF0000u) | (uint16_t)gap;
-        }
-        return em.n;
+        return finalize_single_span(em, out, capacity);
     }
 
     // Restart spans: parallel emission into disjoint worst-case
@@ -1704,22 +1711,29 @@ static void build_hufftable(const uint8_t counts[16], const uint8_t* values,
     }
 }
 
-}  // namespace
+// Everything the scan stage needs, produced by one pass over the
+// container: tables in scan-component order, geometry, and the ECS
+// span split. Shared by the single-image fused entry and the
+// dual-image interleaved entry.
+struct BaselinePlan {
+    std::vector<HuffTable> dcs, acs;  // scan order
+    int32_t ch[4], cv[4];
+    int32_t n_comps = 0;
+    int64_t mcus_per_line = 0, mcus_per_column = 0;
+    int64_t restart_interval = 0;
+    std::vector<int64_t> starts, ends;  // ECS spans
+};
 
-extern "C" {
-
-// Whole-image fused decode. On success returns the sparse entry count
-// and fills `info` (int32 fields):
+// Container walk + table build + ECS split for a single-scan baseline
+// (SOF0/1) stream. Fills `info` (int32 fields):
 //   [0]=width [1]=height [2]=precision [3]=n_comps
 //   [4..7]=comp_h [8..11]=comp_v [12..15]=comp quant-table slot
-// and `quants` (uint16 [4][64], zig-zag).
-// Negative: -10 not eligible (Python path), -2/-3 decode errors,
-// -1 capacity.
-int64_t jpx_decode_image_baseline_sparse(
-    const uint8_t* data, int64_t len,
-    int16_t* out, int64_t capacity,
-    int32_t* info, uint16_t* quants,
-    int32_t n_threads) {
+//   [16]=SOF marker [17..20]=component ids [21]=Adobe APP14 transform
+// and `quants` (uint16 [4][64], zig-zag). Returns 0, or -10 when the
+// stream is not an eligible single-scan baseline image (Python path).
+static int64_t walk_baseline_image(const uint8_t* data, int64_t len,
+                                   BaselinePlan& P, int32_t* info,
+                                   uint16_t* quants) {
     if (len < 4 || data[0] != 0xFF || data[1] != 0xD8) return -10;
 
     HuffTable dc_tables[4], ac_tables[4];
@@ -1885,29 +1899,33 @@ int64_t jpx_decode_image_baseline_sparse(
     }
 
     // Assemble HuffTable blobs in scan component order.
-    std::vector<HuffTable> dcs(n_comps), acs(n_comps);
-    int32_t ch[4], cv[4];
+    P.dcs.resize(n_comps);
+    P.acs.resize(n_comps);
     int max_h = 1, max_v = 1;
     for (int i = 0; i < n_comps; ++i) {
-        dcs[i] = dc_tables[comp_dc[i]];
-        acs[i] = ac_tables[comp_ac[i]];
-        ch[i] = comp_h[i];
-        cv[i] = comp_v[i];
+        P.dcs[i] = dc_tables[comp_dc[i]];
+        P.acs[i] = ac_tables[comp_ac[i]];
+        P.ch[i] = comp_h[i];
+        P.cv[i] = comp_v[i];
         if (comp_h[i] > max_h) max_h = comp_h[i];
         if (comp_v[i] > max_v) max_v = comp_v[i];
     }
-    int64_t mcus_per_line = (width + 8 * max_h - 1) / (8 * max_h);
-    int64_t mcus_per_column = (height + 8 * max_v - 1) / (8 * max_v);
+    P.n_comps = n_comps;
+    P.mcus_per_line = (width + 8 * max_h - 1) / (8 * max_h);
+    P.mcus_per_column = (height + 8 * max_v - 1) / (8 * max_v);
+    P.restart_interval = restart_interval;
 
     // A scan that ends at a non-restart, non-EOI marker before covering
     // all restart intervals is corrupt ("Expect restart marker."): defer
     // to the Python path, which raises. EOI/stream-end truncation stays
     // tolerated like the reference (JpegHuffmanBaselineScanDecoder.cs:145-149).
     if (restart_interval > 0 && scan_terminator != 0 && scan_terminator != 0xD9) {
-        int64_t total = mcus_per_line * mcus_per_column;
+        int64_t total = P.mcus_per_line * P.mcus_per_column;
         int64_t required = (total + restart_interval - 1) / restart_interval;
         if ((int64_t)starts.size() < required) return -10;
     }
+    P.starts = std::move(starts);
+    P.ends = std::move(ends);
 
     // Fill info BEFORE decoding so a capacity failure (-1) lets the
     // caller size the buffer from the parsed dimensions and retry.
@@ -1924,20 +1942,38 @@ int64_t jpx_decode_image_baseline_sparse(
     for (int i = 0; i < 4; ++i)
         info[17 + i] = i < n_comps ? comp_id[i] : 0;
     info[21] = adobe_transform;  // -1 = no Adobe APP14
+    return 0;
+}
 
-    int64_t n = jpx_decode_baseline_scan_sparse(
+}  // namespace
+
+extern "C" {
+
+// Whole-image fused decode. On success returns the sparse entry count;
+// see walk_baseline_image for the `info`/`quants` contract.
+// Negative: -10 not eligible (Python path), -2/-3 decode errors,
+// -1 capacity.
+int64_t jpx_decode_image_baseline_sparse(
+    const uint8_t* data, int64_t len,
+    int16_t* out, int64_t capacity,
+    int32_t* info, uint16_t* quants,
+    int32_t n_threads) {
+    BaselinePlan P;
+    int64_t rc = walk_baseline_image(data, len, P, info, quants);
+    if (rc != 0) return rc;
+    return jpx_decode_baseline_scan_sparse(
         data,
-        starts.data(), ends.data(), (int32_t)starts.size(),
-        restart_interval,
-        mcus_per_line, mcus_per_column,
-        n_comps, ch, cv,
-        reinterpret_cast<const uint8_t*>(dcs.data()),
-        reinterpret_cast<const uint8_t*>(acs.data()),
+        P.starts.data(), P.ends.data(), (int32_t)P.starts.size(),
+        P.restart_interval,
+        P.mcus_per_line, P.mcus_per_column,
+        P.n_comps, P.ch, P.cv,
+        reinterpret_cast<const uint8_t*>(P.dcs.data()),
+        reinterpret_cast<const uint8_t*>(P.acs.data()),
         out, capacity, n_threads);
-    return n;
 }
 
 }  // extern "C"
+
 
 // ---------------------------------------------------------------------------
 // Progressive (SOF2) Huffman scan decode

@@ -185,10 +185,6 @@ def decode_image_sparse(data: bytes, *, bucket_factor: float = 1.5):
     tuple's last element is the Adobe APP14 color transform (or None),
     needed for RGB/CMYK/YCCK output decisions."""
     lib = build.load_library()
-    from ..syntax.frame import FrameComponent, FrameHeader
-    from ..syntax.markers import Marker
-    from ..models.geometry import frame_geometry
-
     buf = np.frombuffer(data, dtype=np.uint8)
     info = np.zeros(22, dtype=np.int32)
     info[21] = -1
@@ -203,17 +199,7 @@ def decode_image_sparse(data: bytes, *, bucket_factor: float = 1.5):
     )
     if written == -1:
         # capacity: size exactly from the parsed dimensions and retry
-        n_comps = int(info[3])
-        max_h = max(int(info[4 + i]) for i in range(n_comps))
-        max_v = max(int(info[8 + i]) for i in range(n_comps))
-        mpl = -(-int(info[0]) // (8 * max_h))
-        mpc = -(-int(info[1]) // (8 * max_v))
-        total = sum(
-            mpl * int(info[4 + i]) * mpc * int(info[8 + i]) * 64
-            for i in range(n_comps)
-        )
-        cap = total + total // 0xFFFF + 4096
-        out = _pack_scratch(cap)
+        out = _pack_scratch(_exact_sparse_capacity(info))
         written = lib.jpx_decode_image_baseline_sparse(
             buf.ctypes.data_as(ctypes.c_void_p), buf.shape[0],
             out.ctypes.data_as(ctypes.c_void_p), out.shape[0],
@@ -223,6 +209,15 @@ def decode_image_sparse(data: bytes, *, bucket_factor: float = 1.5):
         )
     if written == -10:
         return None
+    if written < 0:
+        _raise_sparse_error(written)
+        return None
+    return _package_sparse(info, quants, out, int(written), bucket_factor)
+
+
+def _raise_sparse_error(written: int) -> None:
+    """Map the fused-walk decode error codes to the exceptions the
+    general path raises (capacity -1 is handled by the caller)."""
     if written == -2:
         from ..syntax.huffman import JpegHuffmanError
 
@@ -231,9 +226,29 @@ def decode_image_sparse(data: bytes, *, bucket_factor: float = 1.5):
         from ..models.huffman_baseline import JpegDecodeError
 
         raise JpegDecodeError("The bit stream ended prematurely.")
-    if written < 0:
-        return None
-    n_entries = int(written)
+
+
+def _exact_sparse_capacity(info: np.ndarray) -> int:
+    """Worst-case entry capacity from the walk-filled info fields."""
+    n_comps = int(info[3])
+    max_h = max(int(info[4 + i]) for i in range(n_comps))
+    max_v = max(int(info[8 + i]) for i in range(n_comps))
+    mpl = -(-int(info[0]) // (8 * max_h))
+    mpc = -(-int(info[1]) // (8 * max_v))
+    total = sum(
+        mpl * int(info[4 + i]) * mpc * int(info[8 + i]) * 64
+        for i in range(n_comps)
+    )
+    return total + total // 0xFFFF + 4096
+
+
+def _package_sparse(info, quants, out, n_entries: int, bucket_factor: float):
+    """Bucket-pad the payload and build (frame, geometry, quant, adobe)
+    from the walk-filled info/quants arrays."""
+    from ..syntax.frame import FrameComponent, FrameHeader
+    from ..syntax.markers import Marker
+    from ..models.geometry import frame_geometry
+
     bucket = 1024
     while bucket < n_entries:
         bucket = (int(bucket * bucket_factor) + 1023) & ~1023
