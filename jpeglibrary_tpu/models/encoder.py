@@ -1065,20 +1065,27 @@ def encode_rgb_stripes(
 
 
 def encode_gray(plane: np.ndarray, quality: int = 75, *, optimize_coding: bool = False,
-                most_optimal_coding: bool = False, precision: int = 8, xp=np) -> bytes:
+                most_optimal_coding: bool = False, precision: int = 8,
+                restart_interval: int = 0, arithmetic: bool = False,
+                xp=np) -> bytes:
     """Grayscale [H, W] -> JPEG bytes. ``precision=8`` (uint8, SOF0) or
     ``precision=12`` (uint16/int32 samples in [0, 4095], SOF1 extended
     sequential with optimal tables — beyond the 8-bit-only reference
-    encoder, JpegEncoder.cs:108)."""
+    encoder, JpegEncoder.cs:108). ``arithmetic`` switches the entropy
+    coder to adaptive QM (SOF9), same as encode_rgb."""
     encoder = JpegEncoder()
     encoder.most_optimal_coding = most_optimal_coding
+    encoder.restart_interval = restart_interval
+    encoder.arithmetic = arithmetic
     encoder.set_quantization_table(scale_by_quality(standard_luminance_table(0), quality))
     if precision != 8:
         encoder.sample_precision = precision
         # Annex-K standard tables cover 8-bit symbol ranges only; the
         # 12-bit symbol alphabet (DC category <= 15) needs built tables.
         optimize_coding = True
-    if optimize_coding or most_optimal_coding:
+    if arithmetic:
+        pass  # adaptive QM coder: no Huffman tables
+    elif optimize_coding or most_optimal_coding:
         encoder.set_huffman_table(True, 0)
         encoder.set_huffman_table(False, 0)
     else:

@@ -332,3 +332,19 @@ def test_five_component_frame_roundtrip():
     assert out.shape == (40, 56, 5)
     for i in range(5):
         assert np.abs(out[..., i].astype(int) - planes[i].astype(int)).max() <= 24
+
+
+def test_gray_arithmetic_roundtrip():
+    """encode_gray carries the same arithmetic/restart knobs as
+    encode_rgb (SOF9 single-component)."""
+    from jpeglibrary_tpu.models.encoder import encode_gray
+    from jpeglibrary_tpu.syntax.markers import Marker
+
+    rng = np.random.default_rng(5)
+    img = np.clip(
+        np.linspace(0, 255, 80)[None, :] + rng.normal(0, 15, (64, 80)), 0, 255
+    ).astype(np.uint8)
+    d = encode_gray(img, 80, arithmetic=True, restart_interval=3)
+    res = jt.decode(d)
+    assert res.frame.marker == Marker.SOF9
+    assert np.abs(res.to_uint8()[..., 0].astype(int) - img.astype(int)).max() <= 30
