@@ -109,6 +109,11 @@ class JpegEncoder:
         self._coefficient_planes: Optional[List[np.ndarray]] = None
         #: SOF sample precision; >8 selects SOF1 (extended sequential)
         self.sample_precision = 8
+        #: (marker, payload) APPn/COM segments emitted right after SOI
+        #: (add_marker_segment) — metadata carry and the Adobe APP14
+        #: transform tag for CMYK/YCCK output, which the reference
+        #: encoder cannot write
+        self._marker_segments: List[tuple] = []
         self._width = 0
         self._height = 0
 
@@ -127,6 +132,23 @@ class JpegEncoder:
         present switches Encode() into 2-pass optimize-coding mode
         (JpegEncoder.cs:137-173,:257)."""
         self._huffman_tables[(is_dc, identifier)] = table
+
+    def add_marker_segment(self, marker: int, payload: bytes) -> None:
+        """Queue an APPn/COM segment for emission right after SOI, in
+        call order. Use for JFIF/EXIF/ICC metadata or the Adobe APP14
+        color-transform tag (``b"Adobe" + bytes([0,100,0,0,0,0,t])``)
+        that tells decoders a 4-component stream is CMYK (t=0) or YCCK
+        (t=2). Note the Adobe convention: CMYK samples are stored
+        INVERTED (255 - ink); feed inverted planes so PIL/libjpeg and
+        ``DecodeResult.to_cmyk8`` (which un-inverts) read them back."""
+        m = int(marker)
+        if not (0xE0 <= m <= 0xEF or m == 0xFE):  # APPn / COM only
+            raise JpegEncodeError(
+                f"add_marker_segment accepts APPn/COM markers, got {m:#x}."
+            )
+        if len(payload) > 0xFFFD:
+            raise JpegEncodeError("Marker segment payload exceeds 65533 bytes.")
+        self._marker_segments.append((m, bytes(payload)))
 
     def add_component(
         self, identifier: int, quantization_table_id: int,
@@ -662,6 +684,9 @@ class JpegEncoder:
         encode paths (WriteStartOfImage..WriteStartOfScan,
         JpegEncoder.cs:296-412)."""
         writer.write_marker(Marker.SOI)
+
+        for marker, payload in self._marker_segments:
+            writer.write_segment(Marker(marker), payload)
 
         dqt_payload = b"".join(t.serialize() for t in self._quant_tables)
         writer.write_segment(Marker.DQT, dqt_payload)

@@ -348,3 +348,46 @@ def test_gray_arithmetic_roundtrip():
     res = jt.decode(d)
     assert res.frame.marker == Marker.SOF9
     assert np.abs(res.to_uint8()[..., 0].astype(int) - img.astype(int)).max() <= 30
+
+
+def test_cmyk_encode_with_app14():
+    """add_marker_segment emits APPn after SOI: a 4-component encode
+    tagged with the Adobe APP14 transform is recognized as CMYK by our
+    decoder AND by PIL/libjpeg (the reference encoder cannot write
+    marker segments). Adobe stores CMYK inverted; to_cmyk8 un-inverts."""
+    from PIL import Image
+
+    from jpeglibrary_tpu.models.encoder import JpegEncoder
+    from jpeglibrary_tpu.syntax import huffman_standard
+    from jpeglibrary_tpu.syntax.quantization import (
+        scale_by_quality,
+        standard_luminance_table,
+    )
+
+    rng = np.random.default_rng(11)
+    ink = np.clip(rng.normal(128, 40, (40, 48, 4)), 0, 255).astype(np.uint8)
+    enc = JpegEncoder()
+    enc.add_marker_segment(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0]))
+    enc.set_quantization_table(scale_by_quality(standard_luminance_table(0), 92))
+    enc.set_huffman_table(True, 0, huffman_standard.dc_luminance())
+    enc.set_huffman_table(False, 0, huffman_standard.ac_luminance())
+    for i in range(4):
+        enc.add_component(i + 1, 0, 0, 0, 1, 1)
+    enc.set_input(255 - ink)  # Adobe inverted storage
+    data = enc.encode()
+
+    res = jt.decode(data)
+    assert res.color_transform == "cmyk"
+    out = res.to_cmyk8()
+    assert np.abs(out.astype(int) - ink.astype(int)).max() <= 24
+    pil = Image.open(io.BytesIO(data))
+    assert pil.mode == "CMYK"
+    assert np.abs(out.astype(int) - np.asarray(pil).astype(int)).max() <= 1
+
+
+def test_add_marker_segment_rejects_non_app():
+    from jpeglibrary_tpu.models.encoder import JpegEncodeError, JpegEncoder
+
+    enc = JpegEncoder()
+    with pytest.raises(JpegEncodeError):
+        enc.add_marker_segment(0xC0, b"x")  # SOF0 is not an APPn/COM
