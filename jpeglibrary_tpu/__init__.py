@@ -61,6 +61,7 @@ def enable_compile_cache() -> None:
 from .models.decoder import DecodeResult, ImageInfo, JpegDecoder, decode
 from .models.encoder import (
     JpegEncoder,
+    encode_cmyk,
     encode_gray,
     encode_rgb,
     encode_rgb_stream,
@@ -82,6 +83,7 @@ __all__ = [
     "encode_rgb_stream",
     "encode_rgb_stripes",
     "encode_gray",
+    "encode_cmyk",
     "encode_lossless",
     "encode_lossless_arithmetic",
     "encode_hierarchical",

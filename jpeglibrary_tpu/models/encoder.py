@@ -1012,6 +1012,89 @@ def encode_rgb(
     return encoder.encode(xp=xp)
 
 
+def encode_cmyk(
+    ink: np.ndarray,
+    quality: int = 75,
+    *,
+    ycck: bool = False,
+    subsampling: str = "420",
+    optimize_coding: bool = False,
+    restart_interval: int = 0,
+    xp=np,
+) -> bytes:
+    """CMYK ink [H, W, 4] uint8 -> Adobe-tagged 4-component JPEG.
+
+    ``ycck=False``: plain CMYK — channels stored inverted per the Adobe
+    convention (APP14 transform 0), all 1x1 (ink channels do not
+    decorrelate, so chroma-style subsampling does not apply).
+    ``ycck=True``: YCCK (APP14 transform 2) — the CMY triple runs
+    through the fixed-point RGB->YCbCr transform so Cb/Cr can be
+    subsampled (``subsampling``: 420/444/422/440/411 as in encode_rgb);
+    K rides at full (luma) resolution. Component/table layout follows
+    libjpeg jcparam.c: quant+Huffman 0 for Y and K, 1 for Cb/Cr.
+    Inverse of ``DecodeResult.to_cmyk8`` (decoder.py:382), which PIL
+    matches channel-for-channel."""
+    ink = np.asarray(ink, dtype=np.uint8)
+    if ink.ndim != 3 or ink.shape[-1] != 4:
+        raise JpegEncodeError("encode_cmyk expects [H, W, 4] ink values.")
+    encoder = JpegEncoder()
+    encoder.most_optimal_coding = False
+    encoder.restart_interval = restart_interval
+    transform = 2 if ycck else 0
+    encoder.add_marker_segment(
+        0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform])
+    )
+    encoder.set_quantization_table(
+        scale_by_quality(standard_luminance_table(0), quality)
+    )
+    if optimize_coding:
+        encoder.set_huffman_table(True, 0)
+        encoder.set_huffman_table(False, 0)
+    else:
+        encoder.set_huffman_table(True, 0, huffman_standard.dc_luminance())
+        encoder.set_huffman_table(False, 0, huffman_standard.ac_luminance())
+    if not ycck:
+        for i in range(4):
+            encoder.add_component(i + 1, 0, 0, 0, 1, 1)
+        encoder.set_input([255 - ink[..., i] for i in range(4)])
+        return encoder.encode(xp=xp)
+
+    from ..ops import color as color_ops
+
+    encoder.set_quantization_table(
+        scale_by_quality(standard_chrominance_table(1), quality)
+    )
+    if optimize_coding:
+        encoder.set_huffman_table(True, 1)
+        encoder.set_huffman_table(False, 1)
+    else:
+        encoder.set_huffman_table(True, 1, huffman_standard.dc_chrominance())
+        encoder.set_huffman_table(False, 1, huffman_standard.ac_chrominance())
+    luma_hv = {
+        "420": (2, 2), "444": (1, 1), "422": (2, 1),
+        "440": (1, 2), "411": (4, 1),
+    }.get(subsampling)
+    if luma_hv is None:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    encoder.add_component(1, 0, 0, 0, *luma_hv)
+    encoder.add_component(2, 1, 1, 1, 1, 1)
+    encoder.add_component(3, 1, 1, 1, 1, 1)
+    encoder.add_component(4, 0, 0, 0, *luma_hv)  # K at luma resolution
+    # to_cmyk8 decodes YCCK as ink = ycbcr_to_rgb(stored Y/Cb/Cr) for
+    # CMY and 255 - stored for K — so encode stores YCbCr(C, M, Y)
+    # directly and K inverted.
+    y, cb, cr = color_ops.rgb_to_ycbcr(
+        ink[..., 0].astype(np.int32),
+        ink[..., 1].astype(np.int32),
+        ink[..., 2].astype(np.int32),
+    )
+    encoder.set_input(
+        [y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8),
+         (255 - ink[..., 3])]
+    )
+    return encoder.encode(xp=xp)
+
+
 def encode_rgb_stream(
     reader,
     width: int,

@@ -231,3 +231,58 @@ class TestFancyFourComponent:
         assert not np.array_equal(
             r.to_rgb8(upsample="duplicate"), r.to_rgb8(upsample="fancy")
         )
+
+
+class TestCmykEncode:
+    """encode_cmyk: the inverse of to_cmyk8, cross-checked against PIL
+    (the reference has no 4-component or Adobe-tagged encode at all)."""
+
+    def _ink(self):
+        rng = np.random.default_rng(13)
+        return np.clip(
+            np.linspace(40, 215, 64)[None, :, None] + rng.normal(0, 12, (56, 64, 4)),
+            0, 255,
+        ).astype(np.uint8)
+
+    def test_cmyk_roundtrip_and_pil(self):
+        import io
+
+        from PIL import Image
+
+        ink = self._ink()
+        data = jt.encode_cmyk(ink, 92)
+        res = jt.decode(data)
+        assert res.color_transform == "cmyk"
+        out = res.to_cmyk8()
+        assert np.abs(out.astype(int) - ink.astype(int)).max() <= 24
+        pil = Image.open(io.BytesIO(data))
+        assert pil.mode == "CMYK"
+        assert np.abs(out.astype(int) - np.asarray(pil).astype(int)).max() <= 1
+
+    def test_ycck_roundtrip_and_pil(self):
+        import io
+
+        from PIL import Image
+
+        ink = self._ink()
+        data = jt.encode_cmyk(ink, 92, ycck=True, subsampling="444")
+        res = jt.decode(data)
+        assert res.color_transform == "ycck"
+        out = res.to_cmyk8()
+        # YCbCr transform + quantization round trip
+        assert np.abs(out.astype(int) - ink.astype(int)).max() <= 40
+        pil = Image.open(io.BytesIO(data))
+        assert pil.mode == "CMYK"
+        assert np.abs(out.astype(int) - np.asarray(pil).astype(int)).max() <= 3
+
+    def test_ycck_subsampled_fancy_matches_pil(self):
+        import io
+
+        from PIL import Image
+
+        ink = self._ink()
+        data = jt.encode_cmyk(ink, 92, ycck=True, subsampling="420")
+        res = jt.decode(data)
+        out = res.to_cmyk8(upsample="fancy")  # PIL fancy-upsamples
+        pil = np.asarray(Image.open(io.BytesIO(data)))
+        assert np.abs(out.astype(int) - pil.astype(int)).max() <= 3
