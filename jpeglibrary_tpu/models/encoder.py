@@ -114,6 +114,10 @@ class JpegEncoder:
         #: transform tag for CMYK/YCCK output, which the reference
         #: encoder cannot write
         self._marker_segments: List[tuple] = []
+        #: RGB [H, W, 3] input for the fused native transform
+        #: (set_input_rgb) — converted lazily if the fused path
+        #: cannot apply
+        self._input_rgb: Optional[np.ndarray] = None
         self._width = 0
         self._height = 0
 
@@ -163,6 +167,7 @@ class JpegEncoder:
         [Hb, Wb, 64] per component in frame order) — encode() re-emits
         them losslessly with the configured entropy coding."""
         self._coefficient_planes = [np.asarray(p, dtype=np.int16) for p in planes]
+        self._input_rgb = None
         self._width = width
         self._height = height
 
@@ -183,6 +188,7 @@ class JpegEncoder:
         stripe) memory, unlike the reference, whose optimize path
         buffers the whole coefficient image (JpegEncoder.cs:414)."""
         self._input_reader = reader
+        self._input_rgb = None
         self._input_stream = None
         self._width = width
         self._height = height
@@ -202,15 +208,37 @@ class JpegEncoder:
         never writes DNL). Requires fixed Huffman tables: two-pass
         table optimization needs the whole image."""
         self._input_stream = iter(stripes)
+        self._input_rgb = None
         self._input_reader = None
         self._input_planes = None
         self._width = width
         self._height = 0
 
+    def set_input_rgb(self, rgb: np.ndarray) -> None:
+        """Input RGB [H, W, 3] uint8 — encode() runs the whole
+        transform stage (fixed-point RGB->YCbCr, pad, chroma box
+        subsample, FDCT, quantize, MCU ordering) as ONE fused threaded
+        native stripe pass that reads the image exactly once
+        (jpx_encode_transform_rgb), instead of staging full Y/Cb/Cr
+        planes through memory. Byte-identical to converting with
+        ops.color.rgb_to_ycbcr and calling set_input. Requires the
+        standard 3-component layout (luma h,v = max; chroma 1x1) and
+        8-bit precision; anything else falls back to the staged path
+        automatically."""
+        rgb = np.asarray(rgb, dtype=np.uint8)
+        if rgb.ndim != 3 or rgb.shape[-1] != 3:
+            raise JpegEncodeError("set_input_rgb expects [H, W, 3] uint8.")
+        self._input_rgb = rgb
+        self._input_planes = None
+        self._input_reader = None
+        self._input_stream = None
+        self._height, self._width = rgb.shape[:2]
+
     def set_input(self, planes, width: Optional[int] = None, height: Optional[int] = None) -> None:
         """Input samples: [H, W, C] uint8 array or a list of [H, W] planes."""
         self._input_reader = None
         self._input_stream = None
+        self._input_rgb = None
         if isinstance(planes, np.ndarray) and planes.ndim == 3:
             self._input_planes = [planes[..., i] for i in range(planes.shape[-1])]
             self._height, self._width = planes.shape[:2]
@@ -222,6 +250,30 @@ class JpegEncoder:
         if height is not None:
             self._height = height
 
+    def _fused_rgb_applies(self, xp) -> bool:
+        """True when the set_input_rgb fast path can run: host numpy,
+        8-bit, non-differential, the standard 3-component layout
+        (luma carries the max sampling factors, chroma 1x1 — the
+        encode_rgb/_configure_rgb_encoder shape), native available."""
+        if xp is not np or self.sample_precision != 8 or self.differential:
+            return False
+        if len(self._components) != 3:
+            return False
+        c0, c1, c2 = self._components
+        max_h = max(c.h for c in self._components)
+        max_v = max(c.v for c in self._components)
+        if (c0.h, c0.v) != (max_h, max_v):
+            return False
+        if (c1.h, c1.v) != (1, 1) or (c2.h, c2.v) != (1, 1):
+            return False
+        try:
+            from ..native import build
+
+            build.load_library()
+        except Exception:
+            return False
+        return True
+
     # -- encode --
 
     def encode(self, xp=np) -> bytes:
@@ -229,14 +281,39 @@ class JpegEncoder:
             return self._encode_streaming_dnl()
         if self._input_reader is not None:
             return self._encode_streaming()
-        if self._input_planes is None and self._coefficient_planes is None:
+        if (
+            self._input_planes is None
+            and self._coefficient_planes is None
+            and self._input_rgb is None
+        ):
             raise JpegEncodeError("Input is not specified.")
         if not self._components:
             raise JpegEncodeError("No component is specified.")
-        n_inputs = len(
-            self._input_planes
-            if self._input_planes is not None
-            else self._coefficient_planes
+        use_fused_rgb = False
+        if self._input_rgb is not None and self._input_planes is None:
+            use_fused_rgb = self._fused_rgb_applies(xp)
+            if not use_fused_rgb:
+                # Staged fallback: convert once and ride the plane path.
+                from ..ops import color as color_ops
+
+                rgb = self._input_rgb
+                try:
+                    from ..native import scanner as native_scanner
+
+                    planes = native_scanner.rgb_to_ycbcr(rgb)
+                except ImportError:
+                    planes = color_ops.rgb_to_ycbcr(
+                        rgb[..., 0], rgb[..., 1], rgb[..., 2], xp=np
+                    )
+                self._input_planes = list(planes)
+        n_inputs = (
+            3
+            if use_fused_rgb
+            else len(
+                self._input_planes
+                if self._input_planes is not None
+                else self._coefficient_planes
+            )
         )
         if n_inputs != len(self._components):
             raise JpegEncodeError("Component count does not match input planes.")
@@ -276,7 +353,15 @@ class JpegEncoder:
             quants.append(qt.elements)
 
         comp_blocks: List[np.ndarray] = []
-        if self._coefficient_planes is not None:
+        if use_fused_rgb:
+            from ..native import scanner as native_scanner
+
+            comp_blocks = list(
+                native_scanner.encode_transform_rgb(
+                    self._input_rgb, max_h, max_v, quants
+                )
+            )
+        elif self._coefficient_planes is not None:
             # Transcode path: coefficients are already quantized.
             for comp, coeffs in zip(self._components, self._coefficient_planes):
                 comp_blocks.append(
@@ -992,15 +1077,6 @@ def encode_rgb(
     converter), quality-scaled Annex-K quantization tables, 4:2:0 or
     4:4:4 subsampling.
     """
-    from ..ops import color as color_ops
-
-    try:
-        from ..native import scanner as native_scanner
-
-        y, cb, cr = native_scanner.rgb_to_ycbcr(np.asarray(rgb, dtype=np.uint8))
-    except ImportError:
-        y, cb, cr = color_ops.rgb_to_ycbcr(rgb[..., 0], rgb[..., 1], rgb[..., 2], xp=np)
-
     encoder = _configure_rgb_encoder(
         quality, subsampling,
         optimize_coding=optimize_coding,
@@ -1008,7 +1084,10 @@ def encode_rgb(
         restart_interval=restart_interval,
         arithmetic=arithmetic,
     )
-    encoder.set_input([y, cb, cr])
+    # set_input_rgb runs convert+pad+subsample+FDCT+quantize+MCU-order
+    # as one fused native stripe pass (encode() falls back to the
+    # staged rgb_to_ycbcr + set_input pipeline when it cannot apply).
+    encoder.set_input_rgb(np.asarray(rgb, dtype=np.uint8))
     return encoder.encode(xp=xp)
 
 

@@ -6083,3 +6083,202 @@ int jpx_decode_lossless_arith_restart_parallel(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused baseline RGB encode transform (host hot path)
+// ---------------------------------------------------------------------------
+//
+// One threaded stripe pass over the whole encode transform: fixed-point
+// RGB->YCbCr (bit-identical to jpx_rgb_to_ycbcr), zero-pad to the luma
+// MCU grid (pad_to_grid semantics), chroma box subsample
+// (jpx_box_subsample rounding), AAN FDCT + quantize (the exact
+// jpx_fdct_quantize dataflow), with coefficients written directly in
+// the interleaved-MCU walk order (mcu_order_blocks layout,
+// JpegEncoder.cs:512-536). The staged pipeline reads/writes full
+// Y/Cb/Cr planes three times; this pass reads the RGB input once and
+// keeps every intermediate stripe L2-resident. Output scans are
+// byte-identical to the staged path by construction (same integer
+// color transform, same box rounding, same IEEE float op order with
+// -ffp-contract=off).
+
+namespace {
+
+// FDCT + quantize one 8x8 block from a uint8 row-major buffer
+// (stride elements per row), writing 64 zig-zag int16 coefficients.
+// Identical arithmetic to the jpx_fdct_quantize inner loop, but the
+// divide+round runs in NATURAL order over a quant table pre-permuted
+// to natural order (quant_nat[nat] == quant_zz[zz]) so it vectorizes
+// (the zig-zag gather otherwise forces 64 scalar divisions); the final
+// int16 scatter to zig-zag positions is cheap. Per-element float ops
+// are unchanged, so results are bit-identical.
+static inline void fdct_block_u8(const uint8_t* src, int64_t stride,
+                                 const float* quant_nat,
+                                 const uint8_t* zz_to_nat,
+                                 float level_shift, int16_t* dst) {
+    float blk[8][8], tmp[8][8], f[8][8];
+    for (int r = 0; r < 8; ++r) {
+        const uint8_t* row = src + r * stride;
+        for (int c = 0; c < 8; ++c) blk[r][c] = (float)row[c] - level_shift;
+    }
+    transpose8(blk, tmp);
+    fdct_pass(tmp, f);
+    transpose8(f, tmp);
+    fdct_pass(tmp, f);
+    int32_t q[64];
+    const float* ff = &f[0][0];
+    for (int i = 0; i < 64; ++i)
+        q[i] = (int32_t)nearbyintf(ff[i] * 0.125f / quant_nat[i]);
+    for (int zz = 0; zz < 64; ++zz) dst[zz] = (int16_t)q[zz_to_nat[zz]];
+}
+
+}  // namespace
+
+extern "C" {
+
+// rgb: interleaved uint8 [h, w, 3]. max_h/max_v: luma sampling factors
+// (chroma is 1x1, the encode_rgb component layout). quants: three
+// [64] float zig-zag divisor tables (Y, Cb, Cr components in frame
+// order). Outputs are MCU-walk-ordered int16 block arrays:
+// out_y [n_mcus * max_h*max_v, 64], out_cb/out_cr [n_mcus, 64].
+void jpx_encode_transform_rgb(
+    const uint8_t* rgb, int64_t h, int64_t w,
+    int32_t max_h, int32_t max_v,
+    const float* quant_y, const float* quant_cb, const float* quant_cr,
+    const uint8_t* zz_to_nat, const int32_t* cconsts,
+    int16_t* out_y, int16_t* out_cb, int16_t* out_cr,
+    int32_t n_threads) {
+    const int64_t mcl = (w + 8 * max_h - 1) / (8 * max_h);
+    const int64_t mcc = (h + 8 * max_v - 1) / (8 * max_v);
+    const int64_t full_w = mcl * 8 * max_h;
+    const int stripe_h = 8 * max_v;
+    const int per_mcu_y = max_h * max_v;
+    const int32_t box_n = max_h * max_v;
+    const int32_t box_delta = box_n / 2;
+
+    const int32_t yr = cconsts[0], yg = cconsts[1], yb = cconsts[2];
+    const int32_t cbr = cconsts[3], cbg = cconsts[4], cbb = cconsts[5];
+    const int32_t crg = cconsts[6], crb = cconsts[7];
+    const int32_t half = 1 << 15;
+    const int32_t fudge = (128 << 16) + half - 1;
+
+    // Natural-order divisor tables so the per-block quantize loop
+    // vectorizes (see fdct_block_u8).
+    float qn_y[64], qn_cb[64], qn_cr[64];
+    for (int zz = 0; zz < 64; ++zz) {
+        qn_y[zz_to_nat[zz]] = quant_y[zz];
+        qn_cb[zz_to_nat[zz]] = quant_cb[zz];
+        qn_cr[zz_to_nat[zz]] = quant_cr[zz];
+    }
+
+    int hw = (int)std::thread::hardware_concurrency();
+    // Whole-pass compute burst with the GIL released: use every core
+    // (the per-stage native calls leave one free for the caller, but
+    // here the caller is blocked inside this one call anyway).
+    if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+    int64_t T = std::min<int64_t>(n_threads, mcc);
+    if (mcc * mcl * per_mcu_y < 2048) T = 1;
+
+    auto work = [&](int64_t s0, int64_t s1) {
+        // Stripe-local planes, zero-filled once: the zero padding
+        // regions (right of w, below h) are never overwritten because
+        // the convert loop only touches real pixels, matching
+        // pad_to_grid's zero fill.
+        std::vector<uint8_t> ybuf((size_t)stripe_h * full_w, 0);
+        std::vector<uint8_t> cbbuf((size_t)stripe_h * full_w, 0);
+        std::vector<uint8_t> crbuf((size_t)stripe_h * full_w, 0);
+        std::vector<uint8_t> subcb((size_t)8 * mcl * 8);
+        std::vector<uint8_t> subcr((size_t)8 * mcl * 8);
+        for (int64_t s = s0; s < s1; ++s) {
+            const int64_t y0 = s * stripe_h;
+            const int64_t rows = std::min<int64_t>(stripe_h, h - y0);
+            if (rows < stripe_h) {
+                // partial bottom stripe: restore the zero fill that a
+                // previous full stripe in this thread overwrote
+                std::fill(ybuf.begin(), ybuf.end(), 0);
+                std::fill(cbbuf.begin(), cbbuf.end(), 0);
+                std::fill(crbuf.begin(), crbuf.end(), 0);
+            }
+            for (int64_t r = 0; r < rows; ++r) {
+                const uint8_t* src = rgb + ((y0 + r) * w) * 3;
+                uint8_t* yd = ybuf.data() + r * full_w;
+                uint8_t* cbd = cbbuf.data() + r * full_w;
+                uint8_t* crd = crbuf.data() + r * full_w;
+                // Deinterleave a chunk into channel lanes, then run the
+                // fixed-point transform over the lanes — the arithmetic
+                // loop vectorizes 8/16-wide where the interleaved form
+                // forced scalar code. Integer ops: bit-identical to
+                // jpx_rgb_to_ycbcr.
+                int32_t rr[64], gg[64], bb[64];
+                for (int64_t x = 0; x < w;) {
+                    int64_t n = std::min<int64_t>(64, w - x);
+                    const uint8_t* p = src + 3 * x;
+                    for (int64_t j = 0; j < n; ++j) {
+                        rr[j] = p[3 * j];
+                        gg[j] = p[3 * j + 1];
+                        bb[j] = p[3 * j + 2];
+                    }
+                    for (int64_t j = 0; j < n; ++j) {
+                        yd[x + j] = (uint8_t)((yr * rr[j] + yg * gg[j] + (yb * bb[j] + half)) >> 16);
+                        cbd[x + j] = (uint8_t)((cbr * rr[j] + cbg * gg[j] + (cbb * bb[j] + fudge)) >> 16);
+                        crd[x + j] = (uint8_t)(((cbb * rr[j] + fudge) + crg * gg[j] + crb * bb[j]) >> 16);
+                    }
+                    x += n;
+                }
+            }
+            // Luma: max_v block rows of mcl*max_h blocks, written in
+            // MCU walk order (k = block_row * max_h + block_col % max_h).
+            for (int br = 0; br < max_v; ++br) {
+                for (int64_t bc = 0; bc < mcl * max_h; ++bc) {
+                    int16_t* dst = out_y +
+                        (((s * mcl + bc / max_h) * per_mcu_y) +
+                         (int64_t)br * max_h + bc % max_h) * 64;
+                    fdct_block_u8(ybuf.data() + (int64_t)br * 8 * full_w + bc * 8,
+                                  full_w, qn_y, zz_to_nat, 128.0f, dst);
+                }
+            }
+            // Chroma: box subsample the stripe to one 8-row band, then
+            // one block row of mcl blocks per channel. Box sums fit
+            // uint8 after the round-half-up divide.
+            for (int c = 0; c < 2; ++c) {
+                const uint8_t* plane = c == 0 ? cbbuf.data() : crbuf.data();
+                uint8_t* sub = c == 0 ? subcb.data() : subcr.data();
+                if (box_n == 1) {
+                    sub = const_cast<uint8_t*>(plane);
+                } else {
+                    for (int oy = 0; oy < 8; ++oy) {
+                        uint8_t* orow = sub + (int64_t)oy * mcl * 8;
+                        for (int64_t ox = 0; ox < mcl * 8; ++ox) {
+                            int32_t sum = 0;
+                            for (int dy = 0; dy < max_v; ++dy) {
+                                const uint8_t* irow = plane +
+                                    ((int64_t)oy * max_v + dy) * full_w + ox * max_h;
+                                for (int dx = 0; dx < max_h; ++dx) sum += irow[dx];
+                            }
+                            orow[ox] = (uint8_t)((sum + box_delta) / box_n);
+                        }
+                    }
+                }
+                const float* q = c == 0 ? qn_cb : qn_cr;
+                int16_t* out = c == 0 ? out_cb : out_cr;
+                for (int64_t bc = 0; bc < mcl; ++bc) {
+                    fdct_block_u8(sub + bc * 8, mcl * 8, q, zz_to_nat, 128.0f,
+                                  out + (s * mcl + bc) * 64);
+                }
+            }
+        }
+    };
+    if (T <= 1) {
+        work(0, mcc);
+        return;
+    }
+    std::vector<std::thread> pool;
+    int64_t step = (mcc + T - 1) / T;
+    for (int64_t t = 0; t < T; ++t) {
+        int64_t b = t * step;
+        if (b >= mcc) break;
+        pool.emplace_back(work, b, std::min(mcc, b + step));
+    }
+    for (auto& th : pool) th.join();
+}
+
+}  // extern "C"

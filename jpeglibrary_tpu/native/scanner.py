@@ -1075,6 +1075,52 @@ def fdct_quantize(
     return out
 
 
+def encode_transform_rgb(rgb: np.ndarray, max_h: int, max_v: int, quants):
+    """Fused baseline RGB encode transform: one threaded native stripe
+    pass doing RGB->YCbCr + zero-pad + chroma box subsample + AAN FDCT
+    + quantize, emitting MCU-walk-ordered block arrays directly — the
+    whole transform stage of ``encode_rgb`` in a single image read.
+    Byte-identical to the staged rgb_to_ycbcr/forward_component/
+    mcu_order_blocks pipeline.
+
+    ``rgb``: uint8 [H, W, 3]; ``max_h``/``max_v``: luma sampling
+    factors (chroma 1x1); ``quants``: three [64] zig-zag divisor
+    tables in frame order (Y, Cb, Cr). Returns three int16 [N, 64]
+    MCU-ordered block arrays."""
+    lib = build.load_library()
+    from ..ops import color as color_ops
+    from ..ops.zigzag import ZIGZAG_TO_BLOCK
+
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    mcl = -(-w // (8 * max_h))
+    mcc = -(-h // (8 * max_v))
+    n_mcus = mcl * mcc
+    out_y = np.empty((n_mcus * max_h * max_v, 64), dtype=np.int16)
+    out_cb = np.empty((n_mcus, 64), dtype=np.int16)
+    out_cr = np.empty((n_mcus, 64), dtype=np.int16)
+    qs = [np.ascontiguousarray(q, dtype=np.float32) for q in quants]
+    zz = np.ascontiguousarray(ZIGZAG_TO_BLOCK, dtype=np.uint8)
+    consts = (ctypes.c_int32 * 8)(
+        color_ops._Y_R, color_ops._Y_G, color_ops._Y_B,
+        color_ops._CB_R, color_ops._CB_G, color_ops._CB_B,
+        color_ops._CR_G, color_ops._CR_B,
+    )
+    lib.jpx_encode_transform_rgb(
+        rgb.ctypes.data_as(ctypes.c_void_p), h, w,
+        max_h, max_v,
+        qs[0].ctypes.data_as(ctypes.c_void_p),
+        qs[1].ctypes.data_as(ctypes.c_void_p),
+        qs[2].ctypes.data_as(ctypes.c_void_p),
+        zz.ctypes.data_as(ctypes.c_void_p), consts,
+        out_y.ctypes.data_as(ctypes.c_void_p),
+        out_cb.ctypes.data_as(ctypes.c_void_p),
+        out_cr.ctypes.data_as(ctypes.c_void_p),
+        0,
+    )
+    return out_y, out_cb, out_cr
+
+
 def encode_prog_dc(blocks_list, per_mcu, n_mcus: int, ah: int, al: int,
                    tables=None, freqs=None):
     """Progressive DC scan emission (count mode when ``freqs`` given).

@@ -1,0 +1,105 @@
+"""Fused native RGB encode transform (jpx_encode_transform_rgb).
+
+The set_input_rgb path runs convert + pad + subsample + FDCT +
+quantize + MCU ordering as one threaded native stripe pass; these
+tests pin its byte-identity against the staged rgb_to_ycbcr +
+set_input pipeline across sampling ratios, odd geometry, and every
+encode() option family that consumes comp_blocks.
+"""
+
+import numpy as np
+import pytest
+
+from jpeglibrary_tpu.models.encoder import (
+    JpegEncoder,
+    _configure_rgb_encoder,
+    encode_rgb,
+)
+
+pytest.importorskip("jpeglibrary_tpu.native.scanner")
+from jpeglibrary_tpu.native import scanner as native_scanner  # noqa: E402
+
+import jpeglibrary_tpu as jt  # noqa: E402
+
+
+def _image(h, w, seed=7):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (128 + 80 * np.sin(yy / 13.0) * np.cos(xx / 29.0)).astype(np.float32)
+    img = np.stack([base, 0.7 * base + 30, 255 - base], axis=-1)
+    img = img + rng.normal(0, 15, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _staged(rgb, quality, subsampling, **kw):
+    arithmetic = kw.pop("arithmetic", False)
+    enc = _configure_rgb_encoder(quality, subsampling, **kw)
+    enc.arithmetic = arithmetic
+    enc.set_input(list(native_scanner.rgb_to_ycbcr(rgb)))
+    return enc.encode()
+
+
+@pytest.mark.parametrize("subsampling", ["420", "444", "422", "440", "411"])
+@pytest.mark.parametrize("shape", [(64, 64), (57, 41), (129, 257), (16, 8)])
+def test_fused_matches_staged(subsampling, shape):
+    rgb = _image(*shape)
+    assert encode_rgb(rgb, 75, subsampling=subsampling) == _staged(
+        rgb, 75, subsampling
+    )
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"optimize_coding": True},
+        {"most_optimal_coding": True},
+        {"restart_interval": 3},
+        {"arithmetic": True},
+        {"optimize_coding": True, "restart_interval": 2},
+    ],
+)
+def test_fused_matches_staged_options(kw):
+    rgb = _image(75, 90)
+    assert encode_rgb(rgb, 75, **kw) == _staged(rgb, 75, "420", **kw)
+
+
+def test_fused_tiny_and_single_pixel():
+    for shape in [(1, 1), (1, 64), (64, 1), (7, 7)]:
+        rgb = _image(*shape)
+        assert encode_rgb(rgb, 85) == _staged(rgb, 85, "420")
+
+
+def test_fused_roundtrip_decodes():
+    # 4:4:4 — the synthetic pattern has saturated chroma noise that
+    # 4:2:0 legitimately averages away; this checks transform fidelity,
+    # not subsampling loss.
+    rgb = _image(96, 112)
+    data = encode_rgb(rgb, 92, subsampling="444")
+    res = jt.decode(data)
+    dec = np.asarray(res.to_rgb8()).astype(np.float64)
+    mse = ((dec - rgb) ** 2).mean()
+    assert 10 * np.log10(255.0**2 / mse) > 30
+
+
+def test_set_input_rgb_fallback_for_nonstandard_layout():
+    # 4 components -> the fused precondition fails; encode() converts
+    # and rides the plane path instead of erroring.
+    rgb = _image(32, 32)
+    enc = JpegEncoder()
+    from jpeglibrary_tpu.syntax.quantization import (
+        scale_by_quality,
+        standard_luminance_table,
+    )
+    from jpeglibrary_tpu.syntax import huffman_standard
+
+    enc.set_quantization_table(scale_by_quality(standard_luminance_table(0), 75))
+    enc.set_huffman_table(True, 0, huffman_standard.dc_luminance())
+    enc.set_huffman_table(False, 0, huffman_standard.ac_luminance())
+    # chroma carries the max sampling factor -> layout check fails
+    enc.add_component(1, 0, 0, 0, 1, 1)
+    enc.add_component(2, 0, 0, 0, 2, 2)
+    enc.add_component(3, 0, 0, 0, 1, 1)
+    assert not enc._fused_rgb_applies(np)
+    enc.set_input_rgb(rgb)
+    data = enc.encode()
+    assert jt.decode(data).width == 32
