@@ -4665,23 +4665,43 @@ struct BitPacker {
         return true;
     }
 
+    // 32-bit buffered flush: identical byte/stuffing stream to the
+    // byte-at-a-time form, but the common no-0xFF window goes out as
+    // one bswap'd 4-byte store (SWAR test for a 0xFF lane). Max write
+    // length is 16 bits, so one flush per write suffices and `bits`
+    // stays < 32 between calls.
     inline bool write(uint32_t value, int length) {
         if (length == 0) return true;
         reg = (reg << length) | (value & ((1u << length) - 1));
         bits += length;
-        while (bits >= 8) {
-            bits -= 8;
-            if (!put_byte((uint8_t)(reg >> bits))) return false;
+        if (bits >= 32) {
+            bits -= 32;
+            uint32_t word = (uint32_t)(reg >> bits);
+            reg &= ((uint64_t)1 << bits) - 1;
+            uint32_t inv = ~word;
+            if (((inv - 0x01010101u) & ~inv & 0x80808080u) == 0) {
+                if (n + 4 > cap) return false;
+                uint32_t be = __builtin_bswap32(word);
+                std::memcpy(out + n, &be, 4);
+                n += 4;
+            } else {
+                for (int s = 24; s >= 0; s -= 8)
+                    if (!put_byte((uint8_t)(word >> s))) return false;
+            }
         }
-        reg &= (1u << bits) - 1;
         return true;
     }
 
     bool finish() {
-        if (bits > 0) {
-            int pad = 8 - bits;
-            return write((1u << pad) - 1, pad);
+        if (bits & 7) {
+            int pad = 8 - (bits & 7);
+            if (!write((1u << pad) - 1, pad)) return false;
         }
+        while (bits >= 8) {  // drain whole bytes left in the window
+            bits -= 8;
+            if (!put_byte((uint8_t)(reg >> bits))) return false;
+        }
+        reg = 0;
         return true;
     }
 };
@@ -4705,8 +4725,7 @@ static inline bool emit_run_length(BitPacker& bp, const uint16_t* codes,
         a = -value;
         b = value - 1;
     }
-    int bit_count = 0;
-    while ((a >> bit_count) != 0) ++bit_count;
+    int bit_count = a ? 32 - __builtin_clz((unsigned)a) : 0;
     int symbol = (run << 4) | bit_count;
     int size = sizes[symbol];
     if (size == 0) { *missing = true; return false; }
@@ -4847,16 +4866,22 @@ static int64_t emit_chunk_unstuffed(EncComp* comps, int n_comps,
         int64_t n;
         uint64_t reg;
         int bits;
+        // 32-bit bulk flush: same byte stream as the byte-at-a-time
+        // form (no stuffing here), one bswap'd store per 4 output
+        // bytes instead of four shifts+stores. Max write length is 16
+        // bits, so bits stays < 48 and one flush suffices.
         inline bool write(uint32_t value, int length) {
             if (length == 0) return true;
             reg = (reg << length) | (value & ((1u << length) - 1));
             bits += length;
-            while (bits >= 8) {
-                bits -= 8;
-                if (n >= cap) return false;
-                out[n++] = (uint8_t)(reg >> bits);
+            if (bits >= 32) {
+                bits -= 32;
+                if (n + 4 > cap) return false;
+                uint32_t be = __builtin_bswap32((uint32_t)(reg >> bits));
+                std::memcpy(out + n, &be, 4);
+                n += 4;
+                reg &= ((uint64_t)1 << bits) - 1;
             }
-            reg &= (1u << bits) - 1;
             return true;
         }
     };
@@ -4870,8 +4895,7 @@ static int64_t emit_chunk_unstuffed(EncComp* comps, int n_comps,
                        int value) -> bool {
         int a = value, b = value;
         if (a < 0) { a = -value; b = value - 1; }
-        int bit_count = 0;
-        while ((a >> bit_count) != 0) ++bit_count;
+        int bit_count = a ? 32 - __builtin_clz((unsigned)a) : 0;
         int symbol = (run << 4) | bit_count;
         int size = sizes[symbol];
         if (size == 0) { missing = true; return false; }
@@ -4912,6 +4936,11 @@ static int64_t emit_chunk_unstuffed(EncComp* comps, int n_comps,
         }
     }
     int64_t total_bits = bp.n * 8 + bp.bits;
+    while (bp.bits >= 8) {  // residue of the 32-bit flush window
+        bp.bits -= 8;
+        if (bp.n >= bp.cap) return -1;
+        bp.out[bp.n++] = (uint8_t)(bp.reg >> bp.bits);
+    }
     if (bp.bits > 0) {
         if (bp.n >= bp.cap) return -1;
         bp.out[bp.n++] = (uint8_t)(bp.reg << (8 - bp.bits));  // left-justified tail

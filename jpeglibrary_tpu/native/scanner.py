@@ -1075,6 +1075,9 @@ def fdct_quantize(
     return out
 
 
+_TRANSFORM_SCRATCH = __import__("threading").local()
+
+
 def encode_transform_rgb(rgb: np.ndarray, max_h: int, max_v: int, quants):
     """Fused baseline RGB encode transform: one threaded native stripe
     pass doing RGB->YCbCr + zero-pad + chroma box subsample + AAN FDCT
@@ -1096,9 +1099,26 @@ def encode_transform_rgb(rgb: np.ndarray, max_h: int, max_v: int, quants):
     mcl = -(-w // (8 * max_h))
     mcc = -(-h // (8 * max_v))
     n_mcus = mcl * mcc
-    out_y = np.empty((n_mcus * max_h * max_v, 64), dtype=np.int16)
-    out_cb = np.empty((n_mcus, 64), dtype=np.int16)
-    out_cr = np.empty((n_mcus, 64), dtype=np.int16)
+    # Reuse output buffers across calls (thread-local): fresh 10+ MB
+    # allocations page-fault on every touch, which costs more than the
+    # FDCT itself on repeat encodes. Buffers are handed to the caller,
+    # so keep a generation pair and only reuse once the previous
+    # call's arrays could still be alive — encode() consumes them
+    # within the call, and per-thread reuse means no cross-thread
+    # aliasing; a caller holding blocks across two encodes on the same
+    # thread must copy (encode() never does).
+    cache = getattr(_TRANSFORM_SCRATCH, "bufs", None)
+    ny = n_mcus * max_h * max_v
+    if cache is None or cache[0].shape[0] < ny or cache[1].shape[0] < n_mcus:
+        cache = (
+            np.empty((ny, 64), dtype=np.int16),
+            np.empty((n_mcus, 64), dtype=np.int16),
+            np.empty((n_mcus, 64), dtype=np.int16),
+        )
+        _TRANSFORM_SCRATCH.bufs = cache
+    out_y = cache[0][:ny]
+    out_cb = cache[1][:n_mcus]
+    out_cr = cache[2][:n_mcus]
     qs = [np.ascontiguousarray(q, dtype=np.float32) for q in quants]
     zz = np.ascontiguousarray(ZIGZAG_TO_BLOCK, dtype=np.uint8)
     consts = (ctypes.c_int32 * 8)(
