@@ -352,6 +352,37 @@ class JpegEncoder:
                 )
             quants.append(qt.elements)
 
+        if (
+            use_fused_rgb
+            and not self.arithmetic
+            and not optimize
+            and self.mesh is None
+        ):
+            # Fully fused fixed-table path: transform + scan emission in
+            # one native pass; the image bytes are read exactly once.
+            fixed = {
+                k: t for k, t in self._huffman_tables.items() if t is not None
+            }
+            comp_tables = []
+            for comp in self._components:
+                dc = fixed.get((True, comp.dc_table_id))
+                ac = fixed.get((False, comp.ac_table_id))
+                if dc is None or ac is None:
+                    raise JpegEncodeError("Huffman table is not defined.")
+                comp_tables.append((dc, ac))
+            from ..native import scanner as native_scanner
+
+            writer = JpegWriter()
+            self._write_headers(writer, fixed)
+            writer.write_bytes(
+                native_scanner.encode_rgb_scan(
+                    self._input_rgb, max_h, max_v, quants, comp_tables,
+                    self.restart_interval,
+                )
+            )
+            writer.write_marker(Marker.EOI)
+            return writer.to_bytes()
+
         comp_blocks: List[np.ndarray] = []
         if use_fused_rgb:
             from ..native import scanner as native_scanner

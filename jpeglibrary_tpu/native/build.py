@@ -246,6 +246,18 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.c_void_p, c.c_void_p, c.c_void_p,  # out Y/Cb/Cr (int16 MCU order)
         c.c_int32,                         # n_threads
     ]
+    lib.jpx_encode_rgb_baseline.restype = c.c_int64
+    lib.jpx_encode_rgb_baseline.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int64,  # rgb, h, w
+        c.c_int32, c.c_int32,              # max_h, max_v
+        c.c_void_p, c.c_void_p, c.c_void_p,  # quant Y/Cb/Cr (f32 zz)
+        c.c_void_p, c.POINTER(c.c_int32),  # zz_to_nat, color consts
+        c.POINTER(c.c_void_p), c.POINTER(c.c_void_p),  # dc codes/sizes [3]
+        c.POINTER(c.c_void_p), c.POINTER(c.c_void_p),  # ac codes/sizes [3]
+        c.c_int64,                         # restart_interval
+        c.c_void_p, c.c_int64,             # out, capacity
+        c.c_int32,                         # n_threads
+    ]
     lib.jpx_encode_segment.restype = c.c_int64
     lib.jpx_encode_segment.argtypes = [
         c.c_int32,

@@ -4948,6 +4948,58 @@ static int64_t emit_chunk_unstuffed(EncComp* comps, int n_comps,
     return total_bits;
 }
 
+// Merge unstuffed bit chunks: shift-OR them together, 1-pad the final
+// partial byte (ExitBitMode semantics), then apply 0xFF 0x00 stuffing
+// into the caller's buffer. Returns bytes written or -1 on overflow.
+static int64_t merge_stuff_chunks(const uint8_t* const* bufs,
+                                  const int64_t* nbits, int n,
+                                  uint8_t* out, int64_t capacity) {
+    int64_t total_bits = 0;
+    for (int i = 0; i < n; ++i) total_bits += nbits[i];
+    std::vector<uint8_t> merged((size_t)((total_bits + 7) / 8) + 8, 0);
+    int64_t off_bits = 0;
+    for (int i = 0; i < n; ++i) {
+        if (nbits[i] == 0) continue;
+        int64_t byte_off = off_bits >> 3;
+        int shift = (int)(off_bits & 7);
+        int64_t nbytes = (nbits[i] + 7) / 8;
+        if (shift == 0) {
+            std::memcpy(merged.data() + byte_off, bufs[i], (size_t)nbytes);
+        } else {
+            uint8_t* dst = merged.data() + byte_off;
+            const uint8_t* src = bufs[i];
+            // dst[0] already holds `shift` valid high bits
+            uint32_t carry = dst[0] >> (8 - shift);
+            for (int64_t j = 0; j < nbytes; ++j) {
+                uint32_t v = (carry << (8 - shift)) | (src[j] >> shift);
+                dst[j] = (uint8_t)v;
+                carry = src[j] & ((1u << shift) - 1);
+            }
+            dst[nbytes] = (uint8_t)(carry << (8 - shift));
+        }
+        off_bits += nbits[i];
+    }
+    // 1-pad the final partial byte (ExitBitMode semantics).
+    if (off_bits & 7) {
+        int pad = 8 - (int)(off_bits & 7);
+        merged[off_bits >> 3] |= (uint8_t)((1u << pad) - 1);
+        off_bits += pad;
+    }
+    // Stuffing pass into the caller's buffer.
+    int64_t n_out = 0;
+    int64_t n_merged = off_bits >> 3;
+    for (int64_t i = 0; i < n_merged; ++i) {
+        if (n_out >= capacity) return -1;
+        uint8_t b = merged[(size_t)i];
+        out[n_out++] = b;
+        if (b == 0xFF) {
+            if (n_out >= capacity) return -1;
+            out[n_out++] = 0x00;
+        }
+    }
+    return n_out;
+}
+
 }  // namespace
 
 extern "C" {
@@ -5018,51 +5070,13 @@ int64_t jpx_encode_segment_parallel(
     for (int64_t r : results)
         if (r < 0) return r;
 
-    // Merge: shift-OR the unstuffed chunk streams together.
-    int64_t total_bits = 0;
-    for (auto& ck : chunks) total_bits += ck.bits;
-    std::vector<uint8_t> merged((size_t)((total_bits + 7) / 8) + 8, 0);
-    int64_t off_bits = 0;
-    for (auto& ck : chunks) {
-        if (ck.bits == 0) continue;
-        int64_t byte_off = off_bits >> 3;
-        int shift = (int)(off_bits & 7);
-        int64_t nbytes = (ck.bits + 7) / 8;
-        if (shift == 0) {
-            std::memcpy(merged.data() + byte_off, ck.buf.get(), (size_t)nbytes);
-        } else {
-            uint8_t* dst = merged.data() + byte_off;
-            const uint8_t* src = ck.buf.get();
-            // dst[0] already holds `shift` valid high bits
-            uint32_t carry = dst[0] >> (8 - shift);
-            for (int64_t i = 0; i < nbytes; ++i) {
-                uint32_t v = (carry << (8 - shift)) | (src[i] >> shift);
-                dst[i] = (uint8_t)v;
-                carry = src[i] & ((1u << shift) - 1);
-            }
-            dst[nbytes] = (uint8_t)(carry << (8 - shift));
-        }
-        off_bits += ck.bits;
+    std::vector<const uint8_t*> bufs(T);
+    std::vector<int64_t> nbits(T);
+    for (int64_t t = 0; t < T; ++t) {
+        bufs[t] = chunks[t].buf.get();
+        nbits[t] = chunks[t].bits;
     }
-    // 1-pad the final partial byte (ExitBitMode semantics).
-    if (off_bits & 7) {
-        int pad = 8 - (int)(off_bits & 7);
-        merged[off_bits >> 3] |= (uint8_t)((1u << pad) - 1);
-        off_bits += pad;
-    }
-    // Stuffing pass into the caller's buffer.
-    int64_t n_out = 0;
-    int64_t n_merged = off_bits >> 3;
-    for (int64_t i = 0; i < n_merged; ++i) {
-        if (n_out >= capacity) return -1;
-        uint8_t b = merged[(size_t)i];
-        out[n_out++] = b;
-        if (b == 0xFF) {
-            if (n_out >= capacity) return -1;
-            out[n_out++] = 0x00;
-        }
-    }
-    return n_out;
+    return merge_stuff_chunks(bufs.data(), nbits.data(), (int)T, out, capacity);
 }
 
 // Pack a lossless (SOF3) sample-difference stream: entry i carries
@@ -6114,7 +6128,7 @@ int jpx_decode_lossless_arith_restart_parallel(
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
-// Fused baseline RGB encode transform (host hot path)
+// Fused baseline RGB encode (host hot path)
 // ---------------------------------------------------------------------------
 //
 // One threaded stripe pass over the whole encode transform: fixed-point
@@ -6129,6 +6143,13 @@ int jpx_decode_lossless_arith_restart_parallel(
 // byte-identical to the staged path by construction (same integer
 // color transform, same box rounding, same IEEE float op order with
 // -ffp-contract=off).
+//
+// Two entry points share the stripe machinery:
+//  - jpx_encode_transform_rgb: transform only, emitting global
+//    MCU-ordered block arrays (the 2-pass/optimize-coding input).
+//  - jpx_encode_rgb_baseline: transform + Huffman scan emission fused
+//    in one pass — coefficients never leave the stripe buffer, so a
+//    fixed-table encode touches the image bytes exactly once.
 
 namespace {
 
@@ -6160,6 +6181,305 @@ static inline void fdct_block_u8(const uint8_t* src, int64_t stride,
     for (int zz = 0; zz < 64; ++zz) dst[zz] = (int16_t)q[zz_to_nat[zz]];
 }
 
+struct RgbEncCtx {
+    const uint8_t* rgb;
+    int64_t h, w;
+    int32_t max_h, max_v;
+    int64_t mcl, mcc, full_w;
+    int stripe_h, per_mcu_y;
+    int32_t box_n, box_delta;
+    int32_t yr, yg, yb, cbr, cbg, cbb, crg, crb;
+    float qn_y[64], qn_cb[64], qn_cr[64];
+    const uint8_t* zz;
+};
+
+static const int32_t kCcHalf = 1 << 15;
+static const int32_t kCcFudge = (128 << 16) + kCcHalf - 1;
+
+static void rgb_ctx_init(RgbEncCtx& c, const uint8_t* rgb, int64_t h,
+                         int64_t w, int32_t max_h, int32_t max_v,
+                         const float* quant_y, const float* quant_cb,
+                         const float* quant_cr, const uint8_t* zz_to_nat,
+                         const int32_t* cconsts) {
+    c.rgb = rgb;
+    c.h = h;
+    c.w = w;
+    c.max_h = max_h;
+    c.max_v = max_v;
+    c.mcl = (w + 8 * max_h - 1) / (8 * max_h);
+    c.mcc = (h + 8 * max_v - 1) / (8 * max_v);
+    c.full_w = c.mcl * 8 * max_h;
+    c.stripe_h = 8 * max_v;
+    c.per_mcu_y = max_h * max_v;
+    c.box_n = max_h * max_v;
+    c.box_delta = c.box_n / 2;
+    c.yr = cconsts[0]; c.yg = cconsts[1]; c.yb = cconsts[2];
+    c.cbr = cconsts[3]; c.cbg = cconsts[4]; c.cbb = cconsts[5];
+    c.crg = cconsts[6]; c.crb = cconsts[7];
+    // Natural-order divisor tables so the per-block quantize loop
+    // vectorizes (see fdct_block_u8).
+    for (int zz = 0; zz < 64; ++zz) {
+        c.qn_y[zz_to_nat[zz]] = quant_y[zz];
+        c.qn_cb[zz_to_nat[zz]] = quant_cb[zz];
+        c.qn_cr[zz_to_nat[zz]] = quant_cr[zz];
+    }
+    c.zz = zz_to_nat;
+}
+
+// Per-thread stripe-local planes, zero-filled at init: the zero padding
+// regions (right of w, below h) are never overwritten because the
+// convert loop only touches real pixels, matching pad_to_grid's zero
+// fill. `dirty` tracks whether a full stripe has overwritten the fill
+// (the partial bottom stripe then restores it).
+struct RgbStripeScratch {
+    std::vector<uint8_t> ybuf, cbbuf, crbuf, subcb, subcr;
+    bool dirty = false;
+    void init(const RgbEncCtx& c) {
+        ybuf.assign((size_t)c.stripe_h * c.full_w, 0);
+        cbbuf.assign((size_t)c.stripe_h * c.full_w, 0);
+        crbuf.assign((size_t)c.stripe_h * c.full_w, 0);
+        subcb.resize((size_t)8 * c.mcl * 8);
+        subcr.resize((size_t)8 * c.mcl * 8);
+        dirty = false;
+    }
+};
+
+// Convert the RGB rows of stripe `s` into the scratch Y/Cb/Cr planes.
+static void convert_stripe_rgb(const RgbEncCtx& c, RgbStripeScratch& sc,
+                               int64_t s) {
+    const int64_t y0 = s * c.stripe_h;
+    const int64_t rows = std::min<int64_t>(c.stripe_h, c.h - y0);
+    if (rows < c.stripe_h && sc.dirty) {
+        // partial bottom stripe: restore the zero fill that a previous
+        // full stripe in this thread overwrote
+        std::fill(sc.ybuf.begin(), sc.ybuf.end(), 0);
+        std::fill(sc.cbbuf.begin(), sc.cbbuf.end(), 0);
+        std::fill(sc.crbuf.begin(), sc.crbuf.end(), 0);
+    }
+    sc.dirty = true;
+    for (int64_t r = 0; r < rows; ++r) {
+        const uint8_t* src = c.rgb + ((y0 + r) * c.w) * 3;
+        uint8_t* yd = sc.ybuf.data() + r * c.full_w;
+        uint8_t* cbd = sc.cbbuf.data() + r * c.full_w;
+        uint8_t* crd = sc.crbuf.data() + r * c.full_w;
+        // Deinterleave a chunk into channel lanes, then run the
+        // fixed-point transform over the lanes — the arithmetic loop
+        // vectorizes 8/16-wide where the interleaved form forced
+        // scalar code. Integer ops: bit-identical to jpx_rgb_to_ycbcr.
+        int32_t rr[64], gg[64], bb[64];
+        for (int64_t x = 0; x < c.w;) {
+            int64_t n = std::min<int64_t>(64, c.w - x);
+            const uint8_t* p = src + 3 * x;
+            for (int64_t j = 0; j < n; ++j) {
+                rr[j] = p[3 * j];
+                gg[j] = p[3 * j + 1];
+                bb[j] = p[3 * j + 2];
+            }
+            for (int64_t j = 0; j < n; ++j) {
+                yd[x + j] = (uint8_t)((c.yr * rr[j] + c.yg * gg[j] + (c.yb * bb[j] + kCcHalf)) >> 16);
+                cbd[x + j] = (uint8_t)((c.cbr * rr[j] + c.cbg * gg[j] + (c.cbb * bb[j] + kCcFudge)) >> 16);
+                crd[x + j] = (uint8_t)(((c.cbb * rr[j] + kCcFudge) + c.crg * gg[j] + c.crb * bb[j]) >> 16);
+            }
+            x += n;
+        }
+    }
+}
+
+// Transform stripe `s` (convert + subsample + FDCT + quantize).
+// Output layout per MCU column `col` of the stripe:
+//   Y block k  -> y_base  + col * y_colstride  + k * 64
+//   Cb block   -> cb_base + col * cb_colstride
+//   Cr block   -> cr_base + col * cr_colstride
+// (strides in int16 elements), which expresses both the global
+// MCU-ordered arrays and the interleaved per-stripe layout the fused
+// emitter walks.
+static void transform_stripe_rgb(const RgbEncCtx& c, RgbStripeScratch& sc,
+                                 int64_t s,
+                                 int16_t* y_base, int64_t y_colstride,
+                                 int16_t* cb_base, int64_t cb_colstride,
+                                 int16_t* cr_base, int64_t cr_colstride) {
+    convert_stripe_rgb(c, sc, s);
+    // Luma: max_v block rows of mcl*max_h blocks, written in MCU walk
+    // order (k = block_row * max_h + block_col % max_h).
+    for (int br = 0; br < c.max_v; ++br) {
+        for (int64_t bc = 0; bc < c.mcl * c.max_h; ++bc) {
+            int16_t* dst = y_base + (bc / c.max_h) * y_colstride +
+                           ((int64_t)br * c.max_h + bc % c.max_h) * 64;
+            fdct_block_u8(sc.ybuf.data() + (int64_t)br * 8 * c.full_w + bc * 8,
+                          c.full_w, c.qn_y, c.zz, 128.0f, dst);
+        }
+    }
+    // Chroma: box subsample the stripe to one 8-row band, then one
+    // block row of mcl blocks per channel. Box sums fit uint8 after
+    // the round-half-up divide.
+    for (int ch = 0; ch < 2; ++ch) {
+        const uint8_t* plane = ch == 0 ? sc.cbbuf.data() : sc.crbuf.data();
+        uint8_t* sub = ch == 0 ? sc.subcb.data() : sc.subcr.data();
+        if (c.box_n == 1) {
+            sub = const_cast<uint8_t*>(plane);
+        } else {
+            for (int oy = 0; oy < 8; ++oy) {
+                uint8_t* orow = sub + (int64_t)oy * c.mcl * 8;
+                for (int64_t ox = 0; ox < c.mcl * 8; ++ox) {
+                    int32_t sum = 0;
+                    for (int dy = 0; dy < c.max_v; ++dy) {
+                        const uint8_t* irow = plane +
+                            ((int64_t)oy * c.max_v + dy) * c.full_w + ox * c.max_h;
+                        for (int dx = 0; dx < c.max_h; ++dx) sum += irow[dx];
+                    }
+                    orow[ox] = (uint8_t)((sum + c.box_delta) / c.box_n);
+                }
+            }
+        }
+        const float* q = ch == 0 ? c.qn_cb : c.qn_cr;
+        int16_t* base = ch == 0 ? cb_base : cr_base;
+        int64_t stride = ch == 0 ? cb_colstride : cr_colstride;
+        for (int64_t bc = 0; bc < c.mcl; ++bc) {
+            fdct_block_u8(sub + bc * 8, c.mcl * 8, q, c.zz, 128.0f,
+                          base + bc * stride);
+        }
+    }
+}
+
+// Quantized DC values of MCU (s, col) in scan order position — the
+// predictor seeds a parallel emitter chunk needs from its predecessor
+// chunk's LAST MCU: component 0 takes the last Y block (block row
+// max_v-1, col max_h-1), then Cb, Cr. Exactness: the AAN butterfly's
+// f[0][0] is the plain sample sum (every intermediate is an integer
+// < 2^24, so each float add is exact), hence quantized DC ==
+// nearbyintf(sum * 0.125f / q[0]) computed directly.
+static void boundary_mcu_dc(const RgbEncCtx& c, int64_t s, int64_t col,
+                            int32_t dc[3]) {
+    const int pw = 8 * c.max_h;           // patch width (one MCU)
+    const int ph = c.stripe_h;            // patch height
+    uint8_t py[64 * 16], pcb[64 * 16], pcr[64 * 16];  // up to 4x4 sampling
+    std::memset(py, 0, (size_t)ph * pw);
+    std::memset(pcb, 0, (size_t)ph * pw);
+    std::memset(pcr, 0, (size_t)ph * pw);
+    const int64_t y0 = s * (int64_t)c.stripe_h;
+    const int64_t x0 = col * (int64_t)pw;
+    const int64_t rows = std::min<int64_t>(ph, c.h - y0);
+    const int64_t cols = std::min<int64_t>(pw, c.w - x0);
+    for (int64_t r = 0; r < rows; ++r) {
+        const uint8_t* src = c.rgb + ((y0 + r) * c.w + x0) * 3;
+        for (int64_t x = 0; x < cols; ++x) {
+            int32_t rr = src[3 * x], gg = src[3 * x + 1], bb = src[3 * x + 2];
+            py[r * pw + x] = (uint8_t)((c.yr * rr + c.yg * gg + (c.yb * bb + kCcHalf)) >> 16);
+            pcb[r * pw + x] = (uint8_t)((c.cbr * rr + c.cbg * gg + (c.cbb * bb + kCcFudge)) >> 16);
+            pcr[r * pw + x] = (uint8_t)(((c.cbb * rr + kCcFudge) + c.crg * gg + c.crb * bb) >> 16);
+        }
+    }
+    // Last Y block of the MCU.
+    int64_t sum = 0;
+    for (int r = 0; r < 8; ++r) {
+        const uint8_t* row = py + ((c.max_v - 1) * 8 + r) * pw + (c.max_h - 1) * 8;
+        for (int x = 0; x < 8; ++x) sum += (int32_t)row[x] - 128;
+    }
+    dc[0] = (int32_t)nearbyintf((float)sum * 0.125f / c.qn_y[0]);
+    // Chroma blocks: 8x8 after box subsample of the whole patch.
+    for (int ch = 0; ch < 2; ++ch) {
+        const uint8_t* plane = ch == 0 ? pcb : pcr;
+        int64_t csum = 0;
+        for (int oy = 0; oy < 8; ++oy) {
+            for (int ox = 0; ox < 8; ++ox) {
+                int32_t bsum = 0;
+                for (int dy = 0; dy < c.max_v; ++dy) {
+                    const uint8_t* irow = plane + (oy * c.max_v + dy) * pw + ox * c.max_h;
+                    for (int dx = 0; dx < c.max_h; ++dx) bsum += irow[dx];
+                }
+                csum += (bsum + c.box_delta) / c.box_n - 128;
+            }
+        }
+        dc[1 + ch] = (int32_t)nearbyintf(
+            (float)csum * 0.125f / (ch == 0 ? c.qn_cb[0] : c.qn_cr[0]));
+    }
+}
+
+// Unstuffed bit sink with the 32-bit bulk flush (same byte stream as
+// RawPacker in emit_chunk_unstuffed).
+struct RawSink {
+    uint8_t* out;
+    int64_t cap;
+    int64_t n;
+    uint64_t reg;
+    int bits;
+    inline bool write(uint32_t value, int length) {
+        if (length == 0) return true;
+        reg = (reg << length) | (value & ((1u << length) - 1));
+        bits += length;
+        if (bits >= 32) {
+            bits -= 32;
+            if (n + 4 > cap) return false;
+            uint32_t be = __builtin_bswap32((uint32_t)(reg >> bits));
+            std::memcpy(out + n, &be, 4);
+            n += 4;
+            reg &= ((uint64_t)1 << bits) - 1;
+        }
+        return true;
+    }
+    // Flush the residue; returns total bits emitted (the tail byte is
+    // left-justified like emit_chunk_unstuffed's).
+    int64_t finish_unstuffed() {
+        int64_t total = n * 8 + bits;
+        while (bits >= 8) {
+            bits -= 8;
+            if (n >= cap) return -1;
+            out[n++] = (uint8_t)(reg >> bits);
+        }
+        if (bits > 0) {
+            if (n >= cap) return -1;
+            out[n++] = (uint8_t)(reg << (8 - bits));
+        }
+        return total;
+    }
+};
+
+// Huffman-emit one block against any sink exposing write(value, len).
+template <class Sink>
+static inline bool emit_block_sink(Sink& bp, const uint16_t* dc_codes,
+                                   const uint8_t* dc_sizes,
+                                   const uint16_t* ac_codes,
+                                   const uint8_t* ac_sizes,
+                                   int32_t& predictor, const int16_t* block,
+                                   bool* missing) {
+    auto emit_rl = [&](const uint16_t* codes, const uint8_t* sizes, int run,
+                       int value) -> bool {
+        int a = value, b = value;
+        if (a < 0) { a = -value; b = value - 1; }
+        int bit_count = a ? 32 - __builtin_clz((unsigned)a) : 0;
+        int symbol = (run << 4) | bit_count;
+        int size = sizes[symbol];
+        if (size == 0) { *missing = true; return false; }
+        if (!bp.write(codes[symbol], size)) return false;
+        if (bit_count > 0) {
+            if (!bp.write((uint32_t)b & ((1u << bit_count) - 1), bit_count))
+                return false;
+        }
+        return true;
+    };
+    int value = block[0];
+    int t = value - predictor;
+    predictor = value;
+    if (!emit_rl(dc_codes, dc_sizes, 0, t)) return false;
+    int run = 0;
+    for (int i = 1; i < 64; ++i) {
+        int v = block[i];
+        if (v == 0) { ++run; continue; }
+        while (run > 15) {
+            if (ac_sizes[0xF0] == 0) { *missing = true; return false; }
+            if (!bp.write(ac_codes[0xF0], ac_sizes[0xF0])) return false;
+            run -= 16;
+        }
+        if (!emit_rl(ac_codes, ac_sizes, run, v)) return false;
+        run = 0;
+    }
+    if (run > 0) {
+        if (ac_sizes[0] == 0) { *missing = true; return false; }
+        if (!bp.write(ac_codes[0], ac_sizes[0])) return false;
+    }
+    return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -6176,138 +6496,245 @@ void jpx_encode_transform_rgb(
     const uint8_t* zz_to_nat, const int32_t* cconsts,
     int16_t* out_y, int16_t* out_cb, int16_t* out_cr,
     int32_t n_threads) {
-    const int64_t mcl = (w + 8 * max_h - 1) / (8 * max_h);
-    const int64_t mcc = (h + 8 * max_v - 1) / (8 * max_v);
-    const int64_t full_w = mcl * 8 * max_h;
-    const int stripe_h = 8 * max_v;
-    const int per_mcu_y = max_h * max_v;
-    const int32_t box_n = max_h * max_v;
-    const int32_t box_delta = box_n / 2;
-
-    const int32_t yr = cconsts[0], yg = cconsts[1], yb = cconsts[2];
-    const int32_t cbr = cconsts[3], cbg = cconsts[4], cbb = cconsts[5];
-    const int32_t crg = cconsts[6], crb = cconsts[7];
-    const int32_t half = 1 << 15;
-    const int32_t fudge = (128 << 16) + half - 1;
-
-    // Natural-order divisor tables so the per-block quantize loop
-    // vectorizes (see fdct_block_u8).
-    float qn_y[64], qn_cb[64], qn_cr[64];
-    for (int zz = 0; zz < 64; ++zz) {
-        qn_y[zz_to_nat[zz]] = quant_y[zz];
-        qn_cb[zz_to_nat[zz]] = quant_cb[zz];
-        qn_cr[zz_to_nat[zz]] = quant_cr[zz];
-    }
+    RgbEncCtx c;
+    rgb_ctx_init(c, rgb, h, w, max_h, max_v, quant_y, quant_cb, quant_cr,
+                 zz_to_nat, cconsts);
 
     int hw = (int)std::thread::hardware_concurrency();
     // Whole-pass compute burst with the GIL released: use every core
     // (the per-stage native calls leave one free for the caller, but
     // here the caller is blocked inside this one call anyway).
     if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
-    int64_t T = std::min<int64_t>(n_threads, mcc);
-    if (mcc * mcl * per_mcu_y < 2048) T = 1;
+    int64_t T = std::min<int64_t>(n_threads, c.mcc);
+    if (c.mcc * c.mcl * c.per_mcu_y < 2048) T = 1;
 
     auto work = [&](int64_t s0, int64_t s1) {
-        // Stripe-local planes, zero-filled once: the zero padding
-        // regions (right of w, below h) are never overwritten because
-        // the convert loop only touches real pixels, matching
-        // pad_to_grid's zero fill.
-        std::vector<uint8_t> ybuf((size_t)stripe_h * full_w, 0);
-        std::vector<uint8_t> cbbuf((size_t)stripe_h * full_w, 0);
-        std::vector<uint8_t> crbuf((size_t)stripe_h * full_w, 0);
-        std::vector<uint8_t> subcb((size_t)8 * mcl * 8);
-        std::vector<uint8_t> subcr((size_t)8 * mcl * 8);
+        RgbStripeScratch sc;
+        sc.init(c);
         for (int64_t s = s0; s < s1; ++s) {
-            const int64_t y0 = s * stripe_h;
-            const int64_t rows = std::min<int64_t>(stripe_h, h - y0);
-            if (rows < stripe_h) {
-                // partial bottom stripe: restore the zero fill that a
-                // previous full stripe in this thread overwrote
-                std::fill(ybuf.begin(), ybuf.end(), 0);
-                std::fill(cbbuf.begin(), cbbuf.end(), 0);
-                std::fill(crbuf.begin(), crbuf.end(), 0);
-            }
-            for (int64_t r = 0; r < rows; ++r) {
-                const uint8_t* src = rgb + ((y0 + r) * w) * 3;
-                uint8_t* yd = ybuf.data() + r * full_w;
-                uint8_t* cbd = cbbuf.data() + r * full_w;
-                uint8_t* crd = crbuf.data() + r * full_w;
-                // Deinterleave a chunk into channel lanes, then run the
-                // fixed-point transform over the lanes — the arithmetic
-                // loop vectorizes 8/16-wide where the interleaved form
-                // forced scalar code. Integer ops: bit-identical to
-                // jpx_rgb_to_ycbcr.
-                int32_t rr[64], gg[64], bb[64];
-                for (int64_t x = 0; x < w;) {
-                    int64_t n = std::min<int64_t>(64, w - x);
-                    const uint8_t* p = src + 3 * x;
-                    for (int64_t j = 0; j < n; ++j) {
-                        rr[j] = p[3 * j];
-                        gg[j] = p[3 * j + 1];
-                        bb[j] = p[3 * j + 2];
-                    }
-                    for (int64_t j = 0; j < n; ++j) {
-                        yd[x + j] = (uint8_t)((yr * rr[j] + yg * gg[j] + (yb * bb[j] + half)) >> 16);
-                        cbd[x + j] = (uint8_t)((cbr * rr[j] + cbg * gg[j] + (cbb * bb[j] + fudge)) >> 16);
-                        crd[x + j] = (uint8_t)(((cbb * rr[j] + fudge) + crg * gg[j] + crb * bb[j]) >> 16);
-                    }
-                    x += n;
-                }
-            }
-            // Luma: max_v block rows of mcl*max_h blocks, written in
-            // MCU walk order (k = block_row * max_h + block_col % max_h).
-            for (int br = 0; br < max_v; ++br) {
-                for (int64_t bc = 0; bc < mcl * max_h; ++bc) {
-                    int16_t* dst = out_y +
-                        (((s * mcl + bc / max_h) * per_mcu_y) +
-                         (int64_t)br * max_h + bc % max_h) * 64;
-                    fdct_block_u8(ybuf.data() + (int64_t)br * 8 * full_w + bc * 8,
-                                  full_w, qn_y, zz_to_nat, 128.0f, dst);
-                }
-            }
-            // Chroma: box subsample the stripe to one 8-row band, then
-            // one block row of mcl blocks per channel. Box sums fit
-            // uint8 after the round-half-up divide.
-            for (int c = 0; c < 2; ++c) {
-                const uint8_t* plane = c == 0 ? cbbuf.data() : crbuf.data();
-                uint8_t* sub = c == 0 ? subcb.data() : subcr.data();
-                if (box_n == 1) {
-                    sub = const_cast<uint8_t*>(plane);
-                } else {
-                    for (int oy = 0; oy < 8; ++oy) {
-                        uint8_t* orow = sub + (int64_t)oy * mcl * 8;
-                        for (int64_t ox = 0; ox < mcl * 8; ++ox) {
-                            int32_t sum = 0;
-                            for (int dy = 0; dy < max_v; ++dy) {
-                                const uint8_t* irow = plane +
-                                    ((int64_t)oy * max_v + dy) * full_w + ox * max_h;
-                                for (int dx = 0; dx < max_h; ++dx) sum += irow[dx];
-                            }
-                            orow[ox] = (uint8_t)((sum + box_delta) / box_n);
-                        }
-                    }
-                }
-                const float* q = c == 0 ? qn_cb : qn_cr;
-                int16_t* out = c == 0 ? out_cb : out_cr;
-                for (int64_t bc = 0; bc < mcl; ++bc) {
-                    fdct_block_u8(sub + bc * 8, mcl * 8, q, zz_to_nat, 128.0f,
-                                  out + (s * mcl + bc) * 64);
-                }
-            }
+            transform_stripe_rgb(
+                c, sc, s,
+                out_y + s * c.mcl * c.per_mcu_y * 64, (int64_t)c.per_mcu_y * 64,
+                out_cb + s * c.mcl * 64, 64,
+                out_cr + s * c.mcl * 64, 64);
         }
     };
     if (T <= 1) {
-        work(0, mcc);
+        work(0, c.mcc);
         return;
     }
     std::vector<std::thread> pool;
-    int64_t step = (mcc + T - 1) / T;
+    int64_t step = (c.mcc + T - 1) / T;
     for (int64_t t = 0; t < T; ++t) {
         int64_t b = t * step;
-        if (b >= mcc) break;
-        pool.emplace_back(work, b, std::min(mcc, b + step));
+        if (b >= c.mcc) break;
+        pool.emplace_back(work, b, std::min(c.mcc, b + step));
     }
     for (auto& th : pool) th.join();
+}
+
+// Fully fused fixed-table baseline scan: transform + Huffman emission
+// in one threaded pass (the scan entropy bytes, including RSTn
+// separators when restart_interval > 0, land in `out`; headers are the
+// caller's). Byte-identical to jpx_encode_transform_rgb +
+// jpx_encode_segment_parallel / the per-segment restart loop:
+//  - restart_interval == 0: stripe-range chunks emit unstuffed bit
+//    streams seeded with the predecessor MCU's exact DC values
+//    (boundary_mcu_dc), then merge_stuff_chunks joins them.
+//  - restart_interval > 0: segment-range chunks emit stuffed
+//    byte-aligned streams with trailing RSTn, concatenated in order.
+// dc/ac tables are per component (3). Returns bytes written, -1 on
+// capacity overflow, -2 on a missing Huffman code.
+int64_t jpx_encode_rgb_baseline(
+    const uint8_t* rgb, int64_t h, int64_t w,
+    int32_t max_h, int32_t max_v,
+    const float* quant_y, const float* quant_cb, const float* quant_cr,
+    const uint8_t* zz_to_nat, const int32_t* cconsts,
+    const uint16_t** dc_codes, const uint8_t** dc_sizes,
+    const uint16_t** ac_codes, const uint8_t** ac_sizes,
+    int64_t restart_interval,
+    uint8_t* out, int64_t capacity,
+    int32_t n_threads) {
+    RgbEncCtx c;
+    rgb_ctx_init(c, rgb, h, w, max_h, max_v, quant_y, quant_cb, quant_cr,
+                 zz_to_nat, cconsts);
+    const int64_t n_mcus = c.mcl * c.mcc;
+    const int bpm = c.per_mcu_y + 2;  // blocks per MCU in scan order
+
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+
+    // Per-chunk worst case: < 256 unstuffed bytes per block (64 codes
+    // <= 16 bits + value fields), doubled for stuffing headroom on the
+    // restart path.
+    auto chunk_cap = [&](int64_t mcus) {
+        return mcus * (int64_t)bpm * 512 + 128;
+    };
+
+    // comp index for scan-order block k of an MCU
+    auto comp_of = [&](int k) { return k < c.per_mcu_y ? 0 : (k - c.per_mcu_y + 1); };
+
+    if (restart_interval <= 0) {
+        int64_t T = std::min<int64_t>(n_threads, c.mcc);
+        if (n_mcus * c.per_mcu_y < 2048) T = 1;
+        struct Chunk {
+            int64_t s0, s1;
+            std::unique_ptr<uint8_t[]> buf;
+            int64_t cap;
+            int64_t bits;
+            int64_t status;
+        };
+        std::vector<Chunk> chunks((size_t)T);
+        int64_t step = (c.mcc + T - 1) / T;
+        for (int64_t t = 0; t < T; ++t) {
+            chunks[t].s0 = std::min(c.mcc, t * step);
+            chunks[t].s1 = std::min(c.mcc, (t + 1) * step);
+            chunks[t].cap = chunk_cap((chunks[t].s1 - chunks[t].s0) * c.mcl);
+            chunks[t].buf.reset(new uint8_t[(size_t)chunks[t].cap]);
+            chunks[t].bits = 0;
+            chunks[t].status = 0;
+        }
+        auto work = [&](int64_t t) {
+            Chunk& ck = chunks[t];
+            if (ck.s0 >= ck.s1) return;
+            RgbStripeScratch sc;
+            sc.init(c);
+            std::vector<int16_t> coeff((size_t)c.mcl * bpm * 64);
+            RawSink rp{ck.buf.get(), ck.cap, 0, 0, 0};
+            int32_t preds[3] = {0, 0, 0};
+            if (ck.s0 > 0) boundary_mcu_dc(c, ck.s0 - 1, c.mcl - 1, preds);
+            bool missing = false;
+            for (int64_t s = ck.s0; s < ck.s1; ++s) {
+                transform_stripe_rgb(c, sc, s,
+                                     coeff.data(), (int64_t)bpm * 64,
+                                     coeff.data() + (int64_t)c.per_mcu_y * 64,
+                                     (int64_t)bpm * 64,
+                                     coeff.data() + ((int64_t)c.per_mcu_y + 1) * 64,
+                                     (int64_t)bpm * 64);
+                const int16_t* blockp = coeff.data();
+                for (int64_t col = 0; col < c.mcl; ++col) {
+                    for (int k = 0; k < bpm; ++k, blockp += 64) {
+                        int ci = comp_of(k);
+                        if (!emit_block_sink(rp, dc_codes[ci], dc_sizes[ci],
+                                             ac_codes[ci], ac_sizes[ci],
+                                             preds[ci], blockp, &missing)) {
+                            ck.status = missing ? -2 : -1;
+                            return;
+                        }
+                    }
+                }
+            }
+            ck.bits = rp.finish_unstuffed();
+            if (ck.bits < 0) ck.status = -1;
+        };
+        if (T <= 1) {
+            work(0);
+        } else {
+            std::vector<std::thread> pool;
+            for (int64_t t = 0; t < T; ++t) pool.emplace_back(work, t);
+            for (auto& th : pool) th.join();
+        }
+        for (auto& ck : chunks)
+            if (ck.status < 0) return ck.status;
+        std::vector<const uint8_t*> bufs((size_t)T);
+        std::vector<int64_t> nbits((size_t)T);
+        for (int64_t t = 0; t < T; ++t) {
+            bufs[t] = chunks[t].buf.get();
+            nbits[t] = chunks[t].bits;
+        }
+        return merge_stuff_chunks(bufs.data(), nbits.data(), (int)T, out,
+                                  capacity);
+    }
+
+    // restart_interval > 0: byte-aligned segments, RSTn separators.
+    const int64_t ri = restart_interval;
+    const int64_t n_seg = (n_mcus + ri - 1) / ri;
+    int64_t T = std::min<int64_t>(n_threads, n_seg);
+    if (n_mcus * c.per_mcu_y < 2048) T = 1;
+    struct SegChunk {
+        int64_t g0, g1;
+        std::unique_ptr<uint8_t[]> buf;
+        int64_t cap;
+        int64_t n;
+        int64_t status;
+    };
+    std::vector<SegChunk> chunks((size_t)T);
+    int64_t per = (n_seg + T - 1) / T;
+    for (int64_t t = 0; t < T; ++t) {
+        chunks[t].g0 = std::min(n_seg, t * per);
+        chunks[t].g1 = std::min(n_seg, (t + 1) * per);
+        int64_t mcus = std::min(n_mcus, chunks[t].g1 * ri) - chunks[t].g0 * ri;
+        if (mcus < 0) mcus = 0;
+        chunks[t].cap = chunk_cap(mcus) + (chunks[t].g1 - chunks[t].g0) * 2;
+        chunks[t].buf.reset(new uint8_t[(size_t)chunks[t].cap]);
+        chunks[t].n = 0;
+        chunks[t].status = 0;
+    }
+    auto work = [&](int64_t t) {
+        SegChunk& ck = chunks[t];
+        if (ck.g0 >= ck.g1) return;
+        RgbStripeScratch sc;
+        sc.init(c);
+        std::vector<int16_t> coeff((size_t)c.mcl * bpm * 64);
+        int64_t cached_s = -1;
+        BitPacker bp{ck.buf.get(), ck.cap, 0, 0, 0};
+        bool missing = false;
+        for (int64_t g = ck.g0; g < ck.g1; ++g) {
+            int64_t m0 = g * ri;
+            int64_t m1 = std::min(n_mcus, m0 + ri);
+            int32_t preds[3] = {0, 0, 0};
+            for (int64_t m = m0; m < m1; ++m) {
+                int64_t s = m / c.mcl;
+                int64_t col = m % c.mcl;
+                if (s != cached_s) {
+                    transform_stripe_rgb(
+                        c, sc, s,
+                        coeff.data(), (int64_t)bpm * 64,
+                        coeff.data() + (int64_t)c.per_mcu_y * 64,
+                        (int64_t)bpm * 64,
+                        coeff.data() + ((int64_t)c.per_mcu_y + 1) * 64,
+                        (int64_t)bpm * 64);
+                    cached_s = s;
+                }
+                const int16_t* blockp = coeff.data() + col * (int64_t)bpm * 64;
+                for (int k = 0; k < bpm; ++k, blockp += 64) {
+                    int ci = comp_of(k);
+                    if (!emit_block_sink(bp, dc_codes[ci], dc_sizes[ci],
+                                         ac_codes[ci], ac_sizes[ci],
+                                         preds[ci], blockp, &missing)) {
+                        ck.status = missing ? -2 : -1;
+                        return;
+                    }
+                }
+            }
+            if (!bp.finish()) { ck.status = -1; return; }
+            if (g < n_seg - 1) {  // RSTn between segments (not after last)
+                if (bp.n + 2 > bp.cap) { ck.status = -1; return; }
+                bp.out[bp.n++] = 0xFF;
+                bp.out[bp.n++] = (uint8_t)(0xD0 + (g & 7));
+            }
+        }
+        ck.n = bp.n;
+    };
+    if (T <= 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int64_t t = 0; t < T; ++t) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    int64_t total = 0;
+    for (auto& ck : chunks) {
+        if (ck.status < 0) return ck.status;
+        total += ck.n;
+    }
+    if (total > capacity) return -1;
+    int64_t off = 0;
+    for (auto& ck : chunks) {
+        std::memcpy(out + off, ck.buf.get(), (size_t)ck.n);
+        off += ck.n;
+    }
+    return total;
 }
 
 }  // extern "C"
