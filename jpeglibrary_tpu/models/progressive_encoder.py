@@ -67,13 +67,6 @@ def encode_progressive_rgb(
     SOF10 when ``arithmetic``)."""
     from ..ops import color as color_ops
 
-    try:
-        from ..native import scanner as native_scanner
-
-        y, cb, cr = native_scanner.rgb_to_ycbcr(np.asarray(rgb, dtype=np.uint8))
-    except ImportError:
-        y, cb, cr = color_ops.rgb_to_ycbcr(rgb[..., 0], rgb[..., 1], rgb[..., 2])
-
     if subsampling == "420":
         sampling = [(2, 2), (1, 1), (1, 1)]
     elif subsampling == "444":
@@ -85,6 +78,43 @@ def encode_progressive_rgb(
         scale_by_quality(standard_chrominance_table(1), quality),
         scale_by_quality(standard_chrominance_table(1), quality),
     ]
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    try:
+        from ..native import scanner as native_scanner
+
+        # Fused transform (one native stripe pass: convert + pad +
+        # subsample + FDCT + quantize), then invert the MCU walk back
+        # to the per-component block grid the progressive scan splitter
+        # consumes — bit-identical to the staged path, one image read.
+        max_h, max_v = sampling[0]
+        h, w = rgb.shape[:2]
+        mcl = ceil_div(w, 8 * max_h)
+        mcc = ceil_div(h, 8 * max_v)
+        mcu = native_scanner.encode_transform_rgb(
+            rgb, max_h, max_v, [q.elements for q in quants]
+        )
+        coeffs = []
+        for b, (ch, cv) in zip(mcu, sampling):
+            coeffs.append(
+                np.ascontiguousarray(
+                    b.reshape(mcc, mcl, cv, ch, 64)
+                    .transpose(0, 2, 1, 3, 4)
+                    .reshape(mcc * cv, mcl * ch, 64)
+                )
+            )
+        return encode_progressive(
+            None, quants, sampling,
+            quant_ids=[0, 1, 1], table_ids=[0, 1, 1],
+            script=script or SCRIPT_3,
+            arithmetic=arithmetic,
+            restart_interval=restart_interval,
+            coefficients=coeffs,
+            size=(h, w),
+        )
+    except ImportError:
+        y, cb, cr = color_ops.rgb_to_ycbcr(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+
     return encode_progressive(
         [y, cb, cr], quants, sampling,
         quant_ids=[0, 1, 1], table_ids=[0, 1, 1],
