@@ -279,14 +279,38 @@ def encode_progressive(
 
     # Pass 1 (Huffman only): symbol statistics over the whole script,
     # chunked identically to the emission pass (restart resets change
-    # the EOB-run/DC-diff symbol mix).
+    # the EOB-run/DC-diff symbol mix). Scans (and restart chunks) are
+    # statistically independent — every counter starts fresh — so the
+    # count jobs fan out on the shared pool with job-local histograms
+    # summed afterwards (the native counters increment their arrays in
+    # place, so sharing them across jobs would race).
     tables = {}
     if not arithmetic:
+        from ..utils.pool import shared_pool
+
         dc_freqs = {tid: np.zeros(256, dtype=np.int64) for tid in set(table_ids)}
         ac_freqs = {tid: np.zeros(256, dtype=np.int64) for tid in set(table_ids)}
-        for entry in script:
-            for lo, hi in scan_chunks(entry):
-                run_scan(entry, lo, hi, dc_freqs=dc_freqs, ac_freqs=ac_freqs)
+        count_jobs = [
+            (entry, lo, hi)
+            for entry in script
+            for lo, hi in scan_chunks(entry)
+        ]
+
+        def count_one(job):
+            entry, lo, hi = job
+            local_dc = {tid: np.zeros(256, dtype=np.int64) for tid in dc_freqs}
+            local_ac = {tid: np.zeros(256, dtype=np.int64) for tid in ac_freqs}
+            run_scan(entry, lo, hi, dc_freqs=local_dc, ac_freqs=local_ac)
+            return local_dc, local_ac
+
+        if len(count_jobs) > 1:
+            results = list(shared_pool().map(count_one, count_jobs))
+        else:
+            results = [count_one(count_jobs[0])] if count_jobs else []
+        for local_dc, local_ac in results:
+            for tid in dc_freqs:
+                dc_freqs[tid] += local_dc[tid]
+                ac_freqs[tid] += local_ac[tid]
 
         for tid, freq in dc_freqs.items():
             if freq.sum() > 0:
@@ -345,7 +369,25 @@ def encode_progressive(
         ri = restart_interval
         writer.write_segment(Marker.DRI, bytes([(ri >> 8) & 0xFF, ri & 0xFF]))
 
-    for entry in script:
+    # Every scan (and restart chunk) emits from fresh coder state, so
+    # the payloads are independent byte strings — fan the emission out
+    # on the shared pool and write them in script order.
+    from ..utils.pool import shared_pool
+
+    all_chunks = [(entry, scan_chunks(entry)) for entry in script]
+    emit_jobs = [
+        (entry, lo, hi) for entry, chunks in all_chunks for lo, hi in chunks
+    ]
+    if len(emit_jobs) > 1:
+        payloads = iter(
+            shared_pool().map(
+                lambda j: run_scan(j[0], j[1], j[2], tables=tables), emit_jobs
+            )
+        )
+    else:
+        payloads = iter([run_scan(j[0], j[1], j[2], tables=tables) for j in emit_jobs])
+
+    for entry, chunks in all_chunks:
         comp_idx, ss, se, ah, al = entry
         scan = ScanHeader(
             components=tuple(
@@ -357,11 +399,10 @@ def encode_progressive(
             successive_approximation_bit_position_low=al,
         )
         writer.write_segment(Marker.SOS, scan.serialize())
-        chunks = scan_chunks(entry)
-        for k, (lo, hi) in enumerate(chunks):
+        for k, _ in enumerate(chunks):
             if k > 0:
                 writer.write_marker(Marker.RST0 + ((k - 1) & 7))
-            writer.write_bytes(run_scan(entry, lo, hi, tables=tables))
+            writer.write_bytes(next(payloads))
 
     writer.write_marker(Marker.EOI)
     return writer.to_bytes()

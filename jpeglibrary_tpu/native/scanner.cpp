@@ -5345,20 +5345,22 @@ int64_t jpx_encode_prog_ac_refine(
         // the run), 0/1 is a correction bit for an already-significant
         // position. The decoder consumes correction bits positionally
         // while advancing through a symbol's zeros, so a ZRL must carry
-        // exactly the bits that lie before its 16th zero.
-        std::vector<uint8_t> ev;
+        // exactly the bits that lie before its 16th zero. Fixed stack
+        // buffer (band <= 63 events) with a consumed-prefix cursor —
+        // a per-block heap vector dominated this loop's profile.
+        uint8_t ev[64];
+        int ev_n = 0, ev_s = 0;
         int run = 0;
-        int last_new = -1;  // last newly-significant position emitted
         for (int k = ss; k <= se; ++k) {
             int32_t v = blk[k];
             int32_t t = (v < 0 ? -v : v) >> al;
             if (t == 0) {
-                ev.push_back(0xFF);
+                ev[ev_n++] = 0xFF;
                 ++run;
                 continue;
             }
             if (t > 1) {
-                ev.push_back((uint8_t)(t & 1));
+                ev[ev_n++] = (uint8_t)(t & 1);
                 continue;
             }
             // newly significant (t == 1)
@@ -5367,8 +5369,8 @@ int64_t jpx_encode_prog_ac_refine(
             while (run > 15) {
                 if (!w.symbol(0xF0)) return w.missing ? -2 : -1;
                 int zcount = 0;
-                size_t i = 0;
-                while (i < ev.size() && zcount < 16) {
+                int i = ev_s;
+                while (i < ev_n && zcount < 16) {
                     if (ev[i] == 0xFF) {
                         ++zcount;
                     } else {
@@ -5376,29 +5378,26 @@ int64_t jpx_encode_prog_ac_refine(
                     }
                     ++i;
                 }
-                ev.erase(ev.begin(), ev.begin() + i);
+                ev_s = i;
                 run -= 16;
             }
             if (!w.symbol((run << 4) | 1)) return w.missing ? -2 : -1;
             if (!w.bits(v > 0 ? 1 : 0, 1)) return -1;
-            for (uint8_t e : ev) {
-                if (e != 0xFF) {
-                    if (!w.bits(e, 1)) return -1;
+            for (int i = ev_s; i < ev_n; ++i) {
+                if (ev[i] != 0xFF) {
+                    if (!w.bits(ev[i], 1)) return -1;
                 }
             }
-            ev.clear();
+            ev_n = ev_s = 0;
             run = 0;
-            last_new = k;
         }
         // Tail after the last newly-significant coefficient: any
         // remaining zeros or correction bits require this block to
         // join an EOB run (the decoder's eobrun tail loop reads the
         // corrections for the whole remaining band).
-        (void)last_new;
-        bool needs_eob = false;
-        for (uint8_t e : ev) {
-            needs_eob = true;
-            if (e != 0xFF) pending.push_back(e);
+        bool needs_eob = ev_s < ev_n;
+        for (int i = ev_s; i < ev_n; ++i) {
+            if (ev[i] != 0xFF) pending.push_back(ev[i]);
         }
         if (needs_eob) {
             ++eobrun;
