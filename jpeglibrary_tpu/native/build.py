@@ -246,6 +246,32 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.c_void_p, c.c_void_p, c.c_void_p,  # out Y/Cb/Cr (int16 MCU order)
         c.c_int32,                         # n_threads
     ]
+    lib.jpx_pack_lossless_restart.restype = c.c_int64
+    lib.jpx_pack_lossless_restart.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_int64,  # cats, raws, n
+        c.c_int64,                          # step (entries/segment)
+        c.c_void_p, c.c_int64,              # pattern, pattern_len
+        c.POINTER(c.c_void_p), c.POINTER(c.c_void_p),  # codes, sizes
+        c.c_void_p, c.c_int64,              # out, capacity
+        c.c_int32,                          # n_threads
+    ]
+    lib.jpx_lossless_diffs_hist.restype = c.c_int64
+    lib.jpx_lossless_diffs_hist.argtypes = [
+        c.c_void_p, c.c_void_p,             # p8, p16 (one non-null)
+        c.c_int64, c.c_int64,               # h, w
+        c.c_int32, c.c_int32, c.c_int32,    # pt, sel, init
+        c.c_int64,                          # restart interval (px)
+        c.c_void_p, c.c_void_p,             # diffs_out, hist
+        c.c_int32,                          # n_threads
+    ]
+    lib.jpx_pack_lossless_diffs.restype = c.c_int64
+    lib.jpx_pack_lossless_diffs.argtypes = [
+        c.POINTER(c.c_void_p), c.c_int32, c.c_int64,  # diffs, n_comps, n_px
+        c.c_int64,                          # restart interval (px)
+        c.POINTER(c.c_void_p), c.POINTER(c.c_void_p),  # codes, sizes
+        c.c_void_p, c.c_int64,              # out, capacity
+        c.c_int32,                          # n_threads
+    ]
     lib.jpx_encode_rgb_baseline.restype = c.c_int64
     lib.jpx_encode_rgb_baseline.argtypes = [
         c.c_void_p, c.c_int64, c.c_int64,  # rgb, h, w

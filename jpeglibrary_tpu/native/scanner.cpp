@@ -5107,6 +5107,96 @@ int64_t jpx_pack_lossless(
     return bp.n;
 }
 
+// Restart-segmented lossless packer: the whole scan in ONE call —
+// `step` entries per segment, each packed by a fresh BitPacker
+// (byte-aligned, restart contract) with RSTn separators, threaded
+// over contiguous segment ranges and concatenated in order. Output
+// bytes are identical to per-segment jpx_pack_lossless calls joined
+// with RSTn markers (the Python loop this replaces paid ~0.13 ms of
+// call overhead per segment). Returns bytes written, -1 overflow,
+// -2 missing code.
+int64_t jpx_pack_lossless_restart(
+    const uint8_t* cats, const uint16_t* raw, int64_t n,
+    int64_t step,
+    const uint8_t* pattern, int64_t pattern_len,
+    const uint16_t** codes, const uint8_t** sizes,
+    uint8_t* out, int64_t capacity, int32_t n_threads) {
+    if (step <= 0) return -1;
+    const int64_t n_seg = (n + step - 1) / step;
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+    int64_t T = std::min<int64_t>(n_threads, n_seg);
+    if (n < (int64_t)1 << 16) T = 1;
+
+    struct Chunk {
+        int64_t g0, g1;
+        std::unique_ptr<uint8_t[]> buf;
+        int64_t cap, n, status;
+    };
+    std::vector<Chunk> chunks((size_t)T);
+    int64_t per = (n_seg + T - 1) / T;
+    for (int64_t t = 0; t < T; ++t) {
+        chunks[t].g0 = std::min(n_seg, t * per);
+        chunks[t].g1 = std::min(n_seg, (t + 1) * per);
+        int64_t entries =
+            std::min(n, chunks[t].g1 * step) - chunks[t].g0 * step;
+        if (entries < 0) entries = 0;
+        chunks[t].cap = entries * 8 + (chunks[t].g1 - chunks[t].g0) * 2 + 64;
+        chunks[t].buf.reset(new uint8_t[(size_t)chunks[t].cap]);
+        chunks[t].n = 0;
+        chunks[t].status = 0;
+    }
+    auto work = [&](int64_t t) {
+        Chunk& ck = chunks[t];
+        int64_t pos = 0;
+        for (int64_t g = ck.g0; g < ck.g1; ++g) {
+            BitPacker bp{ck.buf.get() + pos, ck.cap - pos, 0, 0, 0};
+            int64_t i0 = g * step;
+            int64_t i1 = std::min(n, i0 + step);
+            for (int64_t i = i0; i < i1; ++i) {
+                int tt = cats[i];
+                int ci = pattern[i % pattern_len];
+                int size = sizes[ci][tt];
+                if (size == 0) { ck.status = -2; return; }
+                if (!bp.write(codes[ci][tt], size)) { ck.status = -1; return; }
+                if (tt > 0 && tt < 16) {
+                    if (!bp.write((uint32_t)raw[i] & ((1u << tt) - 1), tt)) {
+                        ck.status = -1;
+                        return;
+                    }
+                }
+            }
+            if (!bp.finish()) { ck.status = -1; return; }
+            pos += bp.n;
+            if (g < n_seg - 1) {
+                if (pos + 2 > ck.cap) { ck.status = -1; return; }
+                ck.buf[pos++] = 0xFF;
+                ck.buf[pos++] = (uint8_t)(0xD0 + (g & 7));
+            }
+        }
+        ck.n = pos;
+    };
+    if (T <= 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int64_t t = 0; t < T; ++t) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    int64_t total = 0;
+    for (auto& ck : chunks) {
+        if (ck.status < 0) return ck.status;
+        total += ck.n;
+    }
+    if (total > capacity) return -1;
+    int64_t off = 0;
+    for (auto& ck : chunks) {
+        std::memcpy(out + off, ck.buf.get(), (size_t)ck.n);
+        off += ck.n;
+    }
+    return total;
+}
+
 // DC/AC Huffman symbol histograms for one component's MCU-ordered
 // blocks — the native host twin of ops.encode_stage
 // .dc_ac_symbol_frequencies (GatherBlockStatistics semantics,
@@ -6734,6 +6824,244 @@ int64_t jpx_encode_rgb_baseline(
         off += ck.n;
     }
     return total;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Lossless (SOF3) 1x1-sampling encode stage: per-sample prediction
+// differences + category histogram for one component plane, threaded
+// over rows (prediction reads ORIGINAL samples — lossless encode's
+// reconstruction equals the source — so rows are independent).
+// Semantics mirror models/lossless._lossless_diffs at v=h=1 plus the
+// restart re-prediction fix-up (restart-start samples re-predict
+// row-0 style with Rb=Rc=init; column 0 from init):
+//   row 0:          Rb = Rc = init; col 0 -> init
+//   col 0, row >=1: Rb regardless of selector
+//   restart start:  col 0 -> init, else row-0-style predictor
+// Exactly one of p8/p16 is non-null. diffs_out: int16 (mod-2^16
+// wrapped); hist: int64[256] category histogram, caller-zeroed.
+int64_t jpx_lossless_diffs_hist(
+    const uint8_t* p8, const uint16_t* p16,
+    int64_t h, int64_t w,
+    int32_t pt, int32_t sel, int32_t init,
+    int64_t ri,
+    int16_t* diffs_out, int64_t* hist,
+    int32_t n_threads) {
+    if (sel < 1 || sel > 7) return -1;
+    int hw_ = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw_ > 0 ? hw_ : 1;
+    int64_t T = std::min<int64_t>(n_threads, h);
+    if (h * w < (int64_t)1 << 16) T = 1;
+
+    auto sample = [&](int64_t r, int64_t c) -> int32_t {
+        int32_t v = p8 ? (int32_t)p8[r * w + c] : (int32_t)p16[r * w + c];
+        return v >> pt;
+    };
+    auto predict = [&](int32_t a, int32_t b, int32_t cc) -> int32_t {
+        switch (sel) {
+            case 1: return a;
+            case 2: return b;
+            case 3: return cc;
+            case 4: return a + b - cc;
+            case 5: return a + ((b - cc) >> 1);
+            case 6: return b + ((a - cc) >> 1);
+            default: return (a + b) >> 1;
+        }
+    };
+
+    std::vector<std::vector<int64_t>> hist_local((size_t)T,
+                                                 std::vector<int64_t>(256, 0));
+    std::vector<std::thread> pool;
+    int64_t step = (h + T - 1) / T;
+    auto work = [&](int64_t t) {
+        int64_t r0 = t * step, r1 = std::min(h, r0 + step);
+        int64_t* hl = hist_local[(size_t)t].data();
+        for (int64_t r = r0; r < r1; ++r) {
+            int16_t* drow = diffs_out + r * w;
+            for (int64_t c = 0; c < w; ++c) {
+                int32_t s = sample(r, c);
+                int32_t pred;
+                int64_t idx = r * w + c;
+                bool restart_start = ri > 0 && idx % ri == 0 && idx > 0;
+                if (restart_start) {
+                    pred = c == 0 ? init
+                                  : predict(sample(r, c - 1), init, init);
+                } else if (r == 0) {
+                    pred = c == 0 ? init
+                                  : predict(sample(r, c - 1), init, init);
+                } else if (c == 0) {
+                    pred = sample(r - 1, 0);  // Rb regardless of selector
+                } else {
+                    pred = predict(sample(r, c - 1), sample(r - 1, c),
+                                   sample(r - 1, c - 1));
+                }
+                int16_t d = (int16_t)(s - pred);
+                drow[c] = d;
+                int cat;
+                if (d == -32768) {
+                    cat = 16;
+                } else {
+                    int32_t mag = d < 0 ? -(int32_t)d : (int32_t)d;
+                    cat = mag ? 32 - __builtin_clz((unsigned)mag) : 0;
+                }
+                ++hl[cat];
+            }
+        }
+    };
+    if (T <= 1) {
+        work(0);
+    } else {
+        for (int64_t t = 0; t < T; ++t) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    for (auto& hv : hist_local)
+        for (int i = 0; i < 256; ++i) hist[i] += hv[(size_t)i];
+    return 0;
+}
+
+// Pack interleaved 1x1 lossless diff planes into the scan's entropy
+// bytes in one threaded call. Walk order: pixel-major, components
+// inner (the 1x1 interleaved MCU walk). restart_interval (pixels) > 0
+// emits byte-aligned segments + RSTn (threaded over segment ranges);
+// 0 packs chunk bit-streams concurrently and shift-merges them
+// (merge_stuff_chunks), identical bytes to a sequential pack.
+int64_t jpx_pack_lossless_diffs(
+    const int16_t** diffs, int32_t n_comps, int64_t n_px,
+    int64_t ri,
+    const uint16_t** codes, const uint8_t** sizes,
+    uint8_t* out, int64_t capacity, int32_t n_threads) {
+    int hw_ = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw_ > 0 ? hw_ : 1;
+
+    // Emit one pixel's diffs (all components) into any bit sink.
+    auto emit_px = [&](auto& bp, int64_t i, int64_t& status) -> bool {
+        for (int ci = 0; ci < n_comps; ++ci) {
+            int32_t d = diffs[ci][i];
+            int cat;
+            uint32_t raw = 0;
+            if (d == -32768) {
+                cat = 16;
+            } else {
+                int32_t mag = d < 0 ? -d : d;
+                cat = mag ? 32 - __builtin_clz((unsigned)mag) : 0;
+                raw = (uint32_t)(d < 0 ? d - 1 : d);
+            }
+            int size = sizes[ci][cat];
+            if (size == 0) { status = -2; return false; }
+            if (!bp.write(codes[ci][cat], size)) { status = -1; return false; }
+            if (cat > 0 && cat < 16) {
+                if (!bp.write(raw & ((1u << cat) - 1), cat)) {
+                    status = -1;
+                    return false;
+                }
+            }
+        }
+        return true;
+    };
+
+    if (ri > 0) {
+        const int64_t n_seg = (n_px + ri - 1) / ri;
+        int64_t T = std::min<int64_t>(n_threads, n_seg);
+        if (n_px * n_comps < (int64_t)1 << 16) T = 1;
+        struct Chunk {
+            int64_t g0, g1;
+            std::unique_ptr<uint8_t[]> buf;
+            int64_t cap, n, status;
+        };
+        std::vector<Chunk> chunks((size_t)T);
+        int64_t per = (n_seg + T - 1) / T;
+        for (int64_t t = 0; t < T; ++t) {
+            chunks[t].g0 = std::min(n_seg, t * per);
+            chunks[t].g1 = std::min(n_seg, (t + 1) * per);
+            int64_t px = std::min(n_px, chunks[t].g1 * ri) - chunks[t].g0 * ri;
+            if (px < 0) px = 0;
+            chunks[t].cap = px * n_comps * 8 +
+                            (chunks[t].g1 - chunks[t].g0) * 2 + 64;
+            chunks[t].buf.reset(new uint8_t[(size_t)chunks[t].cap]);
+            chunks[t].n = 0;
+            chunks[t].status = 0;
+        }
+        auto work = [&](int64_t t) {
+            Chunk& ck = chunks[t];
+            int64_t pos = 0;
+            for (int64_t g = ck.g0; g < ck.g1; ++g) {
+                BitPacker bp{ck.buf.get() + pos, ck.cap - pos, 0, 0, 0};
+                int64_t i1 = std::min(n_px, (g + 1) * ri);
+                for (int64_t i = g * ri; i < i1; ++i)
+                    if (!emit_px(bp, i, ck.status)) return;
+                if (!bp.finish()) { ck.status = -1; return; }
+                pos += bp.n;
+                if (g < n_seg - 1) {
+                    if (pos + 2 > ck.cap) { ck.status = -1; return; }
+                    ck.buf[pos++] = 0xFF;
+                    ck.buf[pos++] = (uint8_t)(0xD0 + (g & 7));
+                }
+            }
+            ck.n = pos;
+        };
+        if (T <= 1) {
+            work(0);
+        } else {
+            std::vector<std::thread> pool;
+            for (int64_t t = 0; t < T; ++t) pool.emplace_back(work, t);
+            for (auto& th : pool) th.join();
+        }
+        int64_t total = 0;
+        for (auto& ck : chunks) {
+            if (ck.status < 0) return ck.status;
+            total += ck.n;
+        }
+        if (total > capacity) return -1;
+        int64_t off = 0;
+        for (auto& ck : chunks) {
+            std::memcpy(out + off, ck.buf.get(), (size_t)ck.n);
+            off += ck.n;
+        }
+        return total;
+    }
+
+    // No restarts: unstuffed chunks + shift-merge.
+    int64_t T = std::min<int64_t>(n_threads, std::max<int64_t>(1, n_px / 4096));
+    struct Chunk {
+        int64_t i0, i1;
+        std::unique_ptr<uint8_t[]> buf;
+        int64_t cap, bits, status;
+    };
+    std::vector<Chunk> chunks((size_t)T);
+    int64_t per = (n_px + T - 1) / T;
+    for (int64_t t = 0; t < T; ++t) {
+        chunks[t].i0 = std::min(n_px, t * per);
+        chunks[t].i1 = std::min(n_px, (t + 1) * per);
+        chunks[t].cap = (chunks[t].i1 - chunks[t].i0) * n_comps * 8 + 64;
+        chunks[t].buf.reset(new uint8_t[(size_t)chunks[t].cap]);
+        chunks[t].bits = 0;
+        chunks[t].status = 0;
+    }
+    auto work = [&](int64_t t) {
+        Chunk& ck = chunks[t];
+        RawSink rp{ck.buf.get(), ck.cap, 0, 0, 0};
+        for (int64_t i = ck.i0; i < ck.i1; ++i)
+            if (!emit_px(rp, i, ck.status)) return;
+        ck.bits = rp.finish_unstuffed();
+        if (ck.bits < 0) ck.status = -1;
+    };
+    if (T <= 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int64_t t = 0; t < T; ++t) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    std::vector<const uint8_t*> bufs((size_t)T);
+    std::vector<int64_t> nbits((size_t)T);
+    for (int64_t t = 0; t < T; ++t) {
+        if (chunks[t].status < 0) return chunks[t].status;
+        bufs[t] = chunks[t].buf.get();
+        nbits[t] = chunks[t].bits;
+    }
+    return merge_stuff_chunks(bufs.data(), nbits.data(), (int)T, out, capacity);
 }
 
 }  // extern "C"

@@ -1440,6 +1440,115 @@ def pack_lossless(cats: np.ndarray, raws: np.ndarray, tables, *,
     return out[: int(written)].tobytes()
 
 
+def lossless_diffs_hist(plane: np.ndarray, pt: int, sel: int, init: int,
+                        restart_interval: int = 0):
+    """Threaded native prediction-difference + category-histogram pass
+    for one 1x1-sampled lossless component plane (the encode twin of
+    models/lossless._lossless_diffs at v=h=1, including the restart
+    re-prediction fix-up). Returns (diffs int16 [H, W], hist int64
+    [256])."""
+    lib = build.load_library()
+    plane = np.ascontiguousarray(plane)
+    if plane.dtype == np.uint8:
+        p8 = plane.ctypes.data_as(ctypes.c_void_p)
+        p16 = None
+    else:
+        if plane.dtype != np.uint16:
+            plane = np.ascontiguousarray(plane.astype(np.uint16))
+        p8 = None
+        p16 = plane.ctypes.data_as(ctypes.c_void_p)
+    h, w = plane.shape
+    diffs = np.empty((h, w), dtype=np.int16)
+    hist = np.zeros(256, dtype=np.int64)
+    rc = lib.jpx_lossless_diffs_hist(
+        p8, p16, h, w, pt, sel, init, restart_interval,
+        diffs.ctypes.data_as(ctypes.c_void_p),
+        hist.ctypes.data_as(ctypes.c_void_p),
+        0,
+    )
+    if rc < 0:
+        raise RuntimeError(f"lossless diff pass failed ({rc})")
+    return diffs, hist
+
+
+def pack_lossless_diffs(diff_planes, tables, restart_interval: int = 0) -> bytes:
+    """Pack interleaved 1x1 lossless diff planes into the scan entropy
+    bytes in one threaded native call (RSTn segments when
+    ``restart_interval`` > 0, shift-merged concurrent chunks
+    otherwise). Byte-identical to the cats/raws staged pack."""
+    lib = build.load_library()
+    n = len(diff_planes)
+    diffs = [np.ascontiguousarray(d, dtype=np.int16) for d in diff_planes]
+    n_px = int(diffs[0].size)
+    diff_ptrs = (ctypes.c_void_p * n)(
+        *[d.ctypes.data_as(ctypes.c_void_p).value for d in diffs]
+    )
+    code_ptrs = (ctypes.c_void_p * n)()
+    size_ptrs = (ctypes.c_void_p * n)()
+    keepalive = []
+    for i, t in enumerate(tables):
+        codes = np.ascontiguousarray(t.codes, dtype=np.uint16)
+        sizes = np.ascontiguousarray(t.sizes, dtype=np.uint8)
+        keepalive += [codes, sizes]
+        code_ptrs[i] = codes.ctypes.data_as(ctypes.c_void_p)
+        size_ptrs[i] = sizes.ctypes.data_as(ctypes.c_void_p)
+    n_seg = -(-n_px // restart_interval) if restart_interval > 0 else 1
+    cap = n_px * n * 8 + n_seg * 2 + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    written = lib.jpx_pack_lossless_diffs(
+        diff_ptrs, n, n_px, restart_interval,
+        code_ptrs, size_ptrs,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+        0,
+    )
+    if written == -2:
+        raise RuntimeError("lossless table missing a category code")
+    if written < 0:
+        raise RuntimeError("lossless pack capacity exceeded")
+    return out[: int(written)].tobytes()
+
+
+def pack_lossless_restart(cats: np.ndarray, raws: np.ndarray, tables,
+                          step: int, *, pattern=None) -> bytes:
+    """Whole restart-segmented lossless scan in one native call:
+    ``step`` entries per segment, fresh bit state + RSTn separators,
+    threaded over segment ranges. Byte-identical to per-segment
+    ``pack_lossless`` calls joined with RSTn."""
+    lib = build.load_library()
+    cats = np.ascontiguousarray(cats, dtype=np.uint8)
+    raws = np.ascontiguousarray(raws, dtype=np.uint16)
+    if pattern is None:
+        pattern = np.arange(len(tables), dtype=np.uint8)
+    pattern = np.ascontiguousarray(pattern, dtype=np.uint8)
+    n = len(tables)
+    code_ptrs = (ctypes.c_void_p * n)()
+    size_ptrs = (ctypes.c_void_p * n)()
+    keepalive = []
+    for i, t in enumerate(tables):
+        codes = np.ascontiguousarray(t.codes, dtype=np.uint16)
+        sizes = np.ascontiguousarray(t.sizes, dtype=np.uint8)
+        keepalive += [codes, sizes]
+        code_ptrs[i] = codes.ctypes.data_as(ctypes.c_void_p)
+        size_ptrs[i] = sizes.ctypes.data_as(ctypes.c_void_p)
+    n_seg = -(-int(cats.shape[0]) // step) if step > 0 else 1
+    cap = int(cats.shape[0]) * 8 + n_seg * 2 + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    written = lib.jpx_pack_lossless_restart(
+        cats.ctypes.data_as(ctypes.c_void_p),
+        raws.ctypes.data_as(ctypes.c_void_p),
+        cats.shape[0], step,
+        pattern.ctypes.data_as(ctypes.c_void_p), pattern.shape[0],
+        code_ptrs, size_ptrs,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+        0,
+    )
+    if written == -2:
+        raise RuntimeError("lossless table missing a category code")
+    if written < 0:
+        raise RuntimeError("lossless pack capacity exceeded")
+    return out[: int(written)].tobytes()
+
+
 def symbol_histograms(blocks: np.ndarray):
     """Native threaded DC/AC symbol histograms for MCU-ordered int16
     [N, 64] blocks; bit-identical to
