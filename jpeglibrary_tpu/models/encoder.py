@@ -880,22 +880,12 @@ class JpegEncoder:
             for comp, blocks in zip(self._components, comp_blocks)
         ]
         n_mcus = comp_blocks[0].shape[0] // comps[0]["per_mcu"]
-        ri = self.restart_interval
-        if ri <= 0:
-            writer.write_bytes(native_scanner.encode_arith_segment(comps, n_mcus))
-            return
-        mcu = 0
-        rst = 0
-        while mcu < n_mcus:
-            n = min(ri, n_mcus - mcu)
-            seg_comps = [
-                {**c, "blocks": c["blocks"][mcu * c["per_mcu"]:]} for c in comps
-            ]
-            writer.write_bytes(native_scanner.encode_arith_segment(seg_comps, n))
-            mcu += n
-            if mcu < n_mcus:
-                writer.write_marker(Marker.RST0 + rst)
-                rst = (rst + 1) & 7
+        # One native call for the whole scan: restart segments encode
+        # on separate threads (fresh QM state each — the restart
+        # contract) with inline RSTn separators.
+        writer.write_bytes(
+            native_scanner.encode_arith_scan(comps, n_mcus, self.restart_interval)
+        )
 
     def _emit_scan(self, writer: JpegWriter, comp_blocks, tables) -> None:
         """Interleaved MCU emission (WritePreparedScanData,

@@ -272,6 +272,16 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.c_void_p, c.c_int64,              # out, capacity
         c.c_int32,                          # n_threads
     ]
+    lib.jpx_encode_arith_restart_parallel.restype = c.c_int64
+    lib.jpx_encode_arith_restart_parallel.argtypes = [
+        c.c_int32,
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int32),   # blocks, per_mcu
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),    # dc_ids, ac_ids
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # dc_l, dc_u, ac_kx
+        c.c_int64, c.c_int64,              # n_mcus, restart_interval
+        c.c_void_p, c.c_int64,             # out, capacity
+        c.c_int32,                         # n_threads
+    ]
     lib.jpx_encode_rgb_baseline.restype = c.c_int64
     lib.jpx_encode_rgb_baseline.argtypes = [
         c.c_void_p, c.c_int64, c.c_int64,  # rgb, h, w

@@ -4632,6 +4632,96 @@ int64_t jpx_encode_arith_sequential(
     return e.n;
 }
 
+// Restart-segmented SOF9 scan in ONE call: every segment restarts the
+// QM registers and statistics (the per-restart-segment contract), so
+// segments are independent byte-aligned streams — encode contiguous
+// segment ranges on separate threads and concatenate with RSTn
+// separators. Byte-identical to per-segment jpx_encode_arith_sequential
+// calls joined with RSTn (which paid Python call overhead per segment).
+int64_t jpx_encode_arith_restart_parallel(
+    int32_t n_comps,
+    const int16_t** blocks, const int32_t* per_mcu,
+    const int32_t* dc_ids, const int32_t* ac_ids,
+    const int32_t* dc_l, const int32_t* dc_u, const int32_t* ac_kx,
+    int64_t n_mcus, int64_t restart_interval,
+    uint8_t* out, int64_t capacity, int32_t n_threads) {
+    const int64_t ri = restart_interval;
+    if (ri <= 0)
+        return jpx_encode_arith_sequential(n_comps, blocks, per_mcu, dc_ids,
+                                           ac_ids, dc_l, dc_u, ac_kx, n_mcus,
+                                           out, capacity);
+    const int64_t n_seg = (n_mcus + ri - 1) / ri;
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+    int64_t T = std::min<int64_t>(n_threads, n_seg);
+    if (n_mcus < 512) T = 1;
+
+    int64_t blocks_per_mcu = 0;
+    for (int i = 0; i < n_comps; ++i) blocks_per_mcu += per_mcu[i];
+
+    struct Chunk {
+        int64_t g0, g1;
+        std::unique_ptr<uint8_t[]> buf;
+        int64_t cap, n, status;
+    };
+    std::vector<Chunk> chunks((size_t)T);
+    int64_t per = (n_seg + T - 1) / T;
+    for (int64_t t = 0; t < T; ++t) {
+        chunks[t].g0 = std::min(n_seg, t * per);
+        chunks[t].g1 = std::min(n_seg, (t + 1) * per);
+        int64_t mcus = std::min(n_mcus, chunks[t].g1 * ri) - chunks[t].g0 * ri;
+        if (mcus < 0) mcus = 0;
+        // QM output is bounded well under the Huffman worst case; keep
+        // the same generous 512 B/block bound plus marker room.
+        chunks[t].cap = mcus * blocks_per_mcu * 512 +
+                        (chunks[t].g1 - chunks[t].g0) * 2 + 1024;
+        chunks[t].buf.reset(new uint8_t[(size_t)chunks[t].cap]);
+        chunks[t].n = 0;
+        chunks[t].status = 0;
+    }
+    auto work = [&](int64_t t) {
+        Chunk& ck = chunks[t];
+        int64_t pos = 0;
+        std::vector<const int16_t*> seg_blocks((size_t)n_comps);
+        for (int64_t g = ck.g0; g < ck.g1; ++g) {
+            int64_t m0 = g * ri;
+            int64_t count = std::min(n_mcus - m0, ri);
+            for (int i = 0; i < n_comps; ++i)
+                seg_blocks[(size_t)i] = blocks[i] + m0 * per_mcu[i] * 64;
+            int64_t n = jpx_encode_arith_sequential(
+                n_comps, seg_blocks.data(), per_mcu, dc_ids, ac_ids, dc_l,
+                dc_u, ac_kx, count, ck.buf.get() + pos, ck.cap - pos);
+            if (n < 0) { ck.status = n; return; }
+            pos += n;
+            if (g < n_seg - 1) {
+                if (pos + 2 > ck.cap) { ck.status = -1; return; }
+                ck.buf[pos++] = 0xFF;
+                ck.buf[pos++] = (uint8_t)(0xD0 + (g & 7));
+            }
+        }
+        ck.n = pos;
+    };
+    if (T <= 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int64_t t = 0; t < T; ++t) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    int64_t total = 0;
+    for (auto& ck : chunks) {
+        if (ck.status < 0) return ck.status;
+        total += ck.n;
+    }
+    if (total > capacity) return -1;
+    int64_t off = 0;
+    for (auto& ck : chunks) {
+        std::memcpy(out + off, ck.buf.get(), (size_t)ck.n);
+        off += ck.n;
+    }
+    return total;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -1402,6 +1402,53 @@ def encode_arith_segment(comps: Sequence[dict], n_mcus: int) -> bytes:
     return out[: int(written)].tobytes()
 
 
+def encode_arith_scan(comps: Sequence[dict], n_mcus: int,
+                      restart_interval: int = 0) -> bytes:
+    """Whole SOF9 scan in one native call: restart segments (fresh QM
+    state each, the restart contract) encode on separate threads and
+    concatenate with RSTn separators — byte-identical to per-segment
+    ``encode_arith_segment`` calls joined with RSTn. ``comps`` as in
+    ``encode_arith_segment`` but positioned at the SCAN start."""
+    lib = build.load_library()
+    n = len(comps)
+    block_ptrs = (ctypes.c_void_p * n)()
+    per_mcu = (ctypes.c_int32 * n)()
+    dc_ids = (ctypes.c_int32 * n)()
+    ac_ids = (ctypes.c_int32 * n)()
+    dc_l = (ctypes.c_int32 * n)()
+    dc_u = (ctypes.c_int32 * n)()
+    ac_kx = (ctypes.c_int32 * n)()
+    keepalive = []
+    total_blocks = 0
+    for i, c in enumerate(comps):
+        blocks = np.ascontiguousarray(c["blocks"], dtype=np.int16)
+        keepalive.append(blocks)
+        block_ptrs[i] = blocks.ctypes.data_as(ctypes.c_void_p)
+        per_mcu[i] = int(c["per_mcu"])
+        dc_ids[i] = int(c["dc_id"])
+        ac_ids[i] = int(c["ac_id"])
+        dc_l[i] = int(c["dc_l"])
+        dc_u[i] = int(c["dc_u"])
+        ac_kx[i] = int(c["ac_kx"])
+        total_blocks += n_mcus * int(c["per_mcu"])
+
+    n_seg = -(-n_mcus // restart_interval) if restart_interval > 0 else 1
+    cap = total_blocks * 320 + n_seg * 2 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    written = lib.jpx_encode_arith_restart_parallel(
+        n,
+        block_ptrs, per_mcu,
+        dc_ids, ac_ids,
+        dc_l, dc_u, ac_kx,
+        n_mcus, restart_interval,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+        0,
+    )
+    if written < 0:
+        raise RuntimeError("native arithmetic encode capacity exceeded")
+    return out[: int(written)].tobytes()
+
+
 def pack_lossless(cats: np.ndarray, raws: np.ndarray, tables, *,
                   pattern=None) -> bytes:
     """Native lossless (SOF3) category-stream packer; entry i uses
