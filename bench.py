@@ -269,6 +269,18 @@ def main() -> None:
     big_lossless = encode_lossless(rgb, predictor=1, restart_interval=2048)
     big_arith = jt.encode_rgb(rgb, 75, arithmetic=True, restart_interval=32)
 
+    mode("progressive_encode", lambda: encode_progressive_rgb(rgb, 75), mp)
+    mode(
+        "lossless_encode",
+        lambda: encode_lossless(rgb, predictor=1, restart_interval=2048),
+        mp,
+    )
+    mode(
+        "arithmetic_encode",
+        lambda: jt.encode_rgb(rgb, 75, arithmetic=True, restart_interval=32),
+        mp,
+    )
+
     for name, d in (
         ("progressive_decode", big_prog),
         ("progressive_decode_norestart", big_prog_pil),
