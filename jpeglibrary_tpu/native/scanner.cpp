@@ -4757,9 +4757,9 @@ struct BitPacker {
 
     // 32-bit buffered flush: identical byte/stuffing stream to the
     // byte-at-a-time form, but the common no-0xFF window goes out as
-    // one bswap'd 4-byte store (SWAR test for a 0xFF lane). Max write
-    // length is 16 bits, so one flush per write suffices and `bits`
-    // stays < 32 between calls.
+    // one bswap'd 4-byte store (SWAR test for a 0xFF lane). Writes are
+    // <= 31 bits (a fused code+value pair), so with `bits` < 32 on
+    // entry one flush suffices and `bits` stays < 32 between calls.
     inline bool write(uint32_t value, int length) {
         if (length == 0) return true;
         reg = (reg << length) | (value & ((1u << length) - 1));
@@ -4819,11 +4819,11 @@ static inline bool emit_run_length(BitPacker& bp, const uint16_t* codes,
     int symbol = (run << 4) | bit_count;
     int size = sizes[symbol];
     if (size == 0) { *missing = true; return false; }
-    if (!bp.write(codes[symbol], size)) return false;
-    if (bit_count > 0) {
-        if (!bp.write((uint32_t)b & ((1u << bit_count) - 1), bit_count)) return false;
-    }
-    return true;
+    // code then value bits, fused into one write (<= 16+15 bits) —
+    // identical bit stream, one flush check instead of two
+    uint32_t v = ((uint32_t)codes[symbol] << bit_count) |
+                 ((uint32_t)b & ((1u << bit_count) - 1));
+    return bp.write(v, size + bit_count);
 }
 
 static inline bool emit_block(BitPacker& bp, EncComp& c, const int16_t* block,
@@ -4958,8 +4958,8 @@ static int64_t emit_chunk_unstuffed(EncComp* comps, int n_comps,
         int bits;
         // 32-bit bulk flush: same byte stream as the byte-at-a-time
         // form (no stuffing here), one bswap'd store per 4 output
-        // bytes instead of four shifts+stores. Max write length is 16
-        // bits, so bits stays < 48 and one flush suffices.
+        // bytes instead of four shifts+stores. Writes are <= 31 bits
+        // (fused code+value), so one flush keeps bits < 32.
         inline bool write(uint32_t value, int length) {
             if (length == 0) return true;
             reg = (reg << length) | (value & ((1u << length) - 1));
@@ -4989,11 +4989,9 @@ static int64_t emit_chunk_unstuffed(EncComp* comps, int n_comps,
         int symbol = (run << 4) | bit_count;
         int size = sizes[symbol];
         if (size == 0) { missing = true; return false; }
-        if (!bp.write(codes[symbol], size)) return false;
-        if (bit_count > 0) {
-            if (!bp.write((uint32_t)b & ((1u << bit_count) - 1), bit_count)) return false;
-        }
-        return true;
+        uint32_t v = ((uint32_t)codes[symbol] << bit_count) |
+                     ((uint32_t)b & ((1u << bit_count) - 1));
+        return bp.write(v, size + bit_count);
     };
 
     for (int64_t m = 0; m < n_mcus; ++m) {
@@ -5188,9 +5186,12 @@ int64_t jpx_pack_lossless(
         int ci = pattern[i % pattern_len];
         int size = sizes[ci][t];
         if (size == 0) return -2;
-        if (!bp.write(codes[ci][t], size)) return -1;
         if (t > 0 && t < 16) {
-            if (!bp.write((uint32_t)raw[i] & ((1u << t) - 1), t)) return -1;
+            uint32_t v = ((uint32_t)codes[ci][t] << t) |
+                         ((uint32_t)raw[i] & ((1u << t) - 1));
+            if (!bp.write(v, size + t)) return -1;
+        } else {
+            if (!bp.write(codes[ci][t], size)) return -1;
         }
     }
     if (!bp.finish()) return -1;
@@ -5248,12 +5249,12 @@ int64_t jpx_pack_lossless_restart(
                 int ci = pattern[i % pattern_len];
                 int size = sizes[ci][tt];
                 if (size == 0) { ck.status = -2; return; }
-                if (!bp.write(codes[ci][tt], size)) { ck.status = -1; return; }
                 if (tt > 0 && tt < 16) {
-                    if (!bp.write((uint32_t)raw[i] & ((1u << tt) - 1), tt)) {
-                        ck.status = -1;
-                        return;
-                    }
+                    uint32_t v = ((uint32_t)codes[ci][tt] << tt) |
+                                 ((uint32_t)raw[i] & ((1u << tt) - 1));
+                    if (!bp.write(v, size + tt)) { ck.status = -1; return; }
+                } else {
+                    if (!bp.write(codes[ci][tt], size)) { ck.status = -1; return; }
                 }
             }
             if (!bp.finish()) { ck.status = -1; return; }
@@ -6629,12 +6630,9 @@ static inline bool emit_block_sink(Sink& bp, const uint16_t* dc_codes,
         int symbol = (run << 4) | bit_count;
         int size = sizes[symbol];
         if (size == 0) { *missing = true; return false; }
-        if (!bp.write(codes[symbol], size)) return false;
-        if (bit_count > 0) {
-            if (!bp.write((uint32_t)b & ((1u << bit_count) - 1), bit_count))
-                return false;
-        }
-        return true;
+        uint32_t v = ((uint32_t)codes[symbol] << bit_count) |
+                     ((uint32_t)b & ((1u << bit_count) - 1));
+        return bp.write(v, size + bit_count);
     };
     int value = block[0];
     int t = value - predictor;
@@ -7040,12 +7038,12 @@ int64_t jpx_pack_lossless_diffs(
             }
             int size = sizes[ci][cat];
             if (size == 0) { status = -2; return false; }
-            if (!bp.write(codes[ci][cat], size)) { status = -1; return false; }
             if (cat > 0 && cat < 16) {
-                if (!bp.write(raw & ((1u << cat) - 1), cat)) {
-                    status = -1;
-                    return false;
-                }
+                uint32_t v = ((uint32_t)codes[ci][cat] << cat) |
+                             (raw & ((1u << cat) - 1));
+                if (!bp.write(v, size + cat)) { status = -1; return false; }
+            } else {
+                if (!bp.write(codes[ci][cat], size)) { status = -1; return false; }
             }
         }
         return true;
