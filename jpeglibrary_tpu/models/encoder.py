@@ -384,14 +384,26 @@ class JpegEncoder:
             return writer.to_bytes()
 
         comp_blocks: List[np.ndarray] = []
+        fused_hists = None
         if use_fused_rgb:
             from ..native import scanner as native_scanner
 
-            comp_blocks = list(
-                native_scanner.encode_transform_rgb(
-                    self._input_rgb, max_h, max_v, quants
+            if optimize and self.mesh is None:
+                # Optimize-coding: the transform pass also accumulates
+                # the per-component DC/AC symbol histograms, so the
+                # statistics gather below needs no second pass over
+                # the coefficient arrays.
+                blocks, fused_hists = native_scanner.encode_transform_rgb(
+                    self._input_rgb, max_h, max_v, quants,
+                    with_histograms=True,
                 )
-            )
+                comp_blocks = list(blocks)
+            else:
+                comp_blocks = list(
+                    native_scanner.encode_transform_rgb(
+                        self._input_rgb, max_h, max_v, quants
+                    )
+                )
         elif self._coefficient_planes is not None:
             # Transcode path: coefficients are already quantized.
             for comp, coeffs in zip(self._components, self._coefficient_planes):
@@ -464,8 +476,13 @@ class JpegEncoder:
             else:
                 gather = encode_stage.dc_ac_symbol_frequencies
             builders: Dict[tuple, HuffmanTableBuilder] = {}
-            for comp, blocks in zip(self._components, comp_blocks):
-                dc_freq, ac_freq = gather(blocks)
+            for ci, (comp, blocks) in enumerate(
+                zip(self._components, comp_blocks)
+            ):
+                if fused_hists is not None:
+                    dc_freq, ac_freq = fused_hists[ci]
+                else:
+                    dc_freq, ac_freq = gather(blocks)
                 if self.restart_interval > 0:
                     dc_freq = np.array(dc_freq, dtype=np.int64)
                     encode_stage.apply_restart_dc_fixup(

@@ -244,6 +244,7 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.c_void_p, c.c_void_p, c.c_void_p,  # quant Y/Cb/Cr (f32 zz)
         c.c_void_p, c.POINTER(c.c_int32),  # zz_to_nat, color consts
         c.c_void_p, c.c_void_p, c.c_void_p,  # out Y/Cb/Cr (int16 MCU order)
+        c.c_void_p,                        # hists int64[3*512] or None
         c.c_int32,                         # n_threads
     ]
     lib.jpx_pack_lossless_restart.restype = c.c_int64

@@ -6657,6 +6657,30 @@ static inline bool emit_block_sink(Sink& bp, const uint16_t* dc_codes,
     return true;
 }
 
+// DC/AC symbol histogram for one MCU-ordered block — the per-block
+// body of jpx_symbol_histograms / ops.encode_stage
+// .dc_ac_symbol_frequencies, so the fused transform can produce the
+// optimize-coding statistics without a second pass over the
+// coefficient arrays.
+static inline void hist_block(const int16_t* b, int32_t& pred,
+                              int64_t* dcl, int64_t* acl) {
+    int32_t dc = b[0];
+    int32_t t = dc - pred;
+    pred = dc;
+    int32_t a = t < 0 ? -t : t;
+    ++dcl[a ? 32 - __builtin_clz((unsigned)a) : 0];
+    int run = 0;
+    for (int i = 1; i < 64; ++i) {
+        int32_t v = b[i];
+        if (v == 0) { ++run; continue; }
+        while (run > 15) { ++acl[0xF0]; run -= 16; }
+        int32_t m = v < 0 ? -v : v;
+        ++acl[(run << 4) | (32 - __builtin_clz((unsigned)m))];
+        run = 0;
+    }
+    if (run > 0) ++acl[0];
+}
+
 }  // namespace
 
 extern "C" {
@@ -6666,12 +6690,19 @@ extern "C" {
 // [64] float zig-zag divisor tables (Y, Cb, Cr components in frame
 // order). Outputs are MCU-walk-ordered int16 block arrays:
 // out_y [n_mcus * max_h*max_v, 64], out_cb/out_cr [n_mcus, 64].
+// `hists` (optional, else null): int64[3 * 512], per component a
+// DC[256] + AC[256] symbol histogram accumulated IN the transform
+// pass (same statistics as jpx_symbol_histograms over the outputs —
+// thread-boundary DC predictors seed from the predecessor MCU's exact
+// DC via boundary_mcu_dc, so no second pass over the coefficients is
+// needed for optimize-coding). Caller zeroes the array.
 void jpx_encode_transform_rgb(
     const uint8_t* rgb, int64_t h, int64_t w,
     int32_t max_h, int32_t max_v,
     const float* quant_y, const float* quant_cb, const float* quant_cr,
     const uint8_t* zz_to_nat, const int32_t* cconsts,
     int16_t* out_y, int16_t* out_cb, int16_t* out_cr,
+    int64_t* hists,
     int32_t n_threads) {
     RgbEncCtx c;
     rgb_ctx_init(c, rgb, h, w, max_h, max_v, quant_y, quant_cb, quant_cr,
@@ -6685,29 +6716,50 @@ void jpx_encode_transform_rgb(
     int64_t T = std::min<int64_t>(n_threads, c.mcc);
     if (c.mcc * c.mcl * c.per_mcu_y < 2048) T = 1;
 
-    auto work = [&](int64_t s0, int64_t s1) {
+    std::vector<std::vector<int64_t>> hist_local;
+    if (hists) hist_local.assign((size_t)T, std::vector<int64_t>(3 * 512, 0));
+
+    auto work = [&](int64_t t, int64_t s0, int64_t s1) {
         RgbStripeScratch sc;
         sc.init(c);
+        int32_t preds[3] = {0, 0, 0};
+        if (hists && s0 > 0) boundary_mcu_dc(c, s0 - 1, c.mcl - 1, preds);
         for (int64_t s = s0; s < s1; ++s) {
             transform_stripe_rgb(
                 c, sc, s,
                 out_y + s * c.mcl * c.per_mcu_y * 64, (int64_t)c.per_mcu_y * 64,
                 out_cb + s * c.mcl * 64, 64,
                 out_cr + s * c.mcl * 64, 64);
+            if (hists) {
+                int64_t* hl = hist_local[(size_t)t].data();
+                const int16_t* by = out_y + s * c.mcl * c.per_mcu_y * 64;
+                for (int64_t i = 0; i < c.mcl * c.per_mcu_y; ++i)
+                    hist_block(by + i * 64, preds[0], hl, hl + 256);
+                const int16_t* bcb = out_cb + s * c.mcl * 64;
+                const int16_t* bcr = out_cr + s * c.mcl * 64;
+                for (int64_t i = 0; i < c.mcl; ++i) {
+                    hist_block(bcb + i * 64, preds[1], hl + 512, hl + 768);
+                    hist_block(bcr + i * 64, preds[2], hl + 1024, hl + 1280);
+                }
+            }
         }
     };
     if (T <= 1) {
-        work(0, c.mcc);
-        return;
+        work(0, 0, c.mcc);
+    } else {
+        std::vector<std::thread> pool;
+        int64_t step = (c.mcc + T - 1) / T;
+        for (int64_t t = 0; t < T; ++t) {
+            int64_t b = t * step;
+            if (b >= c.mcc) break;
+            pool.emplace_back(work, t, b, std::min(c.mcc, b + step));
+        }
+        for (auto& th : pool) th.join();
     }
-    std::vector<std::thread> pool;
-    int64_t step = (c.mcc + T - 1) / T;
-    for (int64_t t = 0; t < T; ++t) {
-        int64_t b = t * step;
-        if (b >= c.mcc) break;
-        pool.emplace_back(work, b, std::min(c.mcc, b + step));
+    if (hists) {
+        for (auto& hv : hist_local)
+            for (int i = 0; i < 3 * 512; ++i) hists[i] += hv[(size_t)i];
     }
-    for (auto& th : pool) th.join();
 }
 
 // Fully fused fixed-table baseline scan: transform + Huffman emission

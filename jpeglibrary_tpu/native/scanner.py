@@ -1078,7 +1078,8 @@ def fdct_quantize(
 _TRANSFORM_SCRATCH = __import__("threading").local()
 
 
-def encode_transform_rgb(rgb: np.ndarray, max_h: int, max_v: int, quants):
+def encode_transform_rgb(rgb: np.ndarray, max_h: int, max_v: int, quants,
+                         with_histograms: bool = False):
     """Fused baseline RGB encode transform: one threaded native stripe
     pass doing RGB->YCbCr + zero-pad + chroma box subsample + AAN FDCT
     + quantize, emitting MCU-walk-ordered block arrays directly — the
@@ -1126,6 +1127,7 @@ def encode_transform_rgb(rgb: np.ndarray, max_h: int, max_v: int, quants):
         color_ops._CB_R, color_ops._CB_G, color_ops._CB_B,
         color_ops._CR_G, color_ops._CR_B,
     )
+    hists = np.zeros(3 * 512, dtype=np.int64) if with_histograms else None
     lib.jpx_encode_transform_rgb(
         rgb.ctypes.data_as(ctypes.c_void_p), h, w,
         max_h, max_v,
@@ -1136,8 +1138,18 @@ def encode_transform_rgb(rgb: np.ndarray, max_h: int, max_v: int, quants):
         out_y.ctypes.data_as(ctypes.c_void_p),
         out_cb.ctypes.data_as(ctypes.c_void_p),
         out_cr.ctypes.data_as(ctypes.c_void_p),
+        hists.ctypes.data_as(ctypes.c_void_p) if hists is not None else None,
         0,
     )
+    if with_histograms:
+        # per component: (dc[256], ac[256]) — jpx_symbol_histograms
+        # statistics produced inside the transform pass
+        split = [
+            (hists[i * 512 : i * 512 + 256].copy(),
+             hists[i * 512 + 256 : (i + 1) * 512].copy())
+            for i in range(3)
+        ]
+        return (out_y, out_cb, out_cr), split
     return out_y, out_cb, out_cr
 
 
