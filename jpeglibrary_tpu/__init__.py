@@ -72,13 +72,17 @@ from .models.lossless import encode_lossless
 from .models.arithmetic_lossless import encode_lossless_arithmetic
 from .models.optimizer import JpegOptimizer, optimize
 from .models.transcode import transcode
+from .parallel.batch import decode_batch_rgb, decode_stream_rgb, encode_batch_rgb
 
 __all__ = [
     "JpegDecoder",
     "DecodeResult",
     "ImageInfo",
     "decode",
+    "decode_batch_rgb",
+    "decode_stream_rgb",
     "JpegEncoder",
+    "encode_batch_rgb",
     "encode_rgb",
     "encode_rgb_stream",
     "encode_rgb_stripes",

@@ -306,3 +306,38 @@ def _batched_transform(geometry):
             in_axes=(0, 0),
         )
     )
+
+
+def encode_batch_rgb(
+    rgbs: Sequence[np.ndarray],
+    quality: int = 75,
+    *,
+    max_workers: Optional[int] = None,
+    **encode_kwargs,
+) -> List[bytes]:
+    """Data-parallel RGB encode: the batch twin of ``decode_batch_rgb``.
+
+    Images fan out on the shared pool; every native encode stage
+    releases the GIL, so small images (whose fused transform runs
+    single-threaded below the internal threshold) parallelize across
+    the pool while large images keep their internal stripe threading.
+    Per-image failures propagate as exceptions from the returned
+    position, matching the batch-decode isolation contract.
+
+    ``encode_kwargs`` pass through to :func:`jpeglibrary_tpu.encode_rgb`
+    (``subsampling``, ``optimize_coding``, ``restart_interval``,
+    ``arithmetic``, ...).
+    """
+    from ..models.encoder import encode_rgb
+    from ..utils.pool import shared_pool
+
+    def one(rgb: np.ndarray) -> bytes:
+        return encode_rgb(rgb, quality, **encode_kwargs)
+
+    items = list(rgbs)
+    if len(items) <= 1:
+        return [one(items[0])] if items else []
+    if max_workers is not None:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            return list(pool.map(one, items))
+    return list(shared_pool().map(one, items))

@@ -81,6 +81,35 @@ def test_fused_roundtrip_decodes():
     assert 10 * np.log10(255.0**2 / mse) > 30
 
 
+@pytest.mark.parametrize("quality", [1, 50, 100])
+def test_fused_extreme_quality(quality):
+    # q=100 (unit quant) maximizes coefficient magnitudes and bit
+    # lengths; q=1 maximizes EOB/ZRL density. Noise maximizes 0xFF
+    # stuffing frequency.
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, size=(80, 72, 3), dtype=np.uint8)
+    data = encode_rgb(rgb, quality)
+    assert data == _staged(rgb, quality, "420")
+    assert jt.decode(data).width == 72
+
+
+def test_fused_flat_image_eob_runs():
+    rgb = np.full((96, 64, 3), 200, dtype=np.uint8)
+    data = encode_rgb(rgb, 75)
+    assert data == _staged(rgb, 75, "420")
+    dec = np.asarray(jt.decode(data).to_rgb8())
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 2
+
+
+@pytest.mark.parametrize("ri", [1, 2, 10_000])
+def test_fused_restart_interval_edges(ri):
+    # ri=1: RSTn after every MCU; ri > n_mcus: single segment with DRI.
+    rgb = _image(48, 80, seed=22)
+    data = encode_rgb(rgb, 75, restart_interval=ri)
+    assert data == _staged(rgb, 75, "420", restart_interval=ri)
+    assert jt.decode(data).height == 48
+
+
 def test_set_input_rgb_fallback_for_nonstandard_layout():
     # 4 components -> the fused precondition fails; encode() converts
     # and rides the plane path instead of erroring.
