@@ -156,9 +156,31 @@ def main() -> None:
 
     # Fixed-budget sweep. Each window: turbo probe, then our batch.
     # windows[shape] = list of (our_mps, turbo_mps).
+    #
+    # RSS guard (value-independent — a resource cap, not a stopping
+    # rule): the axon tunnel plugin leaks ~the payload size of every
+    # host->device transfer in host RSS (reproduced with a bare
+    # jax.device_put loop; the CPU backend is leak-free), so a long
+    # sweep accumulates ~6 MB per decoded image. The guard stops the
+    # sweep before the process threatens the shared host's memory; it
+    # never consults throughput numbers.
+    rss_limit_mb = float(os.environ.get("JPX_BENCH_RSS_LIMIT_MB", "40000"))
+
+    def _rss_mb():
+        try:
+            import resource
+
+            return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+        except Exception:
+            return 0.0
+
+    rss_capped = False
     windows = {shape: [] for shape in SHAPES}
     deadline = time.perf_counter() + SWEEP_BUDGET_S
     while time.perf_counter() < deadline:
+        if _rss_mb() > rss_limit_mb:
+            rss_capped = True
+            break
         for shape in SHAPES:
             workers, dev_workers, group = shape
             for _ in range(WINDOWS_PER_VISIT):
@@ -326,6 +348,7 @@ def main() -> None:
                 "best_shape": list(best_shape),
                 "ratio_p50_all_shapes": round(_pct(all_ratio, 0.5), 3),
                 "peak_rss_mb": peak_rss_mb,
+                "rss_capped": rss_capped,
                 "modes": modes,
             }
         )

@@ -1108,18 +1108,26 @@ def encode_transform_rgb(rgb: np.ndarray, max_h: int, max_v: int, quants,
     # within the call, and per-thread reuse means no cross-thread
     # aliasing; a caller holding blocks across two encodes on the same
     # thread must copy (encode() never does).
-    cache = getattr(_TRANSFORM_SCRATCH, "bufs", None)
     ny = n_mcus * max_h * max_v
-    if cache is None or cache[0].shape[0] < ny or cache[1].shape[0] < n_mcus:
-        cache = (
-            np.empty((ny, 64), dtype=np.int16),
-            np.empty((n_mcus, 64), dtype=np.int16),
-            np.empty((n_mcus, 64), dtype=np.int16),
-        )
-        _TRANSFORM_SCRATCH.bufs = cache
-    out_y = cache[0][:ny]
-    out_cb = cache[1][:n_mcus]
-    out_cr = cache[2][:n_mcus]
+    if (ny + 2 * n_mcus) * 128 > (64 << 20):
+        # Very large image (> 64 MB of coefficients): one-shot buffers.
+        # Caching would pin that much memory PER POOL THREAD when
+        # encode_batch_rgb fans large images across the shared pool.
+        out_y = np.empty((ny, 64), dtype=np.int16)
+        out_cb = np.empty((n_mcus, 64), dtype=np.int16)
+        out_cr = np.empty((n_mcus, 64), dtype=np.int16)
+    else:
+        cache = getattr(_TRANSFORM_SCRATCH, "bufs", None)
+        if cache is None or cache[0].shape[0] < ny or cache[1].shape[0] < n_mcus:
+            cache = (
+                np.empty((ny, 64), dtype=np.int16),
+                np.empty((n_mcus, 64), dtype=np.int16),
+                np.empty((n_mcus, 64), dtype=np.int16),
+            )
+            _TRANSFORM_SCRATCH.bufs = cache
+        out_y = cache[0][:ny]
+        out_cb = cache[1][:n_mcus]
+        out_cr = cache[2][:n_mcus]
     qs = [np.ascontiguousarray(q, dtype=np.float32) for q in quants]
     zz = np.ascontiguousarray(ZIGZAG_TO_BLOCK, dtype=np.uint8)
     consts = (ctypes.c_int32 * 8)(
