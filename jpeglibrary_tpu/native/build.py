@@ -157,6 +157,10 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.c_int64,                       # restart_interval
         c.c_void_p, c.c_int64,           # out, cap
     ]
+    lib.jpx_encode_lossless_arith_restart_parallel.restype = c.c_int64
+    lib.jpx_encode_lossless_arith_restart_parallel.argtypes = (
+        lib.jpx_encode_lossless_arith.argtypes + [c.c_int32]  # + n_threads
+    )
     lib.jpx_decode_lossless_restart_parallel.restype = c.c_int32
     lib.jpx_decode_lossless_restart_parallel.argtypes = [
         c.c_void_p,

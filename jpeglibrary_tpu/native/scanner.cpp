@@ -6174,6 +6174,209 @@ int64_t jpx_encode_lossless_arith(
     return e.n;
 }
 
+// Restart-parallel SOF11/SOF15 encode: every restart segment restarts
+// the QM registers, statistics AND the Da/Db conditioning history, so
+// segments are independent byte-aligned streams. Key invariant making
+// this parallelizable: the coder is lossless, so the reconstruction it
+// builds incrementally equals the (point-transformed) SOURCE samples —
+// precompute that once, then contiguous segment ranges encode on
+// separate threads with thread-local diff planes covering only their
+// row span (out-of-segment conditioning reads are 0 by the sequential
+// coder's boundary-row zeroing semantics). Byte-identical to
+// jpx_encode_lossless_arith. Returns bytes written or -1 on overflow.
+int64_t jpx_encode_lossless_arith_restart_parallel(
+    const int32_t** planes, const int64_t* plane_widths,
+    int64_t mcus_per_line, int64_t mcus_per_column,
+    int32_t n_comps,
+    const int32_t* comp_h, const int32_t* comp_v,
+    const int32_t* table_ids,
+    const int32_t* cond_lo, const int32_t* cond_hi,
+    int32_t predictor_sel, int32_t initial_prediction,
+    int32_t point_transform,
+    int64_t restart_interval,
+    uint8_t* out, int64_t cap, int32_t n_threads) {
+    const int64_t ri = restart_interval;
+    const int64_t n_mcus = mcus_per_line * mcus_per_column;
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+    if (ri <= 0 || n_comps <= 0 || n_threads <= 1 || n_mcus < 4096 ||
+        n_mcus <= ri)
+        return jpx_encode_lossless_arith(
+            planes, plane_widths, mcus_per_line, mcus_per_column, n_comps,
+            comp_h, comp_v, table_ids, cond_lo, cond_hi, predictor_sel,
+            initial_prediction, point_transform, restart_interval, out, cap);
+
+    // Shared read-only reconstruction: (int16)(sample >> pt).
+    std::vector<std::vector<int16_t>> recon((size_t)n_comps);
+    for (int i = 0; i < n_comps; ++i) {
+        size_t sz = (size_t)(mcus_per_column * comp_v[i]) *
+                    (size_t)plane_widths[i];
+        recon[(size_t)i].resize(sz);
+        const int32_t* src = planes[i];
+        int16_t* dst = recon[(size_t)i].data();
+        for (size_t k = 0; k < sz; ++k)
+            dst[k] = (int16_t)(src[k] >> point_transform);
+    }
+
+    const int64_t n_seg = (n_mcus + ri - 1) / ri;
+    int64_t T = std::min<int64_t>(n_threads, n_seg);
+    struct Chunk {
+        int64_t g0, g1;
+        std::unique_ptr<uint8_t[]> buf;
+        int64_t cap, n, status;
+    };
+    std::vector<Chunk> chunks((size_t)T);
+    int64_t per = (n_seg + T - 1) / T;
+    int64_t total_samples = 0;
+    for (int i = 0; i < n_comps; ++i)
+        total_samples += (int64_t)comp_h[i] * comp_v[i];
+    for (int64_t t = 0; t < T; ++t) {
+        chunks[t].g0 = std::min(n_seg, t * per);
+        chunks[t].g1 = std::min(n_seg, (t + 1) * per);
+        int64_t mcus = std::min(n_mcus, chunks[t].g1 * ri) - chunks[t].g0 * ri;
+        if (mcus < 0) mcus = 0;
+        chunks[t].cap = mcus * total_samples * 6 +
+                        (chunks[t].g1 - chunks[t].g0) * 2 + 4096;
+        chunks[t].buf.reset(new uint8_t[(size_t)chunks[t].cap]);
+        chunks[t].n = 0;
+        chunks[t].status = 0;
+    }
+
+    auto work = [&](int64_t t) {
+        Chunk& ck = chunks[t];
+        if (ck.g0 >= ck.g1) return;
+        // Thread-local diff planes covering this range's rows plus one
+        // context row above, zeroed; row indices are offset by row_lo.
+        int64_t mrow_lo = (ck.g0 * ri) / mcus_per_line;
+        int64_t mrow_hi = ((std::min(n_mcus, ck.g1 * ri) - 1)) / mcus_per_line;
+        std::vector<std::vector<int32_t>> diffs((size_t)n_comps);
+        std::vector<int64_t> row_lo((size_t)n_comps);
+        for (int i = 0; i < n_comps; ++i) {
+            int v = comp_v[i];
+            row_lo[(size_t)i] = mrow_lo * v - 1 < 0 ? 0 : mrow_lo * v - 1;
+            int64_t rows = (mrow_hi + 1) * v - row_lo[(size_t)i];
+            diffs[(size_t)i].assign(
+                (size_t)rows * (size_t)plane_widths[i], 0);
+        }
+        uint8_t stats_by_id[16][H2_STATS];
+        std::vector<uint8_t*> stats((size_t)n_comps);
+        int64_t pos = 0;
+        for (int64_t g = ck.g0; g < ck.g1; ++g) {
+            int64_t m0 = g * ri;
+            int64_t m1 = std::min(n_mcus, m0 + ri);
+            // Fresh segment: registers + statistics + conditioning
+            // history (zero this segment's context rows — the
+            // sequential coder's boundary-row reset semantics).
+            memset(stats_by_id, 0, sizeof(stats_by_id));
+            for (int i = 0; i < n_comps; ++i)
+                stats[(size_t)i] = stats_by_id[table_ids[i] & 15];
+            {
+                int64_t seg_mrow0 = m0 / mcus_per_line;
+                int64_t seg_mrow1 = (m1 - 1) / mcus_per_line;
+                for (int i = 0; i < n_comps; ++i) {
+                    int v = comp_v[i];
+                    int64_t width = plane_widths[i];
+                    int64_t r0 = seg_mrow0 * v - 1;
+                    if (r0 < row_lo[(size_t)i]) r0 = row_lo[(size_t)i];
+                    int64_t r1 = (seg_mrow1 + 1) * v;
+                    memset(diffs[(size_t)i].data() +
+                               (r0 - row_lo[(size_t)i]) * width,
+                           0, (size_t)(r1 - r0) * width * sizeof(int32_t));
+                }
+            }
+            ArithEncoder e;
+            e.init(ck.buf.get() + pos, ck.cap - pos);
+            for (int64_t m = m0; m < m1; ++m) {
+                int64_t row_mcu = m / mcus_per_line;
+                int64_t col_mcu = m % mcus_per_line;
+                bool at_restart_start = m == m0;
+                for (int ci = 0; ci < n_comps; ++ci) {
+                    int h = comp_h[ci], v = comp_v[ci];
+                    int64_t width = plane_widths[ci];
+                    const int16_t* rplane = recon[(size_t)ci].data();
+                    int32_t* dplane = diffs[(size_t)ci].data();
+                    int64_t rl = row_lo[(size_t)ci];
+                    uint8_t* st = stats[(size_t)ci];
+                    int32_t lo = cond_lo[ci], hi = cond_hi[ci];
+                    int64_t offset_x = col_mcu * h;
+                    int64_t offset_y = row_mcu * v;
+                    for (int y = 0; y < v; ++y) {
+                        int64_t row = offset_y + y;
+                        const int16_t* scanline = rplane + row * width;
+                        const int16_t* lastline =
+                            (y == 0 && row_mcu == 0)
+                                ? nullptr
+                                : rplane + (row - 1) * width;
+                        int32_t* drow = dplane + (row - rl) * width;
+                        const int32_t* dlast =
+                            row == 0 ? nullptr
+                                     : dplane + (row - 1 - rl) * width;
+                        for (int x = 0; x < h; ++x) {
+                            int64_t cx = offset_x + x;
+                            int pred;
+                            if (row_mcu == 0 || at_restart_start) {
+                                if (col_mcu == 0 && x == 0) {
+                                    pred = initial_prediction;
+                                } else {
+                                    int ra = scanline[cx - 1];
+                                    int rb = y == 0 ? initial_prediction
+                                                    : lastline[cx];
+                                    int rc2 = y == 0 ? initial_prediction
+                                                     : lastline[cx - 1];
+                                    pred = predict_lossless(predictor_sel, ra,
+                                                            rb, rc2);
+                                }
+                            } else if (col_mcu == 0) {
+                                pred = predictor_sel ? lastline[cx] : 0;
+                            } else {
+                                int ra = scanline[cx - 1];
+                                int rb = lastline[cx];
+                                int rc2 = lastline[cx - 1];
+                                pred = predict_lossless(predictor_sel, ra, rb,
+                                                        rc2);
+                            }
+                            int32_t sample = scanline[cx];  // recon == source
+                            int32_t diff = (int16_t)(sample - pred);
+                            int32_t da = cx > 0 ? drow[cx - 1] : 0;
+                            int32_t db = dlast ? dlast[cx] : 0;
+                            int qa = h2_classify(da, lo, hi);
+                            int qb = h2_classify(db, lo, hi);
+                            h2_encode_diff(e, st, 4 * (qb * 5 + qa), qb >= 3,
+                                           diff);
+                            if (e.overflow) { ck.status = -1; return; }
+                            drow[cx] = diff;
+                        }
+                    }
+                }
+            }
+            e.flush();
+            if (e.overflow) { ck.status = -1; return; }
+            pos += e.n;
+            if (g < n_seg - 1) {
+                if (pos + 2 > ck.cap) { ck.status = -1; return; }
+                ck.buf[pos++] = 0xFF;
+                ck.buf[pos++] = (uint8_t)(0xD0 + ((g) & 7));
+            }
+        }
+        ck.n = pos;
+    };
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < T; ++t) pool.emplace_back(work, t);
+    for (auto& th : pool) th.join();
+    int64_t total = 0;
+    for (auto& ck : chunks) {
+        if (ck.status < 0) return ck.status;
+        total += ck.n;
+    }
+    if (total > cap) return -1;
+    int64_t off = 0;
+    for (auto& ck : chunks) {
+        std::memcpy(out + off, ck.buf.get(), (size_t)ck.n);
+        off += ck.n;
+    }
+    return total;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

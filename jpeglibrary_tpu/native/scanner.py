@@ -1982,14 +1982,14 @@ def encode_lossless_arith(
     cap = total * 6 + 4096
     while True:
         out = np.empty(cap, dtype=np.uint8)
-        written = lib.jpx_encode_lossless_arith(
+        written = lib.jpx_encode_lossless_arith_restart_parallel(
             plane_ptrs, widths,
             mcus_per_line, mcus_per_column,
             n,
             comp_h, comp_v, tids, cond_lo, cond_hi,
             predictor, initial_prediction, point_transform,
             restart_interval,
-            out.ctypes.data_as(ctypes.c_void_p), cap,
+            out.ctypes.data_as(ctypes.c_void_p), cap, 0,
         )
         if written >= 0:
             return out[:written].tobytes()
