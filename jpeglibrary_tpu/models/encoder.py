@@ -118,6 +118,9 @@ class JpegEncoder:
         #: (set_input_rgb) — converted lazily if the fused path
         #: cannot apply
         self._input_rgb: Optional[np.ndarray] = None
+        #: (ink [H, W, 4] uint8, ycck) for the fused 4-component
+        #: CMYK/YCCK transform (set_input_ink)
+        self._input_ink = None
         self._width = 0
         self._height = 0
 
@@ -168,6 +171,7 @@ class JpegEncoder:
         them losslessly with the configured entropy coding."""
         self._coefficient_planes = [np.asarray(p, dtype=np.int16) for p in planes]
         self._input_rgb = None
+        self._input_ink = None
         self._width = width
         self._height = height
 
@@ -189,6 +193,7 @@ class JpegEncoder:
         buffers the whole coefficient image (JpegEncoder.cs:414)."""
         self._input_reader = reader
         self._input_rgb = None
+        self._input_ink = None
         self._input_stream = None
         self._width = width
         self._height = height
@@ -209,6 +214,7 @@ class JpegEncoder:
         table optimization needs the whole image."""
         self._input_stream = iter(stripes)
         self._input_rgb = None
+        self._input_ink = None
         self._input_reader = None
         self._input_planes = None
         self._width = width
@@ -229,16 +235,36 @@ class JpegEncoder:
         if rgb.ndim != 3 or rgb.shape[-1] != 3:
             raise JpegEncodeError("set_input_rgb expects [H, W, 3] uint8.")
         self._input_rgb = rgb
+        self._input_ink = None
         self._input_planes = None
         self._input_reader = None
         self._input_stream = None
         self._height, self._width = rgb.shape[:2]
+
+    def set_input_ink(self, ink: np.ndarray, ycck: bool = False) -> None:
+        """Input CMYK ink [H, W, 4] uint8 — encode() runs the whole
+        4-component transform (invert, or the YCCK fixed-point convert,
+        plus pad/subsample/FDCT/quantize/MCU ordering) as one fused
+        threaded native stripe pass (jpx_encode_transform_cmyk).
+        Byte-identical to the staged conversion + set_input path; falls
+        back automatically when the component layout does not match
+        encode_cmyk's (comp 0/3 at max sampling, 1/2 chroma 1x1)."""
+        ink = np.asarray(ink, dtype=np.uint8)
+        if ink.ndim != 3 or ink.shape[-1] != 4:
+            raise JpegEncodeError("set_input_ink expects [H, W, 4] uint8.")
+        self._input_ink = (ink, bool(ycck))
+        self._input_rgb = None
+        self._input_planes = None
+        self._input_reader = None
+        self._input_stream = None
+        self._height, self._width = ink.shape[:2]
 
     def set_input(self, planes, width: Optional[int] = None, height: Optional[int] = None) -> None:
         """Input samples: [H, W, C] uint8 array or a list of [H, W] planes."""
         self._input_reader = None
         self._input_stream = None
         self._input_rgb = None
+        self._input_ink = None
         if isinstance(planes, np.ndarray) and planes.ndim == 3:
             self._input_planes = [planes[..., i] for i in range(planes.shape[-1])]
             self._height, self._width = planes.shape[:2]
@@ -274,6 +300,30 @@ class JpegEncoder:
             return False
         return True
 
+    def _fused_ink_applies(self, xp) -> bool:
+        """True when the set_input_ink fast path can run: host numpy,
+        8-bit, non-differential, the encode_cmyk 4-component layout
+        (components 0 and 3 at the max sampling factors, 1 and 2 at
+        1x1), native available."""
+        if xp is not np or self.sample_precision != 8 or self.differential:
+            return False
+        if len(self._components) != 4:
+            return False
+        c0, c1, c2, c3 = self._components
+        max_h = max(c.h for c in self._components)
+        max_v = max(c.v for c in self._components)
+        if (c0.h, c0.v) != (max_h, max_v) or (c3.h, c3.v) != (max_h, max_v):
+            return False
+        if (c1.h, c1.v) != (1, 1) or (c2.h, c2.v) != (1, 1):
+            return False
+        try:
+            from ..native import build
+
+            build.load_library()
+        except Exception:
+            return False
+        return True
+
     # -- encode --
 
     def encode(self, xp=np) -> bytes:
@@ -285,10 +335,32 @@ class JpegEncoder:
             self._input_planes is None
             and self._coefficient_planes is None
             and self._input_rgb is None
+            and self._input_ink is None
         ):
             raise JpegEncodeError("Input is not specified.")
         if not self._components:
             raise JpegEncodeError("No component is specified.")
+        use_fused_ink = False
+        if self._input_ink is not None and self._input_planes is None:
+            use_fused_ink = self._fused_ink_applies(xp)
+            if not use_fused_ink:
+                # Staged fallback: convert exactly like encode_cmyk's
+                # plane path and continue below.
+                ink, ycck = self._input_ink
+                if ycck:
+                    from ..ops import color as color_ops
+
+                    y, cb, cr = color_ops.rgb_to_ycbcr(
+                        ink[..., 0].astype(np.int32),
+                        ink[..., 1].astype(np.int32),
+                        ink[..., 2].astype(np.int32),
+                    )
+                    self._input_planes = [
+                        y.astype(np.uint8), cb.astype(np.uint8),
+                        cr.astype(np.uint8), 255 - ink[..., 3],
+                    ]
+                else:
+                    self._input_planes = [255 - ink[..., i] for i in range(4)]
         use_fused_rgb = False
         if self._input_rgb is not None and self._input_planes is None:
             use_fused_rgb = self._fused_rgb_applies(xp)
@@ -307,8 +379,8 @@ class JpegEncoder:
                     )
                 self._input_planes = list(planes)
         n_inputs = (
-            3
-            if use_fused_rgb
+            len(self._components)
+            if (use_fused_rgb or use_fused_ink)
             else len(
                 self._input_planes
                 if self._input_planes is not None
@@ -385,7 +457,16 @@ class JpegEncoder:
 
         comp_blocks: List[np.ndarray] = []
         fused_hists = None
-        if use_fused_rgb:
+        if use_fused_ink:
+            from ..native import scanner as native_scanner
+
+            ink, ycck = self._input_ink
+            comp_blocks = list(
+                native_scanner.encode_transform_cmyk(
+                    ink, max_h, max_v, ycck, quants
+                )
+            )
+        elif use_fused_rgb:
             from ..native import scanner as native_scanner
 
             if optimize and self.mesh is None:
@@ -1173,10 +1254,10 @@ def encode_cmyk(
     if not ycck:
         for i in range(4):
             encoder.add_component(i + 1, 0, 0, 0, 1, 1)
-        encoder.set_input([255 - ink[..., i] for i in range(4)])
+        encoder.set_input_ink(ink, ycck=False)
         return encoder.encode(xp=xp)
 
-    from ..ops import color as color_ops
+    from ..ops import color as color_ops  # noqa: F401 (fallback path)
 
     encoder.set_quantization_table(
         scale_by_quality(standard_chrominance_table(1), quality)
@@ -1199,16 +1280,9 @@ def encode_cmyk(
     encoder.add_component(4, 0, 0, 0, *luma_hv)  # K at luma resolution
     # to_cmyk8 decodes YCCK as ink = ycbcr_to_rgb(stored Y/Cb/Cr) for
     # CMY and 255 - stored for K — so encode stores YCbCr(C, M, Y)
-    # directly and K inverted.
-    y, cb, cr = color_ops.rgb_to_ycbcr(
-        ink[..., 0].astype(np.int32),
-        ink[..., 1].astype(np.int32),
-        ink[..., 2].astype(np.int32),
-    )
-    encoder.set_input(
-        [y.astype(np.uint8), cb.astype(np.uint8), cr.astype(np.uint8),
-         (255 - ink[..., 3])]
-    )
+    # directly and K inverted. The fused native transform does the
+    # whole stage in one stripe pass; encode() converts on fallback.
+    encoder.set_input_ink(ink, ycck=True)
     return encoder.encode(xp=xp)
 
 

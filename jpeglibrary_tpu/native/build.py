@@ -287,6 +287,15 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.c_void_p, c.c_int64,             # out, capacity
         c.c_int32,                         # n_threads
     ]
+    lib.jpx_encode_transform_cmyk.restype = None
+    lib.jpx_encode_transform_cmyk.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int64,  # ink, h, w
+        c.c_int32, c.c_int32, c.c_int32,   # max_h, max_v, ycck
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,  # quants 0..3
+        c.c_void_p, c.POINTER(c.c_int32),  # zz_to_nat, color consts
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,  # outs 0..3
+        c.c_int32,                         # n_threads
+    ]
     lib.jpx_encode_rgb_baseline.restype = c.c_int64
     lib.jpx_encode_rgb_baseline.argtypes = [
         c.c_void_p, c.c_int64, c.c_int64,  # rgb, h, w

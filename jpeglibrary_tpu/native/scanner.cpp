@@ -6965,6 +6965,154 @@ void jpx_encode_transform_rgb(
     }
 }
 
+// Fused 4-component ink transform (Adobe CMYK / YCCK encode): the
+// encode_cmyk transform stage in one threaded stripe pass.
+//  ycck == 0: plain CMYK — four 1x1 components storing 255 - ink
+//             (max_h == max_v == 1).
+//  ycck == 1: YCCK — Y/Cb/Cr from the fixed-point RGB->YCbCr transform
+//             applied to the UN-inverted C/M/Y channels (the
+//             to_cmyk8/PIL convention), K stored inverted at full
+//             (luma) resolution; Cb/Cr box-subsampled like encode_rgb.
+// Outputs are MCU-walk-ordered block arrays in frame order:
+// out0 (Y or C) and out3 (K) at [n_mcus * max_h*max_v, 64]; out1/out2
+// at [n_mcus, 64] (or full-res when plain CMYK). Byte-identical to the
+// staged ops.color + forward_component pipeline.
+void jpx_encode_transform_cmyk(
+    const uint8_t* ink, int64_t h, int64_t w,
+    int32_t max_h, int32_t max_v, int32_t ycck,
+    const float* quant0, const float* quant1, const float* quant2,
+    const float* quant3,
+    const uint8_t* zz_to_nat, const int32_t* cconsts,
+    int16_t* out0, int16_t* out1, int16_t* out2, int16_t* out3,
+    int32_t n_threads) {
+    RgbEncCtx c;
+    rgb_ctx_init(c, nullptr, h, w, max_h, max_v, quant0, quant1, quant2,
+                 zz_to_nat, cconsts);
+    float qn3[64];
+    for (int zz = 0; zz < 64; ++zz) qn3[zz_to_nat[zz]] = quant3[zz];
+
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+    int64_t T = std::min<int64_t>(n_threads, c.mcc);
+    if (c.mcc * c.mcl * c.per_mcu_y < 2048) T = 1;
+
+    auto work = [&](int64_t s0, int64_t s1) {
+        RgbStripeScratch sc;
+        sc.init(c);
+        std::vector<uint8_t> kbuf((size_t)c.stripe_h * c.full_w, 0);
+        bool kdirty = false;
+        for (int64_t s = s0; s < s1; ++s) {
+            const int64_t y0 = s * c.stripe_h;
+            const int64_t rows = std::min<int64_t>(c.stripe_h, h - y0);
+            if (rows < c.stripe_h) {
+                if (sc.dirty) {
+                    std::fill(sc.ybuf.begin(), sc.ybuf.end(), 0);
+                    std::fill(sc.cbbuf.begin(), sc.cbbuf.end(), 0);
+                    std::fill(sc.crbuf.begin(), sc.crbuf.end(), 0);
+                }
+                if (kdirty) std::fill(kbuf.begin(), kbuf.end(), 0);
+            }
+            sc.dirty = true;
+            kdirty = true;
+            for (int64_t r = 0; r < rows; ++r) {
+                const uint8_t* src = ink + ((y0 + r) * w) * 4;
+                uint8_t* d0 = sc.ybuf.data() + r * c.full_w;
+                uint8_t* d1 = sc.cbbuf.data() + r * c.full_w;
+                uint8_t* d2 = sc.crbuf.data() + r * c.full_w;
+                uint8_t* d3 = kbuf.data() + r * c.full_w;
+                int32_t rr[64], gg[64], bb[64], kk[64];
+                for (int64_t x = 0; x < w;) {
+                    int64_t n = std::min<int64_t>(64, w - x);
+                    const uint8_t* p = src + 4 * x;
+                    for (int64_t j = 0; j < n; ++j) {
+                        rr[j] = p[4 * j];
+                        gg[j] = p[4 * j + 1];
+                        bb[j] = p[4 * j + 2];
+                        kk[j] = p[4 * j + 3];
+                    }
+                    if (ycck) {
+                        for (int64_t j = 0; j < n; ++j) {
+                            d0[x + j] = (uint8_t)((c.yr * rr[j] + c.yg * gg[j] + (c.yb * bb[j] + kCcHalf)) >> 16);
+                            d1[x + j] = (uint8_t)((c.cbr * rr[j] + c.cbg * gg[j] + (c.cbb * bb[j] + kCcFudge)) >> 16);
+                            d2[x + j] = (uint8_t)(((c.cbb * rr[j] + kCcFudge) + c.crg * gg[j] + c.crb * bb[j]) >> 16);
+                            d3[x + j] = (uint8_t)(255 - kk[j]);
+                        }
+                    } else {
+                        for (int64_t j = 0; j < n; ++j) {
+                            d0[x + j] = (uint8_t)(255 - rr[j]);
+                            d1[x + j] = (uint8_t)(255 - gg[j]);
+                            d2[x + j] = (uint8_t)(255 - bb[j]);
+                            d3[x + j] = (uint8_t)(255 - kk[j]);
+                        }
+                    }
+                    x += n;
+                }
+            }
+            // Full-resolution components (0 and 3; all four when plain
+            // CMYK since max_h == max_v == 1 makes "full res" == 1x1).
+            struct Full { const uint8_t* buf; const float* q; int16_t* out; };
+            Full fulls[2] = {
+                {sc.ybuf.data(), c.qn_y, out0},
+                {kbuf.data(), qn3, out3},
+            };
+            for (auto& f : fulls) {
+                for (int br = 0; br < c.max_v; ++br) {
+                    for (int64_t bc = 0; bc < c.mcl * c.max_h; ++bc) {
+                        int16_t* dst = f.out +
+                            (((s * c.mcl + bc / c.max_h) * c.per_mcu_y) +
+                             (int64_t)br * c.max_h + bc % c.max_h) * 64;
+                        fdct_block_u8(
+                            f.buf + (int64_t)br * 8 * c.full_w + bc * 8,
+                            c.full_w, f.q, c.zz, 128.0f, dst);
+                    }
+                }
+            }
+            // Chroma-layout components (1 and 2): box subsample when
+            // sampled, plain 1x1 otherwise.
+            for (int ch = 0; ch < 2; ++ch) {
+                const uint8_t* plane = ch == 0 ? sc.cbbuf.data() : sc.crbuf.data();
+                uint8_t* sub = ch == 0 ? sc.subcb.data() : sc.subcr.data();
+                if (c.box_n == 1) {
+                    sub = const_cast<uint8_t*>(plane);
+                } else {
+                    for (int oy = 0; oy < 8; ++oy) {
+                        uint8_t* orow = sub + (int64_t)oy * c.mcl * 8;
+                        for (int64_t ox = 0; ox < c.mcl * 8; ++ox) {
+                            int32_t sum = 0;
+                            for (int dy = 0; dy < c.max_v; ++dy) {
+                                const uint8_t* irow = plane +
+                                    ((int64_t)oy * c.max_v + dy) * c.full_w +
+                                    ox * c.max_h;
+                                for (int dx = 0; dx < c.max_h; ++dx)
+                                    sum += irow[dx];
+                            }
+                            orow[ox] = (uint8_t)((sum + c.box_delta) / c.box_n);
+                        }
+                    }
+                }
+                const float* q = ch == 0 ? c.qn_cb : c.qn_cr;
+                int16_t* o = ch == 0 ? out1 : out2;
+                for (int64_t bc = 0; bc < c.mcl; ++bc) {
+                    fdct_block_u8(sub + bc * 8, c.mcl * 8, q, c.zz, 128.0f,
+                                  o + (s * c.mcl + bc) * 64);
+                }
+            }
+        }
+    };
+    if (T <= 1) {
+        work(0, c.mcc);
+        return;
+    }
+    std::vector<std::thread> pool;
+    int64_t step = (c.mcc + T - 1) / T;
+    for (int64_t t = 0; t < T; ++t) {
+        int64_t b = t * step;
+        if (b >= c.mcc) break;
+        pool.emplace_back(work, b, std::min(c.mcc, b + step));
+    }
+    for (auto& th : pool) th.join();
+}
+
 // Fully fused fixed-table baseline scan: transform + Huffman emission
 // in one threaded pass (the scan entropy bytes, including RSTn
 // separators when restart_interval > 0, land in `out`; headers are the

@@ -1161,6 +1161,53 @@ def encode_transform_rgb(rgb: np.ndarray, max_h: int, max_v: int, quants,
     return out_y, out_cb, out_cr
 
 
+def encode_transform_cmyk(ink: np.ndarray, max_h: int, max_v: int,
+                          ycck: bool, quants):
+    """Fused 4-component ink (CMYK/YCCK) encode transform: one
+    threaded native stripe pass (invert / fixed-point YCCK convert +
+    pad + chroma subsample + FDCT + quantize + MCU ordering).
+    ``quants``: four [64] zig-zag divisor tables in frame order.
+    Returns four int16 [N, 64] MCU-ordered block arrays."""
+    lib = build.load_library()
+    from ..ops import color as color_ops
+    from ..ops.zigzag import ZIGZAG_TO_BLOCK
+
+    ink = np.ascontiguousarray(ink, dtype=np.uint8)
+    h, w = ink.shape[:2]
+    mcl = -(-w // (8 * max_h))
+    mcc = -(-h // (8 * max_v))
+    n_mcus = mcl * mcc
+    per = max_h * max_v
+    outs = [
+        np.empty((n_mcus * per, 64), dtype=np.int16),
+        np.empty((n_mcus, 64), dtype=np.int16),
+        np.empty((n_mcus, 64), dtype=np.int16),
+        np.empty((n_mcus * per, 64), dtype=np.int16),
+    ]
+    qs = [np.ascontiguousarray(q, dtype=np.float32) for q in quants]
+    zz = np.ascontiguousarray(ZIGZAG_TO_BLOCK, dtype=np.uint8)
+    consts = (ctypes.c_int32 * 8)(
+        color_ops._Y_R, color_ops._Y_G, color_ops._Y_B,
+        color_ops._CB_R, color_ops._CB_G, color_ops._CB_B,
+        color_ops._CR_G, color_ops._CR_B,
+    )
+    lib.jpx_encode_transform_cmyk(
+        ink.ctypes.data_as(ctypes.c_void_p), h, w,
+        max_h, max_v, 1 if ycck else 0,
+        qs[0].ctypes.data_as(ctypes.c_void_p),
+        qs[1].ctypes.data_as(ctypes.c_void_p),
+        qs[2].ctypes.data_as(ctypes.c_void_p),
+        qs[3].ctypes.data_as(ctypes.c_void_p),
+        zz.ctypes.data_as(ctypes.c_void_p), consts,
+        outs[0].ctypes.data_as(ctypes.c_void_p),
+        outs[1].ctypes.data_as(ctypes.c_void_p),
+        outs[2].ctypes.data_as(ctypes.c_void_p),
+        outs[3].ctypes.data_as(ctypes.c_void_p),
+        0,
+    )
+    return outs
+
+
 def encode_rgb_scan(
     rgb: np.ndarray,
     max_h: int,
