@@ -13,6 +13,7 @@ import pytest
 from jpeglibrary_tpu.models.encoder import (
     JpegEncoder,
     _configure_rgb_encoder,
+    encode_cmyk,
     encode_rgb,
 )
 
@@ -132,3 +133,65 @@ def test_set_input_rgb_fallback_for_nonstandard_layout():
     enc.set_input_rgb(rgb)
     data = enc.encode()
     assert jt.decode(data).width == 32
+
+
+# -- fused 4-component ink transform (jpx_encode_transform_cmyk) --
+
+
+def _ink_image(h, w, seed=11):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (120 + 90 * np.sin(yy / 11.0) * np.cos(xx / 17.0)).astype(np.float32)
+    ink = np.stack([base, 255 - base, 0.5 * base + 60, 0.25 * base], axis=-1)
+    ink = ink + rng.normal(0, 12, ink.shape)
+    return np.clip(ink, 0, 255).astype(np.uint8)
+
+
+def _staged_ink(ink, monkeypatch, **kw):
+    """encode_cmyk with the fused precondition forced off -> the
+    staged convert + plane path inside encode()."""
+    from jpeglibrary_tpu.models import encoder as encoder_mod
+
+    monkeypatch.setattr(
+        encoder_mod.JpegEncoder, "_fused_ink_applies", lambda self, xp: False
+    )
+    try:
+        return encoder_mod.encode_cmyk(ink, **kw)
+    finally:
+        monkeypatch.undo()
+
+
+@pytest.mark.parametrize("ycck", [False, True])
+@pytest.mark.parametrize("shape", [(64, 64), (57, 41), (16, 8)])
+def test_fused_ink_matches_staged(ycck, shape, monkeypatch):
+    ink = _ink_image(*shape)
+    kw = dict(quality=80, ycck=ycck)
+    assert encode_cmyk(ink, **kw) == _staged_ink(ink, monkeypatch, **kw)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"ycck": True, "subsampling": "444"},
+        {"ycck": True, "subsampling": "422"},
+        {"ycck": True, "optimize_coding": True},
+        {"ycck": False, "optimize_coding": True},
+        {"ycck": True, "restart_interval": 3},
+        {"ycck": False, "restart_interval": 1},
+    ],
+)
+def test_fused_ink_matches_staged_options(kw, monkeypatch):
+    ink = _ink_image(75, 90)
+    assert encode_cmyk(ink, quality=75, **kw) == _staged_ink(
+        ink, monkeypatch, quality=75, **kw
+    )
+
+
+def test_fused_ink_roundtrip_decodes():
+    ink = _ink_image(96, 112)
+    data = encode_cmyk(ink, quality=92, ycck=True, subsampling="444")
+    res = jt.decode(data)
+    assert res.color_transform == "ycck"
+    dec = np.asarray(res.to_cmyk8()).astype(np.float64)
+    mse = ((dec - ink) ** 2).mean()
+    assert 10 * np.log10(255.0**2 / mse) > 30
