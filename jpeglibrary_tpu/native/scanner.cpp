@@ -3454,8 +3454,9 @@ static void ll_speculative_scan(const uint8_t* base, int64_t span_len,
     tail.clear();
 }
 
-static inline int ll_predict(int sel, int ra, int rb, int rc) {
-    switch (sel) {
+template <int SEL>
+static inline int32_t ll_predict_t(int32_t ra, int32_t rb, int32_t rc) {
+    switch (SEL) {
         case 1: return ra;
         case 2: return rb;
         case 3: return rc;
@@ -3464,6 +3465,78 @@ static inline int ll_predict(int sel, int ra, int rb, int rc) {
         case 6: return rb + ((ra - rc) >> 1);
         case 7: return (ra + rb) >> 1;
         default: return 0;
+    }
+}
+
+// Bit-free prediction pass for one component plane over an AoS diff
+// buffer [mcu][component]. A restart-start MCU predicts like a row-0
+// sample (JpegHuffmanLosslessScanDecoder.cs:109-115); interval <= 0
+// means no restart boundaries. The selector is a template parameter
+// and boundary positions are computed per row, so the inner loop
+// carries no per-sample switch or modulo — for predictor 1 it reduces
+// to the serial add chain.
+template <int SEL>
+static void ll_reconstruct_plane_t(int16_t* plane, int64_t width,
+                                   const int16_t* diffs, int n_comps, int ci,
+                                   int64_t mpl, int64_t mpc,
+                                   int64_t interval, int32_t init) {
+    const int16_t* dp = diffs + ci;
+    for (int64_t r = 0; r < mpc; ++r) {
+        int16_t* line = plane + r * width;
+        const int16_t* d = dp + r * mpl * n_comps;
+        if (r == 0) {
+            // Row 0: Rb = Rc = init everywhere, so a restart boundary
+            // changes nothing (same init-based formula).
+            line[0] = (int16_t)((int32_t)d[0] + init);
+            for (int64_t x = 1; x < mpl; ++x)
+                line[x] = (int16_t)((int32_t)d[x * n_comps] +
+                                    ll_predict_t<SEL>(line[x - 1], init, init));
+            continue;
+        }
+        const int16_t* last = plane + (r - 1) * width;
+        int64_t next_b = mpl;  // x of the next restart boundary this row
+        if (interval > 0) {
+            int64_t rem = (r * mpl) % interval;
+            next_b = rem == 0 ? 0 : interval - rem;
+        }
+        if (next_b == 0) {  // restart boundary at x == 0 -> init
+            line[0] = (int16_t)((int32_t)d[0] + init);
+            next_b = interval;
+        } else {
+            int32_t diff = (int32_t)d[0];
+            if (SEL != 0) diff += last[0];  // x==0 always predicts Rb
+            line[0] = (int16_t)diff;
+        }
+        int64_t x = 1;
+        while (x < mpl) {
+            const int64_t run_end = next_b < mpl ? next_b : mpl;
+            for (; x < run_end; ++x)
+                line[x] = (int16_t)((int32_t)d[x * n_comps] +
+                                    ll_predict_t<SEL>(line[x - 1], last[x],
+                                                      last[x - 1]));
+            if (x < mpl) {  // restart boundary mid-row
+                line[x] = (int16_t)((int32_t)d[x * n_comps] +
+                                    ll_predict_t<SEL>(line[x - 1], init, init));
+                ++x;
+                next_b += interval;
+            }
+        }
+    }
+}
+
+static void ll_reconstruct_plane(int sel, int16_t* plane, int64_t width,
+                                 const int16_t* diffs, int n_comps, int ci,
+                                 int64_t mpl, int64_t mpc,
+                                 int64_t interval, int32_t init) {
+    switch (sel) {
+        case 1: ll_reconstruct_plane_t<1>(plane, width, diffs, n_comps, ci, mpl, mpc, interval, init); break;
+        case 2: ll_reconstruct_plane_t<2>(plane, width, diffs, n_comps, ci, mpl, mpc, interval, init); break;
+        case 3: ll_reconstruct_plane_t<3>(plane, width, diffs, n_comps, ci, mpl, mpc, interval, init); break;
+        case 4: ll_reconstruct_plane_t<4>(plane, width, diffs, n_comps, ci, mpl, mpc, interval, init); break;
+        case 5: ll_reconstruct_plane_t<5>(plane, width, diffs, n_comps, ci, mpl, mpc, interval, init); break;
+        case 6: ll_reconstruct_plane_t<6>(plane, width, diffs, n_comps, ci, mpl, mpc, interval, init); break;
+        case 7: ll_reconstruct_plane_t<7>(plane, width, diffs, n_comps, ci, mpl, mpc, interval, init); break;
+        default: ll_reconstruct_plane_t<0>(plane, width, diffs, n_comps, ci, mpl, mpc, interval, init); break;
     }
 }
 
@@ -3571,31 +3644,10 @@ int jpx_decode_lossless_scan_parallel(
     std::vector<std::thread> pool;
     for (int ci = 0; ci < n_comps; ++ci) {
         pool.emplace_back([&, ci]() {
-            int16_t* plane = planes[ci];
-            int64_t width = plane_widths[ci];
-            const int16_t* d = all_diffs.data();
-            for (int64_t r = 0; r < mcus_per_column; ++r) {
-                int16_t* line = plane + r * width;
-                const int16_t* last = r > 0 ? plane + (r - 1) * width : nullptr;
-                for (int64_t x = 0; x < mcus_per_line; ++x) {
-                    int32_t diff = d[(r * mcus_per_line + x) * n_comps + ci];
-                    if (r == 0) {
-                        if (x == 0) {
-                            diff += initial_prediction;
-                        } else {
-                            diff += ll_predict(predictor_sel, line[x - 1],
-                                               initial_prediction,
-                                               initial_prediction);
-                        }
-                    } else if (x == 0) {
-                        if (predictor_sel) diff += last[0];  // sel 0: raw diffs
-                    } else {
-                        diff += ll_predict(predictor_sel, line[x - 1], last[x],
-                                           last[x - 1]);
-                    }
-                    line[x] = (int16_t)diff;
-                }
-            }
+            ll_reconstruct_plane(predictor_sel, planes[ci], plane_widths[ci],
+                                 all_diffs.data(), n_comps, ci,
+                                 mcus_per_line, mcus_per_column,
+                                 /*interval=*/0, initial_prediction);
         });
     }
     for (auto& th : pool) th.join();
@@ -3682,33 +3734,10 @@ int jpx_decode_lossless_restart_parallel(
     std::vector<std::thread> pool;
     for (int ci = 0; ci < n_comps; ++ci) {
         pool.emplace_back([&, ci]() {
-            int16_t* plane = planes[ci];
-            int64_t width = plane_widths[ci];
-            const int16_t* d = diffs.get();
-            for (int64_t r = 0; r < mcus_per_column; ++r) {
-                int16_t* line = plane + r * width;
-                const int16_t* last = r > 0 ? plane + (r - 1) * width : nullptr;
-                for (int64_t x = 0; x < mcus_per_line; ++x) {
-                    int64_t flat = r * mcus_per_line + x;
-                    int32_t diff = d[flat * n_comps + ci];
-                    bool restart_start = flat % restart_interval == 0;
-                    if (r == 0 || restart_start) {
-                        if (x == 0) {
-                            diff += initial_prediction;
-                        } else {
-                            diff += ll_predict(predictor_sel, line[x - 1],
-                                               initial_prediction,
-                                               initial_prediction);
-                        }
-                    } else if (x == 0) {
-                        if (predictor_sel) diff += last[0];  // sel 0: raw diffs
-                    } else {
-                        diff += ll_predict(predictor_sel, line[x - 1], last[x],
-                                           last[x - 1]);
-                    }
-                    line[x] = (int16_t)diff;
-                }
-            }
+            ll_reconstruct_plane(predictor_sel, planes[ci], plane_widths[ci],
+                                 diffs.get(), n_comps, ci,
+                                 mcus_per_line, mcus_per_column,
+                                 restart_interval, initial_prediction);
         });
     }
     for (auto& th : pool) th.join();
@@ -6475,33 +6504,10 @@ int jpx_decode_lossless_arith_restart_parallel(
     std::vector<std::thread> pool;
     for (int ci = 0; ci < n_comps; ++ci) {
         pool.emplace_back([&, ci]() {
-            int16_t* plane = planes[ci];
-            int64_t width = plane_widths[ci];
-            const int16_t* d = diffs.get();
-            for (int64_t r = 0; r < mcus_per_column; ++r) {
-                int16_t* line = plane + r * width;
-                const int16_t* last = r > 0 ? plane + (r - 1) * width : nullptr;
-                for (int64_t x = 0; x < mcus_per_line; ++x) {
-                    int64_t flat = r * mcus_per_line + x;
-                    int32_t diff = d[flat * n_comps + ci];
-                    bool restart_start = flat % restart_interval == 0;
-                    if (r == 0 || restart_start) {
-                        if (x == 0) {
-                            diff += initial_prediction;
-                        } else {
-                            diff += ll_predict(predictor_sel, line[x - 1],
-                                               initial_prediction,
-                                               initial_prediction);
-                        }
-                    } else if (x == 0) {
-                        if (predictor_sel) diff += last[0];  // sel 0: raw diffs
-                    } else {
-                        diff += ll_predict(predictor_sel, line[x - 1], last[x],
-                                           last[x - 1]);
-                    }
-                    line[x] = (int16_t)diff;
-                }
-            }
+            ll_reconstruct_plane(predictor_sel, planes[ci], plane_widths[ci],
+                                 diffs.get(), n_comps, ci,
+                                 mcus_per_line, mcus_per_column,
+                                 restart_interval, initial_prediction);
         });
     }
     for (auto& th : pool) th.join();
