@@ -7339,6 +7339,102 @@ extern "C" {
 //   restart start:  col 0 -> init, else row-0-style predictor
 // Exactly one of p8/p16 is non-null. diffs_out: int16 (mod-2^16
 // wrapped); hist: int64[256] category histogram, caller-zeroed.
+
+}  // extern "C"
+
+namespace {
+
+// Hot body for a row range, templated on the predictor selector and
+// the source sample type so the inner loop carries no per-sample
+// switch or `idx % ri` (restart boundaries are computed per row and
+// rows split into boundary-free runs, mirroring ll_reconstruct_plane_t).
+template <int SEL, typename SrcT>
+static void ll_diffs_hist_rows(const SrcT* src, int64_t h, int64_t w,
+                               int32_t pt, int32_t init, int64_t ri,
+                               int64_t r0, int64_t r1,
+                               int16_t* diffs_out, int64_t* hl) {
+    auto sample = [&](int64_t r, int64_t c) -> int32_t {
+        return (int32_t)src[r * w + c] >> pt;
+    };
+    auto emit = [&](int16_t* drow, int64_t c, int32_t s, int32_t pred) {
+        int16_t d = (int16_t)(s - pred);
+        drow[c] = d;
+        int cat;
+        if (d == -32768) {
+            cat = 16;
+        } else {
+            int32_t mag = d < 0 ? -(int32_t)d : (int32_t)d;
+            cat = mag ? 32 - __builtin_clz((unsigned)mag) : 0;
+        }
+        ++hl[cat];
+    };
+    for (int64_t r = r0; r < r1; ++r) {
+        int16_t* drow = diffs_out + r * w;
+        int64_t next_b = w;  // col of the next restart boundary this row
+        if (ri > 0) {
+            int64_t rem = (r * w) % ri;
+            next_b = rem == 0 ? 0 : ri - rem;
+        }
+        if (r == 0) {
+            // Row 0: Rb = Rc = init everywhere; a restart boundary
+            // predicts identically (col 0 -> init, else init-based).
+            int32_t left = sample(0, 0);
+            emit(drow, 0, left, init);
+            for (int64_t c = 1; c < w; ++c) {
+                int32_t s = sample(0, c);
+                emit(drow, c, s, ll_predict_t<SEL>(left, init, init));
+                left = s;
+            }
+            continue;
+        }
+        int32_t left = sample(r, 0);
+        if (next_b == 0) {  // restart boundary at col 0 -> init
+            emit(drow, 0, left, init);
+            next_b = ri;
+        } else {
+            emit(drow, 0, left, sample(r - 1, 0));  // Rb regardless of SEL
+        }
+        int64_t c = 1;
+        while (c < w) {
+            const int64_t run_end = next_b < w ? next_b : w;
+            for (; c < run_end; ++c) {
+                int32_t s = sample(r, c);
+                emit(drow, c, s,
+                     ll_predict_t<SEL>(left, sample(r - 1, c),
+                                       sample(r - 1, c - 1)));
+                left = s;
+            }
+            if (c < w) {  // restart boundary mid-row
+                int32_t s = sample(r, c);
+                emit(drow, c, s, ll_predict_t<SEL>(left, init, init));
+                left = s;
+                ++c;
+                next_b += ri;
+            }
+        }
+    }
+}
+
+template <typename SrcT>
+static void ll_diffs_hist_dispatch(const SrcT* src, int64_t h, int64_t w,
+                                   int32_t pt, int32_t sel, int32_t init,
+                                   int64_t ri, int64_t r0, int64_t r1,
+                                   int16_t* diffs_out, int64_t* hl) {
+    switch (sel) {
+        case 1: ll_diffs_hist_rows<1>(src, h, w, pt, init, ri, r0, r1, diffs_out, hl); break;
+        case 2: ll_diffs_hist_rows<2>(src, h, w, pt, init, ri, r0, r1, diffs_out, hl); break;
+        case 3: ll_diffs_hist_rows<3>(src, h, w, pt, init, ri, r0, r1, diffs_out, hl); break;
+        case 4: ll_diffs_hist_rows<4>(src, h, w, pt, init, ri, r0, r1, diffs_out, hl); break;
+        case 5: ll_diffs_hist_rows<5>(src, h, w, pt, init, ri, r0, r1, diffs_out, hl); break;
+        case 6: ll_diffs_hist_rows<6>(src, h, w, pt, init, ri, r0, r1, diffs_out, hl); break;
+        default: ll_diffs_hist_rows<7>(src, h, w, pt, init, ri, r0, r1, diffs_out, hl); break;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
 int64_t jpx_lossless_diffs_hist(
     const uint8_t* p8, const uint16_t* p16,
     int64_t h, int64_t w,
@@ -7352,22 +7448,6 @@ int64_t jpx_lossless_diffs_hist(
     int64_t T = std::min<int64_t>(n_threads, h);
     if (h * w < (int64_t)1 << 16) T = 1;
 
-    auto sample = [&](int64_t r, int64_t c) -> int32_t {
-        int32_t v = p8 ? (int32_t)p8[r * w + c] : (int32_t)p16[r * w + c];
-        return v >> pt;
-    };
-    auto predict = [&](int32_t a, int32_t b, int32_t cc) -> int32_t {
-        switch (sel) {
-            case 1: return a;
-            case 2: return b;
-            case 3: return cc;
-            case 4: return a + b - cc;
-            case 5: return a + ((b - cc) >> 1);
-            case 6: return b + ((a - cc) >> 1);
-            default: return (a + b) >> 1;
-        }
-    };
-
     std::vector<std::vector<int64_t>> hist_local((size_t)T,
                                                  std::vector<int64_t>(256, 0));
     std::vector<std::thread> pool;
@@ -7375,36 +7455,12 @@ int64_t jpx_lossless_diffs_hist(
     auto work = [&](int64_t t) {
         int64_t r0 = t * step, r1 = std::min(h, r0 + step);
         int64_t* hl = hist_local[(size_t)t].data();
-        for (int64_t r = r0; r < r1; ++r) {
-            int16_t* drow = diffs_out + r * w;
-            for (int64_t c = 0; c < w; ++c) {
-                int32_t s = sample(r, c);
-                int32_t pred;
-                int64_t idx = r * w + c;
-                bool restart_start = ri > 0 && idx % ri == 0 && idx > 0;
-                if (restart_start) {
-                    pred = c == 0 ? init
-                                  : predict(sample(r, c - 1), init, init);
-                } else if (r == 0) {
-                    pred = c == 0 ? init
-                                  : predict(sample(r, c - 1), init, init);
-                } else if (c == 0) {
-                    pred = sample(r - 1, 0);  // Rb regardless of selector
-                } else {
-                    pred = predict(sample(r, c - 1), sample(r - 1, c),
-                                   sample(r - 1, c - 1));
-                }
-                int16_t d = (int16_t)(s - pred);
-                drow[c] = d;
-                int cat;
-                if (d == -32768) {
-                    cat = 16;
-                } else {
-                    int32_t mag = d < 0 ? -(int32_t)d : (int32_t)d;
-                    cat = mag ? 32 - __builtin_clz((unsigned)mag) : 0;
-                }
-                ++hl[cat];
-            }
+        if (p8) {
+            ll_diffs_hist_dispatch(p8, h, w, pt, sel, init, ri, r0, r1,
+                                   diffs_out, hl);
+        } else {
+            ll_diffs_hist_dispatch(p16, h, w, pt, sel, init, ri, r0, r1,
+                                   diffs_out, hl);
         }
     };
     if (T <= 1) {
@@ -7458,16 +7514,23 @@ int64_t jpx_pack_lossless_diffs(
         return true;
     };
 
+    // Persistent per-calling-thread chunk buffers: fresh ~25 MB
+    // allocations per call cost more in page faults than the emit
+    // itself (the MemoryPool discipline — see _pack_scratch on the
+    // Python side and the fused-transform scratch reuse).
+    static thread_local std::vector<std::vector<uint8_t>> scratch_bufs;
+
     if (ri > 0) {
         const int64_t n_seg = (n_px + ri - 1) / ri;
         int64_t T = std::min<int64_t>(n_threads, n_seg);
         if (n_px * n_comps < (int64_t)1 << 16) T = 1;
         struct Chunk {
             int64_t g0, g1;
-            std::unique_ptr<uint8_t[]> buf;
+            uint8_t* buf;
             int64_t cap, n, status;
         };
         std::vector<Chunk> chunks((size_t)T);
+        if ((int64_t)scratch_bufs.size() < T) scratch_bufs.resize((size_t)T);
         int64_t per = (n_seg + T - 1) / T;
         for (int64_t t = 0; t < T; ++t) {
             chunks[t].g0 = std::min(n_seg, t * per);
@@ -7476,7 +7539,9 @@ int64_t jpx_pack_lossless_diffs(
             if (px < 0) px = 0;
             chunks[t].cap = px * n_comps * 8 +
                             (chunks[t].g1 - chunks[t].g0) * 2 + 64;
-            chunks[t].buf.reset(new uint8_t[(size_t)chunks[t].cap]);
+            if ((int64_t)scratch_bufs[t].size() < chunks[t].cap)
+                scratch_bufs[t].resize((size_t)chunks[t].cap);
+            chunks[t].buf = scratch_bufs[t].data();
             chunks[t].n = 0;
             chunks[t].status = 0;
         }
@@ -7484,7 +7549,7 @@ int64_t jpx_pack_lossless_diffs(
             Chunk& ck = chunks[t];
             int64_t pos = 0;
             for (int64_t g = ck.g0; g < ck.g1; ++g) {
-                BitPacker bp{ck.buf.get() + pos, ck.cap - pos, 0, 0, 0};
+                BitPacker bp{ck.buf + pos, ck.cap - pos, 0, 0, 0};
                 int64_t i1 = std::min(n_px, (g + 1) * ri);
                 for (int64_t i = g * ri; i < i1; ++i)
                     if (!emit_px(bp, i, ck.status)) return;
@@ -7513,7 +7578,7 @@ int64_t jpx_pack_lossless_diffs(
         if (total > capacity) return -1;
         int64_t off = 0;
         for (auto& ck : chunks) {
-            std::memcpy(out + off, ck.buf.get(), (size_t)ck.n);
+            std::memcpy(out + off, ck.buf, (size_t)ck.n);
             off += ck.n;
         }
         return total;
@@ -7523,22 +7588,25 @@ int64_t jpx_pack_lossless_diffs(
     int64_t T = std::min<int64_t>(n_threads, std::max<int64_t>(1, n_px / 4096));
     struct Chunk {
         int64_t i0, i1;
-        std::unique_ptr<uint8_t[]> buf;
+        uint8_t* buf;
         int64_t cap, bits, status;
     };
     std::vector<Chunk> chunks((size_t)T);
+    if ((int64_t)scratch_bufs.size() < T) scratch_bufs.resize((size_t)T);
     int64_t per = (n_px + T - 1) / T;
     for (int64_t t = 0; t < T; ++t) {
         chunks[t].i0 = std::min(n_px, t * per);
         chunks[t].i1 = std::min(n_px, (t + 1) * per);
         chunks[t].cap = (chunks[t].i1 - chunks[t].i0) * n_comps * 8 + 64;
-        chunks[t].buf.reset(new uint8_t[(size_t)chunks[t].cap]);
+        if ((int64_t)scratch_bufs[t].size() < chunks[t].cap)
+            scratch_bufs[t].resize((size_t)chunks[t].cap);
+        chunks[t].buf = scratch_bufs[t].data();
         chunks[t].bits = 0;
         chunks[t].status = 0;
     }
     auto work = [&](int64_t t) {
         Chunk& ck = chunks[t];
-        RawSink rp{ck.buf.get(), ck.cap, 0, 0, 0};
+        RawSink rp{ck.buf, ck.cap, 0, 0, 0};
         for (int64_t i = ck.i0; i < ck.i1; ++i)
             if (!emit_px(rp, i, ck.status)) return;
         ck.bits = rp.finish_unstuffed();
@@ -7555,7 +7623,7 @@ int64_t jpx_pack_lossless_diffs(
     std::vector<int64_t> nbits((size_t)T);
     for (int64_t t = 0; t < T; ++t) {
         if (chunks[t].status < 0) return chunks[t].status;
-        bufs[t] = chunks[t].buf.get();
+        bufs[t] = chunks[t].buf;
         nbits[t] = chunks[t].bits;
     }
     return merge_stuff_chunks(bufs.data(), nbits.data(), (int)T, out, capacity);

@@ -1585,11 +1585,14 @@ def lossless_diffs_hist(plane: np.ndarray, pt: int, sel: int, init: int,
     return diffs, hist
 
 
-def pack_lossless_diffs(diff_planes, tables, restart_interval: int = 0) -> bytes:
+def pack_lossless_diffs(diff_planes, tables, restart_interval: int = 0):
     """Pack interleaved 1x1 lossless diff planes into the scan entropy
     bytes in one threaded native call (RSTn segments when
     ``restart_interval`` > 0, shift-merged concurrent chunks
-    otherwise). Byte-identical to the cats/raws staged pack."""
+    otherwise). Byte-identical to the cats/raws staged pack. Returns a
+    read-only memoryview over a freshly allocated buffer (compares and
+    joins like bytes; avoids an extra multi-MB copy on the encode hot
+    path)."""
     lib = build.load_library()
     n = len(diff_planes)
     diffs = [np.ascontiguousarray(d, dtype=np.int16) for d in diff_planes]
@@ -1619,7 +1622,8 @@ def pack_lossless_diffs(diff_planes, tables, restart_interval: int = 0) -> bytes
         raise RuntimeError("lossless table missing a category code")
     if written < 0:
         raise RuntimeError("lossless pack capacity exceeded")
-    return out[: int(written)].tobytes()
+    view = memoryview(out)[: int(written)]
+    return view.toreadonly()
 
 
 def pack_lossless_restart(cats: np.ndarray, raws: np.ndarray, tables,
