@@ -446,14 +446,13 @@ class JpegEncoder:
 
             writer = JpegWriter()
             self._write_headers(writer, fixed)
-            writer.write_bytes(
-                native_scanner.encode_rgb_scan(
-                    self._input_rgb, max_h, max_v, quants, comp_tables,
-                    self.restart_interval,
-                )
+            scan = native_scanner.encode_rgb_scan(
+                self._input_rgb, max_h, max_v, quants, comp_tables,
+                self.restart_interval,
             )
-            writer.write_marker(Marker.EOI)
-            return writer.to_bytes()
+            # Single final copy: join headers + scan + EOI rather than
+            # pushing the scan through the writer's bytearray twice.
+            return b"".join((writer.to_bytes(), scan, bytes([0xFF, Marker.EOI])))
 
         comp_blocks: List[np.ndarray] = []
         fused_hists = None

@@ -1278,7 +1278,9 @@ def encode_rgb_scan(
         raise JpegEncodeError("Huffman table has no code for an emitted symbol.")
     if written < 0:
         raise RuntimeError("native encode capacity exceeded")
-    return out[: int(written)].tobytes()
+    # Read-only memoryview: spares a full copy of the scan bytes on the
+    # encode hot path (joins/compares like bytes).
+    return memoryview(out)[: int(written)].toreadonly()
 
 
 def encode_prog_dc(blocks_list, per_mcu, n_mcus: int, ah: int, al: int,
