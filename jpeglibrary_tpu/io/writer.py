@@ -15,8 +15,15 @@ from __future__ import annotations
 
 
 class JpegWriter:
+    # Payloads at least this large are kept as zero-copy chunks and
+    # joined once in to_bytes() instead of being copied into the
+    # working bytearray (a multi-MB entropy blob otherwise gets copied
+    # twice: into _out, then again by to_bytes()).
+    _CHUNK_THRESHOLD = 1 << 16
+
     def __init__(self):
-        self._out = bytearray()
+        self._chunks = []  # closed zero-copy segments (bytes/memoryview)
+        self._out = bytearray()  # open tail being appended to
         self._register = 0  # bits accumulated MSB-first, right-justified
         self._bit_count = 0
         self._bit_mode = False
@@ -31,13 +38,19 @@ class JpegWriter:
         value = payload_length + 2
         self._out += bytes([(value >> 8) & 0xFF, value & 0xFF])
 
-    def write_bytes(self, data: bytes) -> None:
-        self._out += data
+    def write_bytes(self, data) -> None:
+        if len(data) >= self._CHUNK_THRESHOLD:
+            if self._out:
+                self._chunks.append(self._out)
+                self._out = bytearray()
+            self._chunks.append(data)
+        else:
+            self._out += data
 
     def write_segment(self, marker: int, payload: bytes) -> None:
         self.write_marker(marker)
         self.write_length(len(payload))
-        self._out += payload
+        self.write_bytes(payload)
 
     # -- bit mode --
 
@@ -71,7 +84,9 @@ class JpegWriter:
     # -- output --
 
     def to_bytes(self) -> bytes:
-        return bytes(self._out)
+        if not self._chunks:
+            return bytes(self._out)
+        return b"".join(self._chunks + [self._out])
 
     def __len__(self) -> int:
-        return len(self._out)
+        return sum(len(c) for c in self._chunks) + len(self._out)
