@@ -1331,7 +1331,7 @@ def encode_prog_dc(blocks_list, per_mcu, n_mcus: int, ah: int, al: int,
         raise JpegEncodeError("Huffman table has no code for a DC symbol.")
     if written < 0:
         raise RuntimeError("prog DC emission capacity exceeded")
-    return out[: int(written)].tobytes()
+    return memoryview(out)[: int(written)].toreadonly()
 
 
 def _encode_prog_ac(fn_name, blocks, ss, se, al, table=None, freq=None):
@@ -1367,7 +1367,7 @@ def _encode_prog_ac(fn_name, blocks, ss, se, al, table=None, freq=None):
         raise JpegEncodeError("Huffman table has no code for an AC symbol.")
     if written < 0:
         raise RuntimeError(f"{fn_name} emission capacity exceeded")
-    return out[: int(written)].tobytes()
+    return memoryview(out)[: int(written)].toreadonly()
 
 
 def encode_prog_ac_first(blocks, ss, se, al, table=None, freq=None):
@@ -1404,7 +1404,7 @@ def encode_arith_prog_dc(blocks_list, per_mcu, n_mcus: int, ah: int, al: int,
     )
     if written < 0:
         raise RuntimeError("arith prog DC capacity exceeded")
-    return out[: int(written)].tobytes()
+    return memoryview(out)[: int(written)].toreadonly()
 
 
 def encode_arith_prog_ac(blocks, ac_id: int, ac_kx: int,
@@ -1421,7 +1421,7 @@ def encode_arith_prog_ac(blocks, ac_id: int, ac_kx: int,
     )
     if written < 0:
         raise RuntimeError("arith prog AC capacity exceeded")
-    return out[: int(written)].tobytes()
+    return memoryview(out)[: int(written)].toreadonly()
 
 
 def encode_arith_segment(comps: Sequence[dict], n_mcus: int) -> bytes:
@@ -1468,7 +1468,7 @@ def encode_arith_segment(comps: Sequence[dict], n_mcus: int) -> bytes:
     )
     if written < 0:
         raise RuntimeError("native arithmetic encode capacity exceeded")
-    return out[: int(written)].tobytes()
+    return memoryview(out)[: int(written)].toreadonly()
 
 
 def encode_arith_scan(comps: Sequence[dict], n_mcus: int,
@@ -1515,7 +1515,7 @@ def encode_arith_scan(comps: Sequence[dict], n_mcus: int,
     )
     if written < 0:
         raise RuntimeError("native arithmetic encode capacity exceeded")
-    return out[: int(written)].tobytes()
+    return memoryview(out)[: int(written)].toreadonly()
 
 
 def pack_lossless(cats: np.ndarray, raws: np.ndarray, tables, *,
@@ -1553,7 +1553,7 @@ def pack_lossless(cats: np.ndarray, raws: np.ndarray, tables, *,
         raise RuntimeError("lossless table missing a category code")
     if written < 0:
         raise RuntimeError("lossless pack capacity exceeded")
-    return out[: int(written)].tobytes()
+    return memoryview(out)[: int(written)].toreadonly()
 
 
 def lossless_diffs_hist(plane: np.ndarray, pt: int, sel: int, init: int,
@@ -1666,7 +1666,7 @@ def pack_lossless_restart(cats: np.ndarray, raws: np.ndarray, tables,
         raise RuntimeError("lossless table missing a category code")
     if written < 0:
         raise RuntimeError("lossless pack capacity exceeded")
-    return out[: int(written)].tobytes()
+    return memoryview(out)[: int(written)].toreadonly()
 
 
 def symbol_histograms(blocks: np.ndarray):
@@ -1752,7 +1752,7 @@ def encode_segment(comps: Sequence[dict], n_mcus: int, *, parallel: bool = False
         raise JpegEncodeError("Huffman table has no code for an emitted symbol.")
     if written < 0:
         raise RuntimeError("native encode capacity exceeded")
-    return out[: int(written)].tobytes()
+    return memoryview(out)[: int(written)].toreadonly()
 
 
 class EncodeCarry:
@@ -1828,7 +1828,7 @@ def encode_segment_carry(
         raise JpegEncodeError("Huffman table has no code for an emitted symbol.")
     if written < 0:
         raise RuntimeError("native encode capacity exceeded")
-    return out[: int(written)].tobytes()
+    return memoryview(out)[: int(written)].toreadonly()
 
 
 _PACK_SCRATCH = __import__("threading").local()
@@ -2045,7 +2045,7 @@ def encode_lossless_arith(
             out.ctypes.data_as(ctypes.c_void_p), cap, 0,
         )
         if written >= 0:
-            return out[:written].tobytes()
+            return memoryview(out)[:written].toreadonly()
         if written == -1:
             cap *= 2
             continue
