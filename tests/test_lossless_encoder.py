@@ -152,3 +152,25 @@ def test_transcode_preserves_point_transform():
     )
     assert ScanHeader.parse(sos11.payload(out11)).successive_approximation_bit_position_low == 2
     assert np.array_equal(a.planes[0], jt.decode(out11).planes[0])
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+@pytest.mark.parametrize("ri", [32, 33, 34, 69, 100000])
+def test_restart_reconstruction_alignment(rng, predictor, ri):
+    """Restart boundaries at every row alignment (ri == width, width+-1,
+    2*width+3, and past-the-end) through the run-splitting parallel
+    reconstruction, for all 7 predictors, vs the pure-Python scanner."""
+    import os
+
+    img = rng.integers(0, 256, size=(17, 33, 3), dtype=np.uint8)
+    enc = encode_lossless(img, predictor=predictor, restart_interval=ri)
+    os.environ["JPX_SCAN_THREADS"] = "4"
+    try:
+        a = jt.decode(enc)
+        b = jt.decode(enc, use_native=False)
+    finally:
+        os.environ.pop("JPX_SCAN_THREADS", None)
+    for k in a.samples:
+        np.testing.assert_array_equal(a.samples[k], b.samples[k])
+    rec = np.stack([a.planes[i] for i in range(3)], axis=-1).astype(np.uint8)
+    np.testing.assert_array_equal(rec[:17, :33], img)
