@@ -7480,6 +7480,91 @@ int64_t jpx_lossless_diffs_hist(
 // emits byte-aligned segments + RSTn (threaded over segment ranges);
 // 0 packs chunk bit-streams concurrently and shift-merges them
 // (merge_stuff_chunks), identical bytes to a sequential pack.
+
+}  // extern "C"
+
+namespace {
+
+// One lossless diff symbol (category code + raw magnitude bits fused
+// into a single sink write). Returns false with status -2 (missing
+// code) or -1 (capacity).
+template <class Sink>
+static inline bool ll_emit_one(Sink& bp, int32_t d, const uint16_t* code,
+                               const uint8_t* size, int64_t& status) {
+    int cat;
+    uint32_t raw = 0;
+    if (d == -32768) {
+        cat = 16;
+    } else {
+        int32_t mag = d < 0 ? -d : d;
+        cat = mag ? 32 - __builtin_clz((unsigned)mag) : 0;
+        raw = (uint32_t)(d < 0 ? d - 1 : d);
+    }
+    int sz = size[cat];
+    if (sz == 0) { status = -2; return false; }
+    if (cat > 0 && cat < 16) {
+        uint32_t v = ((uint32_t)code[cat] << cat) | (raw & ((1u << cat) - 1));
+        if (!bp.write(v, sz + cat)) { status = -1; return false; }
+    } else {
+        if (!bp.write(code[cat], sz)) { status = -1; return false; }
+    }
+    return true;
+}
+
+// Emit pixels [i0, i1) of all components. NC-specialized so the plane
+// and table pointers live in registers instead of re-loading through
+// the pointer arrays on every symbol (the component loop unrolls).
+template <int NC, class Sink>
+static bool ll_emit_range(Sink& bp, const int16_t* const* diffs,
+                          const uint16_t* const* codes,
+                          const uint8_t* const* sizes,
+                          int64_t i0, int64_t i1, int64_t& status) {
+    const int16_t* dp[NC];
+    const uint16_t* cp[NC];
+    const uint8_t* sp[NC];
+    for (int c = 0; c < NC; ++c) {
+        dp[c] = diffs[c];
+        cp[c] = codes[c];
+        sp[c] = sizes[c];
+    }
+    for (int64_t i = i0; i < i1; ++i)
+        for (int c = 0; c < NC; ++c)
+            if (!ll_emit_one(bp, dp[c][i], cp[c], sp[c], status)) return false;
+    return true;
+}
+
+template <class Sink>
+static bool ll_emit_range_gen(Sink& bp, const int16_t* const* diffs,
+                              const uint16_t* const* codes,
+                              const uint8_t* const* sizes, int n_comps,
+                              int64_t i0, int64_t i1, int64_t& status) {
+    for (int64_t i = i0; i < i1; ++i)
+        for (int c = 0; c < n_comps; ++c)
+            if (!ll_emit_one(bp, diffs[c][i], codes[c], sizes[c], status))
+                return false;
+    return true;
+}
+
+template <class Sink>
+static inline bool ll_emit_dispatch(Sink& bp, const int16_t* const* diffs,
+                                    const uint16_t* const* codes,
+                                    const uint8_t* const* sizes, int n_comps,
+                                    int64_t i0, int64_t i1, int64_t& status) {
+    switch (n_comps) {
+        case 1: return ll_emit_range<1>(bp, diffs, codes, sizes, i0, i1, status);
+        case 2: return ll_emit_range<2>(bp, diffs, codes, sizes, i0, i1, status);
+        case 3: return ll_emit_range<3>(bp, diffs, codes, sizes, i0, i1, status);
+        case 4: return ll_emit_range<4>(bp, diffs, codes, sizes, i0, i1, status);
+        default:
+            return ll_emit_range_gen(bp, diffs, codes, sizes, n_comps, i0, i1,
+                                     status);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
 int64_t jpx_pack_lossless_diffs(
     const int16_t** diffs, int32_t n_comps, int64_t n_px,
     int64_t ri,
@@ -7487,32 +7572,6 @@ int64_t jpx_pack_lossless_diffs(
     uint8_t* out, int64_t capacity, int32_t n_threads) {
     int hw_ = (int)std::thread::hardware_concurrency();
     if (n_threads <= 0) n_threads = hw_ > 0 ? hw_ : 1;
-
-    // Emit one pixel's diffs (all components) into any bit sink.
-    auto emit_px = [&](auto& bp, int64_t i, int64_t& status) -> bool {
-        for (int ci = 0; ci < n_comps; ++ci) {
-            int32_t d = diffs[ci][i];
-            int cat;
-            uint32_t raw = 0;
-            if (d == -32768) {
-                cat = 16;
-            } else {
-                int32_t mag = d < 0 ? -d : d;
-                cat = mag ? 32 - __builtin_clz((unsigned)mag) : 0;
-                raw = (uint32_t)(d < 0 ? d - 1 : d);
-            }
-            int size = sizes[ci][cat];
-            if (size == 0) { status = -2; return false; }
-            if (cat > 0 && cat < 16) {
-                uint32_t v = ((uint32_t)codes[ci][cat] << cat) |
-                             (raw & ((1u << cat) - 1));
-                if (!bp.write(v, size + cat)) { status = -1; return false; }
-            } else {
-                if (!bp.write(codes[ci][cat], size)) { status = -1; return false; }
-            }
-        }
-        return true;
-    };
 
     // Persistent per-calling-thread chunk buffers: fresh ~25 MB
     // allocations per call cost more in page faults than the emit
@@ -7551,8 +7610,9 @@ int64_t jpx_pack_lossless_diffs(
             for (int64_t g = ck.g0; g < ck.g1; ++g) {
                 BitPacker bp{ck.buf + pos, ck.cap - pos, 0, 0, 0};
                 int64_t i1 = std::min(n_px, (g + 1) * ri);
-                for (int64_t i = g * ri; i < i1; ++i)
-                    if (!emit_px(bp, i, ck.status)) return;
+                if (!ll_emit_dispatch(bp, diffs, codes, sizes, n_comps,
+                                      g * ri, i1, ck.status))
+                    return;
                 if (!bp.finish()) { ck.status = -1; return; }
                 pos += bp.n;
                 if (g < n_seg - 1) {
@@ -7607,8 +7667,9 @@ int64_t jpx_pack_lossless_diffs(
     auto work = [&](int64_t t) {
         Chunk& ck = chunks[t];
         RawSink rp{ck.buf, ck.cap, 0, 0, 0};
-        for (int64_t i = ck.i0; i < ck.i1; ++i)
-            if (!emit_px(rp, i, ck.status)) return;
+        if (!ll_emit_dispatch(rp, diffs, codes, sizes, n_comps,
+                              ck.i0, ck.i1, ck.status))
+            return;
         ck.bits = rp.finish_unstuffed();
         if (ck.bits < 0) ck.status = -1;
     };
