@@ -446,13 +446,14 @@ class JpegEncoder:
 
             writer = JpegWriter()
             self._write_headers(writer, fixed)
-            scan = native_scanner.encode_rgb_scan(
-                self._input_rgb, max_h, max_v, quants, comp_tables,
-                self.restart_interval,
+            writer.write_bytes(
+                native_scanner.encode_rgb_scan(
+                    self._input_rgb, max_h, max_v, quants, comp_tables,
+                    self.restart_interval,
+                )
             )
-            # Single final copy: join headers + scan + EOI rather than
-            # pushing the scan through the writer's bytearray twice.
-            return b"".join((writer.to_bytes(), scan, bytes([0xFF, Marker.EOI])))
+            writer.write_marker(Marker.EOI)
+            return writer.to_bytes()  # single copy: the scan rides a chunk
 
         comp_blocks: List[np.ndarray] = []
         fused_hists = None

@@ -483,10 +483,9 @@ def _lossless_container(tables, payload, h, w, n_comps, sampling, precision,
         successive_approximation_bit_position_low=pt,
     )
     writer.write_segment(Marker.SOS, scan.serialize())
-    # One final copy: join headers + payload + EOI instead of copying
-    # the multi-MB entropy blob through the writer's bytearray and
-    # to_bytes() (each a full extra copy on the encode hot path).
-    return b"".join((writer.to_bytes(), payload, bytes([0xFF, Marker.EOI])))
+    writer.write_bytes(payload)
+    writer.write_marker(Marker.EOI)
+    return writer.to_bytes()  # single copy: the payload rides a chunk
 
 
 def _pack_lossless_py(cats, raws, tables, pattern) -> bytes:

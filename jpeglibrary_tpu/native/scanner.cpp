@@ -7561,6 +7561,46 @@ static inline bool ll_emit_dispatch(Sink& bp, const int16_t* const* diffs,
     }
 }
 
+// Per-calling-thread reusable emit chunk buffers (the MemoryPool
+// discipline: fresh ~25 MB allocations per call cost more in page
+// faults than the emit itself). Memory is UNINITIALIZED — a
+// std::vector resize would zero-fill the whole worst-case capacity —
+// and buffers above kRetain are released after the call instead of
+// being pinned for the thread's lifetime (worst-case caps are
+// ~8 bytes/symbol, so one large encode must not pin gigabytes).
+struct LlPackScratch {
+    static constexpr int64_t kRetain = 32 << 20;
+    struct Buf {
+        std::unique_ptr<uint8_t[]> p;
+        int64_t cap = 0;
+    };
+    std::vector<Buf> bufs;
+
+    uint8_t* get(size_t t, int64_t cap) {
+        if (bufs.size() <= t) bufs.resize(t + 1);
+        Buf& b = bufs[t];
+        if (b.cap < cap) {
+            b.p.reset(new uint8_t[(size_t)cap]);
+            b.cap = cap;
+        }
+        return b.p.get();
+    }
+    void trim() {
+        for (Buf& b : bufs)
+            if (b.cap > kRetain) {
+                b.p.reset();
+                b.cap = 0;
+            }
+    }
+};
+
+struct LlPackTrimGuard {
+    LlPackScratch& s;
+    ~LlPackTrimGuard() { s.trim(); }
+};
+
+static thread_local LlPackScratch g_ll_pack_scratch;
+
 }  // namespace
 
 extern "C" {
@@ -7573,12 +7613,6 @@ int64_t jpx_pack_lossless_diffs(
     int hw_ = (int)std::thread::hardware_concurrency();
     if (n_threads <= 0) n_threads = hw_ > 0 ? hw_ : 1;
 
-    // Persistent per-calling-thread chunk buffers: fresh ~25 MB
-    // allocations per call cost more in page faults than the emit
-    // itself (the MemoryPool discipline — see _pack_scratch on the
-    // Python side and the fused-transform scratch reuse).
-    static thread_local std::vector<std::vector<uint8_t>> scratch_bufs;
-
     if (ri > 0) {
         const int64_t n_seg = (n_px + ri - 1) / ri;
         int64_t T = std::min<int64_t>(n_threads, n_seg);
@@ -7589,7 +7623,7 @@ int64_t jpx_pack_lossless_diffs(
             int64_t cap, n, status;
         };
         std::vector<Chunk> chunks((size_t)T);
-        if ((int64_t)scratch_bufs.size() < T) scratch_bufs.resize((size_t)T);
+        LlPackTrimGuard trim_guard{g_ll_pack_scratch};
         int64_t per = (n_seg + T - 1) / T;
         for (int64_t t = 0; t < T; ++t) {
             chunks[t].g0 = std::min(n_seg, t * per);
@@ -7598,9 +7632,7 @@ int64_t jpx_pack_lossless_diffs(
             if (px < 0) px = 0;
             chunks[t].cap = px * n_comps * 8 +
                             (chunks[t].g1 - chunks[t].g0) * 2 + 64;
-            if ((int64_t)scratch_bufs[t].size() < chunks[t].cap)
-                scratch_bufs[t].resize((size_t)chunks[t].cap);
-            chunks[t].buf = scratch_bufs[t].data();
+            chunks[t].buf = g_ll_pack_scratch.get((size_t)t, chunks[t].cap);
             chunks[t].n = 0;
             chunks[t].status = 0;
         }
@@ -7652,15 +7684,13 @@ int64_t jpx_pack_lossless_diffs(
         int64_t cap, bits, status;
     };
     std::vector<Chunk> chunks((size_t)T);
-    if ((int64_t)scratch_bufs.size() < T) scratch_bufs.resize((size_t)T);
+    LlPackTrimGuard trim_guard{g_ll_pack_scratch};
     int64_t per = (n_px + T - 1) / T;
     for (int64_t t = 0; t < T; ++t) {
         chunks[t].i0 = std::min(n_px, t * per);
         chunks[t].i1 = std::min(n_px, (t + 1) * per);
         chunks[t].cap = (chunks[t].i1 - chunks[t].i0) * n_comps * 8 + 64;
-        if ((int64_t)scratch_bufs[t].size() < chunks[t].cap)
-            scratch_bufs[t].resize((size_t)chunks[t].cap);
-        chunks[t].buf = scratch_bufs[t].data();
+        chunks[t].buf = g_ll_pack_scratch.get((size_t)t, chunks[t].cap);
         chunks[t].bits = 0;
         chunks[t].status = 0;
     }

@@ -1215,7 +1215,7 @@ def encode_rgb_scan(
     quants,
     tables,
     restart_interval: int = 0,
-) -> bytes:
+):
     """Fully fused fixed-table baseline encode: transform + Huffman
     scan emission in ONE threaded native pass (jpx_encode_rgb_baseline)
     — the image bytes are read exactly once and coefficients never
@@ -1379,7 +1379,7 @@ def encode_prog_ac_refine(blocks, ss, se, al, table=None, freq=None):
 
 
 def encode_arith_prog_dc(blocks_list, per_mcu, n_mcus: int, ah: int, al: int,
-                         dc_ids, dc_l: int, dc_u: int) -> bytes:
+                         dc_ids, dc_l: int, dc_u: int):
     """Progressive arithmetic DC scan emission (SOF10)."""
     lib = build.load_library()
     n = len(blocks_list)
@@ -1408,7 +1408,7 @@ def encode_arith_prog_dc(blocks_list, per_mcu, n_mcus: int, ah: int, al: int,
 
 
 def encode_arith_prog_ac(blocks, ac_id: int, ac_kx: int,
-                         ss: int, se: int, ah: int, al: int) -> bytes:
+                         ss: int, se: int, ah: int, al: int):
     """Progressive arithmetic AC scan emission (SOF10, one component)."""
     lib = build.load_library()
     blocks = np.ascontiguousarray(blocks, dtype=np.int16)
@@ -1424,7 +1424,7 @@ def encode_arith_prog_ac(blocks, ac_id: int, ac_kx: int,
     return memoryview(out)[: int(written)].toreadonly()
 
 
-def encode_arith_segment(comps: Sequence[dict], n_mcus: int) -> bytes:
+def encode_arith_segment(comps: Sequence[dict], n_mcus: int):
     """Emit one arithmetic-coded (SOF9) entropy segment natively.
 
     ``comps``: per-component dicts with ``blocks`` (int16 [n, 64]
@@ -1472,7 +1472,7 @@ def encode_arith_segment(comps: Sequence[dict], n_mcus: int) -> bytes:
 
 
 def encode_arith_scan(comps: Sequence[dict], n_mcus: int,
-                      restart_interval: int = 0) -> bytes:
+                      restart_interval: int = 0):
     """Whole SOF9 scan in one native call: restart segments (fresh QM
     state each, the restart contract) encode on separate threads and
     concatenate with RSTn separators — byte-identical to per-segment
@@ -1519,7 +1519,7 @@ def encode_arith_scan(comps: Sequence[dict], n_mcus: int,
 
 
 def pack_lossless(cats: np.ndarray, raws: np.ndarray, tables, *,
-                  pattern=None) -> bytes:
+                  pattern=None):
     """Native lossless (SOF3) category-stream packer; entry i uses
     table pattern[i % len(pattern)] (default: plain component cycle).
     Bit-identical to models.lossless._pack_lossless_py."""
@@ -1629,7 +1629,7 @@ def pack_lossless_diffs(diff_planes, tables, restart_interval: int = 0):
 
 
 def pack_lossless_restart(cats: np.ndarray, raws: np.ndarray, tables,
-                          step: int, *, pattern=None) -> bytes:
+                          step: int, *, pattern=None):
     """Whole restart-segmented lossless scan in one native call:
     ``step`` entries per segment, fresh bit state + RSTn separators,
     threaded over segment ranges. Byte-identical to per-segment
@@ -1685,7 +1685,7 @@ def symbol_histograms(blocks: np.ndarray):
     return dc, ac
 
 
-def encode_segment(comps: Sequence[dict], n_mcus: int, *, parallel: bool = False) -> bytes:
+def encode_segment(comps: Sequence[dict], n_mcus: int, *, parallel: bool = False):
     """Emit one byte-aligned entropy segment natively.
 
     ``comps``: per-component dicts with keys ``blocks`` (int16 [n, 64]
@@ -1775,7 +1775,7 @@ class EncodeCarry:
 
 def encode_segment_carry(
     comps: Sequence[dict], n_mcus: int, carry: EncodeCarry, *, finalize: bool
-) -> bytes:
+):
     """Streaming (stripe-at-a-time) entropy emission: like
     ``encode_segment`` but DC predictors and the partial-byte bit
     register persist in ``carry`` across calls, so a scan can be
@@ -2001,7 +2001,7 @@ def encode_lossless_arith(
     initial_prediction: int,
     point_transform: int,
     restart_interval: int,
-) -> bytes:
+):
     """Native SOF11/SOF15 entropy encode: padded int32 component
     planes -> one entropy blob with inline RSTn markers. Bit-identical
     to the pure-Python encoder loop."""
