@@ -71,7 +71,7 @@ from .models.hierarchical import encode_hierarchical
 from .models.lossless import encode_lossless
 from .models.arithmetic_lossless import encode_lossless_arithmetic
 from .models.optimizer import JpegOptimizer, optimize
-from .models.transcode import transcode
+from .models.transcode import transcode, transform
 from .parallel.batch import decode_batch_rgb, decode_stream_rgb, encode_batch_rgb
 
 __all__ = [
@@ -94,6 +94,7 @@ __all__ = [
     "JpegOptimizer",
     "optimize",
     "transcode",
+    "transform",
     "enable_compile_cache",
 ]
 

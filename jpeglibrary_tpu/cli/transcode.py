@@ -36,16 +36,36 @@ def main(argv=None) -> int:
         "--restart-interval", type=int, default=0,
         help="emit DRI/RSTn seams every N MCUs where supported",
     )
+    parser.add_argument(
+        "--transform", default=None,
+        choices=[
+            "transpose", "fliph", "flipv",
+            "rot90", "rot180", "rot270", "transverse",
+        ],
+        help="lossless geometric transform in the coefficient domain "
+             "(jpegtran-class rotate/flip/transpose)",
+    )
+    parser.add_argument(
+        "--trim", action="store_true",
+        help="with --transform: drop a non-iMCU-aligned edge instead "
+             "of refusing (jpegtran -trim)",
+    )
     args = parser.parse_args(argv)
 
-    from ..models.transcode import transcode
+    from ..models.transcode import transcode, transform
 
     data = open(args.source, "rb").read()
-    out = transcode(
-        data, args.mode,
-        restart_interval=args.restart_interval,
-        predictor=args.predictor,
-    )
+    if args.transform is not None:
+        out = transform(
+            data, args.transform, mode=args.mode,
+            restart_interval=args.restart_interval, trim=args.trim,
+        )
+    else:
+        out = transcode(
+            data, args.mode,
+            restart_interval=args.restart_interval,
+            predictor=args.predictor,
+        )
     open(args.output, "wb").write(out)
     delta = len(data) - len(out)
     print(

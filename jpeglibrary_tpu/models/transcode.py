@@ -59,18 +59,7 @@ def transcode(
     out = _transcode_inner(
         data, mode, restart_interval=restart_interval, predictor=predictor
     )
-    from ..io.reader import parse_stream
-    from ..syntax.markers import Marker as _M
-
-    for seg in parse_stream(data).segments:
-        if seg.marker == _M.APP14:
-            payload = seg.payload(data)
-            if len(payload) >= 12 and payload[:5] == b"Adobe":
-                assert out[:2] == b"\xff\xd8"
-                return out[:2] + data[seg.offset : seg.payload_end] + out[2:]
-        if seg.marker == _M.SOS:
-            break
-    return out
+    return _copy_app14(data, out)
 
 
 def _transcode_inner(
@@ -193,6 +182,20 @@ def _transcode_inner(
         for fc in frame.components
     ]
     quant_ids = [fc.quantization_table_selector for fc in frame.components]
+    comp_ids = [fc.identifier for fc in frame.components]
+    return _emit_dct(
+        coeffs, qts, sampling, quant_ids, comp_ids, mode,
+        restart_interval=restart_interval,
+        size=(frame.number_of_lines, frame.samples_per_line),
+        precision=frame.sample_precision,
+    )
+
+
+def _emit_dct(coeffs, qts, sampling, quant_ids, comp_ids, mode, *,
+              restart_interval, size, precision):
+    """Emit zig-zag coefficient planes as a JPEG with the requested
+    entropy coding (the shared transcode/transform back end)."""
+    n_comps = len(coeffs)
     # statistics/table ids: first component gets 0, the rest share 1
     # (the standard luma/chroma split; generalizes to any comp count <= 4)
     table_ids = [0] + [1] * (n_comps - 1) if n_comps > 1 else [0]
@@ -219,14 +222,14 @@ def _transcode_inner(
             script=script,
             arithmetic=(mode == "arithmetic-progressive"),
             coefficients=coeffs,
-            size=(frame.number_of_lines, frame.samples_per_line),
-            precision=frame.sample_precision,
+            size=size,
+            precision=precision,
         )
 
     from .encoder import JpegEncoder
 
     enc = JpegEncoder()
-    enc.sample_precision = frame.sample_precision
+    enc.sample_precision = precision
     enc.restart_interval = restart_interval
     for qt in qts.values():
         enc.set_quantization_table(qt)
@@ -239,12 +242,277 @@ def _transcode_inner(
                 enc.set_huffman_table(is_dc, tid)  # build from data
     else:
         raise ValueError(f"unknown transcode mode {mode!r}")
-    for i, fc in enumerate(frame.components):
+    for i in range(n_comps):
         enc.add_component(
-            fc.identifier, quant_ids[i], table_ids[i], table_ids[i],
+            comp_ids[i], quant_ids[i], table_ids[i], table_ids[i],
             sampling[i][0], sampling[i][1],
         )
-    enc.set_coefficient_planes(
-        coeffs, frame.samples_per_line, frame.number_of_lines
-    )
+    enc.set_coefficient_planes(coeffs, size[1], size[0])
     return enc.encode()
+
+
+# ---------------------------------------------------------------------------
+# Lossless geometric transforms (jpegtran-class, coefficient domain)
+# ---------------------------------------------------------------------------
+
+#: supported operations: right-angle rotations, mirrors, transpose and
+#: transverse-transpose (= transpose of the 180-degree rotation)
+TRANSFORM_OPS = (
+    "transpose", "fliph", "flipv", "rot90", "rot180", "rot270", "transverse",
+)
+
+# Each op as a sequence of primitives applied left to right. rot90 is
+# clockwise (jpegtran -rotate 90): transpose, then mirror the new
+# horizontal axis.
+_TRANSFORM_SEQ = {
+    "transpose": ("t",),
+    "fliph": ("fh",),
+    "flipv": ("fv",),
+    "rot90": ("t", "fh"),
+    "rot270": ("t", "fv"),
+    "rot180": ("fh", "fv"),
+    "transverse": ("t", "fh", "fv"),
+}
+
+
+def _nat_signs():
+    """(-1)^v and (-1)^u sign vectors over natural-order 8x8."""
+    v = np.fromfunction(lambda u, vv: (-1.0) ** vv, (8, 8))
+    u = np.fromfunction(lambda uu, vv: (-1.0) ** uu, (8, 8))
+    return v.astype(np.int16), u.astype(np.int16)
+
+
+_SIGN_V, _SIGN_U = _nat_signs()
+
+
+def transform(
+    data: bytes,
+    op: str,
+    *,
+    mode: str = "optimized",
+    restart_interval: int = 0,
+    trim: bool = False,
+) -> bytes:
+    """Lossless geometric transform in the coefficient domain
+    (jpegtran-class: ``-rotate 90/180/270``, ``-flip h/v``,
+    ``-transpose``, ``-transverse`` — a capability absent from the
+    reference, whose only transcoder re-optimizes Huffman tables).
+
+    DCT inputs (SOF0/1/2/9/10) transform the quantized coefficients
+    exactly: the block grid is permuted, each 8x8 block is transposed
+    and/or sign-flipped ((-1)^u / (-1)^v mirrors the spatial axes), and
+    transpose ops also transpose the quantization tables and swap each
+    component's sampling factors. No requantization happens, so a
+    rot90+rot270 round trip is coefficient-exact.
+
+    Mirror axes must fall on iMCU boundaries (jpegtran -perfect):
+    ``fliph``/``rot270`` need width % (8*max_h) == 0, ``flipv``/
+    ``rot90`` need height % (8*max_v) == 0, ``rot180``/``transverse``
+    both. Pass ``trim=True`` to drop the offending partial edge
+    instead (jpegtran -trim).
+
+    Lossless inputs (SOF3/SOF11, 1x1 sampling) transform the sample
+    planes spatially and re-encode predictively — exact by
+    construction.
+
+    ``mode``/``restart_interval`` choose the output entropy coding as
+    in :func:`transcode`.
+    """
+    if op not in _TRANSFORM_SEQ:
+        raise ValueError(f"unknown transform {op!r}; one of {TRANSFORM_OPS}")
+    out = _transform_inner(
+        data, op, mode=mode, restart_interval=restart_interval, trim=trim
+    )
+    return _copy_app14(data, out)
+
+
+def _copy_app14(data: bytes, out: bytes) -> bytes:
+    """Copy an input Adobe APP14 tag into the output (color
+    interpretation must survive a lossless transform/transcode)."""
+    from ..io.reader import parse_stream
+    from ..syntax.markers import Marker as _M
+
+    for seg in parse_stream(data).segments:
+        if seg.marker == _M.APP14:
+            payload = seg.payload(data)
+            if len(payload) >= 12 and payload[:5] == b"Adobe":
+                assert out[:2] == b"\xff\xd8"
+                return out[:2] + data[seg.offset : seg.payload_end] + out[2:]
+        if seg.marker == _M.SOS:
+            break
+    return out
+
+
+def _transform_inner(data, op, *, mode, restart_interval, trim):
+    from ..ops.zigzag import BLOCK_TO_ZIGZAG
+
+    dec = JpegDecoder()
+    dec.set_input(data)
+    res = dec.decode()
+    frame = res.frame
+
+    if res.samples is not None:
+        # Lossless input: spatial ops on the sample planes.
+        sampling = [
+            (fc.horizontal_sampling_factor, fc.vertical_sampling_factor)
+            for fc in frame.components
+        ]
+        if any(s != (1, 1) for s in sampling):
+            raise ValueError(
+                "geometric transforms of sub-sampled lossless streams "
+                "are not supported (1x1 sampling only)"
+            )
+        planes = [
+            (res.samples[i].astype(np.int64) & 0xFFFF)[
+                : frame.number_of_lines, : frame.samples_per_line
+            ]
+            for i in range(len(frame.components))
+        ]
+        # Identical compositions to the coefficient-domain primitives:
+        # t = transpose, fh = mirror columns, fv = mirror rows.
+        spatial = {
+            "transpose": lambda p: p.T,
+            "fliph": lambda p: p[:, ::-1],
+            "flipv": lambda p: p[::-1, :],
+            "rot90": lambda p: p.T[:, ::-1],      # t, fh (clockwise)
+            "rot270": lambda p: p.T[::-1, :],     # t, fv
+            "rot180": lambda p: p[::-1, ::-1],    # fh, fv
+            "transverse": lambda p: p.T[::-1, ::-1],  # t, fh, fv
+        }[op]
+        planes = [np.ascontiguousarray(spatial(p)) for p in planes]
+        from ..io.reader import parse_stream
+        from ..syntax.frame import ScanHeader as _SH
+        from ..syntax.markers import Marker as _M
+
+        pt = 0
+        for seg in parse_stream(data).segments:
+            if seg.marker == _M.SOS:
+                pt = _SH.parse(
+                    seg.payload(data)
+                ).successive_approximation_bit_position_low
+                break
+        to_arith = mode in ("arithmetic", "arithmetic-progressive")
+        if to_arith:
+            from .arithmetic_lossless import encode_lossless_arithmetic
+
+            return encode_lossless_arithmetic(
+                [p << pt for p in planes],
+                precision=frame.sample_precision,
+                predictor=1,
+                point_transform=pt,
+                restart_interval=restart_interval,
+            )
+        from .lossless import encode_lossless
+
+        shifted = [p << pt for p in planes]
+
+        def enc(sel):
+            return encode_lossless(
+                shifted,
+                precision=frame.sample_precision,
+                predictor=sel,
+                point_transform=pt,
+                restart_interval=restart_interval,
+            )
+
+        return min((enc(sel) for sel in range(1, 8)), key=len)
+
+    n_comps = len(frame.components)
+    max_h = max(fc.horizontal_sampling_factor for fc in frame.components)
+    max_v = max(fc.vertical_sampling_factor for fc in frame.components)
+    sampling = [
+        (fc.horizontal_sampling_factor, fc.vertical_sampling_factor)
+        for fc in frame.components
+    ]
+    quant_ids = [fc.quantization_table_selector for fc in frame.components]
+    comp_ids = [fc.identifier for fc in frame.components]
+    w, h = frame.samples_per_line, frame.number_of_lines
+
+    # Natural-order [Hb, Wb, 8, 8] views of the zig-zag planes.
+    nat = []
+    for i in range(n_comps):
+        p = res.coefficients[i]
+        nat.append(p[..., BLOCK_TO_ZIGZAG].reshape(p.shape[0], p.shape[1], 8, 8))
+
+    # Quant tables in natural 8x8 (dequant vector is zig-zag ordered).
+    qnat = {}
+    for i in range(n_comps):
+        qid = quant_ids[i]
+        if qid not in qnat:
+            elements = res.quant[i].astype(np.int64)
+            qnat[qid] = elements[BLOCK_TO_ZIGZAG].reshape(8, 8)
+
+    def trim_axis(horizontal):
+        nonlocal nat, w, h
+        if horizontal:
+            new_w = (w // (8 * max_h)) * 8 * max_h
+            if new_w == 0:
+                raise ValueError("image narrower than one iMCU; cannot trim")
+            for i in range(n_comps):
+                hshare = sampling[i][0]
+                nat[i] = nat[i][:, : (new_w // (8 * max_h)) * hshare]
+            w = new_w
+        else:
+            new_h = (h // (8 * max_v)) * 8 * max_v
+            if new_h == 0:
+                raise ValueError("image shorter than one iMCU; cannot trim")
+            for i in range(n_comps):
+                vshare = sampling[i][1]
+                nat[i] = nat[i][: (new_h // (8 * max_v)) * vshare]
+            h = new_h
+
+    def require_imcu(horizontal, what):
+        if horizontal and w % (8 * max_h) != 0:
+            if trim:
+                trim_axis(True)
+            else:
+                raise ValueError(
+                    f"{what} needs width % {8 * max_h} == 0 (iMCU-aligned, "
+                    "jpegtran -perfect); pass trim=True to drop the edge"
+                )
+        if not horizontal and h % (8 * max_v) != 0:
+            if trim:
+                trim_axis(False)
+            else:
+                raise ValueError(
+                    f"{what} needs height % {8 * max_v} == 0 (iMCU-aligned, "
+                    "jpegtran -perfect); pass trim=True to drop the edge"
+                )
+
+    for prim in _TRANSFORM_SEQ[op]:
+        if prim == "t":
+            nat = [np.ascontiguousarray(p.transpose(1, 0, 3, 2)) for p in nat]
+            qnat = {qid: q.T for qid, q in qnat.items()}
+            sampling = [(v, hh) for hh, v in sampling]
+            w, h = h, w
+            max_h, max_v = max_v, max_h
+        elif prim == "fh":
+            require_imcu(True, op)
+            nat = [p[:, ::-1] * _SIGN_V for p in nat]
+        elif prim == "fv":
+            require_imcu(False, op)
+            nat = [p[::-1, :] * _SIGN_U for p in nat]
+
+    # Back to zig-zag [Hb, Wb, 64].
+    from ..ops.zigzag import ZIGZAG_TO_BLOCK
+
+    coeffs = [
+        np.ascontiguousarray(
+            p.reshape(p.shape[0], p.shape[1], 64)[..., ZIGZAG_TO_BLOCK]
+        ).astype(np.int16)
+        for p in nat
+    ]
+    qts = {
+        qid: QuantizationTable(
+            element_precision=0 if q.max() < 256 else 1,
+            identifier=qid,
+            elements=q.reshape(64)[ZIGZAG_TO_BLOCK].astype(np.uint16),
+        )
+        for qid, q in qnat.items()
+    }
+    return _emit_dct(
+        coeffs, qts, sampling, quant_ids, comp_ids, mode,
+        restart_interval=restart_interval,
+        size=(h, w),
+        precision=frame.sample_precision,
+    )

@@ -49,3 +49,21 @@ def test_debugdump_fixture_roundtrip(assets_dir, tmp_path):
     expected = result.to_uint16_extended()
     reloaded = load_expected_buffer(prefix, 1)[..., :1]
     np.testing.assert_array_equal(reloaded, expected)
+
+
+def test_transform_cli(assets_dir, tmp_path):
+    from jpeglibrary_tpu.cli import transcode as cli_transcode
+
+    src = str(assets_dir / "baseline/lake.jpg")
+    out = str(tmp_path / "r.jpg")
+    assert cli_transcode.main([src, out, "--transform", "transpose"]) == 0
+    a = jt.decode(open(src, "rb").read())
+    b = jt.decode(open(out, "rb").read())
+    assert (b.width, b.height) == (a.height, a.width)
+    # coefficient-exact; pixels may differ by IDCT rounding (jpegtran
+    # semantics) — bound it tightly
+    diff = np.abs(
+        np.asarray(b.to_rgb8()).astype(int)
+        - np.asarray(a.to_rgb8()).transpose(1, 0, 2).astype(int)
+    )
+    assert diff.max() <= 2 and (diff > 0).mean() < 1e-3
