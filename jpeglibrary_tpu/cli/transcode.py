@@ -50,12 +50,24 @@ def main(argv=None) -> int:
         help="with --transform: drop a non-iMCU-aligned edge instead "
              "of refusing (jpegtran -trim)",
     )
+    parser.add_argument(
+        "--crop", nargs=4, type=int, metavar=("X", "Y", "W", "H"),
+        default=None,
+        help="lossless crop to the region at X,Y of size WxH "
+             "(origin snapped down to the iMCU grid, jpegtran -crop)",
+    )
     args = parser.parse_args(argv)
 
-    from ..models.transcode import transcode, transform
+    from ..models.transcode import crop, transcode, transform
 
     data = open(args.source, "rb").read()
-    if args.transform is not None:
+    if args.crop is not None:
+        x, y, w, h = args.crop
+        out = crop(
+            data, x, y, w, h, snap=True, mode=args.mode,
+            restart_interval=args.restart_interval,
+        )
+    elif args.transform is not None:
         out = transform(
             data, args.transform, mode=args.mode,
             restart_interval=args.restart_interval, trim=args.trim,

@@ -516,3 +516,156 @@ def _transform_inner(data, op, *, mode, restart_interval, trim):
         size=(h, w),
         precision=frame.sample_precision,
     )
+
+
+def crop(
+    data: bytes,
+    x: int,
+    y: int,
+    width: int,
+    height: int,
+    *,
+    snap: bool = False,
+    mode: str = "optimized",
+    restart_interval: int = 0,
+) -> bytes:
+    """Lossless crop in the coefficient domain (jpegtran -crop).
+
+    The kept blocks are untouched, so the cropped stream decodes
+    BIT-identically to the same region of the input's decode. ``x``/
+    ``y`` must sit on iMCU boundaries (``8*max_h`` / ``8*max_v``);
+    ``snap=True`` moves them down to the nearest boundary instead of
+    raising (the kept region then grows leftward/upward, jpegtran's
+    default adjustment). ``width``/``height`` may be arbitrary.
+
+    Lossless (SOF3/SOF11) inputs crop the sample planes spatially at
+    any offset. DCT inputs re-emit with the entropy coding selected by
+    ``mode`` (as in :func:`transcode`).
+    """
+    out = _crop_inner(
+        data, x, y, width, height, snap=snap, mode=mode,
+        restart_interval=restart_interval,
+    )
+    return _copy_app14(data, out)
+
+
+def _crop_inner(data, x, y, width, height, *, snap, mode, restart_interval):
+    if width <= 0 or height <= 0 or x < 0 or y < 0:
+        raise ValueError("crop region must be positive and inside the image")
+    dec = JpegDecoder()
+    dec.set_input(data)
+    res = dec.decode()
+    frame = res.frame
+    w0, h0 = frame.samples_per_line, frame.number_of_lines
+    if x + width > w0 or y + height > h0:
+        raise ValueError(
+            f"crop region {x},{y} {width}x{height} exceeds image {w0}x{h0}"
+        )
+
+    if res.samples is not None:
+        sampling = [
+            (fc.horizontal_sampling_factor, fc.vertical_sampling_factor)
+            for fc in frame.components
+        ]
+        if any(s != (1, 1) for s in sampling):
+            raise ValueError(
+                "cropping sub-sampled lossless streams is not supported "
+                "(1x1 sampling only)"
+            )
+        from ..io.reader import parse_stream
+        from ..syntax.frame import ScanHeader as _SH
+        from ..syntax.markers import Marker as _M
+
+        pt = 0
+        for seg in parse_stream(data).segments:
+            if seg.marker == _M.SOS:
+                pt = _SH.parse(
+                    seg.payload(data)
+                ).successive_approximation_bit_position_low
+                break
+        planes = [
+            ((res.samples[i].astype(np.int64) & 0xFFFF) << pt)[
+                y : y + height, x : x + width
+            ]
+            for i in range(len(frame.components))
+        ]
+        from .lossless import encode_lossless
+
+        if mode in ("arithmetic", "arithmetic-progressive"):
+            from .arithmetic_lossless import encode_lossless_arithmetic
+
+            return encode_lossless_arithmetic(
+                planes,
+                precision=frame.sample_precision,
+                predictor=1,
+                point_transform=pt,
+                restart_interval=restart_interval,
+            )
+
+        def enc(sel):
+            return encode_lossless(
+                planes,
+                precision=frame.sample_precision,
+                predictor=sel,
+                point_transform=pt,
+                restart_interval=restart_interval,
+            )
+
+        return min((enc(sel) for sel in range(1, 8)), key=len)
+
+    n_comps = len(frame.components)
+    max_h = max(fc.horizontal_sampling_factor for fc in frame.components)
+    max_v = max(fc.vertical_sampling_factor for fc in frame.components)
+    imcu_w, imcu_h = 8 * max_h, 8 * max_v
+    if x % imcu_w or y % imcu_h:
+        if snap:
+            nx, ny = (x // imcu_w) * imcu_w, (y // imcu_h) * imcu_h
+            width += x - nx
+            height += y - ny
+            x, y = nx, ny
+        else:
+            raise ValueError(
+                f"crop origin must be iMCU-aligned ({imcu_w}x{imcu_h}); "
+                "pass snap=True to move it down to the boundary"
+            )
+
+    sampling = [
+        (fc.horizontal_sampling_factor, fc.vertical_sampling_factor)
+        for fc in frame.components
+    ]
+    quant_ids = [fc.quantization_table_selector for fc in frame.components]
+    comp_ids = [fc.identifier for fc in frame.components]
+
+    def ceil_div(a, b):
+        return -(-a // b)
+
+    coeffs = []
+    for i in range(n_comps):
+        hh, vv = sampling[i]
+        p = res.coefficients[i]
+        bx0 = (x // imcu_w) * hh
+        by0 = (y // imcu_h) * vv
+        wb = ceil_div(width, imcu_w) * hh
+        hb = ceil_div(height, imcu_h) * vv
+        coeffs.append(
+            np.ascontiguousarray(p[by0 : by0 + hb, bx0 : bx0 + wb]).astype(
+                np.int16
+            )
+        )
+
+    qts = {}
+    for i in range(n_comps):
+        qid = quant_ids[i]
+        if qid not in qts:
+            elements = res.quant[i].astype(np.int64)
+            qts[qid] = QuantizationTable(
+                element_precision=0 if elements.max() < 256 else 1,
+                identifier=qid,
+                elements=elements.astype(np.uint16),
+            )
+    return _emit_dct(
+        coeffs, qts, sampling, quant_ids, comp_ids, mode,
+        restart_interval=restart_interval,
+        size=(height, width),
+        precision=frame.sample_precision,
+    )

@@ -67,3 +67,18 @@ def test_transform_cli(assets_dir, tmp_path):
         - np.asarray(a.to_rgb8()).transpose(1, 0, 2).astype(int)
     )
     assert diff.max() <= 2 and (diff > 0).mean() < 1e-3
+
+
+def test_crop_cli(assets_dir, tmp_path):
+    from jpeglibrary_tpu.cli import transcode as cli_transcode
+
+    src = str(assets_dir / "baseline/lake.jpg")
+    out = str(tmp_path / "c.jpg")
+    assert cli_transcode.main([src, out, "--crop", "16", "16", "200", "100"]) == 0
+    a = jt.decode(open(src, "rb").read())
+    b = jt.decode(open(out, "rb").read())
+    assert (b.width, b.height) == (200, 100)
+    np.testing.assert_array_equal(
+        np.asarray(b.to_rgb8()),
+        np.asarray(a.to_rgb8())[16 : 16 + 100, 16 : 16 + 200],
+    )

@@ -190,3 +190,48 @@ def test_transform_unknown_op():
     src = jt.encode_rgb(_image(16, 16), 75)
     with pytest.raises(ValueError, match="unknown transform"):
         jt.transform(src, "rot45")
+
+
+# -- lossless crop (jpegtran -crop) --
+
+
+def test_crop_exact():
+    rgb = _image(192, 256, seed=11)
+    src = jt.encode_rgb(rgb, 85)
+    ref = np.asarray(jt.decode(src).to_rgb8())
+    # kept blocks are untouched -> the crop decodes BIT-identically
+    out = jt.crop(src, 32, 16, 160, 120)
+    got = np.asarray(jt.decode(out).to_rgb8())
+    np.testing.assert_array_equal(got, ref[16 : 16 + 120, 32 : 32 + 160])
+
+
+def test_crop_snap_and_errors():
+    rgb = _image(96, 128, seed=12)
+    src = jt.encode_rgb(rgb, 80)
+    ref = np.asarray(jt.decode(src).to_rgb8())
+    with pytest.raises(ValueError, match="iMCU"):
+        jt.crop(src, 5, 3, 60, 50)
+    out = jt.crop(src, 5, 3, 60, 50, snap=True)  # origin -> (0, 0)
+    got = np.asarray(jt.decode(out).to_rgb8())
+    np.testing.assert_array_equal(got, ref[:53, :65])
+    with pytest.raises(ValueError, match="exceeds"):
+        jt.crop(src, 0, 0, 129, 96)
+
+
+def test_crop_progressive_output_and_gray():
+    rgb = _image(96, 160, seed=13)
+    src = jt.encode_rgb(rgb, 85, subsampling="444")
+    ref = np.asarray(jt.decode(src).to_rgb8())
+    out = jt.crop(src, 8, 8, 77, 41, mode="progressive")
+    got = np.asarray(jt.decode(out).to_rgb8())
+    np.testing.assert_array_equal(got, ref[8 : 8 + 41, 8 : 8 + 77])
+
+
+def test_crop_lossless_input_any_offset():
+    rgb = _image(50, 70, seed=14)
+    from jpeglibrary_tpu.models.lossless import encode_lossless
+
+    src = encode_lossless(rgb, predictor=2)
+    out = jt.crop(src, 3, 7, 33, 21)
+    got = np.asarray(jt.decode(out).to_uint8())
+    np.testing.assert_array_equal(got, rgb[7 : 7 + 21, 3 : 3 + 33])
