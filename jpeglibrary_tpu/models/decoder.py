@@ -318,6 +318,50 @@ class DecodeResult:
                 out[idx] = decode_stage.normalize_to_uint8(plane, self.precision)
         return out
 
+    def to_rgb8_scaled(self, scale, *, upsample: str = "duplicate") -> np.ndarray:
+        """Scaled decode to [ceil(H*s), ceil(W*s), 3] uint8 RGB for
+        ``scale`` s in {1/2, 1/4, 1/8} (libjpeg-class DCT scaling).
+
+        The n = 8*s lowest frequencies per axis inverse-transform
+        straight to an n x n block (ops/decode_stage.scaled_idct_matrix
+        — spectral truncation, block means exact), skipping 8x8 IDCT
+        and full-resolution plane materialization entirely; at 1/8 the
+        transform is just the DC plane. DCT modes only (lossless has no
+        frequency domain — slice its sample planes instead).
+        """
+        n = int(round(8 * scale))
+        if n not in (1, 2, 4) or abs(8 * scale - n) > 1e-9:
+            raise ValueError("scale must be 1/2, 1/4 or 1/8 (use to_rgb8() for full)")
+        if self.coefficients is None:
+            raise ValueError("scaled decode needs DCT coefficients (not a lossless stream)")
+        transform = self.color_transform
+        if transform not in ("ycbcr", "gray", "rgb"):
+            raise ValueError(f"scaled decode supports YCbCr/gray/RGB streams, not {transform}")
+        out_h = -(-self.height * n // 8)
+        out_w = -(-self.width * n // 8)
+        u8 = []
+        for cg in self.geometry.components:
+            idx = cg.component_index
+            plane = decode_stage.component_plane_scaled(
+                self.coefficients[idx],
+                self.quant[idx].astype(np.int32),
+                self.geometry.level_shift,
+                cg.hs, cg.vs, out_h, out_w, n,
+            )
+            u8.append(decode_stage.normalize_to_uint8(plane, self.precision))
+        from ..ops import color as color_ops
+
+        if len(u8) == 1:
+            half = np.full_like(u8[0], 128)
+            r, g, b = color_ops.ycbcr_to_rgb(u8[0], half, half)
+        elif len(u8) == 3 and transform == "rgb":
+            r, g, b = u8
+        elif len(u8) == 3:
+            r, g, b = color_ops.ycbcr_to_rgb(u8[0], u8[1], u8[2])
+        else:
+            raise ValueError("scaled decode needs 1 or 3 components")
+        return np.stack([r, g, b], axis=-1)
+
     def to_rgb8(self, *, upsample: str = "duplicate") -> np.ndarray:
         """[H, W, 3] uint8 RGB on host: clamp writer + fixed-point
         YCbCr->RGB (grayscale fills Cb=Cr=128, DecodeAction.cs:58-66).

@@ -204,3 +204,82 @@ def extend_to_uint16(plane, precision: int, xp=np):
 def interleave_planes(planes: Sequence, xp=np):
     """[H, W] planes -> [H, W, C]."""
     return xp.stack(list(planes), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Scaled decode (libjpeg-class DCT-domain downscaling: 1/2, 1/4, 1/8)
+# ---------------------------------------------------------------------------
+
+_SCALED_IDCT_CACHE: Dict[int, "np.ndarray"] = {}
+
+
+def scaled_idct_matrix(n: int) -> "np.ndarray":
+    """[n, 8] reduced-IDCT matrix R: an 8x8 coefficient block maps to
+    an n x n spatial block as R @ F_natural @ R.T.
+
+    Classic DCT-domain downsampling (spectral truncation): keep the
+    lowest n frequencies per axis, rescale to the orthonormal n-point
+    basis (sqrt(n/8)) and inverse-transform. Preserves the block mean
+    exactly (n=1 output IS the DC mean). Derived numerically from the
+    production idct8x8 so the frequency scaling convention always
+    matches.
+    """
+    if n in _SCALED_IDCT_CACHE:
+        return _SCALED_IDCT_CACHE[n]
+    if n == 8:
+        raise ValueError("use the full IDCT path for scale 1")
+    # Recover the per-axis 8-point IDCT matrix A (f = A @ F @ A.T)
+    # from the 2-D production kernel.
+    probe = np.zeros((8, 8, 8), dtype=np.float32)
+    for u in range(8):
+        probe[u, u, 0] = 1.0
+    out = dct.idct8x8(probe, xp=np)  # [8 probes, 8, 8]
+    c0 = float(np.sqrt(max(out[0][0, 0], 1e-12)))
+    A = np.stack([out[u][:, 0] / c0 for u in range(8)], axis=1)  # [x, u]
+    # Orthonormal DCT-II bases.
+    def orth(m):
+        B = np.zeros((m, m))
+        for u in range(m):
+            g = np.sqrt(0.5) if u == 0 else 1.0
+            for x in range(m):
+                B[u, x] = np.sqrt(2.0 / m) * g * np.cos(
+                    (2 * x + 1) * u * np.pi / (2 * m)
+                )
+        return B
+
+    B8, Bn = orth(8), orth(n)
+    # B8 @ A is diagonal (both diagonalize the same transform); its
+    # diagonal carries the production kernel's frequency scaling.
+    s = np.diag(B8 @ A)
+    R = (Bn.T * (np.sqrt(n / 8.0) * s[:n])).astype(np.float32)  # [x, u<n]
+    R = np.concatenate([R, np.zeros((n, 8 - n), np.float32)], axis=1)
+    _SCALED_IDCT_CACHE[n] = R
+    return R
+
+
+def dequantize_idct_shift_scaled(coeffs_zz, quant_zz, level_shift: int,
+                                 n: int, xp=np):
+    """[..., 64] zig-zag coeffs -> [..., n, n] int32 samples at scale n/8."""
+    deq = coeffs_zz.astype(xp.int32) * quant_zz.astype(xp.int32)
+    if xp is np:
+        natural = deq[..., BLOCK_TO_ZIGZAG]
+    else:
+        natural = xp.take(deq, xp.asarray(BLOCK_TO_ZIGZAG), axis=-1)
+    blocks = natural.reshape(natural.shape[:-1] + (8, 8)).astype(xp.float32)
+    R = xp.asarray(scaled_idct_matrix(n))
+    pixels = xp.einsum("xu,...uv,yv->...xy", R, blocks, R)
+    return xp.rint(pixels).astype(xp.int32) + level_shift
+
+
+def component_plane_scaled(coeffs_zz, quant_zz, level_shift: int,
+                           hs: int, vs: int, out_h: int, out_w: int,
+                           n: int, xp=np):
+    """Scaled decode transform for one component -> cropped int32 plane
+    of the n/8-scaled image."""
+    samples = dequantize_idct_shift_scaled(
+        coeffs_zz, quant_zz, level_shift, n, xp=xp
+    )
+    hb, wb = samples.shape[0], samples.shape[1]
+    plane = xp.transpose(samples, (0, 2, 1, 3)).reshape(hb * n, wb * n)
+    plane = upsample_duplicate(plane, hs, vs, xp=xp)
+    return plane[:out_h, :out_w]
