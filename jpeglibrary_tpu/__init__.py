@@ -71,7 +71,7 @@ from .models.hierarchical import encode_hierarchical
 from .models.lossless import encode_lossless
 from .models.arithmetic_lossless import encode_lossless_arithmetic
 from .models.optimizer import JpegOptimizer, optimize
-from .models.transcode import crop, transcode, transform
+from .models.transcode import autorotate, crop, transcode, transform
 from .parallel.batch import decode_batch_rgb, decode_stream_rgb, encode_batch_rgb
 
 __all__ = [
@@ -93,6 +93,7 @@ __all__ = [
     "encode_hierarchical",
     "JpegOptimizer",
     "optimize",
+    "autorotate",
     "crop",
     "transcode",
     "transform",

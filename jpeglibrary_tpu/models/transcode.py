@@ -669,3 +669,84 @@ def _crop_inner(data, x, y, width, height, *, snap, mode, restart_interval):
         size=(height, width),
         precision=frame.sample_precision,
     )
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation (exiftran / jpegtran -auto-rotate class)
+# ---------------------------------------------------------------------------
+
+#: EXIF orientation value (2-8) -> geometric op that uprights the image
+EXIF_ORIENTATION_OPS = {
+    2: "fliph",
+    3: "rot180",
+    4: "flipv",
+    5: "transpose",
+    6: "rot90",
+    7: "transverse",
+    8: "rot270",
+}
+
+
+def exif_orientation(data: bytes):
+    """Read the EXIF orientation tag (1-8) from an APP1 segment, or
+    None when absent/unparseable. Minimal TIFF IFD0 walk (both byte
+    orders), no third-party EXIF library."""
+    import struct
+
+    from ..io.reader import parse_stream
+    from ..syntax.markers import Marker as _M
+
+    for seg in parse_stream(data).segments:
+        if seg.marker == _M.SOS:
+            break
+        if seg.marker != _M.APP1:
+            continue
+        payload = seg.payload(data)
+        if not payload.startswith(b"Exif\x00\x00"):
+            continue
+        tiff = payload[6:]
+        if len(tiff) < 14:
+            return None
+        if tiff[:2] == b"II":
+            end = "<"
+        elif tiff[:2] == b"MM":
+            end = ">"
+        else:
+            return None
+        try:
+            magic, ifd0 = struct.unpack(end + "HI", tiff[2:8])
+            if magic != 42:
+                return None
+            (count,) = struct.unpack(end + "H", tiff[ifd0 : ifd0 + 2])
+            for k in range(count):
+                off = ifd0 + 2 + 12 * k
+                tag, typ, n = struct.unpack(end + "HHI", tiff[off : off + 8])
+                if tag == 0x0112 and typ == 3 and n >= 1:
+                    (val,) = struct.unpack(end + "H", tiff[off + 8 : off + 10])
+                    return val if 1 <= val <= 8 else None
+        except struct.error:
+            return None
+    return None
+
+
+def autorotate(
+    data: bytes,
+    *,
+    mode: str = "optimized",
+    restart_interval: int = 0,
+    trim: bool = False,
+) -> bytes:
+    """Upright a JPEG according to its EXIF orientation tag, losslessly
+    (exiftran / jpegtran -auto-rotate class, via :func:`transform`).
+
+    Orientation 1, a missing/invalid tag, or a lossless-mode input
+    return the input unchanged. The output carries no EXIF block, so
+    the (now wrong) orientation tag cannot be applied twice.
+    """
+    orientation = exif_orientation(data)
+    if orientation is None or orientation == 1:
+        return data
+    op = EXIF_ORIENTATION_OPS[orientation]
+    return transform(
+        data, op, mode=mode, restart_interval=restart_interval, trim=trim
+    )

@@ -235,3 +235,50 @@ def test_crop_lossless_input_any_offset():
     out = jt.crop(src, 3, 7, 33, 21)
     got = np.asarray(jt.decode(out).to_uint8())
     np.testing.assert_array_equal(got, rgb[7 : 7 + 21, 3 : 3 + 33])
+
+
+# -- EXIF auto-rotation (exiftran class) --
+
+
+def _with_exif_orientation(rgb, orientation, quality=85):
+    buf = io.BytesIO()
+    im = Image.fromarray(rgb)
+    exif = im.getexif()
+    exif[0x0112] = orientation
+    im.save(buf, "JPEG", quality=quality, exif=exif.tobytes(), subsampling=2)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("orientation,op", [
+    (2, "fliph"), (3, "rot180"), (4, "flipv"),
+    (5, "transpose"), (6, "rot90"), (7, "transverse"), (8, "rot270"),
+])
+def test_autorotate_uprights(orientation, op):
+    rgb = _image(96, 128, seed=20)
+    src = _with_exif_orientation(rgb, orientation)
+    from jpeglibrary_tpu.models.transcode import exif_orientation
+
+    assert exif_orientation(src) == orientation
+    out = jt.autorotate(src)
+    assert exif_orientation(out) is None  # tag gone -> cannot double-apply
+    got = np.asarray(jt.decode(out).to_rgb8())
+    ref = np.asarray(jt.decode(src).to_rgb8())
+    assert_pixels_match(got, SPATIAL[op](ref))
+    # PIL's own uprighting agrees pixel-wise (up to decoder rounding),
+    # pinning the orientation->op DIRECTION (rot90 vs rot270 etc.)
+    from PIL import ImageOps
+
+    pil = np.asarray(
+        ImageOps.exif_transpose(Image.open(io.BytesIO(src))).convert("RGB")
+    )
+    assert pil.shape == got.shape
+    mae = np.abs(pil.astype(int) - got.astype(int)).mean()
+    assert mae < 3.0, mae
+
+
+def test_autorotate_noop():
+    rgb = _image(48, 64, seed=21)
+    plain = jt.encode_rgb(rgb, 80)
+    assert jt.autorotate(plain) is plain  # no EXIF -> unchanged
+    src1 = _with_exif_orientation(rgb, 1)
+    assert jt.autorotate(src1) is src1  # orientation 1 -> unchanged
