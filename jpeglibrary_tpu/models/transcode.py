@@ -40,6 +40,7 @@ def transcode(
     *,
     restart_interval: int = 0,
     predictor: Optional[int] = None,
+    grayscale: bool = False,
 ) -> bytes:
     """Re-encode a JPEG losslessly with a different entropy coding.
 
@@ -52,13 +53,20 @@ def transcode(
     ``restart_interval`` adds DRI/RSTn seams where the target coding
     supports them (optimized / arithmetic / lossless).
 
+    ``grayscale=True`` keeps only the luminance component (jpegtran
+    -grayscale): the luma blocks pass through untouched, so the gray
+    output decodes bit-identically to the input's Y plane.
+
     An Adobe APP14 tag on the input is copied into the output verbatim
     (like jpegtran): the tag changes the stream's color interpretation
     (RGB / CMYK / YCCK), so dropping it would alter decoded colors.
     """
     out = _transcode_inner(
-        data, mode, restart_interval=restart_interval, predictor=predictor
+        data, mode, restart_interval=restart_interval, predictor=predictor,
+        grayscale=grayscale,
     )
+    if grayscale:
+        return out  # single-component: no color tag to preserve
     return _copy_app14(data, out)
 
 
@@ -68,6 +76,7 @@ def _transcode_inner(
     *,
     restart_interval: int = 0,
     predictor: Optional[int] = None,
+    grayscale: bool = False,
 ) -> bytes:
     dec = JpegDecoder()
     dec.set_input(data)
@@ -105,10 +114,14 @@ def _transcode_inner(
             if seg.marker == _M.SOS:
                 pt = _SH.parse(seg.payload(data)).successive_approximation_bit_position_low
                 break
+        n_keep = 1 if grayscale else len(frame.components)
         planes = [
             (res.samples[i].astype(np.int64) & 0xFFFF) << pt
-            for i in range(len(frame.components))
+            for i in range(n_keep)
         ]
+        if grayscale:
+            sampling = sampling[:1]
+            all_1x1 = sampling[0] == (1, 1)
         if restart_interval > 0 and not all_1x1 and not to_arith:
             raise ValueError(
                 "restart_interval with sub-sampled Huffman lossless "
@@ -163,6 +176,11 @@ def _transcode_inner(
     frame = res.frame
     geo = res.geometry
     n_comps = len(frame.components)
+    if grayscale:
+        # Luma only: its block grid is already the full image at its
+        # own resolution — as a single-component frame the sampling
+        # factors become 1x1 over the same blocks.
+        n_comps = 1
     coeffs = [res.coefficients[i] for i in range(n_comps)]
 
     # Rebuild quantization tables by selector id.
@@ -180,9 +198,18 @@ def _transcode_inner(
     sampling = [
         (fc.horizontal_sampling_factor, fc.vertical_sampling_factor)
         for fc in frame.components
-    ]
-    quant_ids = [fc.quantization_table_selector for fc in frame.components]
-    comp_ids = [fc.identifier for fc in frame.components]
+    ][:n_comps]
+    quant_ids = [fc.quantization_table_selector for fc in frame.components][:n_comps]
+    comp_ids = [fc.identifier for fc in frame.components][:n_comps]
+    if grayscale:
+        sampling = [(1, 1)]
+        # As a 1x1 single-component frame the luma needs exactly
+        # ceil(H/8) x ceil(W/8) blocks; its interleaved grid may carry
+        # one extra padded MCU row/column — crop it.
+        hb = -(-frame.number_of_lines // 8)
+        wb = -(-frame.samples_per_line // 8)
+        coeffs = [np.ascontiguousarray(coeffs[0][:hb, :wb])]
+        qts = {qid: qt for qid, qt in qts.items() if qid in quant_ids}
     return _emit_dct(
         coeffs, qts, sampling, quant_ids, comp_ids, mode,
         restart_interval=restart_interval,

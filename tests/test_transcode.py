@@ -75,3 +75,38 @@ def test_transcode_compression_ranking(native_lib, assets_dir):
     assert len(jt.transcode(data, "arithmetic-progressive")) < len(
         jt.transcode(data, "arithmetic")
     )
+
+
+def test_transcode_grayscale_reduction():
+    """jpegtran -grayscale: luma blocks pass through untouched, so the
+    gray output's decode equals the input's Y plane bit-exactly."""
+    import numpy as np
+
+    import jpeglibrary_tpu as jt
+
+    rng = np.random.default_rng(30)
+    rgb = np.clip(
+        np.linspace(0, 255, 130)[None, :, None]
+        + rng.normal(0, 15, (75, 130, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    for subsampling in ("420", "444"):
+        src = jt.encode_rgb(rgb, 85, subsampling=subsampling)
+        out = jt.transcode(src, grayscale=True)
+        res = jt.decode(out)
+        assert len(res.planes) == 1
+        y_src = np.asarray(jt.decode(src).to_uint8())[..., 0]
+        y_out = np.asarray(res.to_uint8())[..., 0]
+        np.testing.assert_array_equal(y_out, y_src)
+    # progressive output mode too
+    out = jt.transcode(src, "progressive", grayscale=True)
+    y_out = np.asarray(jt.decode(out).to_uint8())[..., 0]
+    np.testing.assert_array_equal(y_out, y_src)
+    # lossless input
+    from jpeglibrary_tpu.models.lossless import encode_lossless
+
+    ll = encode_lossless(rgb, predictor=2)
+    out = jt.transcode(ll, grayscale=True)
+    np.testing.assert_array_equal(
+        np.asarray(jt.decode(out).to_uint8())[..., 0], rgb[..., 0]
+    )
