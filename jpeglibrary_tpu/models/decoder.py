@@ -230,13 +230,20 @@ class DecodeResult:
         with metrics.stage("transform.pack_sparse"):
             self._packed = native_scanner.pack_sparse(planes).reshape(-1)
 
-    def to_rgb8_device(self, *, sparse: bool = True, upsample: str = "duplicate"):
+    def to_rgb8_device(self, *, sparse: bool = True, upsample: str = "duplicate",
+                       scale: float = 1.0):
         """Decode to device-resident **planar [3, H, W]** RGB (the
         serving path: output stays in HBM for a downstream TPU
         consumer; CHW keeps W on the lane dimension — an interleaved
         [H, W, 3] device buffer lane-pads 3 -> 128, a ~42x memory and
         wire blowup). With ``sparse``, only the nonzero coefficients
-        ship to the device as one flat (delta, value) stream."""
+        ship to the device as one flat (delta, value) stream.
+        ``scale`` in {1, 1/2, 1/4, 1/8} selects the reduced-IDCT
+        thumbnail transform (see to_rgb8_scaled); the wire payload is
+        unchanged, only the device program shrinks."""
+        scale_n = int(round(8 * scale))
+        if scale_n not in (1, 2, 4, 8) or abs(8 * scale - scale_n) > 1e-9:
+            raise ValueError("scale must be 1, 1/2, 1/4 or 1/8")
         if self.samples is not None:
             raise ValueError("lossless results have no device transform stage")
         if self.color_transform not in ("ycbcr", "gray"):
@@ -260,9 +267,9 @@ class DecodeResult:
                 [self.quant[c.component_index] for c in self.geometry.components]
             ).astype(np.int32)
             with metrics.stage("transform.dispatch"):
-                return jitted_transform_mcu(self.geometry, "rgb8", upsample)(
-                    self.packed_mcu, quants
-                )
+                return jitted_transform_mcu(
+                    self.geometry, "rgb8", upsample, scale_n
+                )(self.packed_mcu, quants)
         if sparse:
             quants = np.stack(
                 [self.quant[c.component_index] for c in self.geometry.components]
@@ -279,10 +286,18 @@ class DecodeResult:
                         packed = native_scanner.pack_sparse(planes).reshape(-1)
                 with metrics.stage("transform.dispatch"):
                     # numpy args: the transfer rides the single jit dispatch
-                    return jitted_transform_delta(self.geometry, "rgb8", upsample)(packed, quants)
+                    return jitted_transform_delta(
+                        self.geometry, "rgb8", upsample, scale_n
+                    )(packed, quants)
             except ImportError:
                 packed = pack_sparse(self.coefficients, self.geometry)
+                if scale_n != 8:
+                    raise ValueError(
+                        "scaled device decode needs the native packer"
+                    )
                 return jitted_transform_packed(self.geometry, "rgb8", upsample)(packed, quants)
+        if scale_n != 8:
+            raise ValueError("scaled device decode rides the sparse paths")
         coeffs, quants = self._device_inputs()
         return jitted_transform(self.geometry, "rgb8p", upsample)(coeffs, quants)
 

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..models.geometry import FrameGeometry
 from . import dct
-from .zigzag import BLOCK_TO_ZIGZAG
+from .zigzag import BLOCK_TO_ZIGZAG, ZIGZAG_TO_BLOCK
 
 
 def dequantize_idct_shift(coeffs_zz, quant_zz, level_shift: int, xp=np):
@@ -257,17 +257,38 @@ def scaled_idct_matrix(n: int) -> "np.ndarray":
     return R
 
 
+_SCALED_FOLDED_CACHE: Dict[int, "np.ndarray"] = {}
+
+
+def scaled_folded_matrix(n: int) -> "np.ndarray":
+    """[64, n*n] folded reduced-IDCT: un-zigzag + R (x) R in ONE matmul
+    over the zig-zag coefficient vector — the same single-matmul shape
+    the full-resolution Pallas path uses, which is what the MXU wants
+    (the tiny [n, 8] einsum form lowers poorly on TPU)."""
+    if n in _SCALED_FOLDED_CACHE:
+        return _SCALED_FOLDED_CACHE[n]
+    R = scaled_idct_matrix(n).astype(np.float64)  # [x, u]
+    M = np.zeros((64, n * n), dtype=np.float64)
+    for z in range(64):
+        nat = ZIGZAG_TO_BLOCK[z]
+        u, v = nat // 8, nat % 8
+        for x in range(n):
+            for y in range(n):
+                M[z, x * n + y] = R[x, u] * R[y, v]
+    M = M.astype(np.float32)
+    _SCALED_FOLDED_CACHE[n] = M
+    return M
+
+
 def dequantize_idct_shift_scaled(coeffs_zz, quant_zz, level_shift: int,
                                  n: int, xp=np):
     """[..., 64] zig-zag coeffs -> [..., n, n] int32 samples at scale n/8."""
-    deq = coeffs_zz.astype(xp.int32) * quant_zz.astype(xp.int32)
-    if xp is np:
-        natural = deq[..., BLOCK_TO_ZIGZAG]
-    else:
-        natural = xp.take(deq, xp.asarray(BLOCK_TO_ZIGZAG), axis=-1)
-    blocks = natural.reshape(natural.shape[:-1] + (8, 8)).astype(xp.float32)
-    R = xp.asarray(scaled_idct_matrix(n))
-    pixels = xp.einsum("xu,...uv,yv->...xy", R, blocks, R)
+    deq = (coeffs_zz.astype(xp.int32) * quant_zz.astype(xp.int32)).astype(
+        xp.float32
+    )
+    M = xp.asarray(scaled_folded_matrix(n))
+    pixels = deq @ M  # [..., 64] @ [64, n*n]
+    pixels = pixels.reshape(pixels.shape[:-1] + (n, n))
     return xp.rint(pixels).astype(xp.int32) + level_shift
 
 
@@ -275,11 +296,27 @@ def component_plane_scaled(coeffs_zz, quant_zz, level_shift: int,
                            hs: int, vs: int, out_h: int, out_w: int,
                            n: int, xp=np):
     """Scaled decode transform for one component -> cropped int32 plane
-    of the n/8-scaled image."""
-    samples = dequantize_idct_shift_scaled(
-        coeffs_zz, quant_zz, level_shift, n, xp=xp
+    of the n/8-scaled image.
+
+    Computed as n*n per-output-position matvecs producing full [Hb, Wb]
+    planes, then one interleaving transpose — on TPU the minor (lane)
+    dimension pads to 128, so the direct [..., n, n] form (minor n <= 4)
+    wastes ~all of every vector op; the per-position planes keep Wb on
+    the lanes throughout.
+    """
+    hb, wb = coeffs_zz.shape[0], coeffs_zz.shape[1]
+    deq = (coeffs_zz.astype(xp.int32) * quant_zz.astype(xp.int32)).astype(
+        xp.float32
     )
-    hb, wb = samples.shape[0], samples.shape[1]
-    plane = xp.transpose(samples, (0, 2, 1, 3)).reshape(hb * n, wb * n)
+    M = xp.asarray(scaled_folded_matrix(n))
+    grid = xp.stack(
+        [deq @ M[:, k] for k in range(n * n)]
+    )  # [n*n, Hb, Wb], position k = x*n + y inside the scaled block
+    grid = xp.rint(grid).astype(xp.int32) + level_shift
+    plane = (
+        grid.reshape(n, n, hb, wb)
+        .transpose(2, 0, 3, 1)
+        .reshape(hb * n, wb * n)
+    )
     plane = upsample_duplicate(plane, hs, vs, xp=xp)
     return plane[:out_h, :out_w]

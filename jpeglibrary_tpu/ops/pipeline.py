@@ -61,7 +61,8 @@ def _transform_planes(coeffs: Tuple, quants: Tuple, geometry: FrameGeometry, xp)
 
 
 def transform_to_rgb8(coeffs: Tuple, quants: Tuple, geometry: FrameGeometry, xp=np,
-                      *, layout: str = "hwc", upsample: str = "duplicate"):
+                      *, layout: str = "hwc", upsample: str = "duplicate",
+                      scale_n: int = 8):
     """Coefficient planes -> uint8 RGB ([H, W, 3] or planar [3, H, W]).
 
     Matches the reference JpegDecode app output path: 8-bit clamp writer
@@ -74,7 +75,26 @@ def transform_to_rgb8(coeffs: Tuple, quants: Tuple, geometry: FrameGeometry, xp=
     inflates ~42x in memory and on the transfer wire; the planar form
     keeps W minor and transfers at true size.
     """
-    if upsample == "fancy":
+    if scale_n != 8:
+        # Scaled decode (1/2, 1/4, 1/8): the reduced IDCT maps each
+        # block straight to scale_n x scale_n pixels
+        # (decode_stage.scaled_idct_matrix) — at 1/8 the per-block
+        # work is one multiply of the DC plane.
+        if upsample == "fancy":
+            raise ValueError("fancy upsampling is full-resolution only")
+        out_h = -(-geometry.height * scale_n // 8)
+        out_w = -(-geometry.width * scale_n // 8)
+        u8 = [
+            decode_stage.normalize_to_uint8(
+                decode_stage.component_plane_scaled(
+                    cz, qz, geometry.level_shift, cg.hs, cg.vs,
+                    out_h, out_w, scale_n, xp=xp,
+                ),
+                geometry.precision, xp=xp,
+            )
+            for cg, cz, qz in zip(geometry.components, coeffs, quants)
+        ]
+    elif upsample == "fancy":
         # libjpeg's default triangular filter, applied to the clamped
         # writer output at component resolution (decode_stage.
         # upsample_fancy) — pure adds/shifts, XLA fuses it into the
@@ -142,7 +162,8 @@ def pack_sparse(coefficients, geometry: FrameGeometry, *, bucket_factor: float =
 
 
 @functools.lru_cache(maxsize=64)
-def jitted_transform_delta(geometry: FrameGeometry, output: str = "rgb8", upsample: str = "duplicate"):
+def jitted_transform_delta(geometry: FrameGeometry, output: str = "rgb8", upsample: str = "duplicate",
+                           scale_n: int = 8):
     """Compiled transform taking the native 4-byte sparse wire format:
     a FLAT int16 [2n] buffer of interleaved (delta uint16, value int16)
     entries in concatenated-plane flat order (native
@@ -178,14 +199,17 @@ def jitted_transform_delta(geometry: FrameGeometry, output: str = "rgb8", upsamp
             off += size
         quants = tuple(quants_stacked[i] for i in range(len(shapes)))
         if output == "rgb8":
-            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp, layout="chw", upsample=upsample)
+            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp,
+                                     layout="chw", upsample=upsample,
+                                     scale_n=scale_n)
         return transform_to_u16(tuple(coeffs), quants, geometry, xp=jnp)
 
     return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=64)
-def jitted_transform_mcu_inner(geometry: FrameGeometry, output: str = "rgb8", upsample: str = "duplicate"):
+def jitted_transform_mcu_inner(geometry: FrameGeometry, output: str = "rgb8", upsample: str = "duplicate",
+                               scale_n: int = 8):
     """Un-jitted transform for the MCU-interleaved sparse wire format
     produced by the merged native decode+pack
     (native.scanner.decode_baseline_scan_sparse): a FLAT int16 [2n]
@@ -229,14 +253,17 @@ def jitted_transform_mcu_inner(geometry: FrameGeometry, output: str = "rgb8", up
             off += size
         quants = tuple(quants_stacked[i] for i in range(len(comps)))
         if output == "rgb8":
-            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp, layout="chw", upsample=upsample)
+            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp,
+                                     layout="chw", upsample=upsample,
+                                     scale_n=scale_n)
         return transform_to_u16(tuple(coeffs), quants, geometry, xp=jnp)
 
     return fn
 
 
 @functools.lru_cache(maxsize=64)
-def jitted_transform_mcu(geometry: FrameGeometry, output: str = "rgb8", upsample: str = "duplicate"):
+def jitted_transform_mcu(geometry: FrameGeometry, output: str = "rgb8", upsample: str = "duplicate",
+                         scale_n: int = 8):
     """Compiled single-image form of jitted_transform_mcu_inner."""
     from .. import enable_compile_cache
 
@@ -244,7 +271,7 @@ def jitted_transform_mcu(geometry: FrameGeometry, output: str = "rgb8", upsample
 
     import jax
 
-    return jax.jit(jitted_transform_mcu_inner(geometry, output, upsample))
+    return jax.jit(jitted_transform_mcu_inner(geometry, output, upsample, scale_n))
 
 
 @functools.lru_cache(maxsize=64)
@@ -275,7 +302,8 @@ def jitted_transform_packed(geometry: FrameGeometry, output: str = "rgb8", upsam
             off += size
         quants = tuple(quants_stacked[i] for i in range(len(shapes)))
         if output == "rgb8":
-            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp, layout="chw", upsample=upsample)
+            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp,
+                                     layout="chw", upsample=upsample)
         return transform_to_u16(tuple(coeffs), quants, geometry, xp=jnp)
 
     return jax.jit(fn)

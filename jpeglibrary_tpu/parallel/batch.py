@@ -58,17 +58,24 @@ def decode_batch_rgb(
     *,
     mesh=None,
     max_workers: Optional[int] = None,
+    scale: float = 1.0,
 ) -> List[np.ndarray]:
     """Decode a batch of JPEGs to RGB uint8 arrays.
 
     Images with identical geometry transform in one stacked jitted
     call; with a mesh, the batch dimension shards over axis ``data``.
+    ``scale`` in {1, 1/2, 1/4, 1/8} runs the reduced-IDCT thumbnail
+    transform on device (DCT modes; lossless images downsample on
+    host).
     """
     import jax
     import jax.numpy as jnp
 
     from ..ops.pipeline import transform_to_rgb8
 
+    scale_n = int(round(8 * scale))
+    if scale_n not in (1, 2, 4, 8) or abs(8 * scale - scale_n) > 1e-9:
+        raise ValueError("scale must be 1, 1/2, 1/4 or 1/8")
     results = scan_images(datas, max_workers=max_workers)
 
     groups: Dict[object, List[int]] = {}
@@ -81,7 +88,11 @@ def decode_batch_rgb(
         if batch[0].samples is not None:
             # lossless: no device transform stage; host path per image
             for i in indices:
-                out[i] = results[i].to_rgb8()
+                rgb_i = results[i].to_rgb8()
+                if scale_n != 8:
+                    f = 8 // scale_n
+                    rgb_i = rgb_i[::f, ::f]
+                out[i] = rgb_i
             continue
 
         # Merged-scan payloads of one shape: ONE stacked vmapped call.
@@ -97,7 +108,9 @@ def decode_batch_rgb(
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 stacked = jax.device_put(stacked, NamedSharding(mesh, P("data")))
-            rgb = np.asarray(_batched_mcu_transform(geometry)(stacked, quants))
+            rgb = np.asarray(
+                _batched_mcu_transform(geometry, scale_n)(stacked, quants)
+            )
             rgb = np.moveaxis(rgb, 1, -1)  # planar CHW -> HWC
             for j, i in enumerate(indices):
                 out[i] = rgb[j]
@@ -124,13 +137,17 @@ def decode_batch_rgb(
 
         if packed_batch is not None:
             quants = _stacked_quants(batch, geometry)
-            fn = _batched_transform_delta(geometry)
+            fn = _batched_transform_delta(geometry, scale_n)
             inp = packed_batch
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 inp = jax.device_put(inp, NamedSharding(mesh, P("data")))
         else:
+            if scale_n != 8:
+                raise RuntimeError(
+                    "scaled batch decode needs the native sparse packer"
+                )
             quants = tuple(
                 jnp.asarray(
                     np.stack(
@@ -160,7 +177,8 @@ def decode_batch_rgb(
 
 
 def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2,
-                      device_workers: int = 1, group: int = 1):
+                      device_workers: int = 1, group: int = 1,
+                      scale: float = 1.0):
     """Pipelined streaming decode: yields device-resident RGB arrays in
     input order while the host scans ahead.
 
@@ -178,11 +196,19 @@ def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2,
     run as ONE stacked vmapped device call (each still yielded
     individually, device-resident). Mixed-shape runs fall back to
     per-image dispatch within the group.
+
+    ``scale`` in {1, 1/2, 1/4, 1/8} runs the reduced-IDCT thumbnail
+    transform on device (same entropy scan, smaller device program and
+    output — the thumbnail-serving mode).
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     import jax
+
+    scale_n = int(round(8 * scale))
+    if scale_n not in (1, 2, 4, 8) or abs(8 * scale - scale_n) > 1e-9:
+        raise ValueError("scale must be 1, 1/2, 1/4 or 1/8")
 
     def scan(data):
         dec = JpegDecoder()
@@ -197,8 +223,12 @@ def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2,
         """Planar [3, H, W] uint8 (device-resident for DCT modes; see
         DecodeResult.to_rgb8_device on why CHW)."""
         if res.samples is not None:  # lossless: host path
-            return np.moveaxis(res.to_rgb8(), -1, 0)
-        return res.to_rgb8_device(sparse=True)
+            rgb = res.to_rgb8()
+            if scale_n != 8:
+                f = 8 // scale_n
+                rgb = rgb[::f, ::f]
+            return np.moveaxis(rgb, -1, 0)
+        return res.to_rgb8_device(sparse=True, scale=scale)
 
     def transform_group(scan_futs):
         ress = [f.result() for f in scan_futs]
@@ -212,7 +242,7 @@ def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2,
             geo = ress[0].geometry
             quants = _stacked_quants(ress, geo)
             stacked = np.stack([r.packed_mcu for r in ress])
-            out = _batched_mcu_transform(geo)(stacked, quants)
+            out = _batched_mcu_transform(geo, scale_n)(stacked, quants)
             jax.block_until_ready(out)
             return [out[i] for i in range(len(ress))]
         outs = [one_rgb(r) for r in ress]
@@ -246,7 +276,7 @@ def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2,
 
 
 @functools.lru_cache(maxsize=64)
-def _batched_mcu_transform(geometry):
+def _batched_mcu_transform(geometry, scale_n: int = 8):
     """vmapped MCU-order sparse transform: [B, 2n] int16 payload batch
     -> [B, 3, H, W] planar RGB (jit re-specializes per (B, bucket)).
     Bounded like the sibling caches in ops/pipeline.py — a long-running
@@ -256,7 +286,7 @@ def _batched_mcu_transform(geometry):
 
     from ..ops.pipeline import jitted_transform_mcu_inner
 
-    inner = jitted_transform_mcu_inner(geometry, "rgb8")
+    inner = jitted_transform_mcu_inner(geometry, "rgb8", "duplicate", scale_n)
     return jax.jit(jax.vmap(inner, in_axes=(0, 0)))
 
 
@@ -282,14 +312,14 @@ def encode_batch_rgb(images, quality: int = 75, *, subsampling: str = "420",
 
 
 @functools.lru_cache(maxsize=64)
-def _batched_transform_delta(geometry):
+def _batched_transform_delta(geometry, scale_n: int = 8):
     """vmapped delta-sparse transform: [B, n, 2] int16 packed batch ->
     [B, H, W, 3] RGB."""
     import jax
 
     from ..ops.pipeline import jitted_transform_delta
 
-    inner = jitted_transform_delta(geometry, "rgb8")
+    inner = jitted_transform_delta(geometry, "rgb8", "duplicate", scale_n)
     return jax.jit(jax.vmap(inner, in_axes=(0, 0)))
 
 

@@ -89,3 +89,26 @@ def test_scaled_progressive_and_errors():
     res_ll = jt.decode(encode_lossless(rgb, predictor=1))
     with pytest.raises(ValueError, match="lossless"):
         res_ll.to_rgb8_scaled(0.5)
+
+
+def test_scaled_device_paths_match_host():
+    """The device pipeline (sparse payload + reduced-IDCT program) must
+    agree with the host to_rgb8_scaled for every scale and path."""
+    rgb = _image(80, 112, seed=7)
+    data = jt.encode_rgb(rgb, 85)
+    for scale in (0.5, 0.25, 0.125):
+        res = jt.decode(data, sparse_direct=True)
+        host = np.asarray(jt.decode(data).to_rgb8_scaled(scale))
+        dev = np.moveaxis(np.asarray(res.to_rgb8_device(scale=scale)), 0, -1)
+        # host numpy and device XLA order the reduced-IDCT float ops
+        # differently -> occasional ±1 at rint boundaries, up to ±2
+        # after the fixed-point color conversion
+        diff = np.abs(dev.astype(int) - host.astype(int))
+        assert diff.max() <= 2 and (diff > 0).mean() < 0.05
+        # the batch and stream paths run the same device program ->
+        # exact agreement with the single-image device path
+        batch = jt.decode_batch_rgb([data, data], scale=scale)
+        np.testing.assert_array_equal(batch[0], dev)
+        np.testing.assert_array_equal(batch[1], dev)
+        outs = list(jt.decode_stream_rgb([data], scale=scale))
+        np.testing.assert_array_equal(np.moveaxis(np.asarray(outs[0]), 0, -1), dev)
