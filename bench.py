@@ -277,6 +277,14 @@ def main() -> None:
             "n_quiet": len(quiet_rates),
         }
 
+    import jax as _jax
+
+    def _thumb():
+        r = jt.decode(data, sparse_direct=True)
+        _jax.block_until_ready(r.to_rgb8_device(scale=0.125))
+
+    mode("thumbnail_eighth", _thumb, mp)
+    mode("transform_rot90", lambda: jt.transform(data, "rot90"), mp)
     mode("sof0_encode", lambda: jt.encode_rgb(rgb, 75), mp)
     mode("sof0_encode_optimized", lambda: jt.encode_rgb(rgb, 75, optimize_coding=True), mp)
     mode("optimizer", lambda: jt.optimize(data), mp)
