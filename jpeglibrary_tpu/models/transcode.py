@@ -302,14 +302,24 @@ _TRANSFORM_SEQ = {
 }
 
 
-def _nat_signs():
-    """(-1)^v and (-1)^u sign vectors over natural-order 8x8."""
-    v = np.fromfunction(lambda u, vv: (-1.0) ** vv, (8, 8))
-    u = np.fromfunction(lambda uu, vv: (-1.0) ** uu, (8, 8))
-    return v.astype(np.int16), u.astype(np.int16)
+def _zz_tables():
+    """Per-primitive tables over the ZIG-ZAG coefficient axis, so the
+    transforms never round-trip through natural order: a transpose
+    permutation (out_zz[z] = in_zz[perm[z]]) and the (-1)^v / (-1)^u
+    sign vectors."""
+    from ..ops.zigzag import BLOCK_TO_ZIGZAG, ZIGZAG_TO_BLOCK
+
+    nat = ZIGZAG_TO_BLOCK
+    perm = np.array(
+        [BLOCK_TO_ZIGZAG[(nat[z] % 8) * 8 + nat[z] // 8] for z in range(64)],
+        dtype=np.int64,
+    )
+    sign_v = np.array([(-1) ** (nat[z] % 8) for z in range(64)], dtype=np.int16)
+    sign_u = np.array([(-1) ** (nat[z] // 8) for z in range(64)], dtype=np.int16)
+    return perm, sign_v, sign_u
 
 
-_SIGN_V, _SIGN_U = _nat_signs()
+_ZZ_TRANSPOSE, _ZZ_SIGN_V, _ZZ_SIGN_U = _zz_tables()
 
 
 def transform(
@@ -371,8 +381,6 @@ def _copy_app14(data: bytes, out: bytes) -> bytes:
 
 
 def _transform_inner(data, op, *, mode, restart_interval, trim):
-    from ..ops.zigzag import BLOCK_TO_ZIGZAG
-
     dec = JpegDecoder()
     dec.set_input(data)
     res = dec.decode()
@@ -455,29 +463,27 @@ def _transform_inner(data, op, *, mode, restart_interval, trim):
     comp_ids = [fc.identifier for fc in frame.components]
     w, h = frame.samples_per_line, frame.number_of_lines
 
-    # Natural-order [Hb, Wb, 8, 8] views of the zig-zag planes.
-    nat = []
-    for i in range(n_comps):
-        p = res.coefficients[i]
-        nat.append(p[..., BLOCK_TO_ZIGZAG].reshape(p.shape[0], p.shape[1], 8, 8))
+    # Planes stay in the zig-zag domain throughout: grid ops are numpy
+    # slices/transposes and the per-block ops are one permutation take
+    # (transpose) or one sign multiply (mirrors) over the 64-axis —
+    # no natural-order round trip.
+    zz = [res.coefficients[i] for i in range(n_comps)]
 
-    # Quant tables in natural 8x8 (dequant vector is zig-zag ordered).
-    qnat = {}
+    qzz = {}
     for i in range(n_comps):
         qid = quant_ids[i]
-        if qid not in qnat:
-            elements = res.quant[i].astype(np.int64)
-            qnat[qid] = elements[BLOCK_TO_ZIGZAG].reshape(8, 8)
+        if qid not in qzz:
+            qzz[qid] = res.quant[i].astype(np.int64)
 
     def trim_axis(horizontal):
-        nonlocal nat, w, h
+        nonlocal zz, w, h
         if horizontal:
             new_w = (w // (8 * max_h)) * 8 * max_h
             if new_w == 0:
                 raise ValueError("image narrower than one iMCU; cannot trim")
             for i in range(n_comps):
                 hshare = sampling[i][0]
-                nat[i] = nat[i][:, : (new_w // (8 * max_h)) * hshare]
+                zz[i] = zz[i][:, : (new_w // (8 * max_h)) * hshare]
             w = new_w
         else:
             new_h = (h // (8 * max_v)) * 8 * max_v
@@ -485,7 +491,7 @@ def _transform_inner(data, op, *, mode, restart_interval, trim):
                 raise ValueError("image shorter than one iMCU; cannot trim")
             for i in range(n_comps):
                 vshare = sampling[i][1]
-                nat[i] = nat[i][: (new_h // (8 * max_v)) * vshare]
+                zz[i] = zz[i][: (new_h // (8 * max_v)) * vshare]
             h = new_h
 
     def require_imcu(horizontal, what):
@@ -508,34 +514,26 @@ def _transform_inner(data, op, *, mode, restart_interval, trim):
 
     for prim in _TRANSFORM_SEQ[op]:
         if prim == "t":
-            nat = [np.ascontiguousarray(p.transpose(1, 0, 3, 2)) for p in nat]
-            qnat = {qid: q.T for qid, q in qnat.items()}
+            zz = [p.transpose(1, 0, 2)[..., _ZZ_TRANSPOSE] for p in zz]
+            qzz = {qid: q[_ZZ_TRANSPOSE] for qid, q in qzz.items()}
             sampling = [(v, hh) for hh, v in sampling]
             w, h = h, w
             max_h, max_v = max_v, max_h
         elif prim == "fh":
             require_imcu(True, op)
-            nat = [p[:, ::-1] * _SIGN_V for p in nat]
+            zz = [p[:, ::-1] * _ZZ_SIGN_V for p in zz]
         elif prim == "fv":
             require_imcu(False, op)
-            nat = [p[::-1, :] * _SIGN_U for p in nat]
+            zz = [p[::-1, :] * _ZZ_SIGN_U for p in zz]
 
-    # Back to zig-zag [Hb, Wb, 64].
-    from ..ops.zigzag import ZIGZAG_TO_BLOCK
-
-    coeffs = [
-        np.ascontiguousarray(
-            p.reshape(p.shape[0], p.shape[1], 64)[..., ZIGZAG_TO_BLOCK]
-        ).astype(np.int16)
-        for p in nat
-    ]
+    coeffs = [np.ascontiguousarray(p, dtype=np.int16) for p in zz]
     qts = {
         qid: QuantizationTable(
             element_precision=0 if q.max() < 256 else 1,
             identifier=qid,
-            elements=q.reshape(64)[ZIGZAG_TO_BLOCK].astype(np.uint16),
+            elements=q.astype(np.uint16),
         )
-        for qid, q in qnat.items()
+        for qid, q in qzz.items()
     }
     return _emit_dct(
         coeffs, qts, sampling, quant_ids, comp_ids, mode,
