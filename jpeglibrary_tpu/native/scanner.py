@@ -57,14 +57,39 @@ def validate_restart_spans(
     if restart_interval <= 0:
         return
     from ..models.huffman_baseline import JpegDecodeError
-    from ..syntax.markers import Marker
+    from ..syntax.markers import Marker, is_restart_marker
 
     required = -(-total_units // restart_interval)
-    if len(spans) >= required:
+    if len(spans) < required:
+        term = spans[-1].terminator if spans else None
+        if term is not None and term != Marker.EOI:
+            raise JpegDecodeError("Expect restart marker.")
         return
-    term = spans[-1].terminator if spans else None
-    if term is not None and term != Marker.EOI:
-        raise JpegDecodeError("Expect restart marker.")
+    # Enough spans — but a corrupt byte can fabricate a marker that
+    # SPLITS a span, so every mid-scan boundary must still terminate
+    # with an actual RSTn. EOI/stream-end truncation stays tolerated
+    # (later boundaries are then unreachable), and the final boundary
+    # (scan complete) accepts any terminator, exactly like the Python
+    # scanners' advance_restart.
+    from ..io.reader import SpanTable
+
+    if isinstance(spans, SpanTable):
+        terms = spans.terminators[: required - 1]
+        rst = (terms >= int(Marker.RST0)) & (terms <= int(Marker.RST7))
+        if not rst.all():
+            # All boundaries before the first non-RSTn are fine; the
+            # offender itself is either tolerated truncation (EOI /
+            # stream end) or a corrupt marker.
+            t = int(terms[int(np.argmax(~rst))])
+            if t >= 0 and t != int(Marker.EOI):
+                raise JpegDecodeError("Expect restart marker.")
+        return
+    for k in range(required - 1):
+        term = spans[k].terminator
+        if term is None or term == Marker.EOI:
+            return
+        if not is_restart_marker(term):
+            raise JpegDecodeError("Expect restart marker.")
 
 
 _PI64 = ctypes.POINTER(ctypes.c_int64)
@@ -1928,6 +1953,16 @@ def decode_lossless_arith_scan(
     n_spans = len(spans)
     starts, ends, _span_keep = _span_ptrs(spans)
     buf = np.frombuffer(data, dtype=np.uint8)
+
+    # Mirror the Python cursor's restart-boundary discipline before any
+    # native path runs: a fabricated marker splitting a span must raise
+    # ("Expect restart marker."), not decode the fragments as segments.
+    validate_restart_spans(
+        spans,
+        restart_interval,
+        ceil_div(frame.samples_per_line, max_h)
+        * ceil_div(frame.number_of_lines, max_v),
+    )
 
     # Restart-parallel path: spans are QM-self-contained (registers +
     # statistics + conditioning history reset), so they decode diffs

@@ -145,3 +145,25 @@ def test_fuzz_garbage_ecs(streams, mode):
     for i in range(12):
         tail = bytes(rng.integers(0, 256, size=int(rng.integers(8, 512)), dtype=np.uint8))
         _check_agreement(head + tail + b"\xff\xd9", (mode, "garbage", i))
+
+
+def test_fabricated_marker_splits_span(streams):
+    """A byte flip that fabricates a marker mid-ECS splits a span; both
+    scanners must raise ("Expect restart marker.") rather than decode
+    the fragments as restart segments (found by an extended fuzz sweep:
+    the SOF11 restart-parallel path accepted the split)."""
+    data = bytearray(bytes(streams["arith_lossless_restart"]))
+    # Plant a fake RST-less marker inside the first entropy span: find a
+    # non-FF, non-00 byte pair past the SOS and overwrite with FF D8
+    # (SOI — never valid mid-scan).
+    from jpeglibrary_tpu.io.reader import parse_stream
+
+    st = parse_stream(bytes(data))
+    sos_scan = st.scans[0] if hasattr(st, "scans") and st.scans else None
+    span0 = (sos_scan.spans if sos_scan is not None else st.segments)[0]
+    start = span0.start + 8
+    data[start] = 0xFF
+    data[start + 1] = 0xC4  # DHT marker fabricated mid-span
+    kind_n = _outcome(bytes(data), True)[0]
+    kind_p = _outcome(bytes(data), False)[0]
+    assert kind_n == kind_p == "err"
