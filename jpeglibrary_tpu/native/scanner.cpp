@@ -1637,8 +1637,12 @@ namespace {
 
 // Build the two-level lookup HuffTable from DHT counts+values
 // (mirrors syntax/huffman.py::HuffmanDecodingTable.build /
-// JpegHuffmanDecodingTable.cs:293-390).
-static void build_hufftable(const uint8_t counts[16], const uint8_t* values,
+// JpegHuffmanDecodingTable.cs:293-390). Returns false for counts that
+// are canonically infeasible (more codes at a length than the code
+// space allows) — with such counts the 8-bit lookahead fill would
+// index far past the table (corrupt DHT payloads reach here; the
+// caller must reject the stream, not build from garbage).
+static bool build_hufftable(const uint8_t counts[16], const uint8_t* values,
                             int n_values, HuffTable* t) {
     std::memset(t, 0, sizeof(*t));
     // code sizes in code order
@@ -1648,13 +1652,14 @@ static void build_hufftable(const uint8_t counts[16], const uint8_t* values,
         for (int i = 0; i < counts[l - 1] && k < 256; ++i) sizes[k++] = (uint8_t)l;
     }
     int total = k;
-    // canonical codes
+    // canonical codes (validating the Kraft prefix condition per level)
     uint16_t codes[256];
     {
         uint32_t code = 0;
         int si = 0;
         for (int l = 1; l <= 16; ++l) {
             while (si < total && sizes[si] == l) codes[si++] = (uint16_t)code++;
+            if (code > (1u << l)) return false;  // infeasible counts
             code <<= 1;
         }
     }
@@ -1709,6 +1714,7 @@ static void build_hufftable(const uint8_t counts[16], const uint8_t* values,
             }
         }
     }
+    return true;
 }
 
 // Everything the scan stage needs, produced by one pass over the
@@ -1803,10 +1809,14 @@ static int64_t walk_baseline_image(const uint8_t* data, int64_t len,
                 for (int i = 0; i < 16; ++i) nv += counts[i];
                 if (off + 17 + nv > seg_n || nv > 256) return -10;
                 if (tc == 0) {
-                    build_hufftable(counts, seg + off + 17, nv, &dc_tables[th]);
+                    if (!build_hufftable(counts, seg + off + 17, nv,
+                                         &dc_tables[th]))
+                        return -10;
                     dc_seen[th] = true;
                 } else {
-                    build_hufftable(counts, seg + off + 17, nv, &ac_tables[th]);
+                    if (!build_hufftable(counts, seg + off + 17, nv,
+                                         &ac_tables[th]))
+                        return -10;
                     ac_seen[th] = true;
                 }
                 off += 17 + nv;

@@ -81,3 +81,36 @@ def test_fuzz_random_garbage(native_lib):
         _decode_outcome(blob, sparse_direct=True)  # must not crash
         # bias toward plausible container starts
         _decode_outcome(b"\xff\xd8" + blob, sparse_direct=True)
+
+
+def test_infeasible_dht_counts_no_crash(native_lib):
+    """A corrupt DHT count that stays within the segment but is
+    canonically infeasible (e.g. 186 codes of one short length) made
+    the fused walk's lookahead fill write far past the table — a
+    segfault found by an extended fuzz sweep. The native walk must
+    reject the table and agree with the pure decoder's error."""
+    import jpeglibrary_tpu as jt
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    data = bytearray(jt.encode_rgb(rgb, 80, restart_interval=8))
+    # find the DHT segment and inflate the first count byte
+    from jpeglibrary_tpu.io.reader import parse_stream
+
+    for seg in parse_stream(bytes(data)).segments:
+        if seg.marker == 0xC4:
+            data[seg.payload_start + 3] ^= 0xBB  # a BITS count
+            break
+    kind_f, _ = _decode_outcome(bytes(data), sparse_direct=True)
+    kind_d, _ = _decode_outcome(bytes(data), sparse_direct=False)
+    kind_p = None
+    from jpeglibrary_tpu.models.decoder import JpegDecoder
+
+    d = JpegDecoder()
+    d.set_input(bytes(data))
+    try:
+        d.decode(use_native=False)
+        kind_p = "ok"
+    except Exception:
+        kind_p = "err"
+    assert kind_f == kind_d == kind_p
