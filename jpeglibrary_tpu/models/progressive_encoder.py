@@ -222,23 +222,24 @@ def encode_progressive(
             return mcu_blocks[comp_idx[0]].shape[0] // per0
         return comp_blocks[comp_idx[0]].shape[0]
 
-    def run_scan(entry, lo, hi, tables=None, dc_freqs=None, ac_freqs=None):
-        """Emit (or count) units [lo, hi) of one scan — a restart
-        segment when restart_interval > 0, the whole scan otherwise.
-        Every emitter starts fresh, which IS the restart contract."""
+    def run_scan(entry, tables=None, dc_freqs=None, ac_freqs=None):
+        """Emit (or count) one WHOLE scan in one native call. With
+        restart_interval > 0 the emitter segments the scan internally
+        (byte-aligned RSTn between segments, fresh coder state per
+        segment — byte-identical to per-segment calls joined with
+        RSTn, pinned by tests)."""
         comp_idx, ss, se, ah, al = entry
+        ri = restart_interval
         if ss == 0:  # DC scan (interleaved over MCUs)
             per_mcu = [sampling[i][0] * sampling[i][1] for i in comp_idx]
-            blocks = [
-                mcu_blocks[i][lo * pm : hi * pm]
-                for i, pm in zip(comp_idx, per_mcu)
-            ]
-            n_mcus = hi - lo
+            blocks = [mcu_blocks[i] for i in comp_idx]
+            n_mcus = scan_units(entry)
             if arithmetic:
                 return native_scanner.encode_arith_prog_dc(
                     blocks, per_mcu, n_mcus, ah, al,
                     [table_ids[i] for i in comp_idx],
                     dc_conditioning[0], dc_conditioning[1],
+                    restart_interval=ri,
                 )
             if ah != 0 and dc_freqs is not None:
                 return None  # refinement: raw bits, no symbols to count
@@ -246,17 +247,20 @@ def encode_progressive(
                 native_scanner.encode_prog_dc(
                     blocks, per_mcu, n_mcus, ah, al,
                     freqs=[dc_freqs[table_ids[i]] for i in comp_idx],
+                    restart_interval=ri,
                 )
                 return None
             return native_scanner.encode_prog_dc(
                 blocks, per_mcu, n_mcus, ah, al,
                 tables=[tables[(True, table_ids[i])] for i in comp_idx],
+                restart_interval=ri,
             )
         (ci,) = comp_idx  # AC scans are single-component; units = blocks
-        blocks = comp_blocks[ci][lo:hi]
+        blocks = comp_blocks[ci]
         if arithmetic:
             return native_scanner.encode_arith_prog_ac(
-                blocks, table_ids[ci], ac_conditioning, ss, se, ah, al
+                blocks, table_ids[ci], ac_conditioning, ss, se, ah, al,
+                restart_interval=ri,
             )
         fn = (
             native_scanner.encode_prog_ac_first
@@ -264,18 +268,11 @@ def encode_progressive(
             else native_scanner.encode_prog_ac_refine
         )
         if ac_freqs is not None:
-            fn(blocks, ss, se, al, freq=ac_freqs[table_ids[ci]])
+            fn(blocks, ss, se, al, freq=ac_freqs[table_ids[ci]],
+               restart_interval=ri)
             return None
-        return fn(blocks, ss, se, al, table=tables[(False, table_ids[ci])])
-
-    def scan_chunks(entry):
-        total = scan_units(entry)
-        if restart_interval <= 0:
-            return [(0, total)]
-        return [
-            (lo, min(lo + restart_interval, total))
-            for lo in range(0, total, restart_interval)
-        ]
+        return fn(blocks, ss, se, al, table=tables[(False, table_ids[ci])],
+                  restart_interval=ri)
 
     # Pass 1 (Huffman only): symbol statistics over the whole script,
     # chunked identically to the emission pass (restart resets change
@@ -290,17 +287,12 @@ def encode_progressive(
 
         dc_freqs = {tid: np.zeros(256, dtype=np.int64) for tid in set(table_ids)}
         ac_freqs = {tid: np.zeros(256, dtype=np.int64) for tid in set(table_ids)}
-        count_jobs = [
-            (entry, lo, hi)
-            for entry in script
-            for lo, hi in scan_chunks(entry)
-        ]
+        count_jobs = list(script)
 
-        def count_one(job):
-            entry, lo, hi = job
+        def count_one(entry):
             local_dc = {tid: np.zeros(256, dtype=np.int64) for tid in dc_freqs}
             local_ac = {tid: np.zeros(256, dtype=np.int64) for tid in ac_freqs}
-            run_scan(entry, lo, hi, dc_freqs=local_dc, ac_freqs=local_ac)
+            run_scan(entry, dc_freqs=local_dc, ac_freqs=local_ac)
             return local_dc, local_ac
 
         if len(count_jobs) > 1:
@@ -374,20 +366,14 @@ def encode_progressive(
     # on the shared pool and write them in script order.
     from ..utils.pool import shared_pool
 
-    all_chunks = [(entry, scan_chunks(entry)) for entry in script]
-    emit_jobs = [
-        (entry, lo, hi) for entry, chunks in all_chunks for lo, hi in chunks
-    ]
-    if len(emit_jobs) > 1:
+    if len(script) > 1:
         payloads = iter(
-            shared_pool().map(
-                lambda j: run_scan(j[0], j[1], j[2], tables=tables), emit_jobs
-            )
+            shared_pool().map(lambda e: run_scan(e, tables=tables), script)
         )
     else:
-        payloads = iter([run_scan(j[0], j[1], j[2], tables=tables) for j in emit_jobs])
+        payloads = iter([run_scan(e, tables=tables) for e in script])
 
-    for entry, chunks in all_chunks:
+    for entry in script:
         comp_idx, ss, se, ah, al = entry
         scan = ScanHeader(
             components=tuple(
@@ -399,10 +385,8 @@ def encode_progressive(
             successive_approximation_bit_position_low=al,
         )
         writer.write_segment(Marker.SOS, scan.serialize())
-        for k, _ in enumerate(chunks):
-            if k > 0:
-                writer.write_marker(Marker.RST0 + ((k - 1) & 7))
-            writer.write_bytes(next(payloads))
+        # one whole-scan payload (RSTn separators already embedded)
+        writer.write_bytes(next(payloads))
 
     writer.write_marker(Marker.EOI)
     return writer.to_bytes()

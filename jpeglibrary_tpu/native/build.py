@@ -358,6 +358,7 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.POINTER(c.c_void_p), c.POINTER(c.c_void_p),  # dc codes/sizes
         c.POINTER(c.c_void_p),           # dc_freqs (count mode)
         c.c_void_p, c.c_int64,           # out, capacity
+        c.c_int64,                       # restart interval (MCUs)
     ]
     for name in ("jpx_encode_prog_ac_first", "jpx_encode_prog_ac_refine"):
         fn = getattr(lib, name)
@@ -368,6 +369,7 @@ def _configure(lib: ctypes.CDLL) -> None:
             c.c_void_p, c.c_void_p,          # ac codes/sizes
             c.c_void_p,                      # ac_freq (count mode)
             c.c_void_p, c.c_int64,           # out, capacity
+            c.c_int64,                       # restart interval (blocks)
         ]
     lib.jpx_encode_arith_prog_dc.restype = c.c_int64
     lib.jpx_encode_arith_prog_dc.argtypes = [
@@ -376,6 +378,7 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # dc_ids/l/u
         c.c_int64, c.c_int32, c.c_int32,  # n_mcus, ah, al
         c.c_void_p, c.c_int64,           # out, capacity
+        c.c_int64,                       # restart interval (MCUs)
     ]
     lib.jpx_encode_arith_prog_ac.restype = c.c_int64
     lib.jpx_encode_arith_prog_ac.argtypes = [
@@ -383,6 +386,7 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.c_int32, c.c_int32,            # ac_id, ac_kx
         c.c_int32, c.c_int32, c.c_int32, c.c_int32,  # ss, se, ah, al
         c.c_void_p, c.c_int64,           # out, capacity
+        c.c_int64,                       # restart interval (blocks)
     ]
     lib.jpx_encode_arith_sequential.restype = c.c_int64
     lib.jpx_encode_arith_sequential.argtypes = [

@@ -4563,41 +4563,60 @@ int64_t jpx_encode_arith_prog_dc(
     const int16_t** blocks, const int32_t* per_mcu,
     const int32_t* dc_ids, const int32_t* dc_l, const int32_t* dc_u,
     int64_t n_mcus, int32_t ah, int32_t al,
-    uint8_t* out, int64_t capacity) {
+    uint8_t* out, int64_t capacity,
+    int64_t ri) {              // restart interval in MCUs (0 = none)
     ArithStatsPool pool;
-    pool.clear();
     uint8_t fixed_bin = 113;
     std::vector<ArithComp> comps(n_comps);
     std::vector<int64_t> cursors(n_comps, 0);
     for (int i = 0; i < n_comps; ++i) {
         comps[i].dc_l = dc_l[i];
         comps[i].dc_u = dc_u[i];
-        comps[i].predictor = 0;
-        comps[i].dc_context = 0;
         comps[i].dc_stats = pool.dc[dc_ids[i] & 15];
         comps[i].ac_stats = nullptr;
     }
-    ArithEncoder e;
-    e.init(out, capacity);
-    for (int64_t m = 0; m < n_mcus; ++m) {
-        for (int ci = 0; ci < n_comps; ++ci) {
-            for (int b = 0; b < per_mcu[ci]; ++b) {
-                int32_t dc = blocks[ci][cursors[ci] * 64];
-                ++cursors[ci];
-                if (ah == 0) {
-                    int32_t v = dc >> al;  // arithmetic shift
-                    int32_t diff = v - comps[ci].predictor;
-                    arith_encode_dc(e, comps[ci], diff);
-                    comps[ci].predictor = (int16_t)v;
-                } else {
-                    e.encode((dc >> al) & 1, &fixed_bin);
+    const int64_t seg_len = ri > 0 ? ri : n_mcus;
+    int64_t total = 0;
+    int64_t m = 0;
+    int seg = 0;
+    while (m < n_mcus) {
+        const int64_t m1 = std::min(n_mcus, m + seg_len);
+        pool.clear();  // fresh statistics + predictors per segment
+        fixed_bin = 113;
+        for (int i = 0; i < n_comps; ++i) {
+            comps[i].predictor = 0;
+            comps[i].dc_context = 0;
+        }
+        ArithEncoder e;
+        e.init(out + total, capacity - total);
+        for (; m < m1; ++m) {
+            for (int ci = 0; ci < n_comps; ++ci) {
+                for (int b = 0; b < per_mcu[ci]; ++b) {
+                    int32_t dc = blocks[ci][cursors[ci] * 64];
+                    ++cursors[ci];
+                    if (ah == 0) {
+                        int32_t v = dc >> al;  // arithmetic shift
+                        int32_t diff = v - comps[ci].predictor;
+                        arith_encode_dc(e, comps[ci], diff);
+                        comps[ci].predictor = (int16_t)v;
+                    } else {
+                        e.encode((dc >> al) & 1, &fixed_bin);
+                    }
+                    if (e.overflow) return -1;
                 }
-                if (e.overflow) return -1;
             }
         }
+        e.flush();
+        if (e.overflow) return -1;
+        total += e.n;
+        if (m < n_mcus) {
+            if (total + 2 > capacity) return -1;
+            out[total++] = 0xFF;
+            out[total++] = (uint8_t)(0xD0 + (seg & 7));
+            ++seg;
+        }
     }
-    e.flush();
-    return e.overflow ? -1 : e.n;
+    return total;
 }
 
 // Progressive AC scan (SOF10, single component).
@@ -4605,27 +4624,44 @@ int64_t jpx_encode_arith_prog_ac(
     const int16_t* blocks, int64_t n_blocks,
     int32_t ac_id, int32_t ac_kx,
     int32_t ss, int32_t se, int32_t ah, int32_t al,
-    uint8_t* out, int64_t capacity) {
+    uint8_t* out, int64_t capacity,
+    int64_t ri) {              // restart interval in blocks (0 = none)
     ArithStatsPool pool;
-    pool.clear();
     uint8_t fixed_bin = 113;
     ArithComp c;
     c.ac_kx = ac_kx;
     c.ac_stats = pool.ac[ac_id & 15];
     c.dc_stats = nullptr;
-    ArithEncoder e;
-    e.init(out, capacity);
-    for (int64_t b = 0; b < n_blocks; ++b) {
-        const int16_t* blk = blocks + b * 64;
-        if (ah == 0) {
-            arith_encode_block_prog_ac_first(e, c, &fixed_bin, blk, ss, se, al);
-        } else {
-            arith_encode_block_prog_ac_refine(e, c, &fixed_bin, blk, ss, se, al);
+    const int64_t seg_len = ri > 0 ? ri : n_blocks;
+    int64_t total = 0;
+    int64_t b = 0;
+    int seg = 0;
+    while (b < n_blocks) {
+        const int64_t b1 = std::min(n_blocks, b + seg_len);
+        pool.clear();  // fresh statistics per segment
+        fixed_bin = 113;
+        ArithEncoder e;
+        e.init(out + total, capacity - total);
+        for (; b < b1; ++b) {
+            const int16_t* blk = blocks + b * 64;
+            if (ah == 0) {
+                arith_encode_block_prog_ac_first(e, c, &fixed_bin, blk, ss, se, al);
+            } else {
+                arith_encode_block_prog_ac_refine(e, c, &fixed_bin, blk, ss, se, al);
+            }
+            if (e.overflow) return -1;
         }
+        e.flush();
         if (e.overflow) return -1;
+        total += e.n;
+        if (b < n_blocks) {
+            if (total + 2 > capacity) return -1;
+            out[total++] = 0xFF;
+            out[total++] = (uint8_t)(0xD0 + (seg & 7));
+            ++seg;
+        }
     }
-    e.flush();
-    return e.overflow ? -1 : e.n;
+    return total;
 }
 
 // Encode one arithmetic-coded (SOF9) entropy segment over `n_mcus`
@@ -5460,8 +5496,10 @@ int64_t jpx_encode_prog_dc(
     int32_t ah, int32_t al,
     const uint16_t** dc_codes, const uint8_t** dc_sizes,
     int64_t** dc_freqs,        // per comp, null in emit mode
-    uint8_t* out, int64_t capacity) {
+    uint8_t* out, int64_t capacity,
+    int64_t ri) {              // restart interval in MCUs (0 = none)
     BitPacker bp{out, capacity, 0, 0, 0};
+    const bool emit = dc_freqs == nullptr;
     std::vector<ProgWriter> ws(n_comps);
     std::vector<int32_t> pred(n_comps, 0);
     std::vector<int64_t> cursors(n_comps, 0);
@@ -5470,26 +5508,42 @@ int64_t jpx_encode_prog_dc(
                            dc_codes ? dc_codes[i] : nullptr,
                            dc_sizes ? dc_sizes[i] : nullptr, false, false};
     }
-    for (int64_t m = 0; m < n_mcus; ++m) {
-        for (int ci = 0; ci < n_comps; ++ci) {
-            for (int b = 0; b < per_mcu[ci]; ++b) {
-                int32_t dc = blocks[ci][cursors[ci] * 64];
-                ++cursors[ci];
-                if (ah == 0) {
-                    int32_t v = dc >> al;  // arithmetic shift (T.81 DC point transform)
-                    int32_t t = v - pred[ci];
-                    pred[ci] = v;
-                    int32_t a = t < 0 ? -t : t;
-                    int32_t bb = t < 0 ? t - 1 : t;
-                    int cat = 0;
-                    while ((a >> cat) != 0) ++cat;
-                    if (!ws[ci].symbol(cat))
-                        return ws[ci].missing ? -2 : -1;
-                    if (!ws[ci].bits((uint32_t)bb, cat)) return -1;
-                } else {
-                    if (!ws[ci].bits((uint32_t)(dc >> al) & 1, 1)) return -1;
+    const int64_t seg_len = ri > 0 ? ri : n_mcus;
+    int64_t m = 0;
+    int seg = 0;
+    while (m < n_mcus) {
+        const int64_t m1 = std::min(n_mcus, m + seg_len);
+        for (int i = 0; i < n_comps; ++i) pred[i] = 0;  // fresh per segment
+        for (; m < m1; ++m) {
+            for (int ci = 0; ci < n_comps; ++ci) {
+                for (int b = 0; b < per_mcu[ci]; ++b) {
+                    int32_t dc = blocks[ci][cursors[ci] * 64];
+                    ++cursors[ci];
+                    if (ah == 0) {
+                        int32_t v = dc >> al;  // arithmetic shift (T.81 DC point transform)
+                        int32_t t = v - pred[ci];
+                        pred[ci] = v;
+                        int32_t a = t < 0 ? -t : t;
+                        int32_t bb = t < 0 ? t - 1 : t;
+                        int cat = 0;
+                        while ((a >> cat) != 0) ++cat;
+                        if (!ws[ci].symbol(cat))
+                            return ws[ci].missing ? -2 : -1;
+                        if (!ws[ci].bits((uint32_t)bb, cat)) return -1;
+                    } else {
+                        if (!ws[ci].bits((uint32_t)(dc >> al) & 1, 1)) return -1;
+                    }
                 }
             }
+        }
+        if (m < n_mcus && emit) {  // byte-align + RSTn between segments
+            if (!bp.finish()) return -1;
+            if (bp.n + 2 > capacity) return -1;
+            out[bp.n++] = 0xFF;
+            out[bp.n++] = (uint8_t)(0xD0 + (seg & 7));
+            ++seg;
+        } else if (m < n_mcus) {
+            ++seg;
         }
     }
     if (!bp.finish()) return -1;
@@ -5503,11 +5557,28 @@ int64_t jpx_encode_prog_ac_first(
     int32_t ss, int32_t se, int32_t al,
     const uint16_t* ac_codes, const uint8_t* ac_sizes,
     int64_t* ac_freq,
-    uint8_t* out, int64_t capacity) {
+    uint8_t* out, int64_t capacity,
+    int64_t ri) {              // restart interval in blocks (0 = none)
     BitPacker bp{out, capacity, 0, 0, 0};
+    const bool emit = ac_freq == nullptr;
     ProgWriter w{&bp, ac_freq, ac_codes, ac_sizes, false, false};
     int64_t eobrun = 0;
+    const int64_t seg_len = ri > 0 ? ri : n_blocks;
+    int64_t next_rst = seg_len;
+    int seg = 0;
     for (int64_t b = 0; b < n_blocks; ++b) {
+        if (b == next_rst) {  // flush + byte-align + RSTn, fresh state
+            if (!prog_flush_eobrun(w, eobrun, nullptr))
+                return w.missing ? -2 : -1;
+            if (emit) {
+                if (!bp.finish()) return -1;
+                if (bp.n + 2 > capacity) return -1;
+                out[bp.n++] = 0xFF;
+                out[bp.n++] = (uint8_t)(0xD0 + (seg & 7));
+            }
+            ++seg;
+            next_rst += seg_len;
+        }
         const int16_t* blk = blocks + b * 64;
         int run = 0;
         bool any = false;
@@ -5552,13 +5623,30 @@ int64_t jpx_encode_prog_ac_refine(
     int32_t ss, int32_t se, int32_t al,
     const uint16_t* ac_codes, const uint8_t* ac_sizes,
     int64_t* ac_freq,
-    uint8_t* out, int64_t capacity) {
+    uint8_t* out, int64_t capacity,
+    int64_t ri) {              // restart interval in blocks (0 = none)
     BitPacker bp{out, capacity, 0, 0, 0};
+    const bool emit = ac_freq == nullptr;
     ProgWriter w{&bp, ac_freq, ac_codes, ac_sizes, false, false};
     int64_t eobrun = 0;
     std::vector<uint8_t> pending;  // correction bits deferred past EOB flushes
+    const int64_t seg_len = ri > 0 ? ri : n_blocks;
+    int64_t next_rst = seg_len;
+    int seg = 0;
 
     for (int64_t b = 0; b < n_blocks; ++b) {
+        if (b == next_rst) {  // flush (incl. pending) + RSTn, fresh state
+            if (!prog_flush_eobrun(w, eobrun, &pending))
+                return w.missing ? -2 : -1;
+            if (emit) {
+                if (!bp.finish()) return -1;
+                if (bp.n + 2 > capacity) return -1;
+                out[bp.n++] = 0xFF;
+                out[bp.n++] = (uint8_t)(0xD0 + (seg & 7));
+            }
+            ++seg;
+            next_rst += seg_len;
+        }
         const int16_t* blk = blocks + b * 64;
         // Event buffer since the last emitted symbol, in POSITION order:
         // 0xFF marks a zero-at-this-precision position (counts toward

@@ -1309,9 +1309,11 @@ def encode_rgb_scan(
 
 
 def encode_prog_dc(blocks_list, per_mcu, n_mcus: int, ah: int, al: int,
-                   tables=None, freqs=None):
+                   tables=None, freqs=None, restart_interval: int = 0):
     """Progressive DC scan emission (count mode when ``freqs`` given).
-    ``blocks_list``: per-component int16 [n, 64] MCU-ordered arrays."""
+    ``blocks_list``: per-component int16 [n, 64] MCU-ordered arrays.
+    ``restart_interval`` > 0 emits the whole scan's RSTn-separated
+    segments (fresh predictors each) in this one call."""
     lib = build.load_library()
     n = len(blocks_list)
     block_ptrs = (ctypes.c_void_p * n)()
@@ -1329,6 +1331,7 @@ def encode_prog_dc(blocks_list, per_mcu, n_mcus: int, ah: int, al: int,
         rc = lib.jpx_encode_prog_dc(
             n, block_ptrs, pm, n_mcus, ah, al, None, None,
             ctypes.cast(fr, ctypes.POINTER(ctypes.c_void_p)), None, 0,
+            restart_interval,
         )
         if rc < 0:
             raise RuntimeError(f"prog DC count failed ({rc})")
@@ -1344,11 +1347,12 @@ def encode_prog_dc(blocks_list, per_mcu, n_mcus: int, ah: int, al: int,
     total = sum(int(n_mcus) * int(per_mcu[i]) for i in range(n))
     # DC worst case: 16-bit code + 15 diff bits ~ 4 B/block, doubled by
     # 0xFF stuffing -> 8 covers any valid stream.
-    cap = total * 8 + 4096
+    n_seg = -(-int(n_mcus) // restart_interval) if restart_interval > 0 else 1
+    cap = total * 8 + n_seg * 2 + 4096
     out = np.empty(cap, dtype=np.uint8)
     written = lib.jpx_encode_prog_dc(
         n, block_ptrs, pm, n_mcus, ah, al, codes, sizes, None,
-        out.ctypes.data_as(ctypes.c_void_p), cap,
+        out.ctypes.data_as(ctypes.c_void_p), cap, restart_interval,
     )
     if written == -2:
         from ..models.encoder import JpegEncodeError
@@ -1359,7 +1363,8 @@ def encode_prog_dc(blocks_list, per_mcu, n_mcus: int, ah: int, al: int,
     return memoryview(out)[: int(written)].toreadonly()
 
 
-def _encode_prog_ac(fn_name, blocks, ss, se, al, table=None, freq=None):
+def _encode_prog_ac(fn_name, blocks, ss, se, al, table=None, freq=None,
+                    restart_interval: int = 0):
     lib = build.load_library()
     blocks = np.ascontiguousarray(blocks, dtype=np.int16)
     fn = getattr(lib, fn_name)
@@ -1368,6 +1373,7 @@ def _encode_prog_ac(fn_name, blocks, ss, se, al, table=None, freq=None):
             blocks.ctypes.data_as(ctypes.c_void_p), blocks.shape[0],
             ss, se, al, None, None,
             freq.ctypes.data_as(ctypes.c_void_p), None, 0,
+            restart_interval,
         )
         if rc < 0:
             raise RuntimeError(f"{fn_name} count failed ({rc})")
@@ -1384,7 +1390,7 @@ def _encode_prog_ac(fn_name, blocks, ss, se, al, table=None, freq=None):
         ss, se, al,
         ca.ctypes.data_as(ctypes.c_void_p), sa.ctypes.data_as(ctypes.c_void_p),
         None,
-        out.ctypes.data_as(ctypes.c_void_p), cap,
+        out.ctypes.data_as(ctypes.c_void_p), cap, restart_interval,
     )
     if written == -2:
         from ..models.encoder import JpegEncodeError
@@ -1395,16 +1401,21 @@ def _encode_prog_ac(fn_name, blocks, ss, se, al, table=None, freq=None):
     return memoryview(out)[: int(written)].toreadonly()
 
 
-def encode_prog_ac_first(blocks, ss, se, al, table=None, freq=None):
-    return _encode_prog_ac("jpx_encode_prog_ac_first", blocks, ss, se, al, table, freq)
+def encode_prog_ac_first(blocks, ss, se, al, table=None, freq=None,
+                         restart_interval: int = 0):
+    return _encode_prog_ac("jpx_encode_prog_ac_first", blocks, ss, se, al,
+                           table, freq, restart_interval)
 
 
-def encode_prog_ac_refine(blocks, ss, se, al, table=None, freq=None):
-    return _encode_prog_ac("jpx_encode_prog_ac_refine", blocks, ss, se, al, table, freq)
+def encode_prog_ac_refine(blocks, ss, se, al, table=None, freq=None,
+                          restart_interval: int = 0):
+    return _encode_prog_ac("jpx_encode_prog_ac_refine", blocks, ss, se, al,
+                           table, freq, restart_interval)
 
 
 def encode_arith_prog_dc(blocks_list, per_mcu, n_mcus: int, ah: int, al: int,
-                         dc_ids, dc_l: int, dc_u: int):
+                         dc_ids, dc_l: int, dc_u: int,
+                         restart_interval: int = 0):
     """Progressive arithmetic DC scan emission (SOF10)."""
     lib = build.load_library()
     n = len(blocks_list)
@@ -1421,11 +1432,12 @@ def encode_arith_prog_dc(blocks_list, per_mcu, n_mcus: int, ah: int, al: int,
         block_ptrs[i] = b.ctypes.data_as(ctypes.c_void_p)
         pm[i] = int(per_mcu[i])
         total += n_mcus * int(per_mcu[i])
-    cap = total * 8 + 4096
+    n_seg = -(-int(n_mcus) // restart_interval) if restart_interval > 0 else 1
+    cap = total * 8 + n_seg * 2 + 4096
     out = np.empty(cap, dtype=np.uint8)
     written = lib.jpx_encode_arith_prog_dc(
         n, block_ptrs, pm, ids, ls, us, n_mcus, ah, al,
-        out.ctypes.data_as(ctypes.c_void_p), cap,
+        out.ctypes.data_as(ctypes.c_void_p), cap, restart_interval,
     )
     if written < 0:
         raise RuntimeError("arith prog DC capacity exceeded")
@@ -1433,16 +1445,21 @@ def encode_arith_prog_dc(blocks_list, per_mcu, n_mcus: int, ah: int, al: int,
 
 
 def encode_arith_prog_ac(blocks, ac_id: int, ac_kx: int,
-                         ss: int, se: int, ah: int, al: int):
+                         ss: int, se: int, ah: int, al: int,
+                         restart_interval: int = 0):
     """Progressive arithmetic AC scan emission (SOF10, one component)."""
     lib = build.load_library()
     blocks = np.ascontiguousarray(blocks, dtype=np.int16)
-    cap = blocks.shape[0] * 320 + 4096
+    n_seg = (
+        -(-int(blocks.shape[0]) // restart_interval)
+        if restart_interval > 0 else 1
+    )
+    cap = blocks.shape[0] * 320 + n_seg * 2 + 4096
     out = np.empty(cap, dtype=np.uint8)
     written = lib.jpx_encode_arith_prog_ac(
         blocks.ctypes.data_as(ctypes.c_void_p), blocks.shape[0],
         ac_id, ac_kx, ss, se, ah, al,
-        out.ctypes.data_as(ctypes.c_void_p), cap,
+        out.ctypes.data_as(ctypes.c_void_p), cap, restart_interval,
     )
     if written < 0:
         raise RuntimeError("arith prog AC capacity exceeded")

@@ -121,3 +121,118 @@ def test_external_decoder_reads_it(native_lib, assets_dir):
     ours = jt.decode(prog).to_rgb8()
     mse = np.mean((pil.astype(float) - ours.astype(float)) ** 2)
     assert 10 * np.log10(255**2 / max(mse, 1e-9)) > 40
+
+
+def test_native_restart_segments_match_per_chunk_calls():
+    """The whole-scan emitters with restart_interval embed byte-aligned
+    RSTn between fresh-state segments — byte-identical to per-chunk
+    calls joined with RSTn (the contract the encoder relied on when it
+    chunked scans in Python)."""
+    from jpeglibrary_tpu.native import scanner as ns
+    from jpeglibrary_tpu.models.huffman_builder import HuffmanTableBuilder
+
+    rng = np.random.default_rng(17)
+    n_blocks = 23
+    blocks = np.ascontiguousarray(
+        rng.integers(-40, 40, (n_blocks, 64)).astype(np.int16)
+    )
+    blocks[rng.random((n_blocks, 64)) < 0.7] = 0
+    ri = 5
+
+    def table_for(freq):
+        b = HuffmanTableBuilder()
+        b.add_frequencies(np.maximum(freq, 0) + (freq > 0))
+        return b.build(optimal=True)
+
+    # AC first
+    freq = np.zeros(256, np.int64)
+    ns.encode_prog_ac_first(blocks, 1, 63, 0, freq=freq, restart_interval=ri)
+    tab = table_for(freq)
+    whole = ns.encode_prog_ac_first(blocks, 1, 63, 0, table=tab,
+                                    restart_interval=ri)
+    pieces = []
+    for k, lo in enumerate(range(0, n_blocks, ri)):
+        if k > 0:
+            pieces.append(bytes([0xFF, 0xD0 + ((k - 1) & 7)]))
+        pieces.append(
+            ns.encode_prog_ac_first(blocks[lo : lo + ri], 1, 63, 0, table=tab)
+        )
+    assert bytes(whole) == b"".join(bytes(p) for p in pieces)
+
+    # AC refine (needs a prior-significance pattern: al=1 over the same data)
+    freq2 = np.zeros(256, np.int64)
+    ns.encode_prog_ac_refine(blocks, 1, 63, 0, freq=freq2, restart_interval=ri)
+    tab2 = table_for(freq2)
+    whole2 = ns.encode_prog_ac_refine(blocks, 1, 63, 0, table=tab2,
+                                      restart_interval=ri)
+    pieces2 = []
+    for k, lo in enumerate(range(0, n_blocks, ri)):
+        if k > 0:
+            pieces2.append(bytes([0xFF, 0xD0 + ((k - 1) & 7)]))
+        pieces2.append(
+            ns.encode_prog_ac_refine(blocks[lo : lo + ri], 1, 63, 0, table=tab2)
+        )
+    assert bytes(whole2) == b"".join(bytes(p) for p in pieces2)
+
+    # DC
+    freq_dc = [np.zeros(256, np.int64)]
+    ns.encode_prog_dc([blocks], [1], n_blocks, 0, 1, freqs=freq_dc,
+                      restart_interval=ri)
+    tdc = table_for(freq_dc[0])
+    whole3 = ns.encode_prog_dc([blocks], [1], n_blocks, 0, 1, tables=[tdc],
+                               restart_interval=ri)
+    pieces3 = []
+    for k, lo in enumerate(range(0, n_blocks, ri)):
+        if k > 0:
+            pieces3.append(bytes([0xFF, 0xD0 + ((k - 1) & 7)]))
+        pieces3.append(
+            ns.encode_prog_dc([blocks[lo : lo + ri]], [1],
+                              min(ri, n_blocks - lo), 0, 1, tables=[tdc])
+        )
+    assert bytes(whole3) == b"".join(bytes(p) for p in pieces3)
+
+    # arithmetic DC + AC
+    whole4 = ns.encode_arith_prog_dc([blocks], [1], n_blocks, 0, 1, [0], 0, 1,
+                                     restart_interval=ri)
+    pieces4 = []
+    for k, lo in enumerate(range(0, n_blocks, ri)):
+        if k > 0:
+            pieces4.append(bytes([0xFF, 0xD0 + ((k - 1) & 7)]))
+        pieces4.append(
+            ns.encode_arith_prog_dc([blocks[lo : lo + ri]], [1],
+                                    min(ri, n_blocks - lo), 0, 1, [0], 0, 1)
+        )
+    assert bytes(whole4) == b"".join(bytes(p) for p in pieces4)
+
+    whole5 = ns.encode_arith_prog_ac(blocks, 0, 5, 1, 63, 0, 0,
+                                     restart_interval=ri)
+    pieces5 = []
+    for k, lo in enumerate(range(0, n_blocks, ri)):
+        if k > 0:
+            pieces5.append(bytes([0xFF, 0xD0 + ((k - 1) & 7)]))
+        pieces5.append(
+            ns.encode_arith_prog_ac(blocks[lo : lo + ri], 0, 5, 1, 63, 0, 0)
+        )
+    assert bytes(whole5) == b"".join(bytes(p) for p in pieces5)
+
+
+def test_restart_progressive_pil_decodes():
+    """PIL/libjpeg must accept our restart-interval progressive streams
+    (whole-scan native emission with embedded RSTn)."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(18)
+    rgb = np.clip(
+        np.linspace(0, 255, 96)[None, :, None] + rng.normal(0, 14, (80, 96, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    data = encode_progressive_rgb(rgb, 85, restart_interval=7)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    # fancy upsampling = libjpeg's default filter, what PIL applies;
+    # <=3 is the established IDCT-rounding tolerance vs libjpeg
+    # (tests/test_cross_validation._assert_close)
+    ours = np.asarray(jt.decode(data).to_rgb8(upsample="fancy"))
+    diff = np.abs(pil.astype(int) - ours.astype(int))
+    assert diff.max() <= 3 and diff.mean() <= 0.2
