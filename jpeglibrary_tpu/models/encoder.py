@@ -1047,26 +1047,11 @@ class JpegEncoder:
             return
         if native_emit is not None and n_mcus > ri:
             # Restart segments are independent byte-aligned streams —
-            # emit them concurrently, write in order with RSTn between.
-            from ..utils.pool import shared_pool
-
-            spans = []
-            mcu = 0
-            while mcu < n_mcus:
-                spans.append((mcu, min(ri, n_mcus - mcu)))
-                mcu += ri
-            def one(span):
-                first, count = span
-                seg_comps = [
-                    {**c, "blocks": c["blocks"][first * c["per_mcu"]:]}
-                    for c in comps
-                ]
-                return native_emit(seg_comps, count)
-            payloads = list(shared_pool().map(one, spans))
-            for i, payload in enumerate(payloads):
-                writer.write_bytes(payload)
-                if i + 1 < len(payloads):
-                    writer.write_marker(Marker.RST0 + (i & 7))
+            # ONE native call emits them all (fresh predictors per
+            # segment, RSTn embedded, threaded over segment ranges).
+            writer.write_bytes(
+                native_emit(comps, n_mcus, restart_interval=ri)
+            )
             return
         mcu = 0
         rst = 0

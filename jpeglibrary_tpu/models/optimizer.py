@@ -313,9 +313,29 @@ class JpegOptimizer:
                 emit_segment(0, total_mcus)
             return
 
-        # Restart segments are independent byte-aligned streams: emit
-        # them concurrently, then write in order with the original
-        # terminators between (parallel twin of the serial loop below).
+        # Restart segments are independent byte-aligned streams. The
+        # normal case (terminators are the canonical cycling RSTn
+        # sequence) emits the whole scan in ONE native call (fresh
+        # predictors per segment, RSTn embedded, threaded over segment
+        # ranges — per-segment wrapper calls cost ~100 us each).
+        n_seg = -(-total_mcus // restart_interval)
+        if (
+            native_emit is not None
+            and total_mcus > restart_interval
+            and len(record.terminators) >= n_seg - 1
+            and all(
+                record.terminators[i] == Marker.RST0 + (i & 7)
+                for i in range(n_seg - 1)
+            )
+        ):
+            writer.write_bytes(
+                native_emit(comps, total_mcus, restart_interval=restart_interval)
+            )
+            return
+
+        # Irregular terminators (truncated/corrupt input scan): emit
+        # segments concurrently and write the ORIGINAL terminator
+        # sequence between them (parallel twin of the serial loop).
         if native_emit is not None and total_mcus > restart_interval:
             from ..utils.pool import shared_pool
 

@@ -321,6 +321,16 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.jpx_encode_segment_parallel.argtypes = (
         lib.jpx_encode_segment.argtypes + [c.c_int32]  # + n_threads
     )
+    lib.jpx_encode_segments_rst.restype = c.c_int64
+    lib.jpx_encode_segments_rst.argtypes = [
+        c.c_int32,
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int32),   # blocks, per_mcu
+        c.POINTER(c.c_void_p), c.POINTER(c.c_void_p),  # dc codes/sizes
+        c.POINTER(c.c_void_p), c.POINTER(c.c_void_p),  # ac codes/sizes
+        c.c_int64, c.c_int64,            # n_mcus, restart interval
+        c.c_void_p, c.c_int64,           # out, capacity
+        c.c_int32,                       # n_threads
+    ]
     lib.jpx_lossless_stream_open.restype = c.c_void_p
     lib.jpx_lossless_stream_open.argtypes = [
         c.c_void_p,                                   # data

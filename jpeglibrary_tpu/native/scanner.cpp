@@ -7703,6 +7703,106 @@ static thread_local LlPackScratch g_ll_pack_scratch;
 
 extern "C" {
 
+// Whole restart-segmented baseline scan in ONE call: `ri` MCUs per
+// segment, fresh DC predictors each, byte-aligned RSTn separators,
+// threaded over segment ranges with reusable per-thread chunk buffers
+// (the per-segment-native-call form cost ~100 us of wrapper overhead
+// PER SEGMENT). Byte-identical to per-segment jpx_encode_segment
+// calls joined with RSTn. Returns bytes written, -1 capacity, -2
+// missing Huffman code.
+int64_t jpx_encode_segments_rst(
+    int32_t n_comps,
+    const int16_t** blocks, const int32_t* per_mcu,
+    const uint16_t** dc_codes, const uint8_t** dc_sizes,
+    const uint16_t** ac_codes, const uint8_t** ac_sizes,
+    int64_t n_mcus, int64_t ri,
+    uint8_t* out, int64_t capacity, int32_t n_threads) {
+    if (ri <= 0 || n_comps <= 0) return -3;
+    const int64_t n_seg = (n_mcus + ri - 1) / ri;
+    int hw_ = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw_ > 0 ? hw_ : 1;
+    int64_t T = std::min<int64_t>(n_threads, n_seg);
+    int32_t cpm = 0;
+    for (int i = 0; i < n_comps; ++i) cpm += per_mcu[i];
+    if (n_mcus * cpm < (int64_t)1 << 12) T = 1;
+
+    struct Chunk {
+        int64_t g0, g1;
+        uint8_t* buf;
+        int64_t cap, n, status;
+    };
+    std::vector<Chunk> chunks((size_t)T);
+    LlPackTrimGuard trim_guard{g_ll_pack_scratch};
+    const int64_t per = (n_seg + T - 1) / T;
+    for (int64_t t = 0; t < T; ++t) {
+        chunks[t].g0 = std::min(n_seg, t * per);
+        chunks[t].g1 = std::min(n_seg, (t + 1) * per);
+        int64_t mcus = std::min(n_mcus, chunks[t].g1 * ri) - chunks[t].g0 * ri;
+        if (mcus < 0) mcus = 0;
+        chunks[t].cap = mcus * (int64_t)cpm * 512 +
+                        (chunks[t].g1 - chunks[t].g0) * 2 + 64;
+        chunks[t].buf = g_ll_pack_scratch.get((size_t)t, chunks[t].cap);
+        chunks[t].n = 0;
+        chunks[t].status = 0;
+    }
+    auto work = [&](int64_t t) {
+        Chunk& ck = chunks[t];
+        int64_t pos = 0;
+        std::vector<EncComp> comps(n_comps);
+        for (int64_t g = ck.g0; g < ck.g1; ++g) {
+            const int64_t m0 = g * ri;
+            const int64_t m1 = std::min(n_mcus, m0 + ri);
+            for (int i = 0; i < n_comps; ++i) {
+                comps[i] = EncComp{blocks[i] + m0 * per_mcu[i] * 64,
+                                   per_mcu[i], dc_codes[i], dc_sizes[i],
+                                   ac_codes[i], ac_sizes[i], 0, 0};
+            }
+            BitPacker bp{ck.buf + pos, ck.cap - pos, 0, 0, 0};
+            bool missing = false;
+            for (int64_t m = m0; m < m1; ++m) {
+                for (int ci = 0; ci < n_comps; ++ci) {
+                    EncComp& c = comps[ci];
+                    for (int b = 0; b < c.per_mcu; ++b) {
+                        const int16_t* block = c.blocks + c.cursor * 64;
+                        ++c.cursor;
+                        if (!emit_block(bp, c, block, &missing)) {
+                            ck.status = missing ? -2 : -1;
+                            return;
+                        }
+                    }
+                }
+            }
+            if (!bp.finish()) { ck.status = -1; return; }
+            pos += bp.n;
+            if (g < n_seg - 1) {
+                if (pos + 2 > ck.cap) { ck.status = -1; return; }
+                ck.buf[pos++] = 0xFF;
+                ck.buf[pos++] = (uint8_t)(0xD0 + (g & 7));
+            }
+        }
+        ck.n = pos;
+    };
+    if (T <= 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int64_t t = 0; t < T; ++t) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    int64_t total = 0;
+    for (auto& ck : chunks) {
+        if (ck.status < 0) return ck.status;
+        total += ck.n;
+    }
+    if (total > capacity) return -1;
+    int64_t off = 0;
+    for (auto& ck : chunks) {
+        std::memcpy(out + off, ck.buf, (size_t)ck.n);
+        off += ck.n;
+    }
+    return total;
+}
+
 int64_t jpx_pack_lossless_diffs(
     const int16_t** diffs, int32_t n_comps, int64_t n_px,
     int64_t ri,

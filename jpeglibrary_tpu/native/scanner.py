@@ -1727,7 +1727,8 @@ def symbol_histograms(blocks: np.ndarray):
     return dc, ac
 
 
-def encode_segment(comps: Sequence[dict], n_mcus: int, *, parallel: bool = False):
+def encode_segment(comps: Sequence[dict], n_mcus: int, *, parallel: bool = False,
+                   restart_interval: int = 0):
     """Emit one byte-aligned entropy segment natively.
 
     ``comps``: per-component dicts with keys ``blocks`` (int16 [n, 64]
@@ -1739,6 +1740,11 @@ def encode_segment(comps: Sequence[dict], n_mcus: int, *, parallel: bool = False
     ``parallel`` packs MCU chunks concurrently (unstuffed) and
     shift-merges them — bit-identical output, used for the big single
     segment the reference-parity encoder emits (no restart markers).
+
+    ``restart_interval`` > 0 emits the WHOLE restart-segmented scan in
+    this one call (jpx_encode_segments_rst: fresh predictors per
+    segment, byte-aligned RSTn between, threaded over segment ranges) —
+    byte-identical to per-segment calls joined with RSTn.
     """
     lib = build.load_library()
     n = len(comps)
@@ -1767,9 +1773,20 @@ def encode_segment(comps: Sequence[dict], n_mcus: int, *, parallel: bool = False
 
     # 64 x (16-bit code + 15 value bits) ~ 248 B/block, doubled by
     # 0xFF stuffing -> 512 covers any valid stream.
-    cap = total_blocks * 512 + 1024
+    n_seg = -(-int(n_mcus) // restart_interval) if restart_interval > 0 else 1
+    cap = total_blocks * 512 + n_seg * 2 + 1024
     out = np.empty(cap, dtype=np.uint8)
-    if parallel:
+    if restart_interval > 0:
+        written = lib.jpx_encode_segments_rst(
+            n,
+            block_ptrs, per_mcu,
+            dc_code_ptrs, dc_size_ptrs,
+            ac_code_ptrs, ac_size_ptrs,
+            n_mcus, restart_interval,
+            out.ctypes.data_as(ctypes.c_void_p), cap,
+            0,
+        )
+    elif parallel:
         written = lib.jpx_encode_segment_parallel(
             n,
             block_ptrs, per_mcu,

@@ -132,3 +132,37 @@ def test_pack_lossless_restart_matches_per_segment():
                              tables, pattern=pattern)
         )
     assert whole == b"".join(pieces)
+
+
+def test_encode_segments_rst_matches_per_segment():
+    """jpx_encode_segments_rst (whole restart-segmented scan, one call,
+    threaded) must be byte-identical to per-segment encode_segment
+    calls joined with RSTn."""
+    rng = np.random.default_rng(23)
+    n_mcus, ri = 37, 5
+    comps = []
+    from jpeglibrary_tpu.syntax import huffman_standard
+
+    tabs = [
+        (huffman_standard.dc_luminance(), huffman_standard.ac_luminance()),
+        (huffman_standard.dc_chrominance(), huffman_standard.ac_chrominance()),
+    ]
+    for i, pm in enumerate((2, 1)):
+        blocks = rng.integers(-30, 30, (n_mcus * pm, 64)).astype(np.int16)
+        blocks[rng.random(blocks.shape) < 0.8] = 0
+        dc, ac = tabs[i]
+        comps.append({
+            "blocks": np.ascontiguousarray(blocks), "per_mcu": pm,
+            "dc_codes": dc.codes, "dc_sizes": dc.sizes,
+            "ac_codes": ac.codes, "ac_sizes": ac.sizes,
+        })
+    whole = ns.encode_segment(comps, n_mcus, restart_interval=ri)
+    pieces = []
+    for k, m0 in enumerate(range(0, n_mcus, ri)):
+        if k > 0:
+            pieces.append(bytes([0xFF, 0xD0 + ((k - 1) & 7)]))
+        seg = [
+            {**c, "blocks": c["blocks"][m0 * c["per_mcu"]:]} for c in comps
+        ]
+        pieces.append(bytes(ns.encode_segment(seg, min(ri, n_mcus - m0))))
+    assert bytes(whole) == b"".join(pieces)
