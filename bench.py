@@ -17,8 +17,7 @@ host adds ~1 s per 12.6 MB image purely in tunnel bandwidth — a
 is dispatched asynchronously so the host scan of image i+1 overlaps the
 device transform of image i.
 
-Methodology (round-3 rework — the stopping rule no longer references
-the target):
+Methodology (fixed budget; no stopping rule references the target):
 
 - FIXED time budget. The sweep round-robins pipeline shapes until the
   budget elapses; nothing about when it stops depends on the values
@@ -40,10 +39,25 @@ the target):
   faster than its true quiet rate, so max-of-probes is a lower-bound
   estimate of "host quiet", and windows passing the filter are ones
   where the engine actually had the host.
+- Subprocess-chunked sweep (round-3 session-4 rework). The axon
+  gRPC-tunnel device plugin used by this harness degrades host->device
+  transfers ~7-10x permanently once a process has transferred ~1.8 GB
+  cumulative payload (reproduced with a bare `jax.device_put` loop:
+  flat ~1.5 ms/2MB-put until ~1.8 GB total, then a persistent step to
+  ~10-13 ms; byte-triggered, not count-triggered; survives
+  `jax.extend.backend.clear_backends()` + gc; the CPU backend and real
+  non-tunneled TPU runtimes are unaffected). A single-process sweep
+  therefore measures the plugin artifact, not the engine: every window
+  past the first ~40 runs post-cliff. The sweep instead runs as a
+  sequence of short-lived child processes, each bounded to a FIXED
+  number of windows (~1.2 GB of transfers, chosen up front from the
+  cliff geometry — value-independent), aggregated by the parent. The
+  persistent XLA compile cache makes child startup ~3-5 s.
 - All modes in one line. Progressive/lossless/arithmetic decode,
   encode (std + optimized), and the optimizer are measured after the
-  sweep and embedded under "modes" so the driver-captured JSON carries
-  the whole matrix, not just SOF0.
+  sweep (in their own fresh children, same bracketing discipline) and
+  embedded under "modes" so the driver-captured JSON carries the whole
+  matrix, not just SOF0.
 
 ``vs_baseline`` divides by BASELINE_MPS: the reference publishes no
 absolute numbers (BASELINE.md) and no .NET runtime exists in this
@@ -59,7 +73,9 @@ from __future__ import annotations
 import io
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 BASELINE_MPS = 50.0
@@ -77,6 +93,12 @@ SWEEP_BUDGET_S = float(os.environ.get("JPX_BENCH_BUDGET_S", "600"))
 # smoke-testing the harness — the driver runs the 600 s default.
 WINDOWS_PER_VISIT = 3
 WINDOW_REPEAT = 2  # x len(variants) images per window
+VISITS_PER_CHUNK = 2
+# 2 visits x 4 shapes x 3 windows x 8 images = 192 images (~1.2 GB of
+# sparse-coefficient uploads at ~6 MB/image) per child process — fixed
+# up front, safely under the tunnel plugin's ~1.8 GB transfer cliff.
+
+MODE_RUNS = 7
 
 
 def _pct(sorted_vals, q):
@@ -86,105 +108,68 @@ def _pct(sorted_vals, q):
     return sorted_vals[i]
 
 
-
-def main() -> None:
-    sys.path.insert(0, "/root/repo")
-    import jax
-    import numpy as np
+def _turbo_probe(data, mp):
+    # Best of 2 back-to-back decodes: a single descheduling burst
+    # inside one ~25 ms decode would otherwise misclassify a quiet
+    # window as loaded. Max-of-2 still cannot exceed turbo's true
+    # quiet rate, so the quiet-window filter stays a lower-bound
+    # criterion that never looks at the engine's own numbers.
     from PIL import Image
 
-    import jpeglibrary_tpu as jt
-    from jpeglibrary_tpu.models.decoder import JpegDecoder
-    from jpeglibrary_tpu.models.encoder import encode_rgb
-    from jpeglibrary_tpu.parallel.batch import decode_stream_rgb
-
-    data = open(ASSET, "rb").read()
-
-    # Distinct images (flips/rolls, re-encoded at q75): decoding one
-    # image repeatedly would let the remote-device transport dedupe
-    # identical uploads and flatter the numbers. The reference
-    # benchmark's workload is likewise distinct content (a 2x2 tiling).
-    base = jt.decode(data)
-    rgb = base.to_rgb8()
-    mp = base.width * base.height / 1e6
-    variants = [
-        data,
-        encode_rgb(rgb[::-1], 75),
-        encode_rgb(rgb[:, ::-1], 75),
-        encode_rgb(np.roll(rgb, rgb.shape[0] // 2, axis=0), 75),
-    ]
-
-    def turbo_decode():
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
         img = Image.open(io.BytesIO(data))
         img.load()
+        best = max(best, mp / (time.perf_counter() - t0))
+    return best
 
-    def turbo_probe():
-        # Best of 2 back-to-back decodes: a single descheduling burst
-        # inside one ~25 ms decode would otherwise misclassify a quiet
-        # window as loaded. Max-of-2 still cannot exceed turbo's true
-        # quiet rate, so the quiet-window filter stays a lower-bound
-        # criterion that never looks at the engine's own numbers.
-        best = 0.0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            turbo_decode()
-            best = max(best, mp / (time.perf_counter() - t0))
-        return best
 
-    # Warmup: compile the sparse fused transform on every bucket size
-    # through the same merged-scan path the stream uses, then one
-    # unmeasured pass per swept shape (compiles the grouped vmapped
-    # transform so no measured window pays a device compile). Also
-    # warm PIL/turbo.
-    # One native thread per image through the sweep: the pipeline's
-    # parallelism is its scan workers; letting each image also fan out
-    # native threads oversubscribes the 4-core host (this is the
-    # configuration the swept shapes were tuned under).
-    prev_threads = os.environ.pop("JPX_SCAN_THREADS", None)
-    os.environ["JPX_SCAN_THREADS"] = "1"
-    for v in variants:
-        dec = JpegDecoder()
-        dec.set_input(v)
-        r = dec.decode(sparse_direct=True)
-        jax.block_until_ready(r.to_rgb8_device(sparse=True))
-    for workers, dev_workers, group in SHAPES:
+def _peak_rss_mb():
+    try:
+        import resource
+
+        return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1)
+    except Exception:
+        return 0.0
+
+
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# Child: one sweep chunk (fresh process; bounded cumulative transfers)
+# ---------------------------------------------------------------------------
+
+
+def sweep_chunk(work_dir: str) -> None:
+    sys.path.insert(0, "/root/repo")
+    from jpeglibrary_tpu.parallel.batch import decode_stream_rgb
+
+    meta = json.load(open(os.path.join(work_dir, "meta.json")))
+    mp = meta["mp"]
+    variants = [
+        open(os.path.join(work_dir, f"v{i}.jpg"), "rb").read() for i in range(4)
+    ]
+    data = variants[0]
+
+    # Warm: one pass per shape compiles exactly the grouped device
+    # programs the measured windows run (same variants, same groups);
+    # an extra pass on the first shape lets the thread pools and device
+    # pipelining reach steady state. Warm PIL too.
+    for workers, dev_workers, group in SHAPES + (SHAPES[0],):
         for _ in decode_stream_rgb(
             variants, scan_workers=workers, device_workers=dev_workers, group=group
         ):
             pass
-    turbo_decode()
+    _turbo_probe(data, mp)
 
-    # Fixed-budget sweep. Each window: turbo probe, then our batch.
-    # windows[shape] = list of (our_mps, turbo_mps).
-    #
-    # RSS guard (value-independent — a resource cap, not a stopping
-    # rule): the axon tunnel plugin leaks ~the payload size of every
-    # host->device transfer in host RSS (reproduced with a bare
-    # jax.device_put loop; the CPU backend is leak-free), so a long
-    # sweep accumulates ~6 MB per decoded image. The guard stops the
-    # sweep before the process threatens the shared host's memory; it
-    # never consults throughput numbers.
-    rss_limit_mb = float(os.environ.get("JPX_BENCH_RSS_LIMIT_MB", "40000"))
-
-    def _rss_mb():
-        try:
-            import resource
-
-            return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
-        except Exception:
-            return 0.0
-
-    rss_capped = False
-    windows = {shape: [] for shape in SHAPES}
-    deadline = time.perf_counter() + SWEEP_BUDGET_S
-    while time.perf_counter() < deadline:
-        if _rss_mb() > rss_limit_mb:
-            rss_capped = True
-            break
-        for shape in SHAPES:
-            workers, dev_workers, group = shape
+    windows = {i: [] for i in range(len(SHAPES))}
+    for _ in range(VISITS_PER_CHUNK):
+        for si, (workers, dev_workers, group) in enumerate(SHAPES):
             for _ in range(WINDOWS_PER_VISIT):
-                turbo_before = turbo_probe()
+                turbo_before = _turbo_probe(data, mp)
                 batch = variants * WINDOW_REPEAT
                 t0 = time.perf_counter()
                 for _ in decode_stream_rgb(
@@ -195,12 +180,209 @@ def main() -> None:
                 ):
                     pass
                 ours_mps = mp * len(batch) / (time.perf_counter() - t0)
-                turbo_after = turbo_probe()
+                turbo_after = _turbo_probe(data, mp)
                 # min of the bracketing probes = conservative "the host
                 # was at least this available during the window".
-                windows[shape].append((ours_mps, min(turbo_before, turbo_after)))
-            if time.perf_counter() > deadline:
-                break
+                windows[si].append(
+                    (round(ours_mps, 3), round(min(turbo_before, turbo_after), 3))
+                )
+    _emit(
+        {
+            "windows": {str(k): v for k, v in windows.items()},
+            "peak_rss_mb": _peak_rss_mb(),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Child: one mode group (fresh process)
+# ---------------------------------------------------------------------------
+
+
+def _mode_runs(name_fn_mp, data, asset_mp):
+    """Bracketed runs for each (name, fn, megapixels): returns raw
+    (rate, probe_min, probe_max) tuples; the parent applies the global
+    quiet scale."""
+    out = {}
+    for name, fn, megapixels in name_fn_mp:
+        fn()  # warm
+        runs = []
+        for _ in range(MODE_RUNS):
+            before = _turbo_probe(data, asset_mp)
+            t0 = time.perf_counter()
+            fn()
+            rate = megapixels / (time.perf_counter() - t0)
+            after = _turbo_probe(data, asset_mp)
+            runs.append(
+                (round(rate, 3), round(min(before, after), 3), round(max(before, after), 3))
+            )
+        out[name] = runs
+    return out
+
+
+def mode_chunk(work_dir: str, group: str) -> None:
+    sys.path.insert(0, "/root/repo")
+    import jpeglibrary_tpu as jt
+
+    meta = json.load(open(os.path.join(work_dir, "meta.json")))
+    mp = meta["mp"]
+    data = open(os.path.join(work_dir, "v0.jpg"), "rb").read()
+
+    if group == "encode":
+        from jpeglibrary_tpu.models.lossless import encode_lossless
+        from jpeglibrary_tpu.models.progressive_encoder import encode_progressive_rgb
+
+        rgb = jt.decode(data).to_rgb8()
+        specs = [
+            ("transform_rot90", lambda: jt.transform(data, "rot90"), mp),
+            ("sof0_encode", lambda: jt.encode_rgb(rgb, 75), mp),
+            (
+                "sof0_encode_optimized",
+                lambda: jt.encode_rgb(rgb, 75, optimize_coding=True),
+                mp,
+            ),
+            ("optimizer", lambda: jt.optimize(data), mp),
+            ("progressive_encode", lambda: encode_progressive_rgb(rgb, 75), mp),
+            (
+                "lossless_encode",
+                lambda: encode_lossless(rgb, predictor=1, restart_interval=2048),
+                mp,
+            ),
+            (
+                "arithmetic_encode",
+                lambda: jt.encode_rgb(rgb, 75, arithmetic=True, restart_interval=32),
+                mp,
+            ),
+        ]
+    elif group == "decode":
+        specs = []
+        for name, fname in (
+            ("progressive_decode", "prog.jpg"),
+            ("progressive_decode_norestart", "prog_pil.jpg"),
+            ("lossless_decode", "lossless.jpg"),
+            ("arithmetic_decode", "arith.jpg"),
+        ):
+            d = open(os.path.join(work_dir, fname), "rb").read()
+            r = jt.decode(d)
+            m = r.width * r.height / 1e6
+            specs.append((name, lambda d=d: jt.decode(d), m))
+    elif group == "thumbnail":
+        import jax
+
+        def _thumb():
+            r = jt.decode(data, sparse_direct=True)
+            jax.block_until_ready(r.to_rgb8_device(scale=0.125))
+
+        specs = [("thumbnail_eighth", _thumb, mp)]
+    else:
+        raise SystemExit(f"unknown mode group {group}")
+
+    _emit({"modes": _mode_runs(specs, data, mp), "peak_rss_mb": _peak_rss_mb()})
+
+
+# ---------------------------------------------------------------------------
+# Parent: orchestrate chunks, aggregate, print the driver JSON line
+# ---------------------------------------------------------------------------
+
+
+def _run_child(args, env):
+    """Run a child bench process; return its last-stdout-line JSON or
+    None on failure (a failed chunk is dropped, never synthesized)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *args],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=1200,
+        )
+        lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            sys.stderr.write(
+                f"bench child {args} failed rc={proc.returncode}:\n{proc.stderr[-2000:]}\n"
+            )
+            return None
+        return json.loads(lines[-1])
+    except Exception as exc:  # noqa: BLE001 — a lost chunk must not kill the run
+        sys.stderr.write(f"bench child {args} error: {exc}\n")
+        return None
+
+
+def main() -> None:
+    sys.path.insert(0, "/root/repo")
+    import numpy as np
+    from PIL import Image
+
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.models.encoder import encode_rgb
+    from jpeglibrary_tpu.models.lossless import encode_lossless
+    from jpeglibrary_tpu.models.progressive_encoder import encode_progressive_rgb
+
+    data = open(ASSET, "rb").read()
+
+    # Distinct images (flips/rolls, re-encoded at q75): decoding one
+    # image repeatedly would let the remote-device transport dedupe
+    # identical uploads and flatter the numbers. The reference
+    # benchmark's workload is likewise distinct content (a 2x2 tiling).
+    # All of this is host-native work — the parent never touches the
+    # device, so its own transfer budget stays at zero.
+    base = jt.decode(data)
+    rgb = base.to_rgb8()
+    mp = base.width * base.height / 1e6
+    variants = [
+        data,
+        encode_rgb(rgb[::-1], 75),
+        encode_rgb(rgb[:, ::-1], 75),
+        encode_rgb(np.roll(rgb, rgb.shape[0] // 2, axis=0), 75),
+    ]
+
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, "JPEG", quality=75, progressive=True, subsampling=2)
+
+    work_dir = tempfile.mkdtemp(prefix="jpx_bench_")
+    for i, v in enumerate(variants):
+        open(os.path.join(work_dir, f"v{i}.jpg"), "wb").write(v)
+    open(os.path.join(work_dir, "prog.jpg"), "wb").write(
+        encode_progressive_rgb(rgb, 75, restart_interval=64)
+    )
+    open(os.path.join(work_dir, "prog_pil.jpg"), "wb").write(buf.getvalue())
+    open(os.path.join(work_dir, "lossless.jpg"), "wb").write(
+        encode_lossless(rgb, predictor=1, restart_interval=2048)
+    )
+    open(os.path.join(work_dir, "arith.jpg"), "wb").write(
+        jt.encode_rgb(rgb, 75, arithmetic=True, restart_interval=32)
+    )
+    json.dump({"mp": mp}, open(os.path.join(work_dir, "meta.json"), "w"))
+
+    # One native thread per image through the sweep: the pipeline's
+    # parallelism is its scan workers; letting each image also fan out
+    # native threads oversubscribes the 4-core host (this is the
+    # configuration the swept shapes were tuned under).
+    sweep_env = dict(os.environ, JPX_SCAN_THREADS="1")
+    mode_env = dict(os.environ)
+    mode_env.pop("JPX_SCAN_THREADS", None)
+    # Mode children parallelize INTERNALLY (restart spans / scan
+    # chains), so the sweep's 1-thread override must not leak to them.
+
+    # Fixed-budget sweep over fresh child processes. The deadline is
+    # wall-clock from here; a chunk is launched only while time
+    # remains, and at least one always runs so smoke budgets still
+    # produce a full JSON.
+    windows = {shape: [] for shape in SHAPES}
+    peaks = [_peak_rss_mb()]
+    n_chunks = n_failed = 0
+    deadline = time.perf_counter() + SWEEP_BUDGET_S
+    while n_chunks == 0 or time.perf_counter() < deadline - 10.0:
+        res = _run_child(["--sweep-chunk", work_dir], sweep_env)
+        n_chunks += 1
+        if res is None:
+            n_failed += 1
+            if n_failed >= 3 and n_failed == n_chunks:
+                break  # harness itself is broken; don't spin forever
+            continue
+        for si, shape in enumerate(SHAPES):
+            windows[shape].extend(tuple(w) for w in res["windows"][str(si)])
+        peaks.append(res.get("peak_rss_mb", 0.0))
 
     all_ours = sorted(o for shape in SHAPES for (o, t) in windows[shape])
     all_ratio = sorted(o / t for shape in SHAPES for (o, t) in windows[shape])
@@ -211,7 +393,7 @@ def main() -> None:
     # a window is quiet when single-threaded libjpeg-turbo ran within
     # 80% of the fastest probe seen this run (turbo cannot exceed its
     # true quiet rate, so max-of-probes is a lower-bound estimate of it).
-    turbo_max = max(t for shape in SHAPES for (o, t) in windows[shape])
+    turbo_max = max((t for shape in SHAPES for (o, t) in windows[shape]), default=1.0)
     quiet = {
         shape: [o for (o, t) in windows[shape] if t >= 0.8 * turbo_max]
         for shape in SHAPES
@@ -224,7 +406,7 @@ def main() -> None:
 
     best_shape = max(SHAPES, key=shape_quiet_median)
     value = shape_quiet_median(best_shape)
-    if value == 0.0:
+    if value == 0.0 and all_ours:
         # Degenerate run (no shape has a quiet window): fall back to the
         # best shape by median load-immune ratio.
         def shape_median_ratio(shape):
@@ -235,39 +417,25 @@ def main() -> None:
         value = _pct(sorted(o for (o, t) in windows[best_shape]), 0.5)
     best_ratio = sorted(o / t for (o, t) in windows[best_shape])
 
-    # ---- per-mode matrix (all numbers land in the captured JSON) ----
-    # Restore the native thread policy: the single-image mode decodes
-    # below parallelize INTERNALLY (restart spans / scan chains), so
-    # leaking the sweep's 1-thread override would cripple them.
-    if prev_threads is None:
-        os.environ.pop("JPX_SCAN_THREADS", None)
-    else:
-        os.environ["JPX_SCAN_THREADS"] = prev_threads
-    modes = {}
-    mode_probes = [turbo_max]  # host-availability scale, shared with the sweep
+    # ---- per-mode matrix (fresh children; all numbers in the JSON) ----
+    raw_modes = {}
+    for group in ("encode", "decode", "thumbnail"):
+        res = _run_child(["--mode-chunk", work_dir, group], mode_env)
+        if res is None:
+            continue
+        raw_modes.update(res["modes"])
+        peaks.append(res.get("peak_rss_mb", 0.0))
 
-    def mode(name, f, megapixels, n=7):
-        # Same load discipline as the sweep: every timed run is
-        # bracketed (before/after) by the single-threaded turbo probe,
-        # and `quiet_p50` is the median over runs whose bracketing
-        # probes reached 80% of the fastest probe seen anywhere this
-        # run (sweep included). The filter references only the probe —
-        # an objective availability measure — never the mode's own
-        # numbers. p50/best over ALL runs are kept for transparency.
-        f()  # warm
-        runs = []
-        for _ in range(n):
-            before = turbo_probe()
-            t0 = time.perf_counter()
-            f()
-            rate = megapixels / (time.perf_counter() - t0)
-            after = turbo_probe()
-            probe = min(before, after)
-            mode_probes.append(max(before, after))
-            runs.append((rate, probe))
-        rates = sorted(r for r, _ in runs)
-        scale = max(mode_probes)
-        quiet_rates = sorted(r for r, p in runs if p >= 0.8 * scale)
+    # Global availability scale: max probe seen anywhere this run
+    # (sweep windows store min-of-bracket; modes report their max too).
+    scale = max(
+        [turbo_max]
+        + [pmax for runs in raw_modes.values() for (_, _, pmax) in runs]
+    )
+    modes = {}
+    for name, runs in raw_modes.items():
+        rates = sorted(r for r, _, _ in runs)
+        quiet_rates = sorted(r for r, pmin, _ in runs if pmin >= 0.8 * scale)
         modes[name] = {
             "p50": round(rates[len(rates) // 2], 2),
             "best": round(rates[-1], 2),
@@ -277,91 +445,39 @@ def main() -> None:
             "n_quiet": len(quiet_rates),
         }
 
-    import jax as _jax
-
-    def _thumb():
-        r = jt.decode(data, sparse_direct=True)
-        _jax.block_until_ready(r.to_rgb8_device(scale=0.125))
-
-    mode("thumbnail_eighth", _thumb, mp)
-    mode("transform_rot90", lambda: jt.transform(data, "rot90"), mp)
-    mode("sof0_encode", lambda: jt.encode_rgb(rgb, 75), mp)
-    mode("sof0_encode_optimized", lambda: jt.encode_rgb(rgb, 75, optimize_coding=True), mp)
-    mode("optimizer", lambda: jt.optimize(data), mp)
-
-    from jpeglibrary_tpu.models.lossless import encode_lossless
-    from jpeglibrary_tpu.models.progressive_encoder import encode_progressive_rgb
-
-    big_prog = encode_progressive_rgb(rgb, 75, restart_interval=64)
-    buf = io.BytesIO()
-    Image.fromarray(rgb).save(buf, "JPEG", quality=75, progressive=True, subsampling=2)
-    big_prog_pil = buf.getvalue()
-    big_lossless = encode_lossless(rgb, predictor=1, restart_interval=2048)
-    big_arith = jt.encode_rgb(rgb, 75, arithmetic=True, restart_interval=32)
-
-    mode("progressive_encode", lambda: encode_progressive_rgb(rgb, 75), mp)
-    mode(
-        "lossless_encode",
-        lambda: encode_lossless(rgb, predictor=1, restart_interval=2048),
-        mp,
-    )
-    mode(
-        "arithmetic_encode",
-        lambda: jt.encode_rgb(rgb, 75, arithmetic=True, restart_interval=32),
-        mp,
-    )
-
-    for name, d in (
-        ("progressive_decode", big_prog),
-        ("progressive_decode_norestart", big_prog_pil),
-        ("lossless_decode", big_lossless),
-        ("arithmetic_decode", big_arith),
-    ):
-        r = jt.decode(d)
-        m = r.width * r.height / 1e6
-        mode(name, lambda d=d: jt.decode(d), m)
-
-    # Peak host memory (the reference benchmark runs MemoryDiagnoser;
-    # ru_maxrss is the whole-process high-water mark across the run —
-    # sweep pipelines, all modes, and the JAX runtime included).
-    try:
-        import resource
-
-        peak_rss_mb = round(
-            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1
-        )
-    except Exception:
-        peak_rss_mb = None
-
-    print(
-        json.dumps(
-            {
-                "metric": "sof0_decode_throughput",
-                "value": round(value, 3),
-                "unit": "MP/s",
-                "vs_baseline": round(value / BASELINE_MPS, 3),
-                "vs_turbo_p50": round(_pct(best_ratio, 0.5), 3),
-                "vs_turbo_p10": round(_pct(best_ratio, 0.1), 3),
-                "vs_turbo_p90": round(_pct(best_ratio, 0.9), 3),
-                "p10": round(_pct(all_ours, 0.1), 3),
-                "p50": round(_pct(all_ours, 0.5), 3),
-                "p90": round(_pct(all_ours, 0.9), 3),
-                "max": round(all_ours[-1] if all_ours else 0.0, 3),
-                "turbo_mps_p50": round(
-                    _pct(sorted(t for s in SHAPES for (_, t) in windows[s]), 0.5), 3
-                ),
-                "turbo_mps_max": round(turbo_max, 3),
-                "n_windows": len(all_ours),
-                "n_quiet_windows": n_quiet,
-                "best_shape": list(best_shape),
-                "ratio_p50_all_shapes": round(_pct(all_ratio, 0.5), 3),
-                "peak_rss_mb": peak_rss_mb,
-                "rss_capped": rss_capped,
-                "modes": modes,
-            }
-        )
+    _emit(
+        {
+            "metric": "sof0_decode_throughput",
+            "value": round(value, 3),
+            "unit": "MP/s",
+            "vs_baseline": round(value / BASELINE_MPS, 3),
+            "vs_turbo_p50": round(_pct(best_ratio, 0.5), 3),
+            "vs_turbo_p10": round(_pct(best_ratio, 0.1), 3),
+            "vs_turbo_p90": round(_pct(best_ratio, 0.9), 3),
+            "p10": round(_pct(all_ours, 0.1), 3),
+            "p50": round(_pct(all_ours, 0.5), 3),
+            "p90": round(_pct(all_ours, 0.9), 3),
+            "max": round(all_ours[-1] if all_ours else 0.0, 3),
+            "turbo_mps_p50": round(
+                _pct(sorted(t for s in SHAPES for (_, t) in windows[s]), 0.5), 3
+            ),
+            "turbo_mps_max": round(turbo_max, 3),
+            "n_windows": len(all_ours),
+            "n_quiet_windows": n_quiet,
+            "n_chunks": n_chunks,
+            "n_failed_chunks": n_failed,
+            "best_shape": list(best_shape),
+            "ratio_p50_all_shapes": round(_pct(all_ratio, 0.5), 3),
+            "peak_rss_mb": max(peaks),
+            "modes": modes,
+        }
     )
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--sweep-chunk":
+        sweep_chunk(sys.argv[2])
+    elif len(sys.argv) >= 4 and sys.argv[1] == "--mode-chunk":
+        mode_chunk(sys.argv[2], sys.argv[3])
+    else:
+        main()
