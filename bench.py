@@ -287,7 +287,9 @@ def mode_chunk(work_dir: str, group: str) -> None:
             ),
         ]
     elif group == "decode":
-        specs = []
+        # Full host decode -> interleaved RGB8 (scan + fused native
+        # transform), the non-device consumer's end-to-end rate.
+        specs = [("host_rgb_decode", lambda: jt.decode(data).to_rgb8(), mp)]
         for name, fname in (
             ("progressive_decode", "prog.jpg"),
             ("progressive_decode_norestart", "prog_pil.jpg"),

@@ -71,6 +71,7 @@ from .models.hierarchical import encode_hierarchical
 from .models.lossless import encode_lossless
 from .models.arithmetic_lossless import encode_lossless_arithmetic
 from .models.optimizer import JpegOptimizer, optimize
+from .models.region import decode_region
 from .models.transcode import autorotate, crop, transcode, transform
 from .parallel.batch import decode_batch_rgb, decode_stream_rgb, encode_batch_rgb
 
@@ -80,6 +81,7 @@ __all__ = [
     "ImageInfo",
     "decode",
     "decode_batch_rgb",
+    "decode_region",
     "decode_stream_rgb",
     "JpegEncoder",
     "encode_batch_rgb",

@@ -30,6 +30,13 @@ def main(argv=None) -> int:
         help="write 4-component streams as CMYK ink values (TIFF/PNG-"
         "compatible array) instead of the RGB view",
     )
+    parser.add_argument(
+        "--region",
+        metavar="X,Y,W,H",
+        help="decode only this pixel rectangle (restart-span skipping "
+        "on baseline streams with DRI: cost scales with the region, "
+        "not the image)",
+    )
     args = parser.parse_args(argv)
 
     from PIL import Image
@@ -40,6 +47,21 @@ def main(argv=None) -> int:
     if args.metrics:
         metrics.enable()
     data = open(args.source, "rb").read()
+    if args.region:
+        try:
+            x, y, w, h = (int(v) for v in args.region.split(","))
+        except ValueError:
+            parser.error("--region expects X,Y,W,H integers")
+        upsample = "fancy" if args.fancy_upsampling else "duplicate"
+        tile = jt.decode_region(data, x, y, w, h, upsample=upsample)
+        if tile.shape[-1] == 4:
+            Image.fromarray(tile, mode="CMYK").save(args.output)
+        else:
+            Image.fromarray(tile, mode="RGB").save(args.output)
+        print(f"{args.source}: region {w}x{h}+{x}+{y} -> {args.output}")
+        if args.metrics:
+            print(metrics.report())
+        return 0
     result = jt.decode(data)
     if args.cmyk:
         Image.fromarray(result.to_cmyk8(), mode="CMYK").save(args.output)

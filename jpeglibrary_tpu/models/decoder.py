@@ -395,6 +395,30 @@ class DecodeResult:
 
         if upsample not in ("duplicate", "fancy"):
             raise ValueError(f"unknown upsample mode {upsample!r}")
+        transform_ = self.color_transform
+        if (
+            upsample == "duplicate"
+            and self.precision == 8
+            and self.samples is None
+            and transform_ in ("gray", "ycbcr", "rgb")
+        ):
+            # Fused native host transform (the decode twin of the fused
+            # encode): dequant + IDCT + upsample + color in one threaded
+            # pass, bit-exact to the numpy path below (parity-tested,
+            # tests/test_native_rgb_transform.py).
+            try:
+                from ..native import scanner as native_scanner
+
+                coeffs = self.coefficients
+                if coeffs is not None and self.quant is not None and all(
+                    cg.component_index in self.quant
+                    for cg in self.geometry.components
+                ):
+                    return native_scanner.decode_transform_rgb(
+                        coeffs, self.quant, self.geometry, mode=transform_
+                    )
+            except ImportError:
+                pass
         if upsample == "fancy":
             sub = self._subres_u8()
             u8 = []

@@ -1,0 +1,239 @@
+"""Region-of-interest decode: pixels for a rectangle without paying for
+the whole image.
+
+The reference (yigolden/JpegLibrary) has no partial decode — its
+decoder always walks every MCU (JpegHuffmanBaselineScanDecoder.cs:99).
+This module adds the tile-serving capability on top of this
+framework's restart-span machinery: RSTn seams reset the DC predictors
+(JpegHuffmanBaselineScanDecoder.cs:140-163), so any contiguous subset
+of an image's restart spans decodes independently and bit-identically
+to the same spans inside a full decode. For a baseline image with a
+restart interval, decoding a tile therefore costs entropy work
+proportional to the covered MCU rows — not the image — plus a
+band-sized transform.
+
+Fast path (native, span-skipping): single-scan SOF0/SOF1, 8-bit,
+restart interval > 0. Everything else falls back to a full decode and
+an exact crop, so ``decode_region`` is correct for every mode the
+framework decodes.
+
+Output matches ``full_decode.to_rgb8(upsample=...)[y:y+h, x:x+w]``
+EXACTLY (tested property). For ``upsample="fancy"`` the band is
+expanded by one iMCU of margin on each side before the transform: the
+triangular filter (jdsample.c semantics) reads neighbor chroma samples
+across block boundaries, and the margin reproduces them; at real image
+edges the filter's replication is already identical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..io import reader as io_reader
+from ..syntax.frame import FrameHeader, ScanHeader, resolve_scan_components
+from ..syntax.markers import Marker
+from ..syntax.markers import ALL_SOF_MARKERS
+from .decoder import DecodeResult, JpegDecoder
+from .geometry import frame_geometry
+
+
+def _exact_crop(img: np.ndarray, x: int, y: int, w: int, h: int) -> np.ndarray:
+    return np.ascontiguousarray(img[y : y + h, x : x + w])
+
+
+def decode_region(
+    data: bytes,
+    x: int,
+    y: int,
+    w: int,
+    h: int,
+    *,
+    upsample: str = "duplicate",
+    use_native: bool = True,
+    xp=np,
+) -> np.ndarray:
+    """Decode the ``(x, y, w, h)`` pixel rectangle of a JPEG stream.
+
+    Returns uint8 ``(h, w, 3)`` RGB (grayscale replicated), or
+    ``(h, w, 4)`` ink for Adobe CMYK/YCCK streams — exactly the crop of
+    the corresponding full-image ``to_rgb8``/``to_cmyk8``.
+
+    Partial-decode semantics: the fast path only reads the restart
+    spans covering the region, so corruption or truncation elsewhere in
+    the stream goes unnoticed — a tile over intact spans decodes where
+    a full decode would raise. Corruption inside the covered spans
+    raises the same errors as a full decode.
+    """
+    if w <= 0 or h <= 0 or x < 0 or y < 0:
+        raise ValueError("Region must have positive size and non-negative origin.")
+
+    if use_native:
+        out = _decode_region_fast(data, x, y, w, h, upsample, xp)
+        if out is not None:
+            return out
+
+    dec = JpegDecoder()
+    dec.set_input(data)
+    res = dec.decode(use_native=use_native, xp=xp)
+    if x + w > res.width or y + h > res.height:
+        raise ValueError("Region exceeds image bounds.")
+    if res.frame.number_of_components == 4:
+        img = res.to_cmyk8(upsample=upsample)
+    else:
+        img = res.to_rgb8(upsample=upsample)
+    return _exact_crop(img, x, y, w, h)
+
+
+def _decode_region_fast(
+    data: bytes, x: int, y: int, w: int, h: int, upsample: str, xp
+) -> Optional[np.ndarray]:
+    """Span-skipping band decode; None when the stream is ineligible
+    (the caller falls back to full decode + crop)."""
+    try:
+        from ..native import scanner as native_scanner
+        from ..native import build as native_build
+
+        native_build.load_library()
+    except ImportError:
+        return None
+
+    dec = JpegDecoder()
+    dec.set_input(data)
+    try:
+        stream = dec._parsed()
+    except Exception:
+        return None  # let the full decode raise the canonical error
+    if len(stream.scans) != 1:
+        return None
+
+    frame: Optional[FrameHeader] = None
+    scan_header: Optional[ScanHeader] = None
+    adobe = None
+    for seg in stream.segments:
+        if seg.marker in (Marker.DQT, Marker.DHT, Marker.DAC, Marker.DRI):
+            dec._process_table_segment(seg, data)
+        elif seg.marker == Marker.APP14:
+            payload = seg.payload(data)
+            if len(payload) >= 12 and payload[:5] == b"Adobe":
+                adobe = payload[11]
+        elif seg.marker == Marker.DHP:
+            return None  # hierarchical pyramid
+        elif seg.marker in ALL_SOF_MARKERS:
+            if seg.marker not in (Marker.SOF0, Marker.SOF1):
+                return None
+            frame = io_reader.resolve_dnl(
+                stream, data, FrameHeader.parse(seg.payload(data), seg.marker)
+            )
+        elif seg.marker == Marker.SOS:
+            if frame is None:
+                return None
+            scan_header = ScanHeader.parse(seg.payload(data))
+            break
+
+    if frame is None or scan_header is None or frame.sample_precision != 8:
+        return None
+    if x + w > frame.samples_per_line or y + h > frame.number_of_lines:
+        raise ValueError("Region exceeds image bounds.")
+    ri = dec._restart_interval
+    if ri <= 0:
+        return None  # no restart seams to skip by
+
+    geo = frame_geometry(frame)
+    scan = stream.scans[0]
+    mh, mv = geo.max_h, geo.max_v
+    mpl = geo.mcus_per_line
+    total_mcus = mpl * geo.mcus_per_column
+
+    # iMCU-aligned band/columns covering the rect; fancy upsampling
+    # reads one chroma neighbor across block edges -> 1 iMCU margin.
+    margin = 1 if upsample == "fancy" else 0
+    row0 = max(0, y // (8 * mv) - margin)
+    row1 = min(geo.mcus_per_column, -(-(y + h) // (8 * mv)) + margin)
+    cx0 = max(0, x // (8 * mh) - margin)
+    cx1 = min(mpl, -(-(x + w) // (8 * mh)) + margin)
+
+    # Full-list validation first (exactly what a full decode enforces);
+    # then the contiguous span subset covering the band's MCU range.
+    native_scanner.validate_restart_spans(scan.spans, ri, total_mcus)
+    s0 = (row0 * mpl) // ri
+    s1 = min(len(scan.spans), -(-(row1 * mpl) // ri))
+
+    # MCU rows the selected spans actually touch (spans need not align
+    # with row boundaries): the band planes must cover all of them.
+    first_mcu = s0 * ri
+    cover_lo = first_mcu // mpl
+    cover_hi = (
+        -(-min(s1 * ri, total_mcus) // mpl) if s1 > s0 else row1
+    )
+    cover_hi = max(cover_hi, row1)
+
+    band_planes = {}
+    for cg in geo.components:
+        band_planes[cg.component_index] = np.zeros(
+            ((cover_hi - cover_lo) * cg.v, cg.blocks_per_line, 64), dtype=np.int16
+        )
+    if s1 > s0:
+        native_scanner.decode_baseline_scan(
+            data,
+            list(scan.spans[s0:s1]),
+            frame,
+            scan_header,
+            dec._dc_tables,
+            dec._ac_tables,
+            ri,
+            band_planes,
+            geo,
+            first_mcu=first_mcu,
+            mcu_row_offset=cover_lo,
+            validate=False,
+        )
+    # else: region lies beyond a truncated stream's spans — stays zero
+    # coefficients (mid-gray), matching the tolerated-truncation full
+    # decode.
+
+    quant = {}
+    for comp_index, fc, _sc in resolve_scan_components(frame, scan_header):
+        qt = dec._quant_tables.get(fc.quantization_table_selector)
+        if qt is None or qt.is_empty:
+            raise ValueError(
+                f"Quantization table of component {comp_index} is not defined."
+            )
+        quant[comp_index] = qt.elements.astype(np.int32)
+
+    # Synthesize the sub-image: same components, iMCU-snapped rect. The
+    # block grid of the sliced planes matches frame_geometry of the
+    # snapped dimensions exactly (both are whole-MCU grids).
+    px_x0 = cx0 * 8 * mh
+    px_y0 = row0 * 8 * mv
+    sub_w = min(frame.samples_per_line, cx1 * 8 * mh) - px_x0
+    sub_h = min(frame.number_of_lines, row1 * 8 * mv) - px_y0
+    sub_frame = dataclasses.replace(
+        frame, samples_per_line=sub_w, number_of_lines=sub_h
+    )
+    sub_geo = frame_geometry(sub_frame)
+
+    coeffs = {}
+    for cg in geo.components:
+        p = band_planes[cg.component_index]
+        r0 = (row0 - cover_lo) * cg.v
+        r1 = (row1 - cover_lo) * cg.v
+        coeffs[cg.component_index] = np.ascontiguousarray(
+            p[r0:r1, cx0 * cg.h : cx1 * cg.h]
+        )
+
+    res = DecodeResult(
+        frame=sub_frame,
+        geometry=sub_geo,
+        coefficients=coeffs,
+        quant=quant,
+        xp=xp,
+        adobe_transform=adobe,
+    )
+    if frame.number_of_components == 4:
+        img = res.to_cmyk8(upsample=upsample)
+    else:
+        img = res.to_rgb8(upsample=upsample)
+    return _exact_crop(img, x - px_x0, y - px_y0, w, h)

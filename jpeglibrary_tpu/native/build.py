@@ -79,6 +79,25 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, plane_wb
         c.c_int32,                       # n_threads
     ]
+    lib.jpx_decode_baseline_scan_region.restype = c.c_int32
+    lib.jpx_decode_baseline_scan_region.argtypes = (
+        lib.jpx_decode_baseline_scan.argtypes
+        + [c.c_int64, c.c_int64]  # first_mcu, mcu_row_offset
+    )
+    lib.jpx_decode_transform_rgb.restype = c.c_int32
+    lib.jpx_decode_transform_rgb.argtypes = [
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, plane_wb
+        c.c_void_p,                      # quants (n_comps x 64 int32, zz)
+        c.c_int32,                       # n_comps
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # comp_h, comp_v
+        c.c_int32, c.c_int32,            # max_h, max_v
+        c.c_int64, c.c_int64,            # width, height
+        c.c_int64, c.c_int64,            # mcus per line / column
+        c.c_void_p,                      # zz_to_nat
+        c.c_int32,                       # mode (0 gray / 1 ycbcr / 2 rgb)
+        c.c_void_p,                      # out rgb8
+        c.c_int32,                       # n_threads
+    ]
     lib.jpx_decode_progressive_scan.restype = c.c_int32
     lib.jpx_decode_progressive_chains.restype = c.c_int32
     lib.jpx_decode_progressive_chains.argtypes = [

@@ -318,7 +318,7 @@ struct SpanTask {
 
 // Decode a run of MCUs from one span with fresh DC predictors.
 static int decode_span(const SpanTask& task, Component* comps, int n_comps,
-                       int64_t mcus_per_line) {
+                       int64_t mcus_per_line, int64_t mcu_row_offset = 0) {
     BitReader br;
     br.init(task.data, task.len);
     std::vector<int32_t> pred(n_comps, 0);
@@ -326,7 +326,7 @@ static int decode_span(const SpanTask& task, Component* comps, int n_comps,
 
     for (int64_t m = 0; m < task.n_mcus; ++m) {
         int64_t mcu = task.first_mcu + m;
-        int64_t row = mcu / mcus_per_line;
+        int64_t row = mcu / mcus_per_line - mcu_row_offset;
         int64_t col = mcu % mcus_per_line;
         for (int ci = 0; ci < n_comps; ++ci) {
             Component& c = comps[ci];
@@ -601,18 +601,14 @@ static int decode_span_speculative(const uint8_t* data, int64_t len,
     return 0;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Decode one baseline scan. Components are in scan order.
-//   span_starts/span_ends: byte ranges of the entropy spans (RSTn-split)
-//   restart_interval: MCUs per span (0 = single span)
-//   planes: per-component int16 [Hb, Wb, 64] zig-zag coefficient planes
-// Returns 0 on success; 1 premature end (tolerated truncation decodes
-// partially, matching the reference's exception-free paths is handled
-// Python-side); 2 invalid Huffman code; 3 bad arguments.
-int jpx_decode_baseline_scan(
+// Shared driver for the full-image and region (span-subset) decodes.
+//   first_mcu: global MCU index of the first span passed in (0 for a
+//     full decode; a multiple of restart_interval for a region decode —
+//     restart seams make any contiguous span subset independently
+//     decodable since DC predictors reset at every RSTn).
+//   mcu_row_offset: MCU rows to subtract before plane writes, so a
+//     caller can hand band-sized planes covering only the decoded rows.
+static int decode_baseline_scan_impl(
     const uint8_t* data,
     const int64_t* span_starts, const int64_t* span_ends, int32_t n_spans,
     int64_t restart_interval,
@@ -621,8 +617,13 @@ int jpx_decode_baseline_scan(
     const int32_t* comp_h, const int32_t* comp_v,
     const uint8_t* dc_blob, const uint8_t* ac_blob,  // n_comps HuffTables each
     int16_t** planes, const int64_t* plane_wb,
-    int32_t n_threads) {
+    int32_t n_threads,
+    int64_t first_mcu, int64_t mcu_row_offset) {
     if (n_comps <= 0 || n_spans <= 0) return 3;
+    // Region decode needs the restart-seam structure (and the
+    // speculative no-restart path below never sees an offset).
+    if ((first_mcu != 0 || mcu_row_offset != 0) && restart_interval <= 0)
+        return 3;
 
     std::vector<Component> comps(n_comps);
     for (int i = 0; i < n_comps; ++i) {
@@ -653,7 +654,7 @@ int jpx_decode_baseline_scan(
         }
         tasks.push_back(t);
     } else {
-        int64_t mcu = 0;
+        int64_t mcu = first_mcu;
         for (int32_t s = 0; s < n_spans && mcu < total_mcus; ++s) {
             int64_t n = std::min<int64_t>(restart_interval, total_mcus - mcu);
             SpanTask t{data + span_starts[s], span_ends[s] - span_starts[s], mcu, n};
@@ -668,7 +669,8 @@ int jpx_decode_baseline_scan(
 
     if (n_threads <= 1) {
         for (const auto& t : tasks) {
-            int rc = decode_span(t, comps.data(), n_comps, mcus_per_line);
+            int rc = decode_span(t, comps.data(), n_comps, mcus_per_line,
+                                 mcu_row_offset);
             if (rc) return rc;
         }
         return 0;
@@ -681,7 +683,7 @@ int jpx_decode_baseline_scan(
         pool.emplace_back([&, tid]() {
             for (size_t k = tid; k < tasks.size(); k += n_threads) {
                 results[k] = decode_span(tasks[k], comp_copies[tid].data(),
-                                         n_comps, mcus_per_line);
+                                         n_comps, mcus_per_line, mcu_row_offset);
             }
         });
     }
@@ -689,6 +691,57 @@ int jpx_decode_baseline_scan(
     for (int rc : results)
         if (rc) return rc;
     return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one baseline scan. Components are in scan order.
+//   span_starts/span_ends: byte ranges of the entropy spans (RSTn-split)
+//   restart_interval: MCUs per span (0 = single span)
+//   planes: per-component int16 [Hb, Wb, 64] zig-zag coefficient planes
+// Returns 0 on success; 1 premature end (tolerated truncation decodes
+// partially, matching the reference's exception-free paths is handled
+// Python-side); 2 invalid Huffman code; 3 bad arguments.
+int jpx_decode_baseline_scan(
+    const uint8_t* data,
+    const int64_t* span_starts, const int64_t* span_ends, int32_t n_spans,
+    int64_t restart_interval,
+    int64_t mcus_per_line, int64_t mcus_per_column,
+    int32_t n_comps,
+    const int32_t* comp_h, const int32_t* comp_v,
+    const uint8_t* dc_blob, const uint8_t* ac_blob,
+    int16_t** planes, const int64_t* plane_wb,
+    int32_t n_threads) {
+    return decode_baseline_scan_impl(
+        data, span_starts, span_ends, n_spans, restart_interval,
+        mcus_per_line, mcus_per_column, n_comps, comp_h, comp_v,
+        dc_blob, ac_blob, planes, plane_wb, n_threads, 0, 0);
+}
+
+// Region decode: a contiguous SUBSET of an image's restart spans into
+// band-sized planes. first_mcu must be span-aligned (a multiple of
+// restart_interval); mcu_row_offset shifts plane writes so the planes
+// only need to cover the touched MCU rows. Restart seams reset DC
+// predictors, so the subset decodes bit-identically to the same spans
+// inside a full decode.
+int jpx_decode_baseline_scan_region(
+    const uint8_t* data,
+    const int64_t* span_starts, const int64_t* span_ends, int32_t n_spans,
+    int64_t restart_interval,
+    int64_t mcus_per_line, int64_t mcus_per_column,
+    int32_t n_comps,
+    const int32_t* comp_h, const int32_t* comp_v,
+    const uint8_t* dc_blob, const uint8_t* ac_blob,
+    int16_t** planes, const int64_t* plane_wb,
+    int32_t n_threads,
+    int64_t first_mcu, int64_t mcu_row_offset) {
+    return decode_baseline_scan_impl(
+        data, span_starts, span_ends, n_spans, restart_interval,
+        mcus_per_line, mcus_per_column, n_comps, comp_h, comp_v,
+        dc_blob, ac_blob, planes, plane_wb, n_threads,
+        first_mcu, mcu_row_offset);
 }
 
 }  // extern "C"
@@ -5843,6 +5896,263 @@ void jpx_fdct_quantize(
         pool.emplace_back(work, b, std::min(hb, b + step));
     }
     for (auto& th : pool) th.join();
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused host decode transform: dequant + IDCT + upsample + YCbCr->RGB
+// ---------------------------------------------------------------------------
+//
+// The decode twin of jpx_encode_transform_rgb: one threaded pass turns
+// zig-zag coefficient planes into interleaved RGB8, iMCU row stripe at
+// a time, so samples never round-trip through full-image float planes.
+// Bit-exact to the numpy path (ops/decode_stage.dequantize_idct_shift +
+// upsample_duplicate + ops/color.ycbcr_to_rgb): same float32 AAN op
+// order as ops/dct.py::_idct_1d (compiled -ffp-contract=off), rint via
+// nearbyintf (round half to even), identical fixed-point color
+// constants (JpegYCbCrToRgbConverter.cs:67-122 reduction).
+
+namespace {
+
+static const float kI1_175876 = 1.175875602f;
+static const float kI1_961571 = -1.961570560f;
+static const float kI0_390181 = -0.390180644f;
+static const float kI0_899976 = -0.899976223f;
+static const float kI2_562915 = -2.562915447f;
+static const float kI0_298631 = 0.298631336f;
+static const float kI2_053120 = 2.053119869f;
+static const float kI3_072711 = 3.072711026f;
+static const float kI1_501321 = 1.501321110f;
+static const float kI0_541196 = 0.541196100f;
+static const float kI1_847759 = -1.847759065f;
+static const float kI0_765367 = 0.765366865f;
+
+// One 1-D IDCT pass combining rows of x (x[i] is an 8-lane vector);
+// mirrors ops/dct.py::_idct_1d / IDCT8x4_LeftPart+RightPart.
+static inline void idct_pass(const float x[8][8], float d[8][8]) {
+    float mz0[8], mz1[8], mz2[8], mz3[8], mz4[8];
+    float mb0[8], mb1[8], mb2[8], mb3[8];
+    float my0[8], my1[8], my2[8], my3[8];
+    for (int j = 0; j < 8; ++j) {
+        mz0[j] = x[1][j] + x[7][j];
+        mz2[j] = x[3][j] + x[7][j];
+        mz1[j] = x[3][j] + x[5][j];
+        mz3[j] = x[1][j] + x[5][j];
+        mz4[j] = (mz0[j] + mz1[j]) * kI1_175876;
+    }
+    for (int j = 0; j < 8; ++j) {
+        mz2[j] = (mz2[j] * kI1_961571) + mz4[j];
+        mz3[j] = (mz3[j] * kI0_390181) + mz4[j];
+        mz0[j] = mz0[j] * kI0_899976;
+        mz1[j] = mz1[j] * kI2_562915;
+    }
+    for (int j = 0; j < 8; ++j) {
+        mb3[j] = ((x[7][j] * kI0_298631) + mz0[j]) + mz2[j];
+        mb2[j] = ((x[5][j] * kI2_053120) + mz1[j]) + mz3[j];
+        mb1[j] = ((x[3][j] * kI3_072711) + mz1[j]) + mz2[j];
+        mb0[j] = ((x[1][j] * kI1_501321) + mz0[j]) + mz3[j];
+    }
+    for (int j = 0; j < 8; ++j) {
+        mz4[j] = (x[2][j] + x[6][j]) * kI0_541196;
+        mz0[j] = x[0][j] + x[4][j];
+        mz1[j] = x[0][j] - x[4][j];
+        mz2[j] = mz4[j] + (x[6][j] * kI1_847759);
+        mz3[j] = mz4[j] + (x[2][j] * kI0_765367);
+    }
+    for (int j = 0; j < 8; ++j) {
+        my0[j] = mz0[j] + mz3[j];
+        my3[j] = mz0[j] - mz3[j];
+        my1[j] = mz1[j] + mz2[j];
+        my2[j] = mz1[j] - mz2[j];
+    }
+    for (int j = 0; j < 8; ++j) {
+        d[0][j] = my0[j] + mb0[j];
+        d[1][j] = my1[j] + mb1[j];
+        d[2][j] = my2[j] + mb2[j];
+        d[3][j] = my3[j] + mb3[j];
+        d[4][j] = my3[j] - mb3[j];
+        d[5][j] = my2[j] - mb2[j];
+        d[6][j] = my1[j] - mb1[j];
+        d[7][j] = my0[j] - mb0[j];
+    }
+}
+
+// Dequantize one zig-zag block, 2-D IDCT, level shift, clamp to uint8.
+// zz_to_nat: zig-zag index -> natural index (the FDCT's table).
+static inline void idct_block_u8(const int16_t* zz, const int32_t* qt,
+                                 const uint8_t* zz_to_nat,
+                                 uint8_t* dst, int64_t stride) {
+    float f[8][8], tmp[8][8];
+    for (int i = 0; i < 64; ++i) {
+        int nat = zz_to_nat[i];
+        f[nat >> 3][nat & 7] = (float)((int32_t)zz[i] * qt[i]);
+    }
+    transpose8(f, tmp);
+    idct_pass(tmp, f);
+    transpose8(f, tmp);
+    idct_pass(tmp, f);
+    for (int r = 0; r < 8; ++r) {
+        uint8_t* row = dst + r * stride;
+        for (int c = 0; c < 8; ++c) {
+            int32_t v = (int32_t)nearbyintf(f[r][c] * 0.125f) + 128;
+            row[c] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+        }
+    }
+}
+
+// Fixed-point YCbCr->RGB constants (ops/color.py _D1-_D4; the
+// JpegYCbCrToRgbConverter.cs:67-122 LUT reduction).
+static const int32_t kCrR = 91881;    // Cr -> R
+static const int32_t kCrG = -46802;   // Cr -> G
+static const int32_t kCbB = 116130;   // Cb -> B
+static const int32_t kCbG = -22553;   // Cb -> G
+static const int32_t kHalf16 = 32768;
+
+static inline uint8_t clamp_u8_i32(int32_t v) {
+    return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fused decode transform to interleaved RGB8.
+//   planes: n_comps int16 [Hb, Wb, 64] zig-zag coefficient planes
+//           (full MCU grid: Hb = mcus_per_column*v, Wb = mcus_per_line*h)
+//   quants: n_comps x 64 int32, zig-zag order
+//   mode: 0 = grayscale (1 comp), 1 = YCbCr (3 comps),
+//         2 = RGB-coded (3 comps are the channels)
+//   out: uint8 [height, width, 3]
+// Chroma upsampling is duplication (WriteBlockSlow semantics,
+// JpegHuffmanBaselineScanDecoder.cs:238-271). Returns 0 ok / 3 bad args.
+int jpx_decode_transform_rgb(
+    const int16_t** planes, const int64_t* plane_wb,
+    const int32_t* quants,
+    int32_t n_comps,
+    const int32_t* comp_h, const int32_t* comp_v,
+    int32_t max_h, int32_t max_v,
+    int64_t width, int64_t height,
+    int64_t mcus_per_line, int64_t mcus_per_column,
+    const uint8_t* zz_to_nat,
+    int32_t mode,
+    uint8_t* out,
+    int32_t n_threads) {
+    if (n_comps <= 0 || n_comps > 4 || width <= 0 || height <= 0) return 3;
+    if ((mode == 0 && n_comps != 1) || (mode != 0 && n_comps != 3)) return 3;
+
+    // Per-component duplication column maps (x -> component column).
+    std::vector<std::vector<int32_t>> cidx(n_comps);
+    for (int c = 0; c < n_comps; ++c) {
+        int hs = max_h / comp_h[c];
+        cidx[c].resize(width);
+        for (int64_t x = 0; x < width; ++x) cidx[c][(size_t)x] = (int32_t)(x / hs);
+    }
+
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 1 ? hw - 1 : 1;
+    int64_t T = std::min<int64_t>(n_threads, std::max<int64_t>(1, mcus_per_column));
+    if (width * height < 1 << 18) T = 1;
+
+    auto work = [&](int64_t r0, int64_t r1) {
+        // Per-component stripe sample buffers: v*8 rows of the
+        // component plane, one iMCU row at a time.
+        std::vector<std::vector<uint8_t>> bufs(n_comps);
+        std::vector<int64_t> bstride(n_comps);
+        for (int c = 0; c < n_comps; ++c) {
+            bstride[c] = plane_wb[c] * 8;
+            bufs[c].resize((size_t)(comp_v[c] * 8) * bstride[c]);
+        }
+        for (int64_t r = r0; r < r1; ++r) {
+            for (int c = 0; c < n_comps; ++c) {
+                const int v = comp_v[c];
+                const int64_t wb = plane_wb[c];
+                for (int by = 0; by < v; ++by) {
+                    const int16_t* src =
+                        planes[c] + ((r * v + by) * wb) * 64;
+                    uint8_t* dst = bufs[c].data() + (size_t)(by * 8) * bstride[c];
+                    for (int64_t bx = 0; bx < wb; ++bx)
+                        idct_block_u8(src + bx * 64, quants + c * 64,
+                                      zz_to_nat, dst + bx * 8, bstride[c]);
+                }
+            }
+            const int64_t y_end = std::min<int64_t>(height, (r + 1) * 8 * max_v);
+            for (int64_t y0 = r * 8 * (int64_t)max_v; y0 < y_end; ++y0) {
+                uint8_t* orow = out + y0 * width * 3;
+                if (mode == 0) {
+                    const int vs = max_v / comp_v[0];
+                    const uint8_t* yrow = bufs[0].data() +
+                        (size_t)(y0 / vs - (int64_t)(r * 8 * comp_v[0])) * bstride[0];
+                    const int32_t* cy = cidx[0].data();
+                    for (int64_t x = 0; x < width; ++x) {
+                        uint8_t s = yrow[cy[x]];
+                        orow[x * 3] = s; orow[x * 3 + 1] = s; orow[x * 3 + 2] = s;
+                    }
+                } else {
+                    const uint8_t* rows[3];
+                    for (int c = 0; c < 3; ++c) {
+                        const int vs = max_v / comp_v[c];
+                        rows[c] = bufs[c].data() +
+                            (size_t)(y0 / vs - (int64_t)(r * 8 * comp_v[c])) * bstride[c];
+                    }
+                    if (mode == 2) {
+                        const int32_t* c0 = cidx[0].data();
+                        const int32_t* c1 = cidx[1].data();
+                        const int32_t* c2 = cidx[2].data();
+                        for (int64_t x = 0; x < width; ++x) {
+                            orow[x * 3] = rows[0][c0[x]];
+                            orow[x * 3 + 1] = rows[1][c1[x]];
+                            orow[x * 3 + 2] = rows[2][c2[x]];
+                        }
+                    } else if (max_h / comp_h[0] == 1 && max_h / comp_h[1] == 2 &&
+                               max_h / comp_h[2] == 2) {
+                        // 4:2:0 / 4:2:2 fast lane: luma full-rate,
+                        // both chromas half-rate.
+                        for (int64_t x = 0; x < width; ++x) {
+                            int32_t yv = rows[0][x];
+                            int32_t xcb = (int32_t)rows[1][x >> 1] - 128;
+                            int32_t xcr = (int32_t)rows[2][x >> 1] - 128;
+                            orow[x * 3] = clamp_u8_i32(
+                                yv + ((kCrR * xcr + kHalf16) >> 16));
+                            orow[x * 3 + 1] = clamp_u8_i32(
+                                yv + (((kCbG * xcb + kHalf16) + kCrG * xcr) >> 16));
+                            orow[x * 3 + 2] = clamp_u8_i32(
+                                yv + ((kCbB * xcb + kHalf16) >> 16));
+                        }
+                    } else {
+                        const int32_t* c0 = cidx[0].data();
+                        const int32_t* c1 = cidx[1].data();
+                        const int32_t* c2 = cidx[2].data();
+                        for (int64_t x = 0; x < width; ++x) {
+                            int32_t yv = rows[0][c0[x]];
+                            int32_t xcb = (int32_t)rows[1][c1[x]] - 128;
+                            int32_t xcr = (int32_t)rows[2][c2[x]] - 128;
+                            orow[x * 3] = clamp_u8_i32(
+                                yv + ((kCrR * xcr + kHalf16) >> 16));
+                            orow[x * 3 + 1] = clamp_u8_i32(
+                                yv + (((kCbG * xcb + kHalf16) + kCrG * xcr) >> 16));
+                            orow[x * 3 + 2] = clamp_u8_i32(
+                                yv + ((kCbB * xcb + kHalf16) >> 16));
+                        }
+                    }
+                }
+            }
+        }
+    };
+
+    if (T <= 1) {
+        work(0, mcus_per_column);
+        return 0;
+    }
+    std::vector<std::thread> pool;
+    int64_t step = (mcus_per_column + T - 1) / T;
+    for (int64_t t = 0; t < T; ++t) {
+        int64_t b = t * step;
+        if (b >= mcus_per_column) break;
+        pool.emplace_back(work, b, std::min(mcus_per_column, b + step));
+    }
+    for (auto& th : pool) th.join();
+    return 0;
 }
 
 }  // extern "C"

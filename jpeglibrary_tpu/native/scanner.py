@@ -131,10 +131,22 @@ def decode_baseline_scan(
     restart_interval: int,
     coefficient_planes: Dict[int, np.ndarray],
     geometry: FrameGeometry = None,
+    *,
+    first_mcu: int = 0,
+    mcu_row_offset: int = 0,
+    validate: bool = True,
 ) -> bool:
     """Native baseline scan decode; returns True when handled.
 
     Raises the same error types as the Python scanner on corrupt input.
+
+    Region decode (``first_mcu``/``mcu_row_offset`` nonzero): ``spans``
+    is a contiguous SUBSET of the image's restart spans starting at
+    global MCU index ``first_mcu`` (span-aligned), and the coefficient
+    planes cover only the MCU rows the subset touches, shifted up by
+    ``mcu_row_offset`` rows. The caller is responsible for validating
+    the FULL span list first (``validate=False`` skips the subset
+    re-validation, whose MCU count would not match).
     """
     lib = build.load_library()  # may raise ImportError -> caller falls back
     from ..models.huffman_baseline import JpegDecodeError
@@ -168,9 +180,10 @@ def decode_baseline_scan(
         dc_blob += pack_huffman_table(dc)
         ac_blob += pack_huffman_table(ac)
 
-    validate_restart_spans(
-        spans, restart_interval, geo.mcus_per_line * geo.mcus_per_column
-    )
+    if validate:
+        validate_restart_spans(
+            spans, restart_interval, geo.mcus_per_line * geo.mcus_per_column
+        )
     n_spans = len(spans)
     starts, ends, _span_keep = _span_ptrs(spans)
 
@@ -178,17 +191,31 @@ def decode_baseline_scan(
     dc_arr = bytes(dc_blob)
     ac_arr = bytes(ac_blob)
 
-    rc = lib.jpx_decode_baseline_scan(
-        buf.ctypes.data_as(ctypes.c_void_p),
-        starts, ends, n_spans,
-        restart_interval,
-        geo.mcus_per_line, geo.mcus_per_column,
-        n,
-        comp_h, comp_v,
-        dc_arr, ac_arr,
-        plane_ptrs, plane_wb,
-        default_threads(),
-    )
+    if first_mcu or mcu_row_offset:
+        rc = lib.jpx_decode_baseline_scan_region(
+            buf.ctypes.data_as(ctypes.c_void_p),
+            starts, ends, n_spans,
+            restart_interval,
+            geo.mcus_per_line, geo.mcus_per_column,
+            n,
+            comp_h, comp_v,
+            dc_arr, ac_arr,
+            plane_ptrs, plane_wb,
+            default_threads(),
+            first_mcu, mcu_row_offset,
+        )
+    else:
+        rc = lib.jpx_decode_baseline_scan(
+            buf.ctypes.data_as(ctypes.c_void_p),
+            starts, ends, n_spans,
+            restart_interval,
+            geo.mcus_per_line, geo.mcus_per_column,
+            n,
+            comp_h, comp_v,
+            dc_arr, ac_arr,
+            plane_ptrs, plane_wb,
+            default_threads(),
+        )
     if rc == 2:
         from ..syntax.huffman import JpegHuffmanError
 
@@ -1022,6 +1049,55 @@ def decode_arithmetic_scan(
     if rc != 0:
         raise JpegDecodeError(f"native scanner error {rc}")
     return True
+
+
+def decode_transform_rgb(coefficients, quant, geometry, *, mode: str) -> np.ndarray:
+    """Fused host decode transform: zig-zag coefficient planes ->
+    interleaved uint8 RGB in one threaded native pass (dequant + AAN
+    IDCT + level shift + duplication upsample + fixed-point
+    YCbCr->RGB). Bit-exact to the numpy path in DecodeResult.to_rgb8
+    (same float op order, rint, color constants); 8-bit precision only.
+
+    ``mode``: "gray" (1 component), "ycbcr", or "rgb" (RGB-coded
+    3-component stream — channels pass through).
+    """
+    lib = build.load_library()
+    from ..ops.zigzag import ZIGZAG_TO_BLOCK
+
+    comps = geometry.components
+    n = len(comps)
+    plane_ptrs = (ctypes.c_void_p * n)()
+    plane_wb = (ctypes.c_int64 * n)()
+    comp_h = (ctypes.c_int32 * n)()
+    comp_v = (ctypes.c_int32 * n)()
+    qarr = np.zeros((n, 64), dtype=np.int32)
+    keepalive = []
+    for i, cg in enumerate(comps):
+        p = coefficients[cg.component_index]
+        assert p.dtype == np.int16 and p.flags.c_contiguous
+        keepalive.append(p)
+        plane_ptrs[i] = p.ctypes.data_as(ctypes.c_void_p)
+        plane_wb[i] = p.shape[1]
+        comp_h[i] = cg.h
+        comp_v[i] = cg.v
+        qarr[i] = quant[cg.component_index]
+    out = np.empty((geometry.height, geometry.width, 3), dtype=np.uint8)
+    zz = np.ascontiguousarray(ZIGZAG_TO_BLOCK, dtype=np.uint8)
+    rc = lib.jpx_decode_transform_rgb(
+        plane_ptrs, plane_wb,
+        qarr.ctypes.data_as(ctypes.c_void_p),
+        n, comp_h, comp_v,
+        geometry.max_h, geometry.max_v,
+        geometry.width, geometry.height,
+        geometry.mcus_per_line, geometry.mcus_per_column,
+        zz.ctypes.data_as(ctypes.c_void_p),
+        {"gray": 0, "ycbcr": 1, "rgb": 2}[mode],
+        out.ctypes.data_as(ctypes.c_void_p),
+        default_threads(),
+    )
+    if rc != 0:
+        raise RuntimeError(f"jpx_decode_transform_rgb error {rc}")
+    return out
 
 
 def box_subsample(plane: np.ndarray, hs: int, vs: int) -> np.ndarray:

@@ -1,0 +1,137 @@
+"""Region-of-interest decode: jt.decode_region must equal the exact
+crop of the full-image decode for every mode — via the native
+restart-span-skipping fast path where eligible (baseline + DRI) and
+the full-decode fallback everywhere else."""
+
+import numpy as np
+import pytest
+
+import jpeglibrary_tpu as jt
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(11)
+
+
+@pytest.fixture(scope="module")
+def rgb(rng):
+    h, w = 403, 517
+    return np.clip(
+        np.linspace(0, 255, w)[None, :, None] + rng.normal(0, 25, (h, w, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+
+
+RECTS = [
+    (0, 0, 16, 16),
+    (100, 50, 64, 64),
+    (500, 390, 17, 13),  # bottom-right corner, partial MCU
+    (7, 9, 33, 21),
+    (256, 128, 128, 200),
+    (0, 0, 517, 403),  # whole image
+]
+
+
+@pytest.mark.parametrize("interval", [1, 5, 64])
+def test_restart_fast_path_exact(rgb, interval):
+    data = jt.encode_rgb(rgb, 80, restart_interval=interval)
+    full = jt.decode(data).to_rgb8()
+    for (x, y, w, h) in RECTS:
+        tile = jt.decode_region(data, x, y, w, h)
+        assert tile.shape == (h, w, 3)
+        assert np.array_equal(tile, full[y : y + h, x : x + w]), (x, y, w, h)
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_subsampling_exact(rgb, sub):
+    data = jt.encode_rgb(rgb, 80, subsampling=sub, restart_interval=7)
+    full = jt.decode(data).to_rgb8()
+    for (x, y, w, h) in RECTS[:4]:
+        assert np.array_equal(
+            jt.decode_region(data, x, y, w, h), full[y : y + h, x : x + w]
+        )
+
+
+def test_fancy_upsample_exact(rgb):
+    # The triangular filter reads neighbor chroma across block edges;
+    # the fast path adds an iMCU margin to reproduce interior tiles.
+    data = jt.encode_rgb(rgb, 80, restart_interval=5)
+    full = jt.decode(data).to_rgb8(upsample="fancy")
+    for (x, y, w, h) in [(100, 50, 64, 64), (0, 0, 40, 40), (480, 380, 37, 23)]:
+        tile = jt.decode_region(data, x, y, w, h, upsample="fancy")
+        assert np.array_equal(tile, full[y : y + h, x : x + w]), (x, y, w, h)
+
+
+def test_gray_exact(rng):
+    g = rng.integers(0, 256, (130, 217), dtype=np.uint8)
+    data = jt.encode_gray(g, 85, restart_interval=3)
+    full = jt.decode(data).to_rgb8()
+    tile = jt.decode_region(data, 10, 20, 100, 90)
+    assert np.array_equal(tile, full[20:110, 10:110])
+
+
+def test_no_restart_fallback(rgb):
+    data = jt.encode_rgb(rgb, 80)  # no DRI -> full-decode fallback
+    full = jt.decode(data).to_rgb8()
+    assert np.array_equal(jt.decode_region(data, 33, 44, 55, 66), full[44:110, 33:88])
+
+
+def test_progressive_fallback(rgb):
+    from jpeglibrary_tpu.models.progressive_encoder import encode_progressive_rgb
+
+    data = encode_progressive_rgb(rgb, 80)
+    full = jt.decode(data).to_rgb8()
+    assert np.array_equal(jt.decode_region(data, 10, 20, 30, 40), full[20:60, 10:40])
+
+
+def test_lossless_fallback(rgb):
+    data = jt.encode_lossless(rgb, predictor=1)
+    full = jt.decode(data).to_rgb8()
+    assert np.array_equal(jt.decode_region(data, 5, 6, 20, 10), full[6:16, 5:25])
+
+
+def test_bounds_checked(rgb):
+    data = jt.encode_rgb(rgb, 80, restart_interval=5)
+    with pytest.raises(ValueError):
+        jt.decode_region(data, 510, 0, 16, 16)  # x+w > width
+    with pytest.raises(ValueError):
+        jt.decode_region(data, 0, 400, 8, 8)  # y+h > height
+    with pytest.raises(ValueError):
+        jt.decode_region(data, -1, 0, 8, 8)
+    with pytest.raises(ValueError):
+        jt.decode_region(data, 0, 0, 0, 8)
+
+
+def test_fixture_asset_tiles(assets_dir):
+    # A real camera-style asset (the progressive restart fixture decodes
+    # via fallback; the baseline one may or may not carry DRI) — the
+    # contract is exact-crop equality regardless of path taken.
+    path = assets_dir / "baseline/lake.jpg"
+    data = path.read_bytes()
+    full = jt.decode(data).to_rgb8()
+    for (x, y, w, h) in [(0, 0, 32, 32), (500, 300, 100, 100), (1000, 700, 24, 68)]:
+        assert np.array_equal(
+            jt.decode_region(data, x, y, w, h), full[y : y + h, x : x + w]
+        )
+
+
+def test_truncated_restart_stream_partial_semantics(rgb):
+    # Chop the stream mid-scan. Partial-decode semantics (documented in
+    # decode_region): a tile whose covering spans are intact decodes
+    # fine and equals the tolerant full decode's crop; a tile over the
+    # truncated spans raises the same error family as a full decode.
+    data = jt.encode_rgb(rgb, 80, restart_interval=5)
+    cut = data[: int(len(data) * 0.5)]
+
+    with pytest.raises(Exception):
+        jt.decode(cut).to_rgb8()  # full decode sees the truncation
+
+    # Every tile — intact area, truncation boundary, missing tail —
+    # equals the tolerant full decode's crop (missing spans stay zero
+    # coefficients = mid-gray, exactly like the tolerant path).
+    tolerant = jt.decode(cut, tolerant=True).to_rgb8()
+    for y in (0, 176, 216, 403 - 16):
+        tile = jt.decode_region(cut, 0, y, 16, 16)
+        assert np.array_equal(tile, tolerant[y : y + 16, :16]), y
