@@ -254,6 +254,15 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.c_int32, c.c_int32,              # hs, vs
         c.c_void_p,                        # out
     ]
+    lib.jpx_zz_block_permute.restype = None
+    lib.jpx_zz_block_permute.argtypes = [
+        c.c_void_p,                        # base (first element of view)
+        c.c_int64, c.c_int64, c.c_int64,   # element strides s0, s1, s2
+        c.c_int64, c.c_int64,              # hb, wb
+        c.c_void_p, c.c_void_p,            # perm[64] i32, sign[64] i32
+        c.c_void_p,                        # out int16 [hb, wb, 64]
+        c.c_int32,                         # n_threads
+    ]
     lib.jpx_rgb_to_ycbcr.restype = None
     lib.jpx_rgb_to_ycbcr.argtypes = [
         c.c_void_p, c.c_int64,           # rgb, n

@@ -6258,6 +6258,50 @@ extern "C" void jpx_box_subsample(const uint8_t* in, int64_t h, int64_t w,
 }
 
 // ---------------------------------------------------------------------------
+// Zig-zag block permute: one-pass materialization of a composed
+// geometric transform over a coefficient plane. The grid part of the
+// transform (block transposes / axis mirrors) arrives as the VIEW's
+// element strides (s0/s1 may be negative, s2 is the zig-zag axis);
+// the per-block part is a 64-entry gather permutation + sign vector
+// (jpegtran semantics: transpose permutes the zig-zag index, mirrors
+// flip (-1)^u / (-1)^v). out is contiguous [hb, wb, 64] int16.
+// ---------------------------------------------------------------------------
+
+extern "C" void jpx_zz_block_permute(const int16_t* base, int64_t s0,
+                                     int64_t s1, int64_t s2, int64_t hb,
+                                     int64_t wb, const int32_t* perm,
+                                     const int32_t* sign, int16_t* out,
+                                     int32_t n_threads) {
+    // Pre-fold sign into a signed gather table local to each thread.
+    auto work = [&](int64_t r0, int64_t r1) {
+        for (int64_t i = r0; i < r1; ++i) {
+            const int16_t* row = base + i * s0;
+            int16_t* orow = out + i * wb * 64;
+            for (int64_t j = 0; j < wb; ++j) {
+                const int16_t* blk = row + j * s1;
+                int16_t* ob = orow + j * 64;
+                for (int z = 0; z < 64; ++z)
+                    ob[z] = (int16_t)(blk[perm[z] * s2] * sign[z]);
+            }
+        }
+    };
+    int nt = n_threads > 0 ? n_threads : 1;
+    if (hb * wb < 1024) nt = 1;
+    if (nt <= 1) {
+        work(0, hb);
+        return;
+    }
+    std::vector<std::thread> pool;
+    int64_t step = (hb + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+        int64_t b = t * step;
+        if (b >= hb) break;
+        pool.emplace_back(work, b, std::min(hb, b + step));
+    }
+    for (auto& th : pool) th.join();
+}
+
+// ---------------------------------------------------------------------------
 // Arithmetic lossless (SOF11 / SOF15), T.81 H.2 — native twins of
 // models/arithmetic_lossless.py (which documents the coding model).
 // Statistics: 25 contexts x 4 bins + two magnitude-ladder sets

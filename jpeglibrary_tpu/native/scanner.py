@@ -1114,6 +1114,32 @@ def box_subsample(plane: np.ndarray, hs: int, vs: int) -> np.ndarray:
     return out
 
 
+def zz_block_permute(view: np.ndarray, perm: np.ndarray,
+                     sign: np.ndarray) -> np.ndarray:
+    """Materialize a composed coefficient-domain geometric transform in
+    one threaded pass: ``out[i, j, z] = view[i, j, perm[z]] * sign[z]``
+    with ``view`` an arbitrary-stride int16 [hb, wb, 64] view (grid
+    transposes/mirrors expressed as its strides). Replaces the eager
+    numpy gather chain in models/transcode.py, which cost ~90 ms on a
+    4.2 MP plane set (the measured jt.transform bottleneck)."""
+    lib = build.load_library()
+    assert view.dtype == np.int16 and view.ndim == 3 and view.shape[2] == 64
+    hb, wb, _ = view.shape
+    s0, s1, s2 = (s // 2 for s in view.strides)  # bytes -> elements
+    perm32 = np.ascontiguousarray(perm, dtype=np.int32)
+    sign32 = np.ascontiguousarray(sign, dtype=np.int32)
+    out = np.empty((hb, wb, 64), dtype=np.int16)
+    lib.jpx_zz_block_permute(
+        view.ctypes.data_as(ctypes.c_void_p),
+        s0, s1, s2, hb, wb,
+        perm32.ctypes.data_as(ctypes.c_void_p),
+        sign32.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        default_threads(),
+    )
+    return out
+
+
 def rgb_to_ycbcr(rgb: np.ndarray):
     """Native fixed-point RGB->YCbCr, bit-identical to
     ops.color.rgb_to_ycbcr (JpegRgbToYCbCrConverter parity),
