@@ -191,6 +191,14 @@ def decode_baseline_scan(
     dc_arr = bytes(dc_blob)
     ac_arr = bytes(ac_blob)
 
+    # Host-consumer dense decode: unless the caller pinned
+    # JPX_SCAN_THREADS (serving pipelines set 1 and parallelize across
+    # images), this call IS the decode — give it every core. The
+    # device pipeline rides the sparse wrappers, not this one.
+    threads = default_threads()
+    if not os.environ.get("JPX_SCAN_THREADS"):
+        threads = max(threads, os.cpu_count() or 2)
+
     if first_mcu or mcu_row_offset:
         rc = lib.jpx_decode_baseline_scan_region(
             buf.ctypes.data_as(ctypes.c_void_p),
@@ -201,7 +209,7 @@ def decode_baseline_scan(
             comp_h, comp_v,
             dc_arr, ac_arr,
             plane_ptrs, plane_wb,
-            default_threads(),
+            threads,
             first_mcu, mcu_row_offset,
         )
     else:
@@ -214,7 +222,7 @@ def decode_baseline_scan(
             comp_h, comp_v,
             dc_arr, ac_arr,
             plane_ptrs, plane_wb,
-            default_threads(),
+            threads,
         )
     if rc == 2:
         from ..syntax.huffman import JpegHuffmanError
@@ -1083,6 +1091,12 @@ def decode_transform_rgb(coefficients, quant, geometry, *, mode: str) -> np.ndar
         qarr[i] = quant[cg.component_index]
     out = np.empty((geometry.height, geometry.width, 3), dtype=np.uint8)
     zz = np.ascontiguousarray(ZIGZAG_TO_BLOCK, dtype=np.uint8)
+    # Host-consumer transform: all cores unless pinned (see
+    # decode_baseline_scan) — the n-2 default left the 4-core host's
+    # RGB path at ~2/3 of single-thread libjpeg-turbo.
+    threads = default_threads()
+    if not os.environ.get("JPX_SCAN_THREADS"):
+        threads = max(threads, os.cpu_count() or 2)
     rc = lib.jpx_decode_transform_rgb(
         plane_ptrs, plane_wb,
         qarr.ctypes.data_as(ctypes.c_void_p),
@@ -1093,7 +1107,7 @@ def decode_transform_rgb(coefficients, quant, geometry, *, mode: str) -> np.ndar
         zz.ctypes.data_as(ctypes.c_void_p),
         {"gray": 0, "ycbcr": 1, "rgb": 2}[mode],
         out.ctypes.data_as(ctypes.c_void_p),
-        default_threads(),
+        threads,
     )
     if rc != 0:
         raise RuntimeError(f"jpx_decode_transform_rgb error {rc}")
