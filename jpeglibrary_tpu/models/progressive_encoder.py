@@ -126,13 +126,15 @@ def encode_progressive_rgb(
 
 def encode_progressive_gray(plane: np.ndarray, quality: int = 75,
                             *, script: Optional[List[Tuple]] = None,
-                            arithmetic: bool = False) -> bytes:
+                            arithmetic: bool = False,
+                            restart_interval: int = 0) -> bytes:
     return encode_progressive(
         [np.asarray(plane)],
         [scale_by_quality(standard_luminance_table(0), quality)],
         [(1, 1)], quant_ids=[0], table_ids=[0],
         script=script or SCRIPT_1,
         arithmetic=arithmetic,
+        restart_interval=restart_interval,
     )
 
 

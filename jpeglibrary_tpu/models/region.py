@@ -12,10 +12,24 @@ restart interval, decoding a tile therefore costs entropy work
 proportional to the covered MCU rows — not the image — plus a
 band-sized transform.
 
-Fast path (native, span-skipping): single-scan SOF0/SOF1, 8-bit,
-restart interval > 0. Everything else falls back to a full decode and
-an exact crop, so ``decode_region`` is correct for every mode the
-framework decodes.
+Fast paths (native, span-skipping), all requiring a restart interval:
+
+- single-scan SOF0/SOF1, 8-bit: band decode with a native unit offset;
+- SOF2 progressive, 8-bit: every scan resets DC predictors AND the EOB
+  run at RSTn (JpegHuffmanProgressiveScanDecoder.cs:196-224), so each
+  scan's covering spans decode as a standalone band — the span subset
+  is snapped down to a unit-ROW-aligned boundary (lcm(DRI, units/row))
+  and all scans accumulate into shared band planes;
+- SOF3 lossless, predictor 1, 1x1 sampling, DRI a multiple of the
+  samples-per-line: predictor 1 references only Ra (left) plus the
+  line above WITHIN a span (start-of-line Rb), so row-aligned spans
+  reconstruct independently (JpegHuffmanLosslessScanDecoder.cs:109);
+  the covered spans decode as a standalone sub-image. Other predictors
+  reference the row above across span boundaries, so they cannot skip
+  vertically and fall back.
+
+Everything else falls back to a full decode and an exact crop, so
+``decode_region`` is correct for every mode the framework decodes.
 
 Output matches ``full_decode.to_rgb8(upsample=...)[y:y+h, x:x+w]``
 EXACTLY (tested property). For ``upsample="fancy"`` the band is
@@ -106,15 +120,22 @@ def _decode_region_fast(
         stream = dec._parsed()
     except Exception:
         return None  # let the full decode raise the canonical error
-    if len(stream.scans) != 1:
+    if not stream.scans:
         return None
 
     frame: Optional[FrameHeader] = None
-    scan_header: Optional[ScanHeader] = None
+    sof_marker = None
     adobe = None
+    # Pass 1: frame header + the restart interval in force at each SOS
+    # (DRI may change between scans).
+    scan_ris = []
+    ri_cur = 0
     for seg in stream.segments:
-        if seg.marker in (Marker.DQT, Marker.DHT, Marker.DAC, Marker.DRI):
-            dec._process_table_segment(seg, data)
+        if seg.marker == Marker.DRI:
+            payload = seg.payload(data)
+            if len(payload) != 2:
+                return None
+            ri_cur = int.from_bytes(payload, "big")
         elif seg.marker == Marker.APP14:
             payload = seg.payload(data)
             if len(payload) >= 12 and payload[:5] == b"Adobe":
@@ -122,18 +143,40 @@ def _decode_region_fast(
         elif seg.marker == Marker.DHP:
             return None  # hierarchical pyramid
         elif seg.marker in ALL_SOF_MARKERS:
-            if seg.marker not in (Marker.SOF0, Marker.SOF1):
-                return None
+            if frame is not None:
+                return None  # multi-frame
+            sof_marker = seg.marker
             frame = io_reader.resolve_dnl(
                 stream, data, FrameHeader.parse(seg.payload(data), seg.marker)
             )
         elif seg.marker == Marker.SOS:
             if frame is None:
                 return None
+            scan_ris.append(ri_cur)
+
+    if frame is None or len(scan_ris) != len(stream.scans):
+        return None
+    if sof_marker == Marker.SOF2 and frame.sample_precision == 8:
+        return _region_progressive(
+            dec, stream, data, frame, scan_ris, x, y, w, h, upsample, adobe, xp
+        )
+    if sof_marker == Marker.SOF3:
+        return _region_lossless(
+            dec, stream, data, frame, scan_ris, x, y, w, h, xp
+        )
+    if sof_marker not in (Marker.SOF0, Marker.SOF1) or frame.sample_precision != 8:
+        return None
+    if len(stream.scans) != 1:
+        return None
+
+    scan_header: Optional[ScanHeader] = None
+    for seg in stream.segments:
+        if seg.marker in (Marker.DQT, Marker.DHT, Marker.DAC, Marker.DRI):
+            dec._process_table_segment(seg, data)
+        elif seg.marker == Marker.SOS:
             scan_header = ScanHeader.parse(seg.payload(data))
             break
-
-    if frame is None or scan_header is None or frame.sample_precision != 8:
+    if scan_header is None:
         return None
     if x + w > frame.samples_per_line or y + h > frame.number_of_lines:
         raise ValueError("Region exceeds image bounds.")
@@ -237,3 +280,239 @@ def _decode_region_fast(
     else:
         img = res.to_rgb8(upsample=upsample)
     return _exact_crop(img, x - px_x0, y - px_y0, w, h)
+
+
+def _region_progressive(
+    dec, stream, data, frame, scan_ris, x, y, w, h, upsample, adobe, xp
+) -> Optional[np.ndarray]:
+    """SOF2 band decode: each scan's covering restart spans decode as a
+    standalone band (RSTn resets DC predictors + the EOB run,
+    JpegHuffmanProgressiveScanDecoder.cs:196-224). Span subsets are
+    snapped down to a unit-ROW boundary (first unit multiple of
+    lcm(DRI, units-per-row)) so the native walkers' coordinates map
+    onto band plane views directly."""
+    from math import gcd
+
+    from ..native import scanner as native_scanner
+
+    if any(ri <= 0 for ri in scan_ris):
+        return None
+    if x + w > frame.samples_per_line or y + h > frame.number_of_lines:
+        raise ValueError("Region exceeds image bounds.")
+
+    geo = frame_geometry(frame)
+    mh, mv = geo.max_h, geo.max_v
+    mpl, mpc = geo.mcus_per_line, geo.mcus_per_column
+    margin = 1 if upsample == "fancy" else 0
+    row0 = max(0, y // (8 * mv) - margin)
+    row1 = min(mpc, -(-(y + h) // (8 * mv)) + margin)
+    cx0 = max(0, x // (8 * mh) - margin)
+    cx1 = min(mpl, -(-(x + w) // (8 * mh)) + margin)
+
+    sos_headers = [
+        ScanHeader.parse(seg.payload(data))
+        for seg in stream.segments
+        if seg.marker == Marker.SOS
+    ]
+    if len(sos_headers) != len(stream.scans):
+        return None
+
+    # Plan each scan's aligned covering span subset; the band planes
+    # cover the union of the scans' snapped MCU-row ranges.
+    plans = []
+    u_lo, u_hi = row0, row1
+    for sh, ri_s, scan in zip(sos_headers, scan_ris, stream.scans):
+        try:
+            resolved = resolve_scan_components(frame, sh)
+        except Exception:
+            return None
+        if len(resolved) > 1:
+            if sh.start_of_spectral_selection != 0:
+                return None  # invalid stream; full decode raises
+            upr = mpl
+            total_units = mpl * mpc
+            ur0, ur1 = row0, row1
+            v_comp = None
+        else:
+            ci = resolved[0][0]
+            cg = geo.components[ci]
+            hbc = -(-geo.width // (8 * cg.hs))
+            vbc = -(-geo.height // (8 * cg.vs))
+            upr = hbc
+            total_units = hbc * vbc
+            ur0 = min(row0 * cg.v, vbc)
+            ur1 = min(row1 * cg.v, vbc)
+            v_comp = cg.v
+        native_scanner.validate_restart_spans(scan.spans, ri_s, total_units)
+        lo_u = ur0 * upr
+        hi_u = min(ur1 * upr, total_units)
+        if hi_u <= lo_u:
+            plans.append(None)
+            continue
+        align = ri_s // gcd(ri_s, upr) * upr  # lcm(ri, units per row)
+        first_unit = (lo_u // align) * align
+        s0 = first_unit // ri_s
+        s1 = min(len(scan.spans), -(-hi_u // ri_s))
+        if s1 <= s0:
+            plans.append(None)  # truncated stream: covered spans absent
+            continue
+        end_unit = min(s1 * ri_s, total_units)
+        start_ur = first_unit // upr
+        end_ur = -(-end_unit // upr)
+        if v_comp is None:
+            mlo, mhi = start_ur, end_ur
+        else:
+            mlo, mhi = start_ur // v_comp, -(-end_ur // v_comp)
+        u_lo = min(u_lo, mlo)
+        u_hi = max(u_hi, mhi)
+        plans.append((sh, ri_s, scan, s0, s1, first_unit, end_unit, v_comp, start_ur))
+
+    band_planes = {
+        cg.component_index: np.zeros(
+            ((u_hi - u_lo) * cg.v, cg.blocks_per_line, 64), dtype=np.int16
+        )
+        for cg in geo.components
+    }
+
+    # Decode each SOS with the table state in force at that point (DHT
+    # and DRI may change between scans).
+    scan_idx = 0
+    for seg in stream.segments:
+        if seg.marker in (Marker.DQT, Marker.DHT, Marker.DAC, Marker.DRI):
+            dec._process_table_segment(seg, data)
+        elif seg.marker == Marker.SOS:
+            plan = plans[scan_idx]
+            scan_idx += 1
+            if plan is None:
+                continue
+            sh, ri_s, scan, s0, s1, first_unit, end_unit, v_comp, start_ur = plan
+            views = {}
+            for ci, _fc, _sc in resolve_scan_components(frame, sh):
+                cg = geo.components[ci]
+                off = (
+                    (start_ur - u_lo) * cg.v
+                    if v_comp is None
+                    else start_ur - u_lo * cg.v
+                )
+                views[ci] = band_planes[ci][off:]
+            native_scanner.decode_progressive_scan(
+                data,
+                list(scan.spans[s0:s1]),
+                frame,
+                sh,
+                dec._dc_tables,
+                dec._ac_tables,
+                ri_s,
+                views,
+                geo,
+                units_override=end_unit - first_unit,
+                validate=False,
+            )
+
+    quant = {}
+    for idx, fc in enumerate(frame.components):
+        qt = dec._quant_tables.get(fc.quantization_table_selector)
+        if qt is None or qt.is_empty:
+            raise ValueError(
+                f"Quantization table of component {idx} is not defined."
+            )
+        quant[idx] = qt.elements.astype(np.int32)
+
+    px_x0 = cx0 * 8 * mh
+    px_y0 = row0 * 8 * mv
+    sub_w = min(frame.samples_per_line, cx1 * 8 * mh) - px_x0
+    sub_h = min(frame.number_of_lines, row1 * 8 * mv) - px_y0
+    sub_frame = dataclasses.replace(
+        frame, samples_per_line=sub_w, number_of_lines=sub_h
+    )
+    sub_geo = frame_geometry(sub_frame)
+    coeffs = {}
+    for cg in geo.components:
+        p = band_planes[cg.component_index]
+        r0 = (row0 - u_lo) * cg.v
+        r1 = (row1 - u_lo) * cg.v
+        coeffs[cg.component_index] = np.ascontiguousarray(
+            p[r0:r1, cx0 * cg.h : cx1 * cg.h]
+        )
+    res = DecodeResult(
+        frame=sub_frame,
+        geometry=sub_geo,
+        coefficients=coeffs,
+        quant=quant,
+        xp=xp,
+        adobe_transform=adobe,
+    )
+    if frame.number_of_components == 4:
+        img = res.to_cmyk8(upsample=upsample)
+    else:
+        img = res.to_rgb8(upsample=upsample)
+    return _exact_crop(img, x - px_x0, y - px_y0, w, h)
+
+
+def _region_lossless(
+    dec, stream, data, frame, scan_ris, x, y, w, h, xp
+) -> Optional[np.ndarray]:
+    """SOF3 band decode, predictor 1 only: Ra-chains never reference
+    the row above except at start-of-line (Rb), which stays inside a
+    row-aligned restart span — so the covering spans decode as a
+    standalone sub-image, bit-identical (predictors 2-7 reference the
+    previous span's last row and must fall back)."""
+    from ..native import scanner as native_scanner
+    from .lossless import allocate_sample_planes
+
+    if len(stream.scans) != 1 or len(scan_ris) != 1:
+        return None
+    ri = scan_ris[0]
+    if ri <= 0:
+        return None
+    if any(
+        fc.horizontal_sampling_factor != 1 or fc.vertical_sampling_factor != 1
+        for fc in frame.components
+    ):
+        return None
+    if x + w > frame.samples_per_line or y + h > frame.number_of_lines:
+        raise ValueError("Region exceeds image bounds.")
+    width = frame.samples_per_line
+    height = frame.number_of_lines
+    if ri % width != 0:
+        return None
+
+    scan_header: Optional[ScanHeader] = None
+    for seg in stream.segments:
+        if seg.marker in (Marker.DQT, Marker.DHT, Marker.DAC, Marker.DRI):
+            dec._process_table_segment(seg, data)
+        elif seg.marker == Marker.SOS:
+            scan_header = ScanHeader.parse(seg.payload(data))
+            break
+    if scan_header is None or scan_header.start_of_spectral_selection != 1:
+        return None
+
+    scan = stream.scans[0]
+    rows_per_span = ri // width
+    native_scanner.validate_restart_spans(scan.spans, ri, width * height)
+    s0 = y // rows_per_span
+    s1 = min(len(scan.spans), -(-(y + h) // rows_per_span))
+    cover_r0 = s0 * rows_per_span
+    cover_r1 = max(y + h, min(height, s1 * rows_per_span))
+    sub_frame = dataclasses.replace(frame, number_of_lines=cover_r1 - cover_r0)
+    planes = allocate_sample_planes(sub_frame)
+    if s1 > s0:
+        native_scanner.decode_lossless_scan(
+            data,
+            list(scan.spans[s0:s1]),
+            sub_frame,
+            scan_header,
+            dec._dc_tables,
+            ri,
+            planes,
+        )
+    # else: region beyond a truncated stream's spans stays zero samples,
+    # matching the tolerated-truncation full decode.
+    res = DecodeResult(
+        frame=sub_frame,
+        geometry=frame_geometry(sub_frame),
+        samples=planes,
+        xp=xp,
+    )
+    img = res.to_rgb8()
+    return _exact_crop(img, x, y - cover_r0, w, h)

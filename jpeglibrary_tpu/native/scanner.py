@@ -562,13 +562,22 @@ def decode_progressive_scan(
     restart_interval: int,
     coefficient_planes: Dict[int, np.ndarray],
     geometry: FrameGeometry = None,
+    *,
+    units_override: int = None,
+    validate: bool = True,
 ) -> bool:
     """Native progressive scan decode; returns True when handled.
 
     Same semantics as models.huffman_progressive.decode_progressive_scan
     (bit-identical coefficient updates); restart segments decode in
     parallel across threads.
-    """
+
+    Region decode (models/region.py): ``spans`` may be a contiguous
+    SUBSET of the scan's restart spans whose first unit falls on a unit
+    ROW boundary; ``units_override`` is then the number of units the
+    subset covers, the passed planes are band views whose row 0 is that
+    boundary, and ``validate=False`` skips the whole-scan span
+    validation (the caller validated the full list)."""
     lib = build.load_library()
     from ..models.geometry import ceil_div
     from ..models.huffman_baseline import JpegDecodeError
@@ -620,7 +629,10 @@ def decode_progressive_scan(
             vbc = ceil_div(geo.height, 8 * cg.vs)
             total_units = hbc * vbc
 
-    validate_restart_spans(spans, restart_interval, total_units)
+    if validate:
+        validate_restart_spans(spans, restart_interval, total_units)
+    if units_override is not None:
+        total_units = units_override
     n_spans = len(spans)
     starts, ends, _span_keep = _span_ptrs(spans)
     buf = np.frombuffer(data, dtype=np.uint8)

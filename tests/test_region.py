@@ -135,3 +135,91 @@ def test_truncated_restart_stream_partial_semantics(rgb):
     for y in (0, 176, 216, 403 - 16):
         tile = jt.decode_region(cut, 0, y, 16, 16)
         assert np.array_equal(tile, tolerant[y : y + 16, :16]), y
+
+
+# ---------------------------------------------------------------------------
+# Round-4: progressive + lossless span-skipping fast paths
+# ---------------------------------------------------------------------------
+
+
+def _fast(data, x, y, w, h, upsample="duplicate"):
+    from jpeglibrary_tpu.models import region as region_mod
+
+    return region_mod._decode_region_fast(data, x, y, w, h, upsample, np)
+
+
+@pytest.mark.parametrize("interval", [3, 64, 200])
+def test_progressive_fast_path_exact(rgb, interval):
+    from jpeglibrary_tpu.models.progressive_encoder import encode_progressive_rgb
+
+    data = encode_progressive_rgb(rgb, 80, restart_interval=interval)
+    full = jt.decode(data).to_rgb8()
+    # the fast path must actually engage (SOF2 + DRI on every scan)
+    assert _fast(data, 100, 50, 64, 64) is not None
+    for (x, y, w, h) in RECTS:
+        tile = jt.decode_region(data, x, y, w, h)
+        assert np.array_equal(tile, full[y : y + h, x : x + w]), (
+            interval, x, y, w, h,
+        )
+
+
+def test_progressive_fast_path_fancy_and_gray(rgb, rng):
+    from jpeglibrary_tpu.models.progressive_encoder import (
+        encode_progressive_gray,
+        encode_progressive_rgb,
+    )
+
+    data = encode_progressive_rgb(rgb, 80, restart_interval=17)
+    full = jt.decode(data).to_rgb8(upsample="fancy")
+    for (x, y, w, h) in [(100, 50, 64, 64), (0, 0, 40, 40), (480, 380, 37, 23)]:
+        tile = jt.decode_region(data, x, y, w, h, upsample="fancy")
+        assert np.array_equal(tile, full[y : y + h, x : x + w]), (x, y, w, h)
+
+    g = rng.integers(0, 256, (130, 217), dtype=np.uint8)
+    gdata = encode_progressive_gray(g, 85, restart_interval=9)
+    gfull = jt.decode(gdata).to_rgb8()
+    assert _fast(gdata, 10, 20, 100, 90) is not None
+    assert np.array_equal(
+        jt.decode_region(gdata, 10, 20, 100, 90), gfull[20:110, 10:110]
+    )
+
+
+def test_progressive_fast_path_truncation_semantics(rgb):
+    # Tiles whose covering spans are intact decode even when the stream
+    # is truncated elsewhere (partial-decode semantics, like baseline).
+    from jpeglibrary_tpu.models.progressive_encoder import encode_progressive_rgb
+
+    data = encode_progressive_rgb(rgb, 80, restart_interval=5)
+    cut = data[: int(len(data) * 0.7)]
+    tolerant = jt.decode(cut, tolerant=True).to_rgb8()
+    tile = jt.decode_region(cut, 0, 0, 32, 32)
+    assert np.array_equal(tile, tolerant[:32, :32])
+
+
+@pytest.mark.parametrize("rows_per_span", [1, 4])
+def test_lossless_fast_path_exact(rgb, rows_per_span):
+    w_img = rgb.shape[1]
+    data = jt.encode_lossless(
+        rgb, predictor=1, restart_interval=rows_per_span * w_img
+    )
+    full = jt.decode(data).to_rgb8()
+    assert _fast(data, 100, 50, 64, 64) is not None
+    for (x, y, w, h) in RECTS:
+        tile = jt.decode_region(data, x, y, w, h)
+        assert np.array_equal(tile, full[y : y + h, x : x + w]), (
+            rows_per_span, x, y, w, h,
+        )
+
+
+def test_lossless_fast_path_gating(rgb):
+    w_img = rgb.shape[1]
+    # predictor != 1 references the previous span's last row -> fallback
+    d2 = jt.encode_lossless(rgb, predictor=2, restart_interval=w_img)
+    assert _fast(d2, 100, 50, 64, 64) is None
+    full2 = jt.decode(d2).to_rgb8()
+    assert np.array_equal(jt.decode_region(d2, 5, 6, 20, 10), full2[6:16, 5:25])
+    # non-row-aligned interval -> fallback
+    d3 = jt.encode_lossless(rgb, predictor=1, restart_interval=100)
+    assert _fast(d3, 100, 50, 64, 64) is None
+    full3 = jt.decode(d3).to_rgb8()
+    assert np.array_equal(jt.decode_region(d3, 5, 6, 20, 10), full3[6:16, 5:25])
