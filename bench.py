@@ -298,11 +298,20 @@ def mode_chunk(work_dir: str, group: str) -> None:
     data = open(os.path.join(work_dir, "v0.jpg"), "rb").read()
 
     if group == "encode":
-        from jpeglibrary_tpu.models.encoder import encode_rgb_stream
+        import numpy as np
+
+        from jpeglibrary_tpu.models.encoder import encode_cmyk, encode_rgb_stream
         from jpeglibrary_tpu.models.lossless import encode_lossless
         from jpeglibrary_tpu.models.progressive_encoder import encode_progressive_rgb
 
         rgb = jt.decode(data).to_rgb8()
+        _ink_cache = []
+
+        def _ink():
+            if not _ink_cache:
+                k = (255 - rgb.max(axis=-1, keepdims=True)).astype(np.uint8)
+                _ink_cache.append(np.concatenate([255 - rgb, k], axis=-1))
+            return _ink_cache[0]
         specs = [
             ("transform_rot90", lambda: jt.transform(data, "rot90"), mp),
             ("sof0_encode", lambda: jt.encode_rgb(rgb, 75), mp),
@@ -333,6 +342,9 @@ def mode_chunk(work_dir: str, group: str) -> None:
                 ),
                 mp,
             ),
+            # 4-component fused encode (Adobe YCCK 4:2:0 layout —
+            # ~1.67x the block work of 3-component 4:2:0).
+            ("ycck_encode", lambda: encode_cmyk(_ink(), 75, ycck=True), mp),
         ]
     elif group == "decode":
         # Full host decode -> interleaved RGB8 (scan + fused native

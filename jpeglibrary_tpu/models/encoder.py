@@ -425,7 +425,7 @@ class JpegEncoder:
             quants.append(qt.elements)
 
         if (
-            use_fused_rgb
+            (use_fused_rgb or use_fused_ink)
             and not self.arithmetic
             and not optimize
             and self.mesh is None
@@ -446,12 +446,18 @@ class JpegEncoder:
 
             writer = JpegWriter()
             self._write_headers(writer, fixed)
-            writer.write_bytes(
-                native_scanner.encode_rgb_scan(
+            if use_fused_ink:
+                ink, ycck = self._input_ink
+                scan = native_scanner.encode_cmyk_scan(
+                    ink, max_h, max_v, ycck, quants, comp_tables,
+                    self.restart_interval,
+                )
+            else:
+                scan = native_scanner.encode_rgb_scan(
                     self._input_rgb, max_h, max_v, quants, comp_tables,
                     self.restart_interval,
                 )
-            )
+            writer.write_bytes(scan)
             writer.write_marker(Marker.EOI)
             return writer.to_bytes()  # single copy: the scan rides a chunk
 

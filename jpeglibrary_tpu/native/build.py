@@ -336,6 +336,18 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.c_void_p, c.c_int64,             # out, capacity
         c.c_int32,                         # n_threads
     ]
+    lib.jpx_encode_cmyk_baseline.restype = c.c_int64
+    lib.jpx_encode_cmyk_baseline.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int64,  # ink, h, w
+        c.c_int32, c.c_int32, c.c_int32,   # max_h, max_v, ycck
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,  # quants 0-3 (f32 zz)
+        c.c_void_p, c.POINTER(c.c_int32),  # zz_to_nat, color consts
+        c.POINTER(c.c_void_p), c.POINTER(c.c_void_p),  # dc codes/sizes [4]
+        c.POINTER(c.c_void_p), c.POINTER(c.c_void_p),  # ac codes/sizes [4]
+        c.c_int64,                         # restart_interval
+        c.c_void_p, c.c_int64,             # out, capacity
+        c.c_int32,                         # n_threads
+    ]
     lib.jpx_encode_segment.restype = c.c_int64
     lib.jpx_encode_segment.argtypes = [
         c.c_int32,

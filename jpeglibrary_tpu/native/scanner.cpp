@@ -7342,6 +7342,192 @@ static inline void hist_block(const int16_t* b, int32_t& pred,
     if (run > 0) ++acl[0];
 }
 
+// ---------------------------------------------------------------------------
+// 4-component (CMYK / YCCK) stripe machinery — the ink twin of
+// convert/transform_stripe_rgb. Component layout (encode_cmyk,
+// jcparam.c convention): comp 0 (Y-of-CMY or inverted C) and comp 3
+// (inverted K) at (max_h, max_v); comps 1/2 (Cb/Cr or inverted M/Y)
+// at 1x1. kbuf is the caller-managed 4th stripe plane (same zero-fill
+// discipline as RgbStripeScratch.dirty).
+// ---------------------------------------------------------------------------
+
+static void convert_stripe_cmyk(const RgbEncCtx& c, RgbStripeScratch& sc,
+                                uint8_t* kbuf, bool& kdirty,
+                                const uint8_t* ink, int32_t ycck,
+                                int64_t s) {
+    const int64_t y0 = s * c.stripe_h;
+    const int64_t rows = std::min<int64_t>(c.stripe_h, c.h - y0);
+    if (rows < c.stripe_h) {
+        if (sc.dirty) {
+            std::fill(sc.ybuf.begin(), sc.ybuf.end(), 0);
+            std::fill(sc.cbbuf.begin(), sc.cbbuf.end(), 0);
+            std::fill(sc.crbuf.begin(), sc.crbuf.end(), 0);
+        }
+        if (kdirty) std::memset(kbuf, 0, (size_t)c.stripe_h * c.full_w);
+    }
+    sc.dirty = true;
+    kdirty = true;
+    for (int64_t r = 0; r < rows; ++r) {
+        const uint8_t* src = ink + ((y0 + r) * c.w) * 4;
+        uint8_t* d0 = sc.ybuf.data() + r * c.full_w;
+        uint8_t* d1 = sc.cbbuf.data() + r * c.full_w;
+        uint8_t* d2 = sc.crbuf.data() + r * c.full_w;
+        uint8_t* d3 = kbuf + r * c.full_w;
+        int32_t rr[64], gg[64], bb[64], kk[64];
+        for (int64_t x = 0; x < c.w;) {
+            int64_t n = std::min<int64_t>(64, c.w - x);
+            const uint8_t* p = src + 4 * x;
+            for (int64_t j = 0; j < n; ++j) {
+                rr[j] = p[4 * j];
+                gg[j] = p[4 * j + 1];
+                bb[j] = p[4 * j + 2];
+                kk[j] = p[4 * j + 3];
+            }
+            if (ycck) {
+                for (int64_t j = 0; j < n; ++j) {
+                    d0[x + j] = (uint8_t)((c.yr * rr[j] + c.yg * gg[j] + (c.yb * bb[j] + kCcHalf)) >> 16);
+                    d1[x + j] = (uint8_t)((c.cbr * rr[j] + c.cbg * gg[j] + (c.cbb * bb[j] + kCcFudge)) >> 16);
+                    d2[x + j] = (uint8_t)(((c.cbb * rr[j] + kCcFudge) + c.crg * gg[j] + c.crb * bb[j]) >> 16);
+                    d3[x + j] = (uint8_t)(255 - kk[j]);
+                }
+            } else {
+                for (int64_t j = 0; j < n; ++j) {
+                    d0[x + j] = (uint8_t)(255 - rr[j]);
+                    d1[x + j] = (uint8_t)(255 - gg[j]);
+                    d2[x + j] = (uint8_t)(255 - bb[j]);
+                    d3[x + j] = (uint8_t)(255 - kk[j]);
+                }
+            }
+            x += n;
+        }
+    }
+}
+
+// Transform stripe `s` for the 4-component layout; same base+colstride
+// output contract as transform_stripe_rgb, one (base, stride) pair per
+// component, expressing both the global MCU-ordered arrays and the
+// fused emitter's interleaved per-stripe layout.
+static void transform_stripe_cmyk(const RgbEncCtx& c, RgbStripeScratch& sc,
+                                  uint8_t* kbuf, bool& kdirty,
+                                  const uint8_t* ink, int32_t ycck,
+                                  const float* qn3, int64_t s,
+                                  int16_t* b0, int64_t cs0,
+                                  int16_t* b1, int64_t cs1,
+                                  int16_t* b2, int64_t cs2,
+                                  int16_t* b3, int64_t cs3) {
+    convert_stripe_cmyk(c, sc, kbuf, kdirty, ink, ycck, s);
+    struct Full {
+        const uint8_t* buf;
+        const float* q;
+        int16_t* base;
+        int64_t cs;
+    };
+    Full fulls[2] = {{sc.ybuf.data(), c.qn_y, b0, cs0}, {kbuf, qn3, b3, cs3}};
+    for (auto& f : fulls) {
+        for (int br = 0; br < c.max_v; ++br) {
+            for (int64_t bc = 0; bc < c.mcl * c.max_h; ++bc) {
+                int16_t* dst = f.base + (bc / c.max_h) * f.cs +
+                               ((int64_t)br * c.max_h + bc % c.max_h) * 64;
+                fdct_block_u8(f.buf + (int64_t)br * 8 * c.full_w + bc * 8,
+                              c.full_w, f.q, c.zz, 128.0f, dst);
+            }
+        }
+    }
+    for (int ch = 0; ch < 2; ++ch) {
+        const uint8_t* plane = ch == 0 ? sc.cbbuf.data() : sc.crbuf.data();
+        uint8_t* sub = ch == 0 ? sc.subcb.data() : sc.subcr.data();
+        if (c.box_n == 1) {
+            sub = const_cast<uint8_t*>(plane);
+        } else {
+            for (int oy = 0; oy < 8; ++oy) {
+                uint8_t* orow = sub + (int64_t)oy * c.mcl * 8;
+                for (int64_t ox = 0; ox < c.mcl * 8; ++ox) {
+                    int32_t sum = 0;
+                    for (int dy = 0; dy < c.max_v; ++dy) {
+                        const uint8_t* irow = plane +
+                            ((int64_t)oy * c.max_v + dy) * c.full_w + ox * c.max_h;
+                        for (int dx = 0; dx < c.max_h; ++dx) sum += irow[dx];
+                    }
+                    orow[ox] = (uint8_t)((sum + c.box_delta) / c.box_n);
+                }
+            }
+        }
+        const float* q = ch == 0 ? c.qn_cb : c.qn_cr;
+        int16_t* base = ch == 0 ? b1 : b2;
+        int64_t stride = ch == 0 ? cs1 : cs2;
+        for (int64_t bc = 0; bc < c.mcl; ++bc) {
+            fdct_block_u8(sub + bc * 8, c.mcl * 8, q, c.zz, 128.0f,
+                          base + bc * stride);
+        }
+    }
+}
+
+// Quantized DCs of MCU (s, col), 4-component layout — the chunk
+// predictor seeds for the fused CMYK emitter (same exactness argument
+// as boundary_mcu_dc: the AAN f[0][0] is the plain integer sample sum).
+static void boundary_mcu_dc_cmyk(const RgbEncCtx& c, const uint8_t* ink,
+                                 int32_t ycck, const float* qn3,
+                                 int64_t s, int64_t col, int32_t dc[4]) {
+    const int pw = 8 * c.max_h;
+    const int ph = c.stripe_h;
+    uint8_t p0[64 * 16], p1[64 * 16], p2[64 * 16], p3[64 * 16];
+    std::memset(p0, 0, (size_t)ph * pw);
+    std::memset(p1, 0, (size_t)ph * pw);
+    std::memset(p2, 0, (size_t)ph * pw);
+    std::memset(p3, 0, (size_t)ph * pw);
+    const int64_t y0 = s * (int64_t)c.stripe_h;
+    const int64_t x0 = col * (int64_t)pw;
+    const int64_t rows = std::min<int64_t>(ph, c.h - y0);
+    const int64_t cols = std::min<int64_t>(pw, c.w - x0);
+    for (int64_t r = 0; r < rows; ++r) {
+        const uint8_t* src = ink + ((y0 + r) * c.w + x0) * 4;
+        for (int64_t x = 0; x < cols; ++x) {
+            int32_t rr = src[4 * x], gg = src[4 * x + 1];
+            int32_t bb = src[4 * x + 2], kk = src[4 * x + 3];
+            if (ycck) {
+                p0[r * pw + x] = (uint8_t)((c.yr * rr + c.yg * gg + (c.yb * bb + kCcHalf)) >> 16);
+                p1[r * pw + x] = (uint8_t)((c.cbr * rr + c.cbg * gg + (c.cbb * bb + kCcFudge)) >> 16);
+                p2[r * pw + x] = (uint8_t)(((c.cbb * rr + kCcFudge) + c.crg * gg + c.crb * bb) >> 16);
+            } else {
+                p0[r * pw + x] = (uint8_t)(255 - rr);
+                p1[r * pw + x] = (uint8_t)(255 - gg);
+                p2[r * pw + x] = (uint8_t)(255 - bb);
+            }
+            p3[r * pw + x] = (uint8_t)(255 - kk);
+        }
+    }
+    // Full-resolution comps 0/3: last block of the MCU in scan order.
+    struct Full { const uint8_t* p; float q0; int idx; };
+    Full fulls[2] = {{p0, c.qn_y[0], 0}, {p3, qn3[0], 3}};
+    for (auto& f : fulls) {
+        int64_t sum = 0;
+        for (int r = 0; r < 8; ++r) {
+            const uint8_t* row =
+                f.p + ((c.max_v - 1) * 8 + r) * pw + (c.max_h - 1) * 8;
+            for (int x = 0; x < 8; ++x) sum += (int32_t)row[x] - 128;
+        }
+        dc[f.idx] = (int32_t)nearbyintf((float)sum * 0.125f / f.q0);
+    }
+    // 1x1 comps 1/2: one box-subsampled block.
+    for (int ch = 0; ch < 2; ++ch) {
+        const uint8_t* plane = ch == 0 ? p1 : p2;
+        int64_t csum = 0;
+        for (int oy = 0; oy < 8; ++oy) {
+            for (int ox = 0; ox < 8; ++ox) {
+                int32_t bsum = 0;
+                for (int dy = 0; dy < c.max_v; ++dy) {
+                    const uint8_t* irow =
+                        plane + (oy * c.max_v + dy) * pw + ox * c.max_h;
+                    for (int dx = 0; dx < c.max_h; ++dx) bsum += irow[dx];
+                }
+                csum += (bsum + c.box_delta) / c.box_n - 128;
+            }
+        }
+        dc[1 + ch] = (int32_t)nearbyintf(
+            (float)csum * 0.125f / (ch == 0 ? c.qn_cb[0] : c.qn_cr[0]));
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -7460,101 +7646,14 @@ void jpx_encode_transform_cmyk(
         std::vector<uint8_t> kbuf((size_t)c.stripe_h * c.full_w, 0);
         bool kdirty = false;
         for (int64_t s = s0; s < s1; ++s) {
-            const int64_t y0 = s * c.stripe_h;
-            const int64_t rows = std::min<int64_t>(c.stripe_h, h - y0);
-            if (rows < c.stripe_h) {
-                if (sc.dirty) {
-                    std::fill(sc.ybuf.begin(), sc.ybuf.end(), 0);
-                    std::fill(sc.cbbuf.begin(), sc.cbbuf.end(), 0);
-                    std::fill(sc.crbuf.begin(), sc.crbuf.end(), 0);
-                }
-                if (kdirty) std::fill(kbuf.begin(), kbuf.end(), 0);
-            }
-            sc.dirty = true;
-            kdirty = true;
-            for (int64_t r = 0; r < rows; ++r) {
-                const uint8_t* src = ink + ((y0 + r) * w) * 4;
-                uint8_t* d0 = sc.ybuf.data() + r * c.full_w;
-                uint8_t* d1 = sc.cbbuf.data() + r * c.full_w;
-                uint8_t* d2 = sc.crbuf.data() + r * c.full_w;
-                uint8_t* d3 = kbuf.data() + r * c.full_w;
-                int32_t rr[64], gg[64], bb[64], kk[64];
-                for (int64_t x = 0; x < w;) {
-                    int64_t n = std::min<int64_t>(64, w - x);
-                    const uint8_t* p = src + 4 * x;
-                    for (int64_t j = 0; j < n; ++j) {
-                        rr[j] = p[4 * j];
-                        gg[j] = p[4 * j + 1];
-                        bb[j] = p[4 * j + 2];
-                        kk[j] = p[4 * j + 3];
-                    }
-                    if (ycck) {
-                        for (int64_t j = 0; j < n; ++j) {
-                            d0[x + j] = (uint8_t)((c.yr * rr[j] + c.yg * gg[j] + (c.yb * bb[j] + kCcHalf)) >> 16);
-                            d1[x + j] = (uint8_t)((c.cbr * rr[j] + c.cbg * gg[j] + (c.cbb * bb[j] + kCcFudge)) >> 16);
-                            d2[x + j] = (uint8_t)(((c.cbb * rr[j] + kCcFudge) + c.crg * gg[j] + c.crb * bb[j]) >> 16);
-                            d3[x + j] = (uint8_t)(255 - kk[j]);
-                        }
-                    } else {
-                        for (int64_t j = 0; j < n; ++j) {
-                            d0[x + j] = (uint8_t)(255 - rr[j]);
-                            d1[x + j] = (uint8_t)(255 - gg[j]);
-                            d2[x + j] = (uint8_t)(255 - bb[j]);
-                            d3[x + j] = (uint8_t)(255 - kk[j]);
-                        }
-                    }
-                    x += n;
-                }
-            }
-            // Full-resolution components (0 and 3; all four when plain
-            // CMYK since max_h == max_v == 1 makes "full res" == 1x1).
-            struct Full { const uint8_t* buf; const float* q; int16_t* out; };
-            Full fulls[2] = {
-                {sc.ybuf.data(), c.qn_y, out0},
-                {kbuf.data(), qn3, out3},
-            };
-            for (auto& f : fulls) {
-                for (int br = 0; br < c.max_v; ++br) {
-                    for (int64_t bc = 0; bc < c.mcl * c.max_h; ++bc) {
-                        int16_t* dst = f.out +
-                            (((s * c.mcl + bc / c.max_h) * c.per_mcu_y) +
-                             (int64_t)br * c.max_h + bc % c.max_h) * 64;
-                        fdct_block_u8(
-                            f.buf + (int64_t)br * 8 * c.full_w + bc * 8,
-                            c.full_w, f.q, c.zz, 128.0f, dst);
-                    }
-                }
-            }
-            // Chroma-layout components (1 and 2): box subsample when
-            // sampled, plain 1x1 otherwise.
-            for (int ch = 0; ch < 2; ++ch) {
-                const uint8_t* plane = ch == 0 ? sc.cbbuf.data() : sc.crbuf.data();
-                uint8_t* sub = ch == 0 ? sc.subcb.data() : sc.subcr.data();
-                if (c.box_n == 1) {
-                    sub = const_cast<uint8_t*>(plane);
-                } else {
-                    for (int oy = 0; oy < 8; ++oy) {
-                        uint8_t* orow = sub + (int64_t)oy * c.mcl * 8;
-                        for (int64_t ox = 0; ox < c.mcl * 8; ++ox) {
-                            int32_t sum = 0;
-                            for (int dy = 0; dy < c.max_v; ++dy) {
-                                const uint8_t* irow = plane +
-                                    ((int64_t)oy * c.max_v + dy) * c.full_w +
-                                    ox * c.max_h;
-                                for (int dx = 0; dx < c.max_h; ++dx)
-                                    sum += irow[dx];
-                            }
-                            orow[ox] = (uint8_t)((sum + c.box_delta) / c.box_n);
-                        }
-                    }
-                }
-                const float* q = ch == 0 ? c.qn_cb : c.qn_cr;
-                int16_t* o = ch == 0 ? out1 : out2;
-                for (int64_t bc = 0; bc < c.mcl; ++bc) {
-                    fdct_block_u8(sub + bc * 8, c.mcl * 8, q, c.zz, 128.0f,
-                                  o + (s * c.mcl + bc) * 64);
-                }
-            }
+            // Global MCU-ordered layouts expressed via the shared
+            // base+colstride stripe contract (see transform_stripe_rgb).
+            transform_stripe_cmyk(
+                c, sc, kbuf.data(), kdirty, ink, ycck, qn3, s,
+                out0 + s * c.mcl * c.per_mcu_y * 64, (int64_t)c.per_mcu_y * 64,
+                out1 + s * c.mcl * 64, 64,
+                out2 + s * c.mcl * 64, 64,
+                out3 + s * c.mcl * c.per_mcu_y * 64, (int64_t)c.per_mcu_y * 64);
         }
     };
     if (T <= 1) {
@@ -7732,6 +7831,217 @@ int64_t jpx_encode_rgb_baseline(
                         (int64_t)bpm * 64,
                         coeff.data() + ((int64_t)c.per_mcu_y + 1) * 64,
                         (int64_t)bpm * 64);
+                    cached_s = s;
+                }
+                const int16_t* blockp = coeff.data() + col * (int64_t)bpm * 64;
+                for (int k = 0; k < bpm; ++k, blockp += 64) {
+                    int ci = comp_of(k);
+                    if (!emit_block_sink(bp, dc_codes[ci], dc_sizes[ci],
+                                         ac_codes[ci], ac_sizes[ci],
+                                         preds[ci], blockp, &missing)) {
+                        ck.status = missing ? -2 : -1;
+                        return;
+                    }
+                }
+            }
+            if (!bp.finish()) { ck.status = -1; return; }
+            if (g < n_seg - 1) {  // RSTn between segments (not after last)
+                if (bp.n + 2 > bp.cap) { ck.status = -1; return; }
+                bp.out[bp.n++] = 0xFF;
+                bp.out[bp.n++] = (uint8_t)(0xD0 + (g & 7));
+            }
+        }
+        ck.n = bp.n;
+    };
+    if (T <= 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int64_t t = 0; t < T; ++t) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    int64_t total = 0;
+    for (auto& ck : chunks) {
+        if (ck.status < 0) return ck.status;
+        total += ck.n;
+    }
+    if (total > capacity) return -1;
+    int64_t off = 0;
+    for (auto& ck : chunks) {
+        std::memcpy(out + off, ck.buf.get(), (size_t)ck.n);
+        off += ck.n;
+    }
+    return total;
+}
+
+// Fully fused fixed-table 4-component (CMYK / YCCK) baseline scan —
+// the ink twin of jpx_encode_rgb_baseline: transform + Huffman
+// emission per stripe-range thread in ONE pass, coefficients never
+// leave the stripe buffer. Byte-identical to
+// jpx_encode_transform_cmyk + jpx_encode_segment_parallel / the
+// segmented restart emitter (shared transform_stripe_cmyk +
+// emit_block_sink machinery; chunk DC seeds via boundary_mcu_dc_cmyk,
+// exact for the same reason as the RGB path). dc/ac table pointer
+// arrays carry FOUR entries, in component order.
+int64_t jpx_encode_cmyk_baseline(
+    const uint8_t* ink, int64_t h, int64_t w,
+    int32_t max_h, int32_t max_v, int32_t ycck,
+    const float* quant0, const float* quant1, const float* quant2,
+    const float* quant3,
+    const uint8_t* zz_to_nat, const int32_t* cconsts,
+    const uint16_t** dc_codes, const uint8_t** dc_sizes,
+    const uint16_t** ac_codes, const uint8_t** ac_sizes,
+    int64_t restart_interval,
+    uint8_t* out, int64_t capacity,
+    int32_t n_threads) {
+    RgbEncCtx c;
+    rgb_ctx_init(c, nullptr, h, w, max_h, max_v, quant0, quant1, quant2,
+                 zz_to_nat, cconsts);
+    float qn3[64];
+    for (int zz = 0; zz < 64; ++zz) qn3[zz_to_nat[zz]] = quant3[zz];
+    const int64_t n_mcus = c.mcl * c.mcc;
+    const int bpm = 2 * c.per_mcu_y + 2;  // blocks per MCU in scan order
+    const int64_t kb = (int64_t)c.stripe_h * c.full_w;
+
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+
+    auto chunk_cap = [&](int64_t mcus) {
+        return mcus * (int64_t)bpm * 512 + 128;
+    };
+    // comp index for scan-order block k of an MCU: comp0 blocks, one
+    // Cb, one Cr, comp3 (K) blocks.
+    auto comp_of = [&](int k) {
+        if (k < c.per_mcu_y) return 0;
+        if (k < c.per_mcu_y + 2) return k - c.per_mcu_y + 1;
+        return 3;
+    };
+    // Stripe coeff layout per MCU column (all strides bpm*64).
+    auto stripe_transform = [&](RgbStripeScratch& sc, uint8_t* kbuf,
+                                bool& kdirty, int16_t* coeff, int64_t s) {
+        transform_stripe_cmyk(
+            c, sc, kbuf, kdirty, ink, ycck, qn3, s,
+            coeff, (int64_t)bpm * 64,
+            coeff + (int64_t)c.per_mcu_y * 64, (int64_t)bpm * 64,
+            coeff + ((int64_t)c.per_mcu_y + 1) * 64, (int64_t)bpm * 64,
+            coeff + ((int64_t)c.per_mcu_y + 2) * 64, (int64_t)bpm * 64);
+    };
+
+    if (restart_interval <= 0) {
+        int64_t T = std::min<int64_t>(n_threads, c.mcc);
+        if (n_mcus * c.per_mcu_y < 2048) T = 1;
+        struct Chunk {
+            int64_t s0, s1;
+            std::unique_ptr<uint8_t[]> buf;
+            int64_t cap;
+            int64_t bits;
+            int64_t status;
+        };
+        std::vector<Chunk> chunks((size_t)T);
+        int64_t step = (c.mcc + T - 1) / T;
+        for (int64_t t = 0; t < T; ++t) {
+            chunks[t].s0 = std::min(c.mcc, t * step);
+            chunks[t].s1 = std::min(c.mcc, (t + 1) * step);
+            chunks[t].cap = chunk_cap((chunks[t].s1 - chunks[t].s0) * c.mcl);
+            chunks[t].buf.reset(new uint8_t[(size_t)chunks[t].cap]);
+            chunks[t].bits = 0;
+            chunks[t].status = 0;
+        }
+        auto work = [&](int64_t t) {
+            Chunk& ck = chunks[t];
+            if (ck.s0 >= ck.s1) return;
+            RgbStripeScratch sc;
+            sc.init(c);
+            std::vector<uint8_t> kbuf((size_t)kb, 0);
+            bool kdirty = false;
+            std::vector<int16_t> coeff((size_t)c.mcl * bpm * 64);
+            RawSink rp{ck.buf.get(), ck.cap, 0, 0, 0};
+            int32_t preds[4] = {0, 0, 0, 0};
+            if (ck.s0 > 0)
+                boundary_mcu_dc_cmyk(c, ink, ycck, qn3, ck.s0 - 1,
+                                     c.mcl - 1, preds);
+            bool missing = false;
+            for (int64_t s = ck.s0; s < ck.s1; ++s) {
+                stripe_transform(sc, kbuf.data(), kdirty, coeff.data(), s);
+                const int16_t* blockp = coeff.data();
+                for (int64_t col = 0; col < c.mcl; ++col) {
+                    for (int k = 0; k < bpm; ++k, blockp += 64) {
+                        int ci = comp_of(k);
+                        if (!emit_block_sink(rp, dc_codes[ci], dc_sizes[ci],
+                                             ac_codes[ci], ac_sizes[ci],
+                                             preds[ci], blockp, &missing)) {
+                            ck.status = missing ? -2 : -1;
+                            return;
+                        }
+                    }
+                }
+            }
+            ck.bits = rp.finish_unstuffed();
+            if (ck.bits < 0) ck.status = -1;
+        };
+        if (T <= 1) {
+            work(0);
+        } else {
+            std::vector<std::thread> pool;
+            for (int64_t t = 0; t < T; ++t) pool.emplace_back(work, t);
+            for (auto& th : pool) th.join();
+        }
+        for (auto& ck : chunks)
+            if (ck.status < 0) return ck.status;
+        std::vector<const uint8_t*> bufs((size_t)T);
+        std::vector<int64_t> nbits((size_t)T);
+        for (int64_t t = 0; t < T; ++t) {
+            bufs[t] = chunks[t].buf.get();
+            nbits[t] = chunks[t].bits;
+        }
+        return merge_stuff_chunks(bufs.data(), nbits.data(), (int)T, out,
+                                  capacity);
+    }
+
+    // restart_interval > 0: byte-aligned segments, RSTn separators.
+    const int64_t ri = restart_interval;
+    const int64_t n_seg = (n_mcus + ri - 1) / ri;
+    int64_t T = std::min<int64_t>(n_threads, n_seg);
+    if (n_mcus * c.per_mcu_y < 2048) T = 1;
+    struct SegChunk {
+        int64_t g0, g1;
+        std::unique_ptr<uint8_t[]> buf;
+        int64_t cap;
+        int64_t n;
+        int64_t status;
+    };
+    std::vector<SegChunk> chunks((size_t)T);
+    int64_t per = (n_seg + T - 1) / T;
+    for (int64_t t = 0; t < T; ++t) {
+        chunks[t].g0 = std::min(n_seg, t * per);
+        chunks[t].g1 = std::min(n_seg, (t + 1) * per);
+        int64_t mcus = std::min(n_mcus, chunks[t].g1 * ri) - chunks[t].g0 * ri;
+        if (mcus < 0) mcus = 0;
+        chunks[t].cap = chunk_cap(mcus) + (chunks[t].g1 - chunks[t].g0) * 2;
+        chunks[t].buf.reset(new uint8_t[(size_t)chunks[t].cap]);
+        chunks[t].n = 0;
+        chunks[t].status = 0;
+    }
+    auto work = [&](int64_t t) {
+        SegChunk& ck = chunks[t];
+        if (ck.g0 >= ck.g1) return;
+        RgbStripeScratch sc;
+        sc.init(c);
+        std::vector<uint8_t> kbuf((size_t)kb, 0);
+        bool kdirty = false;
+        std::vector<int16_t> coeff((size_t)c.mcl * bpm * 64);
+        int64_t cached_s = -1;
+        BitPacker bp{ck.buf.get(), ck.cap, 0, 0, 0};
+        bool missing = false;
+        for (int64_t g = ck.g0; g < ck.g1; ++g) {
+            int64_t m0 = g * ri;
+            int64_t m1 = std::min(n_mcus, m0 + ri);
+            int32_t preds[4] = {0, 0, 0, 0};
+            for (int64_t m = m0; m < m1; ++m) {
+                int64_t s = m / c.mcl;
+                int64_t col = m % c.mcl;
+                if (s != cached_s) {
+                    stripe_transform(sc, kbuf.data(), kdirty, coeff.data(), s);
                     cached_s = s;
                 }
                 const int16_t* blockp = coeff.data() + col * (int64_t)bpm * 64;

@@ -1436,6 +1436,76 @@ def encode_rgb_scan(
     return memoryview(out)[: int(written)].toreadonly()
 
 
+def encode_cmyk_scan(
+    ink: np.ndarray,
+    max_h: int,
+    max_v: int,
+    ycck: bool,
+    quants,
+    tables,
+    restart_interval: int = 0,
+):
+    """Fully fused fixed-table 4-component (CMYK / YCCK) baseline
+    encode — the ink twin of :func:`encode_rgb_scan`
+    (jpx_encode_cmyk_baseline). ``tables``: FOUR (dc, ac)
+    HuffmanEncodingTable pairs in component order."""
+    lib = build.load_library()
+    from ..ops import color as color_ops
+    from ..ops.zigzag import ZIGZAG_TO_BLOCK
+
+    ink = np.ascontiguousarray(ink, dtype=np.uint8)
+    h, w = ink.shape[:2]
+    mcl = -(-w // (8 * max_h))
+    mcc = -(-h // (8 * max_v))
+    n_mcus = mcl * mcc
+    bpm = 2 * max_h * max_v + 2
+    qs = [np.ascontiguousarray(q, dtype=np.float32) for q in quants]
+    zz = np.ascontiguousarray(ZIGZAG_TO_BLOCK, dtype=np.uint8)
+    consts = (ctypes.c_int32 * 8)(
+        color_ops._Y_R, color_ops._Y_G, color_ops._Y_B,
+        color_ops._CB_R, color_ops._CB_G, color_ops._CB_B,
+        color_ops._CR_G, color_ops._CR_B,
+    )
+    dc_codes = (ctypes.c_void_p * 4)()
+    dc_sizes = (ctypes.c_void_p * 4)()
+    ac_codes = (ctypes.c_void_p * 4)()
+    ac_sizes = (ctypes.c_void_p * 4)()
+    keepalive = []
+    for i, (dc, ac) in enumerate(tables):
+        dcc = np.ascontiguousarray(dc.codes, dtype=np.uint16)
+        dcs = np.ascontiguousarray(dc.sizes, dtype=np.uint8)
+        acc = np.ascontiguousarray(ac.codes, dtype=np.uint16)
+        acs = np.ascontiguousarray(ac.sizes, dtype=np.uint8)
+        keepalive += [dcc, dcs, acc, acs]
+        dc_codes[i] = dcc.ctypes.data_as(ctypes.c_void_p).value
+        dc_sizes[i] = dcs.ctypes.data_as(ctypes.c_void_p).value
+        ac_codes[i] = acc.ctypes.data_as(ctypes.c_void_p).value
+        ac_sizes[i] = acs.ctypes.data_as(ctypes.c_void_p).value
+    n_seg = -(-n_mcus // restart_interval) if restart_interval > 0 else 1
+    cap = n_mcus * bpm * 512 + n_seg * 2 + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    written = lib.jpx_encode_cmyk_baseline(
+        ink.ctypes.data_as(ctypes.c_void_p), h, w,
+        max_h, max_v, 1 if ycck else 0,
+        qs[0].ctypes.data_as(ctypes.c_void_p),
+        qs[1].ctypes.data_as(ctypes.c_void_p),
+        qs[2].ctypes.data_as(ctypes.c_void_p),
+        qs[3].ctypes.data_as(ctypes.c_void_p),
+        zz.ctypes.data_as(ctypes.c_void_p), consts,
+        dc_codes, dc_sizes, ac_codes, ac_sizes,
+        restart_interval,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+        0,
+    )
+    if written == -2:
+        from ..models.encoder import JpegEncodeError
+
+        raise JpegEncodeError("Huffman table has no code for an emitted symbol.")
+    if written < 0:
+        raise RuntimeError("native encode capacity exceeded")
+    return memoryview(out)[: int(written)].toreadonly()
+
+
 def encode_prog_dc(blocks_list, per_mcu, n_mcus: int, ah: int, al: int,
                    tables=None, freqs=None, restart_interval: int = 0):
     """Progressive DC scan emission (count mode when ``freqs`` given).

@@ -195,3 +195,22 @@ def test_fused_ink_roundtrip_decodes():
     dec = np.asarray(res.to_cmyk8()).astype(np.float64)
     mse = ((dec - ink) ** 2).mean()
     assert 10 * np.log10(255.0**2 / mse) > 30
+
+
+def test_fully_fused_ink_emitter_engages(monkeypatch):
+    # Fixed-table encode_cmyk must ride jpx_encode_cmyk_baseline (one
+    # native transform+emit pass), not the transform+segment pair.
+    from jpeglibrary_tpu.native import scanner as native_scanner
+
+    calls = []
+    real = native_scanner.encode_cmyk_scan
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(native_scanner, "encode_cmyk_scan", spy)
+    ink = _ink_image(48, 80)
+    out = encode_cmyk(ink, quality=80, ycck=True)
+    assert calls, "fused CMYK emitter did not engage"
+    assert jt.decode(out).color_transform == "ycck"
