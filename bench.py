@@ -101,8 +101,10 @@ ASSET = "/root/reference/tests/Assets/baseline/HETissueSlide.jpg"
 # Retuned in round-3 session 4: after the encoder/scanner overhauls,
 # ungrouped dispatch (group=1, no bucket padding) beats the grouped
 # vmapped transform — quiet A/B runs peak at 780-913 MP/s for the
-# group<=2 shapes vs ~650 for the old (3,2,4).
-SHAPES = ((3, 2, 1), (2, 2, 1), (4, 2, 1), (3, 2, 2))
+# group<=2 shapes vs ~650 for the old (3,2,4). Round 4: the grouped
+# hedge (3,2,2) was the consistently slowest shape on the faster host
+# while (4,3,1) was the most consistent across probe visits — swapped.
+SHAPES = ((3, 2, 1), (2, 2, 1), (4, 2, 1), (4, 3, 1))
 
 SWEEP_BUDGET_S = float(os.environ.get("JPX_BENCH_BUDGET_S", "600"))
 # hard; value-independent (chosen up front: round-2 runs showed quiet

@@ -157,8 +157,19 @@ def _decode_region_fast(
     if frame is None or len(scan_ris) != len(stream.scans):
         return None
     if sof_marker == Marker.SOF2 and frame.sample_precision == 8:
-        return _region_progressive(
-            dec, stream, data, frame, scan_ris, x, y, w, h, upsample, adobe, xp
+        return _region_banded(
+            dec, stream, data, frame, scan_ris, x, y, w, h, upsample, adobe,
+            xp, arithmetic=False, progressive=True,
+        )
+    if sof_marker == Marker.SOF9 and frame.sample_precision == 8:
+        return _region_banded(
+            dec, stream, data, frame, scan_ris, x, y, w, h, upsample, adobe,
+            xp, arithmetic=True, progressive=False,
+        )
+    if sof_marker == Marker.SOF10 and frame.sample_precision == 8:
+        return _region_banded(
+            dec, stream, data, frame, scan_ris, x, y, w, h, upsample, adobe,
+            xp, arithmetic=True, progressive=True,
         )
     if sof_marker == Marker.SOF3:
         return _region_lossless(
@@ -282,12 +293,16 @@ def _decode_region_fast(
     return _exact_crop(img, x - px_x0, y - px_y0, w, h)
 
 
-def _region_progressive(
-    dec, stream, data, frame, scan_ris, x, y, w, h, upsample, adobe, xp
+def _region_banded(
+    dec, stream, data, frame, scan_ris, x, y, w, h, upsample, adobe, xp,
+    *, arithmetic: bool, progressive: bool
 ) -> Optional[np.ndarray]:
-    """SOF2 band decode: each scan's covering restart spans decode as a
-    standalone band (RSTn resets DC predictors + the EOB run,
-    JpegHuffmanProgressiveScanDecoder.cs:196-224). Span subsets are
+    """SOF2 / SOF9 / SOF10 band decode: each scan's covering restart
+    spans decode as a standalone band (RSTn resets DC predictors + the
+    EOB run in Huffman progressive scans,
+    JpegHuffmanProgressiveScanDecoder.cs:196-224, and the whole
+    register + statistics-bin state in arithmetic scans,
+    JpegArithmeticSequentialScanDecoder.cs:138-165). Span subsets are
     snapped down to a unit-ROW boundary (first unit multiple of
     lcm(DRI, units-per-row)) so the native walkers' coordinates map
     onto band plane views directly."""
@@ -326,13 +341,21 @@ def _region_progressive(
             resolved = resolve_scan_components(frame, sh)
         except Exception:
             return None
-        if len(resolved) > 1:
-            if sh.start_of_spectral_selection != 0:
+        if len(resolved) > 1 or (
+            not progressive and len(frame.components) == 1
+        ):
+            # Interleaved walk on the frame MCU grid (a sequential
+            # single-component frame's grid IS the component grid).
+            if progressive and sh.start_of_spectral_selection != 0:
                 return None  # invalid stream; full decode raises
             upr = mpl
             total_units = mpl * mpc
             ur0, ur1 = row0, row1
             v_comp = None
+        elif not progressive:
+            # Sequential non-interleaved scan of a multi-component
+            # frame: the native wrapper walks the frame grid only.
+            return None
         else:
             ci = resolved[0][0]
             cg = geo.components[ci]
@@ -395,19 +418,35 @@ def _region_progressive(
                     else start_ur - u_lo * cg.v
                 )
                 views[ci] = band_planes[ci][off:]
-            native_scanner.decode_progressive_scan(
-                data,
-                list(scan.spans[s0:s1]),
-                frame,
-                sh,
-                dec._dc_tables,
-                dec._ac_tables,
-                ri_s,
-                views,
-                geo,
-                units_override=end_unit - first_unit,
-                validate=False,
-            )
+            if arithmetic:
+                native_scanner.decode_arithmetic_scan(
+                    data,
+                    list(scan.spans[s0:s1]),
+                    frame,
+                    sh,
+                    dec._dac_dc,
+                    dec._dac_ac,
+                    ri_s,
+                    views,
+                    geo,
+                    progressive=progressive,
+                    units_override=end_unit - first_unit,
+                    validate=False,
+                )
+            else:
+                native_scanner.decode_progressive_scan(
+                    data,
+                    list(scan.spans[s0:s1]),
+                    frame,
+                    sh,
+                    dec._dc_tables,
+                    dec._ac_tables,
+                    ri_s,
+                    views,
+                    geo,
+                    units_override=end_unit - first_unit,
+                    validate=False,
+                )
 
     quant = {}
     for idx, fc in enumerate(frame.components):

@@ -969,6 +969,8 @@ def decode_arithmetic_scan(
     geometry: FrameGeometry = None,
     *,
     progressive: bool,
+    units_override: int = None,
+    validate: bool = True,
 ) -> bool:
     """Native arithmetic scan decode (SOF9 sequential / SOF10
     progressive); returns True when handled. Same bit-exact semantics as
@@ -1033,7 +1035,10 @@ def decode_arithmetic_scan(
             vbc = ceil_div(geo.height, 8 * cg.vs)
             total_units = hbc * vbc
 
-    validate_restart_spans(spans, restart_interval, total_units)
+    if validate:
+        validate_restart_spans(spans, restart_interval, total_units)
+    if units_override is not None:
+        total_units = units_override
     n_spans = len(spans)
     starts, ends, _span_keep = _span_ptrs(spans)
     buf = np.frombuffer(data, dtype=np.uint8)

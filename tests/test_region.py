@@ -223,3 +223,30 @@ def test_lossless_fast_path_gating(rgb):
     assert _fast(d3, 100, 50, 64, 64) is None
     full3 = jt.decode(d3).to_rgb8()
     assert np.array_equal(jt.decode_region(d3, 5, 6, 20, 10), full3[6:16, 5:25])
+
+
+@pytest.mark.parametrize("progressive", [False, True])
+def test_arithmetic_fast_path_exact(rgb, progressive):
+    # RSTn fully resets the arithmetic coder + statistics bins, so the
+    # same banded fast path covers SOF9/SOF10.
+    if progressive:
+        from jpeglibrary_tpu.models.progressive_encoder import encode_progressive_rgb
+
+        data = encode_progressive_rgb(rgb, 80, arithmetic=True, restart_interval=24)
+    else:
+        data = jt.encode_rgb(rgb, 80, arithmetic=True, restart_interval=24)
+    full = jt.decode(data).to_rgb8()
+    assert _fast(data, 100, 50, 64, 64) is not None
+    for (x, y, w, h) in RECTS[:5]:
+        tile = jt.decode_region(data, x, y, w, h)
+        assert np.array_equal(tile, full[y : y + h, x : x + w]), (
+            progressive, x, y, w, h,
+        )
+
+
+def test_arithmetic_gray_fast_path(rng):
+    g = rng.integers(0, 256, (130, 217), dtype=np.uint8)
+    d = jt.encode_gray(g, 85, arithmetic=True, restart_interval=6)
+    full = jt.decode(d).to_rgb8()
+    assert _fast(d, 10, 20, 100, 90) is not None
+    assert np.array_equal(jt.decode_region(d, 10, 20, 100, 90), full[20:110, 10:110])
