@@ -351,7 +351,9 @@ def mode_chunk(work_dir: str, group: str) -> None:
     elif group == "decode":
         # Full host decode -> interleaved RGB8 (scan + fused native
         # transform), the non-device consumer's end-to-end rate.
-        specs = [("host_rgb_decode", lambda: jt.decode(data).to_rgb8(), mp)]
+        # decode_rgb8 = the public one-call host path (fused native
+        # scan + RGB transform sharing one thread pool).
+        specs = [("host_rgb_decode", lambda: jt.decode_rgb8(data), mp)]
         for name, fname in (
             ("progressive_decode", "prog.jpg"),
             ("progressive_decode_norestart", "prog_pil.jpg"),
@@ -395,8 +397,8 @@ def mode_chunk(work_dir: str, group: str) -> None:
         specs = [
             ("ref16mp_device_norestart", _dev(big_nr), big_mp),
             ("ref16mp_device_restart", _dev(big_rst), big_mp),
-            ("ref16mp_host_norestart", lambda: jt.decode(big_nr).to_rgb8(), big_mp),
-            ("ref16mp_host_restart", lambda: jt.decode(big_rst).to_rgb8(), big_mp),
+            ("ref16mp_host_norestart", lambda: jt.decode_rgb8(big_nr), big_mp),
+            ("ref16mp_host_restart", lambda: jt.decode_rgb8(big_rst), big_mp),
         ]
     else:
         raise SystemExit(f"unknown mode group {group}")

@@ -58,7 +58,7 @@ def enable_compile_cache() -> None:
         pass
 
 
-from .models.decoder import DecodeResult, ImageInfo, JpegDecoder, decode
+from .models.decoder import DecodeResult, ImageInfo, JpegDecoder, decode, decode_rgb8
 from .models.encoder import (
     JpegEncoder,
     encode_cmyk,
@@ -80,6 +80,7 @@ __all__ = [
     "DecodeResult",
     "ImageInfo",
     "decode",
+    "decode_rgb8",
     "decode_batch_rgb",
     "decode_region",
     "decode_stream_rgb",

@@ -62,14 +62,18 @@ def main(argv=None) -> int:
         if args.metrics:
             print(metrics.report())
         return 0
-    result = jt.decode(data)
     if args.cmyk:
+        result = jt.decode(data)
         Image.fromarray(result.to_cmyk8(), mode="CMYK").save(args.output)
+        size = (result.width, result.height)
     else:
         upsample = "fancy" if args.fancy_upsampling else "duplicate"
-        rgb = result.to_rgb8(upsample=upsample)
+        # One-call fused scan + RGB transform where eligible; bit-exact
+        # staged fallback otherwise.
+        rgb = jt.decode_rgb8(data, upsample=upsample)
         Image.fromarray(rgb, mode="RGB").save(args.output)
-    print(f"{args.source}: {result.width}x{result.height} -> {args.output}")
+        size = (rgb.shape[1], rgb.shape[0])
+    print(f"{args.source}: {size[0]}x{size[1]} -> {args.output}")
     if args.metrics:
         print(metrics.report())
     return 0

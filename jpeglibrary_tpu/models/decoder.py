@@ -1399,3 +1399,108 @@ def decode(data: bytes, **kwargs) -> DecodeResult:
     decoder = JpegDecoder()
     decoder.set_input(data)
     return decoder.decode(**kwargs)
+
+
+def decode_rgb8(data: bytes, *, upsample: str = "duplicate") -> np.ndarray:
+    """One-shot host decode straight to interleaved uint8 [H, W, 3] RGB.
+
+    Semantically identical to ``decode(data).to_rgb8(upsample=...)``
+    (bit-exact), but eligible streams — single-scan SOF0/SOF1, 8-bit,
+    gray/YCbCr/RGB, duplication upsampling — run entropy decode and
+    the RGB transform in ONE fused native call sharing a thread pool:
+    an MCU row transforms as soon as its covering restart spans have
+    decoded, while its coefficients are still cache-warm, instead of
+    the transform waiting behind the whole scan. This is the host
+    consumer's fastest full-image path (the device serving path is
+    ``DecodeResult.to_rgb8_device``)."""
+    out = _decode_rgb8_fused(data, upsample)
+    if out is not None:
+        return out
+    return decode(data).to_rgb8(upsample=upsample)
+
+
+def _decode_rgb8_fused(data: bytes, upsample: str) -> Optional[np.ndarray]:
+    if upsample != "duplicate":
+        return None
+    try:
+        from ..native import build as native_build
+        from ..native import scanner as native_scanner
+
+        native_build.load_library()
+    except ImportError:
+        return None
+
+    dec = JpegDecoder()
+    dec.set_input(data)
+    try:
+        stream = dec._parsed()
+    except Exception:
+        return None  # full decode raises the canonical error
+    if len(stream.scans) != 1:
+        return None
+
+    frame = None
+    adobe = None
+    scan_header = None
+    for seg in stream.segments:
+        if seg.marker in (Marker.DQT, Marker.DHT, Marker.DAC, Marker.DRI):
+            dec._process_table_segment(seg, data)
+        elif seg.marker == Marker.APP14:
+            payload = seg.payload(data)
+            if len(payload) >= 12 and payload[:5] == b"Adobe":
+                adobe = payload[11]
+        elif seg.marker == Marker.DHP:
+            return None
+        elif seg.marker in ALL_SOF_MARKERS:
+            if seg.marker not in (Marker.SOF0, Marker.SOF1):
+                return None
+            frame = io_reader.resolve_dnl(
+                stream, data, FrameHeader.parse(seg.payload(data), seg.marker)
+            )
+        elif seg.marker == Marker.SOS:
+            if frame is None:
+                return None
+            scan_header = ScanHeader.parse(seg.payload(data))
+            break
+    if frame is None or scan_header is None or frame.sample_precision != 8:
+        return None
+    n = frame.number_of_components
+    if len(scan_header.components) != n:
+        return None  # non-interleaved single-component scans: staged path
+
+    # Color interpretation (DecodeResult.color_transform rules).
+    ids = tuple(fc.identifier for fc in frame.components)
+    if n == 1:
+        mode = "gray"
+    elif n == 3:
+        if adobe is not None:
+            mode = "ycbcr" if adobe != 0 else "rgb"
+        elif ids == (0x52, 0x47, 0x42):
+            mode = "rgb"
+        else:
+            mode = "ycbcr"
+    else:
+        return None  # CMYK/YCCK ride to_cmyk8
+
+    from ..syntax.frame import resolve_scan_components
+
+    geo = frame_geometry(frame)
+    quant = {}
+    for comp_index, fc, _sc in resolve_scan_components(frame, scan_header):
+        qt = dec._quant_tables.get(fc.quantization_table_selector)
+        if qt is None or qt.is_empty:
+            return None  # full decode raises the canonical error
+        quant[comp_index] = qt.elements.astype(np.int32)
+
+    return native_scanner.decode_rgb_fused(
+        data,
+        stream.scans[0].spans,
+        frame,
+        scan_header,
+        dec._dc_tables,
+        dec._ac_tables,
+        dec._restart_interval,
+        quant,
+        geo,
+        mode=mode,
+    )

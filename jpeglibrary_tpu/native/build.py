@@ -254,6 +254,24 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.c_int32, c.c_int32,              # hs, vs
         c.c_void_p,                        # out
     ]
+    lib.jpx_decode_rgb_fused.restype = c.c_int32
+    lib.jpx_decode_rgb_fused.argtypes = [
+        c.c_void_p,                      # data
+        c.POINTER(c.c_int64), c.POINTER(c.c_int64), c.c_int32,  # spans
+        c.c_int64,                       # restart_interval
+        c.c_int64, c.c_int64,            # mcus per line / column
+        c.c_int32,                       # n_comps
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # comp_h, comp_v
+        c.c_void_p, c.c_void_p,          # dc_blob, ac_blob
+        c.POINTER(c.c_void_p), c.POINTER(c.c_int64),  # planes, plane_wb
+        c.c_void_p,                      # quants (n_comps x 64 int32, zz)
+        c.c_int32, c.c_int32,            # max_h, max_v
+        c.c_int64, c.c_int64,            # width, height
+        c.c_void_p,                      # zz_to_nat
+        c.c_int32,                       # mode (0 gray / 1 ycbcr / 2 rgb)
+        c.c_void_p,                      # out rgb8
+        c.c_int32,                       # n_threads
+    ]
     lib.jpx_zz_block_permute.restype = None
     lib.jpx_zz_block_permute.argtypes = [
         c.c_void_p,                        # base (first element of view)

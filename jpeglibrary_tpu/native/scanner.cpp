@@ -6013,6 +6013,157 @@ static inline uint8_t clamp_u8_i32(int32_t v) {
     return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
 }
 
+// Context + per-MCU-row worker for the fused decode transform — shared
+// by jpx_decode_transform_rgb (static row-range threading) and
+// jpx_decode_rgb_fused (row tasks gated on restart-span completion).
+struct XfRgbCtx {
+    const int16_t* const* planes;
+    const int64_t* plane_wb;
+    const int32_t* quants;
+    int32_t n_comps;
+    const int32_t* comp_h;
+    const int32_t* comp_v;
+    int32_t max_h, max_v;
+    int64_t width, height;
+    const uint8_t* zz;
+    int32_t mode;
+    uint8_t* out;
+    std::vector<std::vector<int32_t>> cidx;  // per-comp x -> column map
+};
+
+static void xf_rgb_ctx_init(XfRgbCtx& c, const int16_t* const* planes,
+                            const int64_t* plane_wb, const int32_t* quants,
+                            int32_t n_comps, const int32_t* comp_h,
+                            const int32_t* comp_v, int32_t max_h,
+                            int32_t max_v, int64_t width, int64_t height,
+                            const uint8_t* zz, int32_t mode, uint8_t* out) {
+    c.planes = planes;
+    c.plane_wb = plane_wb;
+    c.quants = quants;
+    c.n_comps = n_comps;
+    c.comp_h = comp_h;
+    c.comp_v = comp_v;
+    c.max_h = max_h;
+    c.max_v = max_v;
+    c.width = width;
+    c.height = height;
+    c.zz = zz;
+    c.mode = mode;
+    c.out = out;
+    c.cidx.resize(n_comps);
+    for (int i = 0; i < n_comps; ++i) {
+        int hs = max_h / comp_h[i];
+        c.cidx[i].resize(width);
+        for (int64_t x = 0; x < width; ++x)
+            c.cidx[i][(size_t)x] = (int32_t)(x / hs);
+    }
+}
+
+struct XfRgbScratch {
+    // Per-component stripe sample buffers: v*8 rows of the component
+    // plane, one iMCU row at a time.
+    std::vector<std::vector<uint8_t>> bufs;
+    std::vector<int64_t> bstride;
+    void init(const XfRgbCtx& c) {
+        bufs.resize(c.n_comps);
+        bstride.resize(c.n_comps);
+        for (int i = 0; i < c.n_comps; ++i) {
+            bstride[i] = c.plane_wb[i] * 8;
+            bufs[i].resize((size_t)(c.comp_v[i] * 8) * bstride[i]);
+        }
+    }
+};
+
+static void xform_rgb_rows(const XfRgbCtx& c, XfRgbScratch& sc, int64_t r0,
+                           int64_t r1) {
+    const int32_t mode = c.mode;
+    const int64_t width = c.width;
+    uint8_t* out = c.out;
+    for (int64_t r = r0; r < r1; ++r) {
+        for (int ci = 0; ci < c.n_comps; ++ci) {
+            const int v = c.comp_v[ci];
+            const int64_t wb = c.plane_wb[ci];
+            for (int by = 0; by < v; ++by) {
+                const int16_t* src = c.planes[ci] + ((r * v + by) * wb) * 64;
+                uint8_t* dst = sc.bufs[ci].data() +
+                               (size_t)(by * 8) * sc.bstride[ci];
+                for (int64_t bx = 0; bx < wb; ++bx)
+                    idct_block_u8(src + bx * 64, c.quants + ci * 64, c.zz,
+                                  dst + bx * 8, sc.bstride[ci]);
+            }
+        }
+        const int64_t y_end =
+            std::min<int64_t>(c.height, (r + 1) * 8 * c.max_v);
+        for (int64_t y0 = r * 8 * (int64_t)c.max_v; y0 < y_end; ++y0) {
+            uint8_t* orow = out + y0 * width * 3;
+            if (mode == 0) {
+                const int vs = c.max_v / c.comp_v[0];
+                const uint8_t* yrow =
+                    sc.bufs[0].data() +
+                    (size_t)(y0 / vs - (int64_t)(r * 8 * c.comp_v[0])) *
+                        sc.bstride[0];
+                const int32_t* cy = c.cidx[0].data();
+                for (int64_t x = 0; x < width; ++x) {
+                    uint8_t s = yrow[cy[x]];
+                    orow[x * 3] = s;
+                    orow[x * 3 + 1] = s;
+                    orow[x * 3 + 2] = s;
+                }
+            } else {
+                const uint8_t* rows[3];
+                for (int ci = 0; ci < 3; ++ci) {
+                    const int vs = c.max_v / c.comp_v[ci];
+                    rows[ci] =
+                        sc.bufs[ci].data() +
+                        (size_t)(y0 / vs - (int64_t)(r * 8 * c.comp_v[ci])) *
+                            sc.bstride[ci];
+                }
+                if (mode == 2) {
+                    const int32_t* c0 = c.cidx[0].data();
+                    const int32_t* c1 = c.cidx[1].data();
+                    const int32_t* c2 = c.cidx[2].data();
+                    for (int64_t x = 0; x < width; ++x) {
+                        orow[x * 3] = rows[0][c0[x]];
+                        orow[x * 3 + 1] = rows[1][c1[x]];
+                        orow[x * 3 + 2] = rows[2][c2[x]];
+                    }
+                } else if (c.max_h / c.comp_h[0] == 1 &&
+                           c.max_h / c.comp_h[1] == 2 &&
+                           c.max_h / c.comp_h[2] == 2) {
+                    // 4:2:0 / 4:2:2 fast lane: luma full-rate, both
+                    // chromas half-rate.
+                    for (int64_t x = 0; x < width; ++x) {
+                        int32_t yv = rows[0][x];
+                        int32_t xcb = (int32_t)rows[1][x >> 1] - 128;
+                        int32_t xcr = (int32_t)rows[2][x >> 1] - 128;
+                        orow[x * 3] =
+                            clamp_u8_i32(yv + ((kCrR * xcr + kHalf16) >> 16));
+                        orow[x * 3 + 1] = clamp_u8_i32(
+                            yv + (((kCbG * xcb + kHalf16) + kCrG * xcr) >> 16));
+                        orow[x * 3 + 2] =
+                            clamp_u8_i32(yv + ((kCbB * xcb + kHalf16) >> 16));
+                    }
+                } else {
+                    const int32_t* c0 = c.cidx[0].data();
+                    const int32_t* c1 = c.cidx[1].data();
+                    const int32_t* c2 = c.cidx[2].data();
+                    for (int64_t x = 0; x < width; ++x) {
+                        int32_t yv = rows[0][c0[x]];
+                        int32_t xcb = (int32_t)rows[1][c1[x]] - 128;
+                        int32_t xcr = (int32_t)rows[2][c2[x]] - 128;
+                        orow[x * 3] =
+                            clamp_u8_i32(yv + ((kCrR * xcr + kHalf16) >> 16));
+                        orow[x * 3 + 1] = clamp_u8_i32(
+                            yv + (((kCbG * xcb + kHalf16) + kCrG * xcr) >> 16));
+                        orow[x * 3 + 2] =
+                            clamp_u8_i32(yv + ((kCbB * xcb + kHalf16) >> 16));
+                    }
+                }
+            }
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -6040,108 +6191,21 @@ int jpx_decode_transform_rgb(
     int32_t n_threads) {
     if (n_comps <= 0 || n_comps > 4 || width <= 0 || height <= 0) return 3;
     if ((mode == 0 && n_comps != 1) || (mode != 0 && n_comps != 3)) return 3;
+    (void)mcus_per_line;
 
-    // Per-component duplication column maps (x -> component column).
-    std::vector<std::vector<int32_t>> cidx(n_comps);
-    for (int c = 0; c < n_comps; ++c) {
-        int hs = max_h / comp_h[c];
-        cidx[c].resize(width);
-        for (int64_t x = 0; x < width; ++x) cidx[c][(size_t)x] = (int32_t)(x / hs);
-    }
+    XfRgbCtx c;
+    xf_rgb_ctx_init(c, planes, plane_wb, quants, n_comps, comp_h, comp_v,
+                    max_h, max_v, width, height, zz_to_nat, mode, out);
 
     int hw = (int)std::thread::hardware_concurrency();
     if (n_threads <= 0) n_threads = hw > 1 ? hw - 1 : 1;
     int64_t T = std::min<int64_t>(n_threads, std::max<int64_t>(1, mcus_per_column));
     if (width * height < 1 << 18) T = 1;
 
-    auto work = [&](int64_t r0, int64_t r1) {
-        // Per-component stripe sample buffers: v*8 rows of the
-        // component plane, one iMCU row at a time.
-        std::vector<std::vector<uint8_t>> bufs(n_comps);
-        std::vector<int64_t> bstride(n_comps);
-        for (int c = 0; c < n_comps; ++c) {
-            bstride[c] = plane_wb[c] * 8;
-            bufs[c].resize((size_t)(comp_v[c] * 8) * bstride[c]);
-        }
-        for (int64_t r = r0; r < r1; ++r) {
-            for (int c = 0; c < n_comps; ++c) {
-                const int v = comp_v[c];
-                const int64_t wb = plane_wb[c];
-                for (int by = 0; by < v; ++by) {
-                    const int16_t* src =
-                        planes[c] + ((r * v + by) * wb) * 64;
-                    uint8_t* dst = bufs[c].data() + (size_t)(by * 8) * bstride[c];
-                    for (int64_t bx = 0; bx < wb; ++bx)
-                        idct_block_u8(src + bx * 64, quants + c * 64,
-                                      zz_to_nat, dst + bx * 8, bstride[c]);
-                }
-            }
-            const int64_t y_end = std::min<int64_t>(height, (r + 1) * 8 * max_v);
-            for (int64_t y0 = r * 8 * (int64_t)max_v; y0 < y_end; ++y0) {
-                uint8_t* orow = out + y0 * width * 3;
-                if (mode == 0) {
-                    const int vs = max_v / comp_v[0];
-                    const uint8_t* yrow = bufs[0].data() +
-                        (size_t)(y0 / vs - (int64_t)(r * 8 * comp_v[0])) * bstride[0];
-                    const int32_t* cy = cidx[0].data();
-                    for (int64_t x = 0; x < width; ++x) {
-                        uint8_t s = yrow[cy[x]];
-                        orow[x * 3] = s; orow[x * 3 + 1] = s; orow[x * 3 + 2] = s;
-                    }
-                } else {
-                    const uint8_t* rows[3];
-                    for (int c = 0; c < 3; ++c) {
-                        const int vs = max_v / comp_v[c];
-                        rows[c] = bufs[c].data() +
-                            (size_t)(y0 / vs - (int64_t)(r * 8 * comp_v[c])) * bstride[c];
-                    }
-                    if (mode == 2) {
-                        const int32_t* c0 = cidx[0].data();
-                        const int32_t* c1 = cidx[1].data();
-                        const int32_t* c2 = cidx[2].data();
-                        for (int64_t x = 0; x < width; ++x) {
-                            orow[x * 3] = rows[0][c0[x]];
-                            orow[x * 3 + 1] = rows[1][c1[x]];
-                            orow[x * 3 + 2] = rows[2][c2[x]];
-                        }
-                    } else if (max_h / comp_h[0] == 1 && max_h / comp_h[1] == 2 &&
-                               max_h / comp_h[2] == 2) {
-                        // 4:2:0 / 4:2:2 fast lane: luma full-rate,
-                        // both chromas half-rate.
-                        for (int64_t x = 0; x < width; ++x) {
-                            int32_t yv = rows[0][x];
-                            int32_t xcb = (int32_t)rows[1][x >> 1] - 128;
-                            int32_t xcr = (int32_t)rows[2][x >> 1] - 128;
-                            orow[x * 3] = clamp_u8_i32(
-                                yv + ((kCrR * xcr + kHalf16) >> 16));
-                            orow[x * 3 + 1] = clamp_u8_i32(
-                                yv + (((kCbG * xcb + kHalf16) + kCrG * xcr) >> 16));
-                            orow[x * 3 + 2] = clamp_u8_i32(
-                                yv + ((kCbB * xcb + kHalf16) >> 16));
-                        }
-                    } else {
-                        const int32_t* c0 = cidx[0].data();
-                        const int32_t* c1 = cidx[1].data();
-                        const int32_t* c2 = cidx[2].data();
-                        for (int64_t x = 0; x < width; ++x) {
-                            int32_t yv = rows[0][c0[x]];
-                            int32_t xcb = (int32_t)rows[1][c1[x]] - 128;
-                            int32_t xcr = (int32_t)rows[2][c2[x]] - 128;
-                            orow[x * 3] = clamp_u8_i32(
-                                yv + ((kCrR * xcr + kHalf16) >> 16));
-                            orow[x * 3 + 1] = clamp_u8_i32(
-                                yv + (((kCbG * xcb + kHalf16) + kCrG * xcr) >> 16));
-                            orow[x * 3 + 2] = clamp_u8_i32(
-                                yv + ((kCbB * xcb + kHalf16) >> 16));
-                        }
-                    }
-                }
-            }
-        }
-    };
-
     if (T <= 1) {
-        work(0, mcus_per_column);
+        XfRgbScratch sc;
+        sc.init(c);
+        xform_rgb_rows(c, sc, 0, mcus_per_column);
         return 0;
     }
     std::vector<std::thread> pool;
@@ -6149,16 +6213,161 @@ int jpx_decode_transform_rgb(
     for (int64_t t = 0; t < T; ++t) {
         int64_t b = t * step;
         if (b >= mcus_per_column) break;
-        pool.emplace_back(work, b, std::min(mcus_per_column, b + step));
+        pool.emplace_back([&, b, step]() {
+            XfRgbScratch sc;
+            sc.init(c);
+            xform_rgb_rows(c, sc, b, std::min(mcus_per_column, b + step));
+        });
     }
     for (auto& th : pool) th.join();
     return 0;
+}
+
+// Fully fused baseline decode -> interleaved RGB8: the restart-span
+// entropy decode and the per-MCU-row transform share ONE thread pool —
+// a row transforms as soon as every span overlapping it has decoded
+// (its coefficients still cache-warm), so the transform of early rows
+// overlaps the entropy decode of late ones instead of waiting behind a
+// phase barrier. planes are caller-provided zeroed scratch (the dense
+// coefficient grids). Output is byte-identical to
+// jpx_decode_baseline_scan + jpx_decode_transform_rgb by construction
+// (same decode_span / xform_rgb_rows bodies). Returns 0 ok, or the
+// scanner's error codes (1 EOF / 2 bad code / 3 bad args).
+int jpx_decode_rgb_fused(
+    const uint8_t* data,
+    const int64_t* span_starts, const int64_t* span_ends, int32_t n_spans,
+    int64_t restart_interval,
+    int64_t mcus_per_line, int64_t mcus_per_column,
+    int32_t n_comps,
+    const int32_t* comp_h, const int32_t* comp_v,
+    const uint8_t* dc_blob, const uint8_t* ac_blob,
+    int16_t** planes, const int64_t* plane_wb,
+    const int32_t* quants,
+    int32_t max_h, int32_t max_v,
+    int64_t width, int64_t height,
+    const uint8_t* zz_to_nat,
+    int32_t mode,
+    uint8_t* out,
+    int32_t n_threads) {
+    if (n_comps <= 0 || n_spans <= 0 || width <= 0 || height <= 0) return 3;
+    if ((mode == 0 && n_comps != 1) || (mode != 0 && n_comps != 3)) return 3;
+
+    if (restart_interval <= 0) {
+        // No restart seams: the speculative scanner threads internally
+        // with no per-span completion signal — run the two stages back
+        // to back inside this one call.
+        int rc = decode_baseline_scan_impl(
+            data, span_starts, span_ends, n_spans, restart_interval,
+            mcus_per_line, mcus_per_column, n_comps, comp_h, comp_v, dc_blob,
+            ac_blob, planes, plane_wb, n_threads, 0, 0);
+        if (rc) return rc;
+        return jpx_decode_transform_rgb(
+            (const int16_t**)planes, plane_wb, quants, n_comps, comp_h,
+            comp_v, max_h, max_v, width, height, mcus_per_line,
+            mcus_per_column, zz_to_nat, mode, out, n_threads);
+    }
+
+    std::vector<Component> comps(n_comps);
+    for (int i = 0; i < n_comps; ++i) {
+        comps[i].h = comp_h[i];
+        comps[i].v = comp_v[i];
+        comps[i].dc = reinterpret_cast<const HuffTable*>(dc_blob) + i;
+        comps[i].ac = reinterpret_cast<const HuffTable*>(ac_blob) + i;
+        comps[i].plane = planes[i];
+        comps[i].wb = plane_wb[i];
+    }
+    const int64_t total_mcus = mcus_per_line * mcus_per_column;
+    std::vector<SpanTask> tasks;
+    {
+        int64_t mcu = 0;
+        for (int32_t s = 0; s < n_spans && mcu < total_mcus; ++s) {
+            int64_t n = std::min<int64_t>(restart_interval, total_mcus - mcu);
+            tasks.push_back({data + span_starts[s],
+                             span_ends[s] - span_starts[s], mcu, n});
+            mcu += n;
+        }
+    }
+
+    XfRgbCtx xc;
+    xf_rgb_ctx_init(xc, (const int16_t* const*)planes, plane_wb, quants,
+                    n_comps, comp_h, comp_v, max_h, max_v, width, height,
+                    zz_to_nat, mode, out);
+
+    const int64_t R = mcus_per_column;
+    std::unique_ptr<std::atomic<int32_t>[]> pending(
+        new std::atomic<int32_t>[(size_t)R]);
+    std::unique_ptr<std::atomic<bool>[]> claimed(
+        new std::atomic<bool>[(size_t)R]);
+    for (int64_t r = 0; r < R; ++r) {
+        pending[r].store(0, std::memory_order_relaxed);
+        claimed[r].store(false, std::memory_order_relaxed);
+    }
+    // Rows with zero covering spans (truncated streams) start ready:
+    // their zero coefficients decode to the same mid-gray the tolerant
+    // staged path produces.
+    for (const auto& t : tasks) {
+        int64_t rlo = t.first_mcu / mcus_per_line;
+        int64_t rhi = (t.first_mcu + t.n_mcus - 1) / mcus_per_line;
+        for (int64_t r = rlo; r <= rhi; ++r)
+            pending[r].fetch_add(1, std::memory_order_relaxed);
+    }
+
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+    int T = (int)std::min<int64_t>(n_threads, std::max<int64_t>(1, R));
+
+    std::atomic<int64_t> span_cursor{0};
+    std::atomic<int64_t> rows_done{0};
+    std::atomic<int> status{0};
+
+    auto worker = [&]() {
+        std::vector<Component> cl = comps;  // thread-local DC predictors
+        while (status.load(std::memory_order_relaxed) == 0) {
+            int64_t k = span_cursor.fetch_add(1);
+            if (k >= (int64_t)tasks.size()) break;
+            int rc = decode_span(tasks[k], cl.data(), n_comps, mcus_per_line, 0);
+            if (rc) {
+                status.store(rc);
+                return;
+            }
+            const SpanTask& t = tasks[k];
+            int64_t rlo = t.first_mcu / mcus_per_line;
+            int64_t rhi = (t.first_mcu + t.n_mcus - 1) / mcus_per_line;
+            for (int64_t r = rlo; r <= rhi; ++r)
+                pending[r].fetch_sub(1, std::memory_order_acq_rel);
+        }
+        XfRgbScratch sc;
+        sc.init(xc);
+        while (rows_done.load(std::memory_order_relaxed) < R &&
+               status.load(std::memory_order_relaxed) == 0) {
+            bool found = false;
+            for (int64_t r = 0; r < R; ++r) {
+                if (pending[r].load(std::memory_order_acquire) == 0 &&
+                    !claimed[r].exchange(true, std::memory_order_acq_rel)) {
+                    xform_rgb_rows(xc, sc, r, r + 1);
+                    rows_done.fetch_add(1);
+                    found = true;
+                }
+            }
+            if (!found) std::this_thread::yield();
+        }
+    };
+
+    if (T <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> pool;
+        for (int t = 0; t < T; ++t) pool.emplace_back(worker);
+        for (auto& th : pool) th.join();
+    }
+    return status.load();
 }
 
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
 // Fixed-point RGB -> YCbCr (encoder host path)
+
 // ---------------------------------------------------------------------------
 //
 // Same 16-bit fixed-point arithmetic as ops/color.rgb_to_ycbcr (parity

@@ -1131,6 +1131,98 @@ def decode_transform_rgb(coefficients, quant, geometry, *, mode: str) -> np.ndar
     return out
 
 
+def decode_rgb_fused(
+    data: bytes,
+    spans: Sequence[EntropySpan],
+    frame: FrameHeader,
+    scan: ScanHeader,
+    dc_tables: Dict[int, HuffmanDecodingTable],
+    ac_tables: Dict[int, HuffmanDecodingTable],
+    restart_interval: int,
+    quant: Dict[int, np.ndarray],
+    geometry: FrameGeometry = None,
+    *,
+    mode: str,
+) -> np.ndarray:
+    """Fully fused single-call host decode: restart-span entropy decode
+    and the per-MCU-row RGB transform share one native thread pool (a
+    row transforms as soon as its covering spans finish, coefficients
+    still cache-warm). Byte-identical to decode_baseline_scan +
+    decode_transform_rgb — the native entry reuses their bodies.
+    Returns interleaved uint8 [H, W, 3]."""
+    lib = build.load_library()
+    from ..models.huffman_baseline import JpegDecodeError
+    from ..ops.zigzag import ZIGZAG_TO_BLOCK
+
+    geo = geometry or frame_geometry(frame)
+    resolved = resolve_scan_components(frame, scan)
+    n = len(resolved)
+    comp_h = (ctypes.c_int32 * n)()
+    comp_v = (ctypes.c_int32 * n)()
+    plane_ptrs = (ctypes.c_void_p * n)()
+    plane_wb = (ctypes.c_int64 * n)()
+    qarr = np.zeros((n, 64), dtype=np.int32)
+    dc_blob = bytearray()
+    ac_blob = bytearray()
+    keepalive = []
+    for i, (comp_index, fc, sc) in enumerate(resolved):
+        dc = dc_tables.get(sc.dc_table_selector)
+        ac = ac_tables.get(sc.ac_table_selector)
+        if dc is None or ac is None:
+            raise JpegDecodeError(
+                f"Huffman table of component {comp_index} is not defined."
+            )
+        cg = geo.components[comp_index]
+        comp_h[i] = cg.h
+        comp_v[i] = cg.v
+        plane = np.zeros(
+            (cg.blocks_per_column, cg.blocks_per_line, 64), dtype=np.int16
+        )
+        keepalive.append(plane)
+        plane_ptrs[i] = plane.ctypes.data_as(ctypes.c_void_p)
+        plane_wb[i] = plane.shape[1]
+        qarr[i] = quant[comp_index]
+        dc_blob += pack_huffman_table(dc)
+        ac_blob += pack_huffman_table(ac)
+
+    validate_restart_spans(
+        spans, restart_interval, geo.mcus_per_line * geo.mcus_per_column
+    )
+    starts, ends, _keep = _span_ptrs(spans)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    zz = np.ascontiguousarray(ZIGZAG_TO_BLOCK, dtype=np.uint8)
+    out = np.empty((geo.height, geo.width, 3), dtype=np.uint8)
+    threads = default_threads()
+    if not os.environ.get("JPX_SCAN_THREADS"):
+        threads = max(threads, os.cpu_count() or 2)
+    rc = lib.jpx_decode_rgb_fused(
+        buf.ctypes.data_as(ctypes.c_void_p),
+        starts, ends, len(spans),
+        restart_interval,
+        geo.mcus_per_line, geo.mcus_per_column,
+        n,
+        comp_h, comp_v,
+        bytes(dc_blob), bytes(ac_blob),
+        plane_ptrs, plane_wb,
+        qarr.ctypes.data_as(ctypes.c_void_p),
+        geo.max_h, geo.max_v,
+        geo.width, geo.height,
+        zz.ctypes.data_as(ctypes.c_void_p),
+        {"gray": 0, "ycbcr": 1, "rgb": 2}[mode],
+        out.ctypes.data_as(ctypes.c_void_p),
+        threads,
+    )
+    if rc == 2:
+        from ..syntax.huffman import JpegHuffmanError
+
+        raise JpegHuffmanError("Invalid Huffman code encountered.")
+    if rc == 1:
+        raise JpegDecodeError("Unexpected end of JPEG data stream.")
+    if rc != 0:
+        raise JpegDecodeError(f"native scanner error {rc}")
+    return out
+
+
 def box_subsample(plane: np.ndarray, hs: int, vs: int) -> np.ndarray:
     """Native box-filter subsample; bit-identical to
     ops.encode_stage.subsample_box (same (sum + 2^(s-1)) >> s rounding)."""

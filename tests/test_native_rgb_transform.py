@@ -124,3 +124,77 @@ def test_odd_dimensions_parity(native_lib):
         rgb = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
         res = jt.decode(jt.encode_rgb(rgb, 75))
         assert np.array_equal(res.to_rgb8(), numpy_rgb(res)), shape
+
+
+# ---------------------------------------------------------------------------
+# Round-4: one-call fused decode_rgb8 (scan + transform, shared pool)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("interval", [0, 5, 64])
+@pytest.mark.parametrize("sub", ["444", "420", "422"])
+def test_decode_rgb8_fused_parity(native_lib, interval, sub):
+    rng = np.random.default_rng(8)
+    rgb = np.clip(
+        np.linspace(0, 255, 313)[None, :, None] + rng.normal(0, 30, (221, 313, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    data = jt.encode_rgb(rgb, 85, subsampling=sub, restart_interval=interval)
+    assert np.array_equal(jt.decode_rgb8(data), jt.decode(data).to_rgb8())
+
+
+def test_decode_rgb8_fused_gray_and_fallbacks(native_lib, assets_dir):
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 256, (123, 77), dtype=np.uint8)
+    gdata = jt.encode_gray(g, 90, restart_interval=3)
+    assert np.array_equal(jt.decode_rgb8(gdata), jt.decode(gdata).to_rgb8())
+    # progressive input: falls back to the staged path, still exact
+    from jpeglibrary_tpu.models.progressive_encoder import encode_progressive_rgb
+
+    rgb = jt.decode((assets_dir / "baseline/lake.jpg").read_bytes()).to_rgb8()
+    prog = encode_progressive_rgb(rgb[:128, :160], 85)
+    assert np.array_equal(jt.decode_rgb8(prog), jt.decode(prog).to_rgb8())
+    # fancy upsampling: staged path by design
+    base = jt.encode_rgb(rgb[:128, :160], 85, restart_interval=4)
+    assert np.array_equal(
+        jt.decode_rgb8(base, upsample="fancy"),
+        jt.decode(base).to_rgb8(upsample="fancy"),
+    )
+
+
+def test_decode_rgb8_fused_engages(native_lib, monkeypatch):
+    from jpeglibrary_tpu.native import scanner as native_scanner
+
+    calls = []
+    real = native_scanner.decode_rgb_fused
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(native_scanner, "decode_rgb_fused", spy)
+    rng = np.random.default_rng(10)
+    rgb = rng.integers(0, 256, (64, 96, 3), dtype=np.uint8)
+    data = jt.encode_rgb(rgb, 85, restart_interval=2)
+    out = jt.decode_rgb8(data)
+    assert calls, "fused decode path did not engage"
+    assert np.array_equal(out, jt.decode(data).to_rgb8())
+
+
+def test_decode_rgb8_truncated_matches_strict(native_lib):
+    # decode_rgb8 is the strict one-call path: a truncated stream must
+    # raise exactly like decode(cut).to_rgb8() does (the tolerant
+    # variant is decode(cut, tolerant=True)).
+    rng = np.random.default_rng(12)
+    rgb = np.clip(
+        np.linspace(0, 255, 240)[None, :, None] + rng.normal(0, 25, (200, 240, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    data = jt.encode_rgb(rgb, 85, restart_interval=5)
+    cut = data[: int(len(data) * 0.6)]
+    with pytest.raises(Exception) as strict_err:
+        jt.decode(cut).to_rgb8()
+    with pytest.raises(Exception) as fused_err:
+        jt.decode_rgb8(cut)
+    assert type(fused_err.value) is type(strict_err.value)
