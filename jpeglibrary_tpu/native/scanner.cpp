@@ -6319,6 +6319,10 @@ int jpx_decode_rgb_fused(
     std::atomic<int64_t> span_cursor{0};
     std::atomic<int64_t> rows_done{0};
     std::atomic<int> status{0};
+    // Per-task error codes: the return value is the FIRST failing
+    // task's code in task order, matching the staged scanner (threads
+    // may hit different corrupt spans in different orders).
+    std::vector<int> task_rc(tasks.size(), 0);
 
     auto worker = [&]() {
         std::vector<Component> cl = comps;  // thread-local DC predictors
@@ -6327,6 +6331,7 @@ int jpx_decode_rgb_fused(
             if (k >= (int64_t)tasks.size()) break;
             int rc = decode_span(tasks[k], cl.data(), n_comps, mcus_per_line, 0);
             if (rc) {
+                task_rc[(size_t)k] = rc;
                 status.store(rc);
                 return;
             }
@@ -6360,6 +6365,8 @@ int jpx_decode_rgb_fused(
         for (int t = 0; t < T; ++t) pool.emplace_back(worker);
         for (auto& th : pool) th.join();
     }
+    for (int rc : task_rc)
+        if (rc) return rc;
     return status.load();
 }
 

@@ -183,7 +183,17 @@ def resolve_scan_components(
     triples in scan order (reference: JpegHuffmanScanDecoder.cs:17-75).
     """
     resolved = []
+    seen = set()
     for sc in scan.components:
+        # T.81 B.2.3: the scan component selectors shall all be
+        # different — a duplicate maps two scan slots onto one frame
+        # component and leaves another without tables (fuzz-found: the
+        # dangling component surfaced later as a bare KeyError).
+        if sc.scan_component_selector in seen:
+            raise JpegParseError(
+                f"Duplicate scan component selector {sc.scan_component_selector}."
+            )
+        seen.add(sc.scan_component_selector)
         found: Optional[Tuple[int, FrameComponent]] = None
         for j, fc in enumerate(frame.components):
             if sc.scan_component_selector == fc.identifier:

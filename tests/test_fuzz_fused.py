@@ -114,3 +114,62 @@ def test_infeasible_dht_counts_no_crash(native_lib):
     except Exception:
         kind_p = "err"
     assert kind_f == kind_d == kind_p
+
+
+def _rgb8_outcome(fn):
+    try:
+        return ("ok", fn())
+    except Exception as exc:
+        return ("err", type(exc).__name__)
+
+
+def test_fuzz_decode_rgb8_one_call(native_lib, assets_dir):
+    """The round-4 one-call fused decode (jpx_decode_rgb_fused) must
+    match the staged scan+transform path on mutated/truncated restart
+    streams: identical RGB on success, same error family on failure,
+    and never a crash."""
+    rgb0 = jt.decode((assets_dir / "baseline/lake.jpg").read_bytes()).to_rgb8()
+    base = jt.encode_rgb(rgb0[:256, :320], 85, restart_interval=4)
+    rng = np.random.default_rng(7)
+    checked_ok = 0
+    for i in range(120):
+        mutated = bytearray(base)
+        if i % 3 == 0:
+            mutated = mutated[: int(rng.integers(2, len(mutated)))]
+        else:
+            for _ in range(int(rng.integers(1, 4))):
+                pos = int(rng.integers(2, len(mutated)))
+                mutated[pos] ^= 1 << int(rng.integers(0, 8))
+        mutated = bytes(mutated)
+        kind_f, out_f = _rgb8_outcome(lambda: jt.decode_rgb8(mutated))
+        kind_s, out_s = _rgb8_outcome(lambda: jt.decode(mutated).to_rgb8())
+        assert kind_f == kind_s, (i, kind_f, out_f if kind_f == "err" else "",
+                                  kind_s, out_s if kind_s == "err" else "")
+        if kind_f == "ok":
+            np.testing.assert_array_equal(out_f, out_s)
+            checked_ok += 1
+        else:
+            assert out_f == out_s, (i, out_f, out_s)
+    assert checked_ok >= 3  # corpus sanity: some mutations must decode
+
+
+def test_fuzz_transform_rot90(native_lib, assets_dir):
+    """jpx_zz_block_permute rides inside jt.transform: mutated inputs
+    must either transform successfully (and the output re-decode) or
+    raise cleanly — never crash."""
+    rgb0 = jt.decode((assets_dir / "baseline/lake.jpg").read_bytes()).to_rgb8()
+    base = jt.encode_rgb(rgb0[:128, :160], 85)
+    rng = np.random.default_rng(8)
+    n_ok = 0
+    for i in range(60):
+        mutated = bytearray(base)
+        for _ in range(int(rng.integers(1, 3))):
+            pos = int(rng.integers(2, len(mutated)))
+            mutated[pos] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = jt.transform(bytes(mutated), "rot90")
+        except Exception:
+            continue
+        jt.decode(out).to_rgb8()  # output must be decodable
+        n_ok += 1
+    assert n_ok >= 3

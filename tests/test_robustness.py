@@ -166,3 +166,31 @@ def test_decoder_reuse_resets_stream_state():
     dec.set_input(without)
     second = dec.decode().to_rgb8()
     assert np.array_equal(first, second)
+
+
+def test_duplicate_scan_component_selector_rejected():
+    """T.81 B.2.3: scan component selectors shall all be different.
+    Fuzz-found: a duplicate mapped two scan slots onto one frame
+    component and the dangling component surfaced as a bare KeyError
+    deep in the output stage instead of a parse error."""
+    import numpy as np
+
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.io.reader import parse_stream
+    from jpeglibrary_tpu.syntax.markers import Marker
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    data = bytearray(jt.encode_rgb(rgb, 85))
+    for seg in parse_stream(bytes(data)).segments:
+        if seg.marker == Marker.SOS:
+            # payload = [Ns, (Cs, Td/Ta) * Ns, Ss, Se, AhAl]:
+            # overwrite Cs2 with Cs1.
+            start = seg.payload_end - len(seg.payload(bytes(data)))
+            data[start + 3] = data[start + 1]
+            break
+    with pytest.raises(Exception) as err:
+        jt.decode(bytes(data)).to_rgb8()
+    assert "Duplicate scan component" in str(err.value)
+    with pytest.raises(Exception):
+        jt.decode_rgb8(bytes(data))
