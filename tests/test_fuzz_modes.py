@@ -167,3 +167,46 @@ def test_fabricated_marker_splits_span(streams):
     kind_n = _outcome(bytes(data), True)[0]
     kind_p = _outcome(bytes(data), False)[0]
     assert kind_n == kind_p == "err"
+
+
+def test_fuzz_region_banded_paths(assets_dir):
+    """Round-4 banded region fast paths (SOF2/SOF9/SOF3) on mutated
+    streams: never crash, and whenever the FULL decode succeeds the
+    tile must equal its crop exactly (corruption outside the covered
+    spans may legitimately make the tile succeed where the full decode
+    raises — that is the documented partial-decode semantics)."""
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.models.progressive_encoder import encode_progressive_rgb
+
+    rgb = jt.decode((assets_dir / "baseline/lake.jpg").read_bytes()).to_rgb8()
+    small = rgb[:160, :224]
+    streams = [
+        encode_progressive_rgb(small, 85, restart_interval=6),
+        jt.encode_rgb(small, 85, arithmetic=True, restart_interval=6),
+        jt.encode_lossless(small, predictor=1, restart_interval=224),
+    ]
+    rng = np.random.default_rng(21)
+    verified = 0
+    for i in range(90):
+        base = streams[i % len(streams)]
+        m = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            m[int(rng.integers(2, len(m)))] ^= 1 << int(rng.integers(0, 8))
+        m = bytes(m)
+        try:
+            full = jt.decode(m).to_rgb8()
+        except Exception:
+            try:
+                jt.decode_region(m, 3, 4, 8, 8)  # may succeed or raise;
+            except Exception:
+                pass  # either way it must not crash the process
+            continue
+        # Rect inside the MUTATED stream's dimensions (a corrupt SOF
+        # can shrink the frame; out-of-bounds rects raise by contract).
+        hh, ww = full.shape[:2]
+        x, y = int(rng.integers(0, max(1, ww - 1))), int(rng.integers(0, max(1, hh - 1)))
+        w, h = int(rng.integers(1, ww - x + 1)), int(rng.integers(1, hh - y + 1))
+        tile = jt.decode_region(m, x, y, w, h)
+        np.testing.assert_array_equal(tile, full[y : y + h, x : x + w])
+        verified += 1
+    assert verified >= 5
