@@ -4,11 +4,15 @@ A from-scratch re-design of the capability matrix of
 yigolden/JpegLibrary (the reference C# library mounted at
 /root/reference) for JAX/XLA/Pallas on TPU:
 
-- decode: baseline (SOF0/1), progressive (SOF2), lossless (SOF3),
-  arithmetic sequential/progressive (SOF9/10)
-- encode: baseline SOF0 with standard / optimized (package-merge)
-  Huffman tables
-- optimize: lossless Huffman re-optimization transcoding
+- decode: every T.81 Table B.1 process — baseline (SOF0/1),
+  progressive (SOF2), lossless (SOF3), arithmetic (SOF9/10/11),
+  hierarchical (SOF5-7/13-15); one-call fused host RGB (decode_rgb8);
+  span-skipping region-of-interest decode (decode_region)
+- encode: the same complete matrix (baseline std/optimized/
+  package-merge, progressive, lossless, arithmetic, hierarchical,
+  CMYK/YCCK, 12-bit, bufferless streaming, restart emission)
+- transcode/transform: universal lossless entropy re-coding,
+  jpegtran-class rotations/flips/crop/autorotate, optimizer
 - batched, sharded multi-image pipelines over jax.sharding meshes
 
 Architecture: host container parsing -> entropy decode (native C++
