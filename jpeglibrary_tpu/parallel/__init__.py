@@ -12,12 +12,15 @@ package is where the new framework's first-class parallelism lives:
 
 from .sharding import make_mesh, batched_transform_rgb, full_step
 from .batch import decode_batch_rgb, decode_stream_rgb, encode_batch_rgb
+from .distributed import decode_batch_rgb_global, local_batch_block
 
 __all__ = [
     "make_mesh",
     "batched_transform_rgb",
     "full_step",
     "decode_batch_rgb",
+    "decode_batch_rgb_global",
+    "local_batch_block",
     "decode_stream_rgb",
     "encode_batch_rgb",
 ]

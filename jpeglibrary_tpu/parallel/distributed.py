@@ -52,3 +52,92 @@ def local_batch_indices(n_images: int) -> Sequence[int]:
     import jax
 
     return range(jax.process_index(), n_images, jax.process_count())
+
+
+def local_batch_block(n_images: int) -> range:
+    """The CONTIGUOUS block of a global batch owned by this process
+    under a P('data') sharding (device d holds batch slice
+    [d*B/D, (d+1)*B/D) and each process's devices are consecutive) —
+    the assignment :func:`decode_batch_rgb_global` scans by."""
+    import jax
+
+    per = n_images // jax.process_count()
+    p = jax.process_index()
+    return range(p * per, (p + 1) * per)
+
+
+def decode_batch_rgb_global(datas: Sequence[bytes], *, scan_workers=None):
+    """Multi-process batch decode on the global device mesh.
+
+    Every process entropy-decodes ONLY its :func:`local_batch_block`
+    slice (the host stage is embarrassingly parallel across hosts); the
+    per-image sparse payloads become ONE global jax.Array sharded
+    P('data') with each image resident on its own process's devices
+    (zero cross-host payload traffic — the only collective is a tiny
+    allgather agreeing on the padded payload width); the fused device
+    transform then runs SPMD over the global mesh.
+
+    Returns the global device-resident RGB batch ([B, 3, H, W] uint8,
+    planar per image). Requirements: all images share one geometry
+    (same dimensions/sampling — the serving-batch contract) and
+    ``len(datas)`` is divisible by the global device count.
+
+    Single-process runs degrade to the local batch path's semantics
+    (the mesh is just this process's devices)."""
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ..native import scanner as native_scanner
+    from .batch import _batched_transform_delta, _stacked_quants, scan_images
+
+    devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    n_dev = len(devices)
+    n = len(datas)
+    if n % n_dev != 0:
+        raise ValueError(
+            f"global batch of {n} images must divide the {n_dev} devices"
+        )
+    mesh = Mesh(np.array(devices), ("data",))
+
+    block = local_batch_block(n)
+    results = scan_images([datas[i] for i in block], max_workers=scan_workers)
+    geometry = results[0].geometry
+    if any(r.geometry != geometry for r in results[1:]):
+        raise ValueError("decode_batch_rgb_global needs one shared geometry")
+    packs = [
+        native_scanner.pack_sparse(
+            [r.coefficients[c.component_index] for c in geometry.components]
+        ).reshape(-1)
+        for r in results
+    ]
+    local_max = max(p.shape[0] for p in packs)
+    width = int(
+        multihost_utils.process_allgather(
+            np.asarray([local_max], dtype=np.int64)
+        ).max()
+    )
+    padded = np.zeros((len(packs), width), dtype=np.int16)
+    for j, p in enumerate(packs):
+        padded[j, : p.shape[0]] = p
+    quants = _stacked_quants(results, geometry)
+
+    sh = NamedSharding(mesh, P("data"))
+    base = block.start
+
+    def payload_cb(idx):
+        rows = idx[0].indices(n)
+        return padded[rows[0] - base : rows[1] - base][
+            (slice(None),) + tuple(idx[1:])
+        ]
+
+    def quants_cb(idx):
+        rows = idx[0].indices(n)
+        return quants[rows[0] - base : rows[1] - base][
+            (slice(None),) + tuple(idx[1:])
+        ]
+
+    payload = jax.make_array_from_callback((n, width), sh, payload_cb)
+    qglob = jax.make_array_from_callback((n,) + quants.shape[1:], sh, quants_cb)
+    return _batched_transform_delta(geometry, 8)(payload, qglob)

@@ -174,6 +174,61 @@ _REAL_WORKER = textwrap.dedent(
 )
 
 
+_GLOBAL_API_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    sys.path.insert(0, "/root/repo")
+    from jpeglibrary_tpu.parallel import distributed
+    distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+    import numpy as np
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.models.encoder import encode_rgb
+    from jpeglibrary_tpu.parallel.distributed import (
+        decode_batch_rgb_global, local_batch_block,
+    )
+
+    base = open("/root/reference/tests/Assets/baseline/lake.jpg", "rb").read()
+    rgb0 = jt.decode(base).to_rgb8()
+    datas = [
+        base,
+        encode_rgb(rgb0[::-1], 80),
+        encode_rgb(rgb0[:, ::-1], 80),
+        encode_rgb(np.roll(rgb0, 100, axis=0), 80),
+    ]
+    out = decode_batch_rgb_global(datas)
+    jax.block_until_ready(out)
+    # Every addressable shard must equal the production single-process
+    # DEVICE batch decode of that image, bit for bit (planar CHW; the
+    # host to_rgb8 butterfly may differ by <=1 LSB from the device
+    # transform, so the device twin is the right reference).
+    from jpeglibrary_tpu.parallel.batch import decode_batch_rgb
+
+    checked = 0
+    block = local_batch_block(len(datas))
+    local_ref = decode_batch_rgb([datas[i] for i in block])
+    for shard in out.addressable_shards:
+        lo, hi, _ = shard.index[0].indices(len(datas))
+        for k, img_idx in enumerate(range(lo, hi)):
+            assert img_idx in block, (pid, img_idx, block)
+            got = np.asarray(shard.data)[k]
+            expect = np.moveaxis(local_ref[img_idx - block.start], -1, 0)
+            np.testing.assert_array_equal(got, expect)
+            checked += 1
+    assert checked >= 1
+    print(f"proc {pid} OK ({checked} images verified)", flush=True)
+    """
+)
+
+
 def _run_two_process(worker_src):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -202,6 +257,14 @@ def _run_two_process(worker_src):
 
 def test_two_process_sharded_step_matches_single_device():
     _run_two_process(_WORKER)
+
+
+def test_two_process_decode_batch_rgb_global():
+    """The production multi-host batch API (decode_batch_rgb_global):
+    each process scans only its contiguous block, payloads stay on
+    their own process's devices, and every addressable output shard is
+    bit-exact vs the local single-process decode."""
+    _run_two_process(_GLOBAL_API_WORKER)
 
 
 def test_two_process_real_jpeg_batch_decode():
