@@ -57,17 +57,31 @@ class FrameHeader:
         precision, lines, samples_per_line, ncomp = struct.unpack_from(">BHHB", payload, 0)
         if len(payload) < 6 + 3 * ncomp:
             raise JpegParseError("SOF segment too short for component list.")
+        # T.81 B.2.2: X (samples per line) is 1..65535 — only Y may be
+        # 0 (deferred to a DNL segment). Fuzz-found: a zero width
+        # previously surfaced as a RuntimeError deep in the transform
+        # stage (libjpeg raises JERR_EMPTY_IMAGE here too).
+        if samples_per_line == 0:
+            raise JpegParseError("Frame header defines zero samples per line.")
         comps = []
         off = 6
         for _ in range(ncomp):
             ident = payload[off]
             sampling = payload[off + 1]
             tq = payload[off + 2]
+            h, v = sampling >> 4, sampling & 0xF
+            # T.81 B.2.2: Hi/Vi are 1..4. Out-of-range factors made the
+            # staged and fused pipelines disagree on garbage output
+            # (fuzz-found; libjpeg raises JERR_BAD_SAMPLING).
+            if not (1 <= h <= 4 and 1 <= v <= 4):
+                raise JpegParseError(
+                    f"Bogus sampling factor {h}x{v} for component {ident}."
+                )
             comps.append(
                 FrameComponent(
                     identifier=ident,
-                    horizontal_sampling_factor=sampling >> 4,
-                    vertical_sampling_factor=sampling & 0xF,
+                    horizontal_sampling_factor=h,
+                    vertical_sampling_factor=v,
                     quantization_table_selector=tq,
                 )
             )

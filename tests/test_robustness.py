@@ -194,3 +194,38 @@ def test_duplicate_scan_component_selector_rejected():
     assert "Duplicate scan component" in str(err.value)
     with pytest.raises(Exception):
         jt.decode_rgb8(bytes(data))
+
+
+def test_bogus_sampling_and_zero_width_rejected():
+    """T.81 B.2.2 frame validation (fuzz-found): sampling factors
+    outside 1..4 and X == 0 must raise a parse error, like libjpeg's
+    JERR_BAD_SAMPLING / JERR_EMPTY_IMAGE — not produce divergent
+    garbage or a RuntimeError deep in the transform stage."""
+    import numpy as np
+
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.io.reader import parse_stream
+    from jpeglibrary_tpu.syntax.markers import Marker
+
+    rng = np.random.default_rng(6)
+    rgb = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    good = jt.encode_rgb(rgb, 85)
+    sof = next(
+        seg for seg in parse_stream(good).segments if seg.marker == Marker.SOF0
+    )
+    start = sof.payload_end - len(sof.payload(good))
+
+    bad_sampling = bytearray(good)
+    bad_sampling[start + 7] = 0x19  # comp 0 sampling -> 1x9
+    with pytest.raises(Exception, match="Bogus sampling factor"):
+        jt.decode(bytes(bad_sampling))
+    with pytest.raises(Exception, match="Bogus sampling factor"):
+        jt.decode_rgb8(bytes(bad_sampling))
+
+    zero_width = bytearray(good)
+    zero_width[start + 3] = 0
+    zero_width[start + 4] = 0  # X = 0
+    with pytest.raises(Exception, match="zero samples per line"):
+        jt.decode(bytes(zero_width))
+    with pytest.raises(Exception, match="zero samples per line"):
+        jt.decode_rgb8(bytes(zero_width))
