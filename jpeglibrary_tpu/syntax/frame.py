@@ -63,6 +63,23 @@ class FrameHeader:
         # stage (libjpeg raises JERR_EMPTY_IMAGE here too).
         if samples_per_line == 0:
             raise JpegParseError("Frame header defines zero samples per line.")
+        # T.81 Table B.2: sample precision per process — baseline 8,
+        # extended/progressive 8 or 12, lossless 2..16 (differential
+        # frames follow their base family, B.3.2; DHP accepts the
+        # union). Fuzz-found: a corrupt precision byte (e.g. 40) blew
+        # up 1 << (P-1) downstream (libjpeg raises JERR_BAD_PRECISION).
+        if marker == 0xC0:  # SOF0 baseline
+            valid_p = precision == 8
+        elif marker in (0xC3, 0xC7, 0xCB, 0xCF):  # lossless families
+            valid_p = 2 <= precision <= 16
+        else:  # extended sequential / progressive (+ differential, DHP)
+            valid_p = precision in (8, 12) or (
+                marker == 0xDE and 2 <= precision <= 16
+            )
+        if not valid_p:
+            raise JpegParseError(
+                f"Bogus sample precision {precision} for marker 0x{marker:02X}."
+            )
         comps = []
         off = 6
         for _ in range(ncomp):

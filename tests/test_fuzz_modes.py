@@ -210,3 +210,37 @@ def test_fuzz_region_banded_paths(assets_dir):
         np.testing.assert_array_equal(tile, full[y : y + h, x : x + w])
         verified += 1
     assert verified >= 5
+
+
+def test_fuzz_optimizer_transcode_faithful(assets_dir):
+    """Optimizer/transcoder on mutated streams: never crash, and
+    whenever the INPUT decodes, the re-coded output must decode to
+    identical pixels (a broken input may pass through faithfully —
+    the transcoder only re-codes entropy, like the reference)."""
+    import jpeglibrary_tpu as jt
+
+    rgb = jt.decode((assets_dir / "baseline/lake.jpg").read_bytes()).to_rgb8()
+    small = rgb[:128, :160]
+    base = jt.encode_rgb(small, 85, restart_interval=5)
+    rng = np.random.default_rng(31)
+    verified = 0
+    for i in range(80):
+        m = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            m[int(rng.integers(2, len(m)))] ^= 1 << int(rng.integers(0, 8))
+        m = bytes(m)
+        fn = (lambda: jt.optimize(m)) if i % 2 else (
+            lambda: jt.transcode(m, "optimized")
+        )
+        try:
+            out = fn()
+        except Exception:
+            continue
+        try:
+            in_rgb = jt.decode(m).to_rgb8()
+        except Exception:
+            continue  # broken input passed through faithfully
+        out_rgb = jt.decode(bytes(out)).to_rgb8()
+        np.testing.assert_array_equal(in_rgb, out_rgb)
+        verified += 1
+    assert verified >= 5

@@ -229,3 +229,28 @@ def test_bogus_sampling_and_zero_width_rejected():
         jt.decode(bytes(zero_width))
     with pytest.raises(Exception, match="zero samples per line"):
         jt.decode_rgb8(bytes(zero_width))
+
+
+def test_bogus_sample_precision_rejected():
+    """T.81 Table B.2 (fuzz-found): a corrupt precision byte (e.g. 40)
+    previously blew up 1 << (P-1) downstream as an OverflowError;
+    libjpeg raises JERR_BAD_PRECISION at the header."""
+    import numpy as np
+
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.io.reader import parse_stream
+    from jpeglibrary_tpu.syntax.markers import Marker
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    data = bytearray(jt.encode_rgb(rgb, 85))
+    sof = next(
+        seg for seg in parse_stream(bytes(data)).segments if seg.marker == Marker.SOF0
+    )
+    start = sof.payload_end - len(sof.payload(bytes(data)))
+    data[start] = 40  # precision byte
+    with pytest.raises(Exception, match="Bogus sample precision"):
+        jt.decode(bytes(data))
+    data[start] = 12  # baseline must be exactly 8 (SOF1 allows 12)
+    with pytest.raises(Exception, match="Bogus sample precision"):
+        jt.decode(bytes(data))
