@@ -29,7 +29,12 @@ def generate_size_table(code_lengths: np.ndarray) -> np.ndarray:
 
 
 def generate_code_table(huff_size: np.ndarray) -> np.ndarray:
-    """T.81 Figure C.2: canonical codes for each symbol, given sizes."""
+    """T.81 Figure C.2: canonical codes for each symbol, given sizes.
+
+    Rejects code counts that violate the Kraft prefix condition (the
+    canonical code would need more bits than its declared length —
+    fuzz-found as a raw uint16 OverflowError; the native table builder
+    already validates this, scanner.cpp build_hufftable)."""
     codes = np.zeros(len(huff_size), dtype=np.uint16)
     code = 0
     si = int(huff_size[0]) if len(huff_size) else 0
@@ -37,6 +42,11 @@ def generate_code_table(huff_size: np.ndarray) -> np.ndarray:
         while int(huff_size[k]) != si:
             code <<= 1
             si += 1
+        if code >= (1 << si):
+            raise JpegHuffmanError(
+                "Invalid Huffman table: code counts violate the prefix "
+                "condition."
+            )
         codes[k] = code
         code += 1
     return codes

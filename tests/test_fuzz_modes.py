@@ -244,3 +244,40 @@ def test_fuzz_optimizer_transcode_faithful(assets_dir):
         np.testing.assert_array_equal(in_rgb, out_rgb)
         verified += 1
     assert verified >= 5
+
+
+def test_fuzz_hierarchical_never_crashes():
+    """Hierarchical (Annex J) pyramids on mutated streams: every
+    failure must be a canonical JPEG error family (a Kraft-infeasible
+    DHT previously escaped as a raw uint16 OverflowError from the
+    Python canonical-code builder)."""
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.models.hierarchical import encode_hierarchical
+
+    rng0 = np.random.default_rng(1)
+    img = np.clip(
+        np.linspace(0, 255, 96)[None, :, None] + rng0.normal(0, 20, (80, 96, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    streams = [
+        encode_hierarchical(img, levels=2),
+        encode_hierarchical(img, levels=2, base="dct", refinement="dct"),
+        encode_hierarchical(img, levels=2, arithmetic=True),
+    ]
+    rng = np.random.default_rng(55)
+    n_ok = 0
+    for i in range(90):
+        base = streams[i % len(streams)]
+        m = bytearray(base)
+        if i % 6 == 0:
+            m = m[: int(rng.integers(2, len(m)))]
+        else:
+            for _ in range(int(rng.integers(1, 5))):
+                m[int(rng.integers(2, len(m)))] ^= 1 << int(rng.integers(0, 8))
+        try:
+            jt.decode(bytes(m)).to_rgb8()
+            n_ok += 1
+        except Exception as e:
+            name = type(e).__name__
+            assert name.startswith("Jpeg") or name == "ValueError", (i, name)
+    assert n_ok >= 5
