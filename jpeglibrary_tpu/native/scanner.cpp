@@ -3587,6 +3587,35 @@ static void ll_reconstruct_plane_t(int16_t* plane, int64_t width,
     }
 }
 
+// Predictor-1 reconstruction for rows [r0, r1) where r0 begins a
+// restart interval (or is row 0) and the interval is a multiple of
+// the row length: the boundary sample takes init, Ra chains stay in
+// the row, and the column-0 Rb link stays inside the block — so
+// blocks reconstruct independently (the same invariant the region
+// fast path exploits, models/region.py). Bit-identical to
+// ll_reconstruct_plane_t<1> under those conditions (no mid-row
+// boundaries can occur).
+static void ll_reconstruct_rows_p1(int16_t* plane, int64_t width,
+                                   const int16_t* diffs, int n_comps, int ci,
+                                   int64_t mpl, int64_t r0, int64_t r1,
+                                   int64_t interval, int32_t init) {
+    const int16_t* dp = diffs + ci;
+    for (int64_t r = r0; r < r1; ++r) {
+        int16_t* line = plane + r * width;
+        const int16_t* d = dp + r * mpl * n_comps;
+        const bool fresh =
+            r == 0 || (interval > 0 && (r * mpl) % interval == 0);
+        if (fresh) {
+            line[0] = (int16_t)((int32_t)d[0] + init);
+        } else {
+            const int16_t* last = plane + (r - 1) * width;
+            line[0] = (int16_t)((int32_t)d[0] + last[0]);  // x==0 -> Rb
+        }
+        for (int64_t x = 1; x < mpl; ++x)
+            line[x] = (int16_t)((int32_t)d[x * n_comps] + line[x - 1]);
+    }
+}
+
 static void ll_reconstruct_plane(int sel, int16_t* plane, int64_t width,
                                  const int16_t* diffs, int n_comps, int ci,
                                  int64_t mpl, int64_t mpc,
@@ -3754,8 +3783,28 @@ int jpx_decode_lossless_restart_parallel(
         }
     }
 
-    std::unique_ptr<int16_t[]> diffs(new int16_t[(size_t)(total_mcus * n_comps)]);
-    std::memset(diffs.get(), 0, (size_t)(total_mcus * n_comps) * sizeof(int16_t));
+    // Persistent per-calling-thread diff buffer (a fresh ~25 MB
+    // allocation re-page-faulted every call — same lesson as the
+    // encoder's pack scratch); zero only the span-uncovered tail
+    // (tolerated truncation) — covered diffs are fully overwritten by
+    // the parallel decode, which also spreads the first-touch faults
+    // across the pool.
+    static thread_local std::unique_ptr<int16_t[]> tl_diffs;
+    static thread_local int64_t tl_diffs_cap = 0;
+    const int64_t diffs_need = total_mcus * n_comps;
+    if (tl_diffs_cap < diffs_need) {
+        tl_diffs.reset(new int16_t[(size_t)diffs_need]);
+        tl_diffs_cap = diffs_need;
+    }
+    int16_t* const diffs_p = tl_diffs.get();
+    {
+        const int64_t covered =
+            spans.empty() ? 0 : spans.back().first_mcu + spans.back().n_mcus;
+        if (covered < total_mcus)
+            std::memset(diffs_p + covered * n_comps, 0,
+                        (size_t)((total_mcus - covered) * n_comps) *
+                            sizeof(int16_t));
+    }
 
     int hw = (int)std::thread::hardware_concurrency();
     if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
@@ -3765,7 +3814,7 @@ int jpx_decode_lossless_restart_parallel(
     auto decode_span_diffs = [&](const Span& sp, int& rc_out) {
         BitReader br;
         br.init(data + sp.start, sp.end - sp.start);
-        int16_t* out = diffs.get() + sp.first_mcu * n_comps;
+        int16_t* out = diffs_p + sp.first_mcu * n_comps;
         for (int64_t m = 0; m < sp.n_mcus; ++m) {
             for (int ci = 0; ci < n_comps; ++ci) {
                 int32_t d;
@@ -3792,13 +3841,44 @@ int jpx_decode_lossless_restart_parallel(
     for (int rc : results)
         if (rc) return rc;
 
-    // Reconstruction (per component, parallel): the at_restart_start
-    // MCU of each span predicts like a row-0 sample.
+    // Reconstruction. Predictor 1 with a row-aligned interval splits
+    // into independent restart blocks (see ll_reconstruct_rows_p1), so
+    // the pass threads over (component, block) tasks — one serial
+    // plane per component otherwise capped scaling at ~2.7x on 4
+    // cores (the diff decode scales, the reconstruction did not).
+    if (predictor_sel == 1 && restart_interval % mcus_per_line == 0 &&
+        n_threads > 1) {
+        const int64_t rpb = restart_interval / mcus_per_line;
+        struct RTask {
+            int ci;
+            int64_t r0, r1;
+        };
+        std::vector<RTask> rtasks;
+        for (int ci = 0; ci < n_comps; ++ci)
+            for (int64_t r0 = 0; r0 < mcus_per_column; r0 += rpb)
+                rtasks.push_back(
+                    {ci, r0, std::min(mcus_per_column, r0 + rpb)});
+        int RT = std::min<int>(n_threads, (int)rtasks.size());
+        std::vector<std::thread> rpool;
+        for (int tid = 0; tid < RT; ++tid) {
+            rpool.emplace_back([&, tid]() {
+                for (size_t k = tid; k < rtasks.size(); k += RT) {
+                    const RTask& t = rtasks[k];
+                    ll_reconstruct_rows_p1(
+                        planes[t.ci], plane_widths[t.ci], diffs_p,
+                        n_comps, t.ci, mcus_per_line, t.r0, t.r1,
+                        restart_interval, initial_prediction);
+                }
+            });
+        }
+        for (auto& th : rpool) th.join();
+        return 0;
+    }
     std::vector<std::thread> pool;
     for (int ci = 0; ci < n_comps; ++ci) {
         pool.emplace_back([&, ci]() {
             ll_reconstruct_plane(predictor_sel, planes[ci], plane_widths[ci],
-                                 diffs.get(), n_comps, ci,
+                                 diffs_p, n_comps, ci,
                                  mcus_per_line, mcus_per_column,
                                  restart_interval, initial_prediction);
         });
