@@ -3791,11 +3791,22 @@ int jpx_decode_lossless_restart_parallel(
     // across the pool.
     static thread_local std::unique_ptr<int16_t[]> tl_diffs;
     static thread_local int64_t tl_diffs_cap = 0;
+    constexpr int64_t kDiffsRetain = 32 << 20;  // elements (64 MB)
     const int64_t diffs_need = total_mcus * n_comps;
     if (tl_diffs_cap < diffs_need) {
         tl_diffs.reset(new int16_t[(size_t)diffs_need]);
         tl_diffs_cap = diffs_need;
     }
+    // Gigapixel-class buffers are released after the call (same
+    // retention discipline as the encoder's pack scratch).
+    struct DiffsTrim {
+        ~DiffsTrim() {
+            if (tl_diffs_cap > kDiffsRetain) {
+                tl_diffs.reset();
+                tl_diffs_cap = 0;
+            }
+        }
+    } trim_guard;
     int16_t* const diffs_p = tl_diffs.get();
     {
         const int64_t covered =
