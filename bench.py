@@ -522,12 +522,21 @@ def scaling_chunk(work_dir: str) -> None:
     # 1-process and 2-process configurations.
     from jpeglibrary_tpu.parallel import decode_batch_rgb_global
 
+    def single_proc_best(reps):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(decode_batch_rgb_global(datas))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     jax.block_until_ready(decode_batch_rgb_global(datas))  # compile
-    single_e2e = float("inf")
-    for _ in range(SCALING_REPS):
-        t0 = time.perf_counter()
-        jax.block_until_ready(decode_batch_rgb_global(datas))
-        single_e2e = min(single_e2e, time.perf_counter() - t0)
+    # Bracketing: the single-process reference runs BEFORE and AFTER
+    # the two-process workers (fixed counts, value-independent), so a
+    # tenant burst that lands on one side cannot skew the ratio the way
+    # a single before-only measurement did (observed 0.95 quiet vs 0.66
+    # under a burst for the identical configuration).
+    single_e2e = single_proc_best(SCALING_REPS)
 
     import socket
     import subprocess as sp
@@ -543,7 +552,7 @@ def scaling_chunk(work_dir: str) -> None:
     procs = [
         sp.Popen(
             [sys.executable, "-c", _TWO_PROC_WORKER, str(i), str(port),
-             work_dir, str(SCALING_REPS)],
+             work_dir, str(2 * SCALING_REPS)],
             stdout=sp.PIPE, stderr=sp.STDOUT, text=True, env=env,
         )
         for i in range(2)
@@ -559,6 +568,9 @@ def scaling_chunk(work_dir: str) -> None:
         except Exception as exc:  # noqa: BLE001 — report, don't crash the bench
             p.kill()
             two_proc_err = f"worker {i}: {exc}"
+
+    if two_proc_best is not None:
+        single_e2e = min(single_e2e, single_proc_best(SCALING_REPS))
 
     batch_mp = mp * len(datas)
     eff = {
