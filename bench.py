@@ -129,6 +129,8 @@ MODE_RUNS = 7
 MODE_QUIET_TARGET = 3
 MODE_RUNS_MAX = 21
 
+_probe_ceiling = 0.0  # set by mode_chunk from the sweep's capture
+
 SCALING_DEVICES = (1, 2, 4, 8)
 SCALING_REPS = 7
 
@@ -269,7 +271,12 @@ def _mode_runs(name_fn_mp, data, asset_mp):
     against the group's running max probe — a probe-only criterion, so
     the stopping rule never references the engine's own numbers."""
     out = {}
-    probe_max = 0.0
+    # Seed with the sweep's observed probe ceiling (passed via
+    # probe_ceiling.json) so "quiet" means the same thing the parent's
+    # final gate applies — a uniformly loaded group otherwise
+    # self-certifies against its own depressed local max and stops
+    # retrying too early (observed: 7 runs, 0 globally-quiet).
+    probe_max = _probe_ceiling
     for name, fn, megapixels in name_fn_mp:
         fn()  # warm
         runs = []
@@ -298,6 +305,13 @@ def mode_chunk(work_dir: str, group: str) -> None:
     meta = json.load(open(os.path.join(work_dir, "meta.json")))
     mp = meta["mp"]
     data = open(os.path.join(work_dir, "v0.jpg"), "rb").read()
+    global _probe_ceiling
+    try:
+        _probe_ceiling = json.load(
+            open(os.path.join(work_dir, "probe_ceiling.json"))
+        )["turbo_max"] * 1.0
+    except OSError:
+        _probe_ceiling = 0.0
 
     if group == "encode":
         import numpy as np
@@ -783,6 +797,11 @@ def main() -> None:
         best_shape = max(SHAPES, key=shape_median_ratio)
         value = _pct(sorted(o for (o, t, d) in windows[best_shape]), 0.5)
     best_ratio = sorted(o / t for (o, t, d) in windows[best_shape])
+
+    json.dump(
+        {"turbo_max": turbo_max},
+        open(os.path.join(work_dir, "probe_ceiling.json"), "w"),
+    )
 
     # ---- per-mode matrix (fresh children; all numbers in the JSON) ----
     raw_modes = {}
