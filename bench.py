@@ -29,7 +29,9 @@ Methodology (fixed budget; no stopping rule references the target):
   libjpeg-turbo (via PIL) on the same asset; the per-window ratio
   ours/turbo divides out the interference, so its median is a
   load-immune figure of merit. BASELINE.md records turbo at ~162 MP/s
-  single-thread on this host when quiet.
+  single-thread quiet on the round-2/3 host and 225-255 MP/s on the
+  round-4 host (faster hardware; ratios, not MP/s, compare across
+  rounds).
 - Quiet-window headline. The reported `value` is the median of our
   windows whose bracketing turbo probes ran within 80% of the fastest
   probe of the run AND whose bracketing device-transfer probes (a
