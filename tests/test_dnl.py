@@ -168,3 +168,16 @@ def test_encode_stripes_partial_mid_stripe_raises(lake):
     enc.set_input_stream(ycc(), w)
     with pytest.raises(JpegEncodeError):
         enc.encode()
+
+
+def test_dnl_through_fused_decode_rgb8():
+    """A DNL-deferred-height stream must ride the fused one-call host
+    path (resolve_dnl runs inside its eligibility pass) bit-identically
+    to the staged decode."""
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    dnl = make_dnl_variant(encode_rgb(rgb, 85, restart_interval=2))
+    from jpeglibrary_tpu.models.decoder import _decode_rgb8_fused
+
+    assert _decode_rgb8_fused(dnl, "duplicate") is not None  # engages
+    assert np.array_equal(jt.decode_rgb8(dnl), jt.decode(dnl).to_rgb8())
