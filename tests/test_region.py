@@ -250,3 +250,30 @@ def test_arithmetic_gray_fast_path(rng):
     full = jt.decode(d).to_rgb8()
     assert _fast(d, 10, 20, 100, 90) is not None
     assert np.array_equal(jt.decode_region(d, 10, 20, 100, 90), full[20:110, 10:110])
+
+
+def test_progressive_fast_path_dri_redeclared_between_scans(rgb):
+    """DRI segments may appear between scans (T.81 B.2.4.4); the
+    banded fast path tracks the interval in force at each SOS. Splice
+    a (legal, same-value) DRI re-declaration before a later SOS so the
+    per-scan tracking actually walks multiple DRI segments."""
+    from jpeglibrary_tpu.io.reader import parse_stream
+    from jpeglibrary_tpu.models.progressive_encoder import encode_progressive_rgb
+    from jpeglibrary_tpu.syntax.markers import Marker
+
+    data = encode_progressive_rgb(rgb, 80, restart_interval=8)
+    sos_offsets = [
+        seg.offset
+        for seg in parse_stream(data).segments
+        if seg.marker == Marker.SOS
+    ]
+    assert len(sos_offsets) >= 3
+    dri = bytes([0xFF, 0xDD, 0x00, 0x04, 0x00, 8])  # re-declare ri=8
+    pos = sos_offsets[2]
+    spliced = data[:pos] + dri + data[pos:]
+    full = jt.decode(spliced).to_rgb8()
+    assert np.array_equal(full, jt.decode(data).to_rgb8())
+    assert _fast(spliced, 100, 50, 64, 64) is not None
+    for (x, y, w, h) in RECTS[:4]:
+        tile = jt.decode_region(spliced, x, y, w, h)
+        assert np.array_equal(tile, full[y : y + h, x : x + w]), (x, y, w, h)
