@@ -332,10 +332,19 @@ def _region_banded(
     if len(sos_headers) != len(stream.scans):
         return None
 
-    # Plan each scan's aligned covering span subset; the band planes
-    # cover the union of the scans' snapped MCU-row ranges.
-    plans = []
-    u_lo, u_hi = row0, row1
+    # Resolve each scan's unit grid up front. Successive-approximation
+    # refinement scans (Ah > 0) decode against the coefficient history
+    # the earlier scans of the same band left behind — correction-bit /
+    # arithmetic-context decoding desyncs when a unit's history is
+    # missing — so when ANY scan refines, every scan must cover exactly
+    # the SAME MCU rows: the snapped subsets are aligned to one shared
+    # MCU-row multiple (lcm over all scans' restart/row alignments)
+    # instead of each scan's own lcm(DRI, units/row). First-pass-only
+    # scripts (all Ah == 0) have no cross-scan history, so per-scan
+    # snapping stays (it covers fewer spans). T.81 B.2.4.4 allows DRI
+    # to change between scans, which is what makes the per-scan snaps
+    # diverge (advisor round-4 finding).
+    grids = []
     for sh, ri_s, scan in zip(sos_headers, scan_ris, stream.scans):
         try:
             resolved = resolve_scan_components(frame, sh)
@@ -348,10 +357,7 @@ def _region_banded(
             # single-component frame's grid IS the component grid).
             if progressive and sh.start_of_spectral_selection != 0:
                 return None  # invalid stream; full decode raises
-            upr = mpl
-            total_units = mpl * mpc
-            ur0, ur1 = row0, row1
-            v_comp = None
+            grids.append((sh, ri_s, scan, mpl, mpl * mpc, None, mpc))
         elif not progressive:
             # Sequential non-interleaved scan of a multi-component
             # frame: the native wrapper walks the frame grid only.
@@ -361,24 +367,71 @@ def _region_banded(
             cg = geo.components[ci]
             hbc = -(-geo.width // (8 * cg.hs))
             vbc = -(-geo.height // (8 * cg.vs))
-            upr = hbc
-            total_units = hbc * vbc
-            ur0 = min(row0 * cg.v, vbc)
-            ur1 = min(row1 * cg.v, vbc)
-            v_comp = cg.v
+            grids.append((sh, ri_s, scan, hbc, hbc * vbc, cg.v, vbc))
+
+    shared = None
+    if any(
+        sh.successive_approximation_bit_position_high > 0
+        for sh in sos_headers
+    ):
+        # Shared MCU-row alignment: the smallest row multiple at which
+        # EVERY scan's span subset starts on a restart boundary.
+        L = 1
+        for _sh, ri_s, _scan, upr, _total, v_comp, _vbc in grids:
+            align_ur = ri_s // gcd(ri_s, upr) * upr // upr
+            if v_comp is not None:
+                align_ur = align_ur // gcd(align_ur, v_comp)
+            L = L // gcd(L, align_ur) * align_ur
+        # A large L degrades gracefully: m0 floors to 0 and m1 rounds
+        # up to the whole image — the band grows, exactness holds.
+        m0 = (row0 // L) * L
+        m1 = -(-row1 // L) * L
+        if m1 >= mpc:
+            m1 = mpc  # full tail: every scan runs to its last unit
+        shared = (m0, m1)
+
+    # Plan each scan's aligned covering span subset; the band planes
+    # cover the union of the scans' snapped MCU-row ranges.
+    plans = []
+    u_lo, u_hi = row0, row1
+    for sh, ri_s, scan, upr, total_units, v_comp, vbc in grids:
         native_scanner.validate_restart_spans(scan.spans, ri_s, total_units)
-        lo_u = ur0 * upr
-        hi_u = min(ur1 * upr, total_units)
-        if hi_u <= lo_u:
-            plans.append(None)
-            continue
-        align = ri_s // gcd(ri_s, upr) * upr  # lcm(ri, units per row)
-        first_unit = (lo_u // align) * align
-        s0 = first_unit // ri_s
-        s1 = min(len(scan.spans), -(-hi_u // ri_s))
-        if s1 <= s0:
-            plans.append(None)  # truncated stream: covered spans absent
-            continue
+        if shared is not None:
+            m0, m1 = shared
+            if v_comp is None:
+                first_unit = m0 * upr
+                hi_u = total_units if m1 >= mpc else m1 * upr
+            else:
+                first_unit = m0 * v_comp * upr
+                hi_u = min(m1 * v_comp, vbc) * upr
+            if hi_u <= first_unit:
+                plans.append(None)
+                continue
+            s0 = first_unit // ri_s
+            s1 = -(-hi_u // ri_s)
+            if s1 > len(scan.spans):
+                # Truncated stream: this scan cannot reach the shared
+                # end row, so the coverage sets would diverge — the
+                # full decode owns truncation semantics.
+                return None
+        else:
+            if v_comp is None:
+                ur0, ur1 = row0, row1
+            else:
+                ur0 = min(row0 * v_comp, vbc)
+                ur1 = min(row1 * v_comp, vbc)
+            lo_u = ur0 * upr
+            hi_u = min(ur1 * upr, total_units)
+            if hi_u <= lo_u:
+                plans.append(None)
+                continue
+            align = ri_s // gcd(ri_s, upr) * upr  # lcm(ri, units per row)
+            first_unit = (lo_u // align) * align
+            s0 = first_unit // ri_s
+            s1 = min(len(scan.spans), -(-hi_u // ri_s))
+            if s1 <= s0:
+                plans.append(None)  # truncated stream: covered spans absent
+                continue
         end_unit = min(s1 * ri_s, total_units)
         start_ur = first_unit // upr
         end_ur = -(-end_unit // upr)

@@ -277,3 +277,72 @@ def test_progressive_fast_path_dri_redeclared_between_scans(rgb):
     for (x, y, w, h) in RECTS[:4]:
         tile = jt.decode_region(spliced, x, y, w, h)
         assert np.array_equal(tile, full[y : y + h, x : x + w]), (x, y, w, h)
+
+
+def _splice_dri_change(rgb, *, arithmetic, ri_a=10, ri_b=8):
+    """Build a VALID stream whose DRI changes between scans: scans
+    before the first refinement scan come from an encoding at ri_a,
+    the refinement scans (and their tables) from an encoding of the
+    SAME image at ri_b, with a DRI re-declaration spliced between
+    (T.81 B.2.4.4). The coefficients are identical in both encodings,
+    so the splice decodes exactly like either original."""
+    from jpeglibrary_tpu.io.reader import parse_stream
+    from jpeglibrary_tpu.models.progressive_encoder import encode_progressive_rgb
+    from jpeglibrary_tpu.syntax.frame import ScanHeader
+    from jpeglibrary_tpu.syntax.markers import Marker
+
+    a = encode_progressive_rgb(
+        rgb, 80, arithmetic=arithmetic, restart_interval=ri_a
+    )
+    b = encode_progressive_rgb(
+        rgb, 80, arithmetic=arithmetic, restart_interval=ri_b
+    )
+
+    sa = parse_stream(a)
+    sb = parse_stream(b)
+    sos_a = [seg for seg in sa.segments if seg.marker == Marker.SOS]
+    sos_b = [seg for seg in sb.segments if seg.marker == Marker.SOS]
+    assert len(sos_a) == len(sos_b)
+    k = next(
+        i
+        for i, seg in enumerate(sos_a)
+        if ScanHeader.parse(
+            seg.payload(a)
+        ).successive_approximation_bit_position_high
+        > 0
+    )
+    assert k > 0
+
+    parts = [a[: sos_a[k].offset]]
+    if not arithmetic:
+        # The b-encoding's Huffman tables differ (DC diffs reset at
+        # different restart boundaries); re-declare them for its scans.
+        dht_b = next(seg for seg in sb.segments if seg.marker == Marker.DHT)
+        parts.append(
+            b[dht_b.offset : dht_b.offset + 4 + len(dht_b.payload(b))]
+        )
+    parts.append(bytes([0xFF, 0xDD, 0x00, 0x04, (ri_b >> 8) & 0xFF, ri_b & 0xFF]))
+    parts.append(b[sos_b[k].offset :])  # scans k.. + EOI
+    spliced = b"".join(parts)
+
+    full = jt.decode(spliced).to_rgb8()
+    # The splice really is the same image (coefficients identical).
+    assert np.array_equal(full, jt.decode(a).to_rgb8())
+    return spliced, full
+
+
+@pytest.mark.parametrize("arithmetic", [False, True])
+def test_banded_fast_path_dri_change_before_refinement(rgb, arithmetic):
+    """Advisor round-4 finding: with DRI legally CHANGING between
+    scans, per-scan snapping let a refinement scan decode leading units
+    whose first-pass history was never decoded into the band planes,
+    desyncing correction-bit / arithmetic-context decoding. The banded
+    path now snaps every scan to one shared MCU-row alignment whenever
+    any scan refines (Ah > 0)."""
+    spliced, full = _splice_dri_change(rgb, arithmetic=arithmetic)
+    assert _fast(spliced, 100, 50, 64, 64) is not None
+    for (x, y, w, h) in RECTS[:5] + [(40, 80, 240, 64)]:
+        tile = jt.decode_region(spliced, x, y, w, h)
+        assert np.array_equal(tile, full[y : y + h, x : x + w]), (
+            arithmetic, x, y, w, h,
+        )
