@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Dict, Optional
 
 import numpy as np
@@ -74,6 +75,7 @@ class DecodeResult:
         quant: Optional[Dict[int, np.ndarray]] = None,
         samples: Optional[Dict[int, np.ndarray]] = None,
         packed_mcu: Optional[np.ndarray] = None,
+        packed_mcu2: Optional[np.ndarray] = None,
         xp=np,
         adobe_transform: Optional[int] = None,
         errors=(),
@@ -88,6 +90,10 @@ class DecodeResult:
         #: the zero-copy serving path; dense planes materialize lazily
         #: on first host access via the ``coefficients`` property.
         self.packed_mcu = packed_mcu
+        #: v2 split-stream payload (flat uint8, ~0.4-0.6x the v1
+        #: bytes — native.scanner.decode_image_sparse2 layout); when
+        #: set it is the preferred device wire.
+        self.packed_mcu2 = packed_mcu2
         #: APP14 "Adobe" transform byte (0 none, 1 YCbCr, 2 YCCK), or
         #: None when the stream carries no Adobe tag.
         self.adobe_transform = adobe_transform
@@ -125,7 +131,47 @@ class DecodeResult:
         the sparse payload when the merged scan path produced one)."""
         if self._coefficients is None and self.packed_mcu is not None:
             self._coefficients = self._densify_packed()
+        if self._coefficients is None and self.packed_mcu2 is not None:
+            self._coefficients = self._densify_packed2()
         return self._coefficients
+
+    def _densify_packed2(self) -> Dict[int, np.ndarray]:
+        """Host reconstruction from the v2 split-stream payload (see
+        native.scanner.decode_image_sparse2 for the layout)."""
+        geo = self.geometry
+        bpm = sum(c.h * c.v for c in geo.components)
+        nb = geo.mcus_per_line * geo.mcus_per_column * bpm
+        payload = self.packed_mcu2
+        k = payload.shape[0]
+        bn = (k - 3 * nb) * 8 // 17
+        dc = payload[: 2 * nb].view(np.int16)
+        cnt = payload[2 * nb : 3 * nb].astype(np.int64)
+        acpos = payload[3 * nb : 3 * nb + bn].astype(np.int64)
+        acval = payload[3 * nb + bn : 3 * nb + 2 * bn].view(np.int8)
+        be = bn // 64
+        exc = payload[3 * nb + 2 * bn :].view(np.int32).reshape(be, 2)
+        block_id = np.repeat(np.arange(nb, dtype=np.int64), cnt)
+        n_ac = block_id.shape[0]
+        dense = np.zeros(nb * 64, dtype=np.int32)
+        np.add.at(dense, block_id * 64 + acpos[:n_ac], acval[:n_ac])
+        np.add.at(dense, exc[:, 0].astype(np.int64), exc[:, 1])
+        dense[::64] += dc
+        dense = dense.astype(np.int16)
+        cpm = 64 * bpm
+        per_mcu = dense.reshape(geo.mcus_per_column * geo.mcus_per_line, cpm)
+        out: Dict[int, np.ndarray] = {}
+        off = 0
+        for c in geo.components:
+            size = c.h * c.v * 64
+            blk = (
+                per_mcu[:, off : off + size]
+                .reshape(geo.mcus_per_column, geo.mcus_per_line, c.v, c.h, 64)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(c.blocks_per_column, c.blocks_per_line, 64)
+            )
+            out[c.component_index] = np.ascontiguousarray(blk)
+            off += size
+        return out
 
     def _densify_packed(self) -> Dict[int, np.ndarray]:
         """Reconstruct dense coefficient planes from the MCU-order
@@ -215,6 +261,7 @@ class DecodeResult:
         if (
             self.samples is not None
             or self.packed_mcu is not None
+            or self.packed_mcu2 is not None
             or getattr(self, "_packed", None) is not None
         ):
             return
@@ -261,6 +308,18 @@ class DecodeResult:
         )
         from ..utils import metrics
 
+        if self.packed_mcu2 is not None:
+            # v2 split-stream payload: zero host work left, one
+            # transfer at ~0.4-0.6x the v1 bytes.
+            from ..ops.pipeline import jitted_transform_mcu2
+
+            quants = np.stack(
+                [self.quant[c.component_index] for c in self.geometry.components]
+            ).astype(np.int32)
+            with metrics.stage("transform.dispatch"):
+                return jitted_transform_mcu2(
+                    self.geometry, "rgb8", upsample, scale_n
+                )(self.packed_mcu2, quants)
         if self.packed_mcu is not None:
             # Merged-scan payload: zero host work left, one transfer.
             quants = np.stack(
@@ -707,7 +766,7 @@ class JpegDecoder:
 
     def decode(
         self, *, use_native: bool = True, sparse_direct: bool = False,
-        tolerant: bool = False, xp=np
+        tolerant: bool = False, wire: str = "v2", xp=np
     ) -> DecodeResult:
         """Full decode: walk segments in order, decode every scan, then
         run the batched transform stage.
@@ -757,11 +816,25 @@ class JpegDecoder:
             try:
                 from ..native import scanner as native_scanner
 
-                fused = native_scanner.decode_image_sparse(data)
+                # v2 split-stream wire by default (~0.4-0.6x transfer
+                # bytes); JPX_WIRE=1 pins the v1 wire, and streams the
+                # v2 packer declines (exception-bucket overflow) fall
+                # back to v1 transparently.
+                # ``wire="v1"`` (and JPX_WIRE=1) pin the v1 payload for
+                # consumers built on its MCU-entry layout (stripe
+                # sharding); the serving default is the v2 wire.
+                fused2 = None
+                if wire != "v1" and os.environ.get("JPX_WIRE") != "1":
+                    fused2 = native_scanner.decode_image_sparse2(data)
+                fused = (
+                    None
+                    if fused2 is not None
+                    else native_scanner.decode_image_sparse(data)
+                )
             except ImportError:
-                fused = None
-            if fused is not None:
-                payload, frame, geometry, quant, adobe = fused
+                fused = fused2 = None
+            if fused is not None or fused2 is not None:
+                payload, frame, geometry, quant, adobe = fused or fused2
                 metrics.count("decode.images")
                 metrics.count(
                     "decode.megapixels",
@@ -771,7 +844,8 @@ class JpegDecoder:
                     frame=frame,
                     geometry=geometry,
                     quant=quant,
-                    packed_mcu=payload,
+                    packed_mcu=payload if fused is not None else None,
+                    packed_mcu2=payload if fused2 is not None else None,
                     xp=xp,
                     adobe_transform=adobe,
                 )

@@ -116,7 +116,8 @@ def decode_rgb_stripes(
     """
     dec = JpegDecoder()
     dec.set_input(data)
-    res = dec.decode(sparse_direct=True)
+    # The stripe splitter consumes the v1 MCU-entry payload layout.
+    res = dec.decode(sparse_direct=True, wire="v1")
     if res.packed_mcu is None:
         raise ValueError(
             "streaming decode requires a single-scan baseline (SOF0/1) stream"

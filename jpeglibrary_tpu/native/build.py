@@ -243,6 +243,29 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.c_void_p, c.c_int64,           # out, capacity (entries)
         c.c_int32,                       # n_threads
     ]
+    lib.jpx_decode_image_baseline_sparse2.restype = c.c_int64
+    lib.jpx_decode_image_baseline_sparse2.argtypes = [
+        c.c_void_p, c.c_int64,           # data, len
+        c.c_void_p, c.c_void_p, c.c_int64,  # dc_out, counts_out, nb_capacity
+        c.c_void_p, c.c_void_p, c.c_int64,  # acpos, acval, ac_capacity
+        c.c_void_p, c.c_int64, c.POINTER(c.c_int64),  # exc, cap, n_exc
+        c.c_void_p, c.c_void_p,          # info int32[22], quants u16[4][64]
+        c.c_int32,                       # n_threads
+    ]
+    lib.jpx_decode_baseline_scan_sparse2.restype = c.c_int64
+    lib.jpx_decode_baseline_scan_sparse2.argtypes = [
+        c.c_void_p,                      # data
+        c.POINTER(c.c_int64), c.POINTER(c.c_int64), c.c_int32,  # spans
+        c.c_int64,                       # restart_interval
+        c.c_int64, c.c_int64,            # mcus per line / column
+        c.c_int32,                       # n_comps
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32),  # comp_h, comp_v
+        c.c_void_p, c.c_void_p,          # dc_blob, ac_blob
+        c.c_void_p, c.c_void_p,          # dc_out, counts_out
+        c.c_void_p, c.c_void_p, c.c_int64,  # acpos, acval, ac_capacity
+        c.c_void_p, c.c_int64, c.POINTER(c.c_int64),  # exc, cap, n_exc
+        c.c_int32,                       # n_threads
+    ]
     lib.jpx_pack_sparse.restype = c.c_int64
     lib.jpx_pack_sparse.argtypes = [
         c.POINTER(c.c_void_p), c.POINTER(c.c_int64), c.c_int32,  # planes

@@ -1675,6 +1675,555 @@ int64_t jpx_decode_baseline_scan_sparse(
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// v2 split-stream sparse wire format (half the transfer bytes)
+// ---------------------------------------------------------------------------
+//
+// The v1 wire spends 4 bytes per nonzero coefficient ((delta uint16,
+// value int16) entries). On a network-attached chip the payload upload
+// is the pipeline's largest cost term (BASELINE.md budget analysis), so
+// v2 re-shapes the wire around what JPEG coefficients actually are:
+//
+//   dc      int16[NB]   dense DC plane (1/64th of the coefficients —
+//                        dense costs little and removes every escape /
+//                        DC-patch special case)
+//   counts  uint8[NB]   AC entries per block (<= 64)
+//   acpos   uint8[n]    position-in-block (1..63) per AC entry
+//   acval   int8[n]     clamped AC value per entry
+//   exc     (pos int64, residual int64)[k]
+//                        rare |AC| > 127 overflow: residual vs the
+//                        clamp, scatter-ADDed on device after the main
+//                        scatter (positions are absolute coefficient
+//                        indices; k is returned for the caller to size)
+//
+// ~2 bytes per AC coefficient + 3 bytes per block: ~0.54x the v1 bytes
+// on the benchmark workload. Positions are block-relative, so restart-
+// span compaction is a plain memcpy (no delta patches, no escapes) and
+// the speculative stitch's DC fixup becomes a vectorized add over the
+// dense DC slice. Device unpack: ops/pipeline.jitted_transform_mcu2.
+//
+// Block enumeration: ord = mcu * bpm + block-within-MCU in decode order
+// (component blocks consecutive, frame order) — identical to v1's
+// coefficient order at block granularity.
+
+namespace {
+
+struct Emitter2 {
+    // Direct-to-final emission (sequential + restart-span modes): dc /
+    // counts are absolute-ord arrays zeroed by the entry point; acpos /
+    // acval point at this span's worst-case region.
+    int16_t* dc;
+    uint8_t* counts;
+    uint8_t* acpos;
+    int8_t* acval;
+    int64_t n;    // AC entries emitted into this region
+    int64_t cap;  // region entry capacity
+    std::vector<int64_t>* exc;  // (pos, residual) pairs, appended flat
+    int64_t dc_mark;  // required by the AlwaysDC template path (unused)
+    bool overflow;
+
+    void init(uint8_t* pos_region, int8_t* val_region, int64_t capacity,
+              int16_t* dc_out, uint8_t* counts_out,
+              std::vector<int64_t>* exc_out) {
+        acpos = pos_region;
+        acval = val_region;
+        n = 0;
+        cap = capacity;
+        dc = dc_out;
+        counts = counts_out;
+        exc = exc_out;
+        dc_mark = -1;
+        overflow = false;
+    }
+
+    __attribute__((always_inline)) inline void emit(int64_t pos, int32_t val) {
+        int64_t ord = pos >> 6;
+        int idx = (int)(pos & 63);
+        if (idx == 0) {
+            dc[ord] = (int16_t)val;
+            return;
+        }
+        if (__builtin_expect(n >= cap, 0)) { overflow = true; return; }
+        int32_t c = val;
+        if (__builtin_expect(c < -128 || c > 127, 0)) {
+            int32_t cl = c < 0 ? -128 : 127;
+            exc->push_back(pos);
+            exc->push_back(c - cl);
+            c = cl;
+        }
+        acpos[n] = (uint8_t)idx;
+        acval[n] = (int8_t)c;
+        ++n;
+        ++counts[ord];
+    }
+};
+
+// Speculative-mode emitter: thread-local ords, growable buffers. DC is
+// ALWAYS emitted before a block's ACs in that mode (AlwaysDC), so the
+// DC store doubles as the per-block counts[] initializer — no bulk
+// zeroing, and retries self-heal (re-visited blocks re-zero).
+struct VecEmitter2 {
+    std::vector<uint8_t> acpos;
+    std::vector<int8_t> acval;
+    std::vector<int16_t> dc;      // thread-local ord indexed
+    std::vector<uint8_t> counts;  // idem
+    std::vector<int64_t> exc;     // (thread-local pos, residual) pairs
+    int64_t n = 0;
+    int64_t last_pos = -1;  // record-compat field (unused by v2)
+    int64_t dc_mark = -1;   // AlwaysDC template path (unused by v2)
+
+    void reset() {
+        n = 0;
+        last_pos = -1;
+        dc_mark = -1;
+        exc.clear();
+    }
+
+    inline void emit(int64_t pos, int32_t val) {
+        int64_t ord = pos >> 6;
+        int idx = (int)(pos & 63);
+        if (idx == 0) {
+            if (__builtin_expect((size_t)ord >= dc.size(), 0)) {
+                dc.resize((size_t)ord + 4096);
+                counts.resize((size_t)ord + 4096);
+            }
+            dc[ord] = (int16_t)val;
+            counts[ord] = 0;
+            return;
+        }
+        int32_t c = val;
+        if (__builtin_expect(c < -128 || c > 127, 0)) {
+            int32_t cl = c < 0 ? -128 : 127;
+            exc.push_back(pos);
+            exc.push_back(c - cl);
+            c = cl;
+        }
+        if (__builtin_expect((size_t)n >= acpos.size(), 0)) {
+            acpos.resize(acpos.empty() ? 8192 : acpos.size() * 2);
+            acval.resize(acpos.size());
+        }
+        acpos[n] = (uint8_t)idx;
+        acval[n] = (int8_t)c;
+        ++n;
+        ++counts[ord];
+    }
+};
+
+// Twin of decode_span_sparse for the v2 emitter.
+static int decode_span_sparse2(const SpanTask& task, Component* comps,
+                               int n_comps, int64_t cpm,
+                               const int64_t* comp_off, Emitter2& em) {
+    BitReader br;
+    br.init(task.data, task.len);
+    int32_t pred[4] = {0, 0, 0, 0};
+    for (int64_t m = 0; m < task.n_mcus; ++m) {
+        int64_t base = (task.first_mcu + m) * cpm;
+        for (int ci = 0; ci < n_comps; ++ci) {
+            Component& c = comps[ci];
+            int64_t boff = base + comp_off[ci];
+            int nb = c.h * c.v;
+            for (int b = 0; b < nb; ++b) {
+                int rc = read_block_baseline_sparse(br, c, pred[ci], em,
+                                                    boff + (int64_t)b * 64);
+                if (rc) return rc;
+                if (em.overflow) return 4;
+            }
+        }
+    }
+    return 0;
+}
+
+// Twin of speculative_scan_sparse: same retry / record discipline, no
+// DC-entry list (DC is dense in v2 — the fixup is a slice add).
+static void speculative_scan_sparse2(const uint8_t* base, int64_t span_len,
+                                     int64_t from, int64_t until,
+                                     Component* comps, int n_comps,
+                                     int64_t cpm, const int64_t* comp_off,
+                                     int64_t max_mcus,
+                                     std::vector<McuRecord>& out,
+                                     VecEmitter2& em) {
+    const int kMaxRetries = from == 0 ? 1 : 64;
+    for (int attempt = 0; attempt < kMaxRetries; ++attempt) {
+        int64_t start = from + attempt;
+        if (start >= span_len) return;
+        out.clear();
+        em.reset();
+        BitReader br;
+        br.init(base + start, span_len - start);
+        int32_t pred[4] = {0, 0, 0, 0};
+        bool failed = false;
+        for (int64_t m = 0; m < max_mcus; ++m) {
+            br.fill();  // canonicalize
+            McuRecord rec;
+            rec.byte_off = (br.p - base);
+            rec.bit_count = br.count;
+            rec.bits = br.bits;
+            for (int ci = 0; ci < n_comps; ++ci) rec.preds[ci] = pred[ci];
+            rec.entry_n = em.n;
+            rec.em_last_pos = 0;
+            out.push_back(rec);
+            if (rec.byte_off > until + 8) return;  // covered the overlap
+            int64_t bpos = m * cpm;
+            int rc = 0;
+            for (int ci = 0; ci < n_comps && rc == 0; ++ci) {
+                Component& c = comps[ci];
+                int64_t boff = bpos + comp_off[ci];
+                int nb = c.h * c.v;
+                for (int b = 0; b < nb; ++b) {
+                    rc = read_block_baseline_sparse<VecEmitter2, true>(
+                        br, c, pred[ci], em, boff + (int64_t)b * 64);
+                    if (rc) break;
+                }
+            }
+            if (rc == 2) { failed = true; break; }
+            if (rc == 1) return;  // ran off the end: keep records
+        }
+        if (!failed) return;
+        if (out.size() > 16) return;  // synced then late corruption
+    }
+    out.clear();
+    em.reset();
+}
+
+// v2 speculative single-pass decode. Same phase-A / stitch scaffolding
+// as decode_span_sparse_speculative; the assembly copies block-granular
+// slices (AC memcpy, counts memcpy, DC slice-add of the per-component
+// predictor delta) instead of entry patching. Returns the AC entry
+// count, -1 on capacity, -6 to fall back to the sequential decode.
+static int64_t decode_span_sparse_speculative2(
+    const uint8_t* data, int64_t len, int64_t total_mcus,
+    Component* comps, int n_comps, int64_t cpm, const int64_t* comp_off,
+    int16_t* dc_out, uint8_t* counts_out,
+    uint8_t* acpos_out, int8_t* acval_out, int64_t ac_capacity,
+    std::vector<int64_t>& exc_out, int n_threads) {
+    if (n_comps > 4) return -6;
+    int T = n_threads;
+    if ((int64_t)T > len / 65536) T = (int)(len / 65536);
+    if (T < 2) return -6;
+    const int64_t kOverlap = 16384;
+    int C = std::min<int>(2 * T, (int)(len / 65536));
+    if (C < 2) return -6;
+
+    int64_t bpm = cpm / 64;  // blocks per MCU
+    // Per-block component pattern within one MCU (for the DC delta).
+    uint8_t comp_of[64];
+    {
+        int k = 0;
+        for (int ci = 0; ci < n_comps; ++ci) {
+            int nb = comps[ci].h * comps[ci].v;
+            for (int b = 0; b < nb && k < 64; ++b) comp_of[k++] = (uint8_t)ci;
+        }
+    }
+
+    std::vector<std::vector<McuRecord>> records(C);
+    std::vector<VecEmitter2> ems(C);
+    std::vector<std::vector<Component>> comp_copies(T,
+        std::vector<Component>(comps, comps + n_comps));
+    {
+        std::vector<std::thread> pool;
+        std::atomic<int> next{0};
+        int64_t chunk = len / C;
+        auto run_chunk = [&](int k, Component* cv) {
+            int64_t from = (int64_t)k * chunk;
+            int64_t until = (k + 1 < C) ? (int64_t)(k + 1) * chunk + kOverlap : len;
+            std::vector<McuRecord> recs;
+            VecEmitter2 em;
+            em.acpos.resize((size_t)((until - from) + 2048));
+            em.acval.resize(em.acpos.size());
+            speculative_scan_sparse2(data, len, from, until, cv, n_comps,
+                                     cpm, comp_off, total_mcus + 16,
+                                     recs, em);
+            records[k] = std::move(recs);
+            ems[k] = std::move(em);
+        };
+        for (int t = 0; t < T; ++t) {
+            pool.emplace_back([&, t]() {
+                for (;;) {
+                    int k = next.fetch_add(1);
+                    if (k >= C) break;
+                    run_chunk(k, comp_copies[t].data());
+                }
+            });
+        }
+        for (auto& th : pool) th.join();
+    }
+
+    struct Chunk {
+        int thread;
+        int64_t rec_start, rec_end;
+        int64_t first_mcu;
+        int32_t dc_delta[4];
+    };
+    std::vector<Chunk> chunks;
+    if (records[0].empty()) return -6;
+
+    int prev_thread = 0;
+    int64_t prev_sync_idx = 0;
+    int64_t prev_first_mcu = 0;
+    int32_t delta_prev[4] = {0, 0, 0, 0};
+
+    for (int t = 1; t < C; ++t) {
+        const auto& a = records[prev_thread];
+        const auto& b = records[t];
+        size_t i = (size_t)prev_sync_idx, j = 0;
+        bool found = false;
+        while (i < a.size() && j < b.size()) {
+            if (rec_key_eq(a[i], b[j])) { found = true; break; }
+            if (rec_key_less(a[i], b[j])) ++i; else ++j;
+        }
+        if (!found || b[j].byte_off >= len) return -6;
+        int64_t sync_mcu = prev_first_mcu + (int64_t)(i - (size_t)prev_sync_idx);
+        if (sync_mcu >= total_mcus) break;
+        Chunk c;
+        c.thread = prev_thread;
+        c.rec_start = prev_sync_idx;
+        c.rec_end = (int64_t)i;
+        c.first_mcu = prev_first_mcu;
+        for (int ci = 0; ci < 4; ++ci) c.dc_delta[ci] = delta_prev[ci];
+        chunks.push_back(c);
+        for (int ci = 0; ci < n_comps; ++ci)
+            delta_prev[ci] = (a[i].preds[ci] + delta_prev[ci]) - b[j].preds[ci];
+        prev_thread = t;
+        prev_sync_idx = (int64_t)j;
+        prev_first_mcu = sync_mcu;
+    }
+    {
+        int64_t need = prev_sync_idx + (total_mcus - prev_first_mcu);
+        if ((int64_t)records[prev_thread].size() < need + 1) return -6;
+        Chunk c;
+        c.thread = prev_thread;
+        c.rec_start = prev_sync_idx;
+        c.rec_end = need;
+        c.first_mcu = prev_first_mcu;
+        for (int ci = 0; ci < 4; ++ci) c.dc_delta[ci] = delta_prev[ci];
+        chunks.push_back(c);
+    }
+
+    int64_t out_n = 0;
+    for (const Chunk& c : chunks) {
+        const auto& R = records[c.thread];
+        auto& E = ems[c.thread];
+        int64_t e_begin = R[c.rec_start].entry_n;
+        int64_t e_end = R[c.rec_end].entry_n;
+        int64_t n_entries = e_end - e_begin;
+        if (out_n + n_entries > ac_capacity) return -1;
+        // record index == thread-local MCU index.
+        int64_t ord_lo = c.rec_start * bpm;        // thread-local
+        int64_t ord_hi = c.rec_end * bpm;
+        int64_t true_ord0 = c.first_mcu * bpm;     // absolute
+        if (n_entries > 0) {
+            std::memcpy(acpos_out + out_n, E.acpos.data() + e_begin,
+                        (size_t)n_entries);
+            std::memcpy(acval_out + out_n, E.acval.data() + e_begin,
+                        (size_t)n_entries);
+            out_n += n_entries;
+        }
+        int64_t nb = ord_hi - ord_lo;
+        if (nb > 0) {
+            std::memcpy(counts_out + true_ord0, E.counts.data() + ord_lo,
+                        (size_t)nb);
+            bool zero = !(c.dc_delta[0] | c.dc_delta[1] | c.dc_delta[2] |
+                          c.dc_delta[3]);
+            if (zero) {
+                std::memcpy(dc_out + true_ord0, E.dc.data() + ord_lo,
+                            (size_t)nb * 2);
+            } else {
+                const int16_t* src = E.dc.data() + ord_lo;
+                int16_t* dst = dc_out + true_ord0;
+                for (int64_t k = 0; k < nb; ++k) {
+                    // same int16 truncation as the sequential emission
+                    dst[k] = (int16_t)((int32_t)src[k] +
+                                       c.dc_delta[comp_of[k % bpm]]);
+                }
+            }
+        }
+        // Exceptions in [ord_lo*64, ord_hi*64), rebased to absolute.
+        int64_t rebase = (c.first_mcu - c.rec_start) * cpm;
+        int64_t p_lo = ord_lo * 64, p_hi = ord_hi * 64;
+        for (size_t e = 0; e + 1 < E.exc.size(); e += 2) {
+            int64_t p = E.exc[e];
+            if (p >= p_lo && p < p_hi) {
+                exc_out.push_back(p + rebase);
+                exc_out.push_back(E.exc[e + 1]);
+            }
+        }
+    }
+    return out_n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// v2 merged baseline scan decode. Same eligibility and error codes as
+// jpx_decode_baseline_scan_sparse. dc_out/counts_out are [NB]
+// (NB = mcus * sum(h*v)) and are fully written (zero-filled first).
+// Returns the AC entry count; *n_exc_out gets the exception PAIR count
+// (each pair = absolute coefficient position, residual); pairs beyond
+// exc_capacity are counted but not written — the caller must check.
+int64_t jpx_decode_baseline_scan_sparse2(
+    const uint8_t* data,
+    const int64_t* span_starts, const int64_t* span_ends, int32_t n_spans,
+    int64_t restart_interval,
+    int64_t mcus_per_line, int64_t mcus_per_column,
+    int32_t n_comps,
+    const int32_t* comp_h, const int32_t* comp_v,
+    const uint8_t* dc_blob, const uint8_t* ac_blob,
+    int16_t* dc_out, uint8_t* counts_out,
+    uint8_t* acpos_out, int8_t* acval_out, int64_t ac_capacity,
+    int64_t* exc_out, int64_t exc_capacity, int64_t* n_exc_out,
+    int32_t n_threads) {
+    if (n_comps <= 0 || n_comps > 4 || n_spans <= 0) return -4;
+
+    std::vector<Component> comps(n_comps);
+    int64_t comp_off[4];
+    int64_t cpm = 0;
+    for (int i = 0; i < n_comps; ++i) {
+        comps[i].h = comp_h[i];
+        comps[i].v = comp_v[i];
+        comps[i].dc = reinterpret_cast<const HuffTable*>(dc_blob) + i;
+        comps[i].ac = reinterpret_cast<const HuffTable*>(ac_blob) + i;
+        comps[i].plane = nullptr;
+        comps[i].wb = 0;
+        comp_off[i] = cpm;
+        cpm += (int64_t)comp_h[i] * comp_v[i] * 64;
+    }
+    std::vector<CombTable> comb_tables(2 * n_comps);
+    for (int i = 0; i < n_comps; ++i) {
+        build_comb_table(comps[i].dc, true, &comb_tables[2 * i]);
+        build_comb_table(comps[i].ac, false, &comb_tables[2 * i + 1]);
+        comps[i].dc_comb = comb_tables[2 * i].e;
+        comps[i].ac_comb = comb_tables[2 * i + 1].e;
+    }
+    const int64_t total_mcus = mcus_per_line * mcus_per_column;
+    const int64_t bpm = cpm / 64;
+    const int64_t nb_total = total_mcus * bpm;
+    std::memset(dc_out, 0, (size_t)nb_total * 2);
+    std::memset(counts_out, 0, (size_t)nb_total);
+    *n_exc_out = 0;
+
+    auto flush_exc = [&](const std::vector<int64_t>& exc) {
+        int64_t pairs = (int64_t)exc.size() / 2;
+        int64_t keep = std::min(pairs, exc_capacity - *n_exc_out);
+        if (keep > 0)
+            std::memcpy(exc_out + 2 * *n_exc_out, exc.data(),
+                        (size_t)keep * 16);
+        *n_exc_out += pairs;  // true demand; caller checks vs capacity
+    };
+
+    if (restart_interval <= 0 || n_spans == 1) {
+        SpanTask t{data + span_starts[0], span_ends[0] - span_starts[0],
+                   0, total_mcus};
+        {
+            const char* spec_env = std::getenv("JPX_SPECULATIVE");
+            bool allow_spec = !(spec_env && spec_env[0] == '0');
+            int hw0 = (int)std::thread::hardware_concurrency();
+            int nt0 = n_threads > 0 ? n_threads : (hw0 > 0 ? hw0 : 1);
+            if (allow_spec && nt0 > 2) {
+                std::vector<int64_t> exc;
+                int64_t n = decode_span_sparse_speculative2(
+                    t.data, t.len, total_mcus, comps.data(), n_comps, cpm,
+                    comp_off, dc_out, counts_out, acpos_out, acval_out,
+                    ac_capacity, exc, nt0);
+                if (n != -6) {
+                    if (n >= 0) flush_exc(exc);
+                    return n;
+                }
+                // fall back: re-zero whatever the failed attempt wrote
+                std::memset(dc_out, 0, (size_t)nb_total * 2);
+                std::memset(counts_out, 0, (size_t)nb_total);
+            }
+        }
+        std::vector<int64_t> exc;
+        Emitter2 em;
+        em.init(acpos_out, acval_out, ac_capacity, dc_out, counts_out, &exc);
+        int rc = decode_span_sparse2(t, comps.data(), n_comps, cpm,
+                                     comp_off, em);
+        if (rc == 4 || em.overflow) return -1;
+        if (rc == 2) return -2;
+        if (rc == 1) return -3;
+        flush_exc(exc);
+        return em.n;
+    }
+
+    // Restart spans: DC/counts write straight to absolute ords
+    // (disjoint across spans); AC entries emit into worst-case regions
+    // then compact with plain memcpys (block-relative positions need
+    // no patching — the v1 escape/delta machinery has no v2 analogue).
+    struct SpanOut {
+        SpanTask task;
+        int64_t region_off;  // AC entry offset of this span's region
+        Emitter2 em;
+        std::vector<int64_t> exc;
+        int rc;
+    };
+    std::vector<SpanOut> spans_out;
+    {
+        int64_t mcu = 0;
+        int64_t off = 0;
+        for (int32_t s = 0; s < n_spans && mcu < total_mcus; ++s) {
+            int64_t n = std::min<int64_t>(restart_interval, total_mcus - mcu);
+            SpanOut so;
+            so.task = SpanTask{data + span_starts[s],
+                               span_ends[s] - span_starts[s], mcu, n};
+            so.region_off = off;
+            so.rc = 0;
+            spans_out.push_back(std::move(so));
+            off += n * bpm * 63;  // worst case: 63 ACs per block
+            mcu += n;
+        }
+        if (off > ac_capacity) return -1;
+    }
+
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+    n_threads = std::min<int32_t>(n_threads, (int32_t)spans_out.size());
+
+    auto run_one = [&](SpanOut& so, Component* cv) {
+        so.em.init(acpos_out + so.region_off, acval_out + so.region_off,
+                   so.task.n_mcus * bpm * 63, dc_out, counts_out, &so.exc);
+        so.rc = decode_span_sparse2(so.task, cv, n_comps, cpm, comp_off,
+                                    so.em);
+    };
+
+    if (n_threads <= 1) {
+        for (auto& so : spans_out) run_one(so, comps.data());
+    } else {
+        std::vector<std::thread> pool;
+        std::vector<std::vector<Component>> copies(n_threads, comps);
+        for (int tid = 0; tid < n_threads; ++tid) {
+            pool.emplace_back([&, tid]() {
+                for (size_t k = tid; k < spans_out.size(); k += n_threads) {
+                    run_one(spans_out[k], copies[tid].data());
+                }
+            });
+        }
+        for (auto& th : pool) th.join();
+    }
+    for (const auto& so : spans_out) {
+        if (so.rc == 4 || so.em.overflow) return -1;
+        if (so.rc == 2) return -2;
+        if (so.rc == 1) return -3;
+    }
+
+    // Compaction: slide each span's AC slice left. Destinations never
+    // exceed sources (regions are worst-case sized), memmove is safe.
+    int64_t out_n = 0;
+    for (auto& so : spans_out) {
+        if (so.em.n > 0) {
+            std::memmove(acpos_out + out_n, acpos_out + so.region_off,
+                         (size_t)so.em.n);
+            std::memmove(acval_out + out_n, acval_out + so.region_off,
+                         (size_t)so.em.n);
+            out_n += so.em.n;
+        }
+        flush_exc(so.exc);
+    }
+    return out_n;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Fused whole-image baseline decode (container walk + tables + merged
 // sparse scan in ONE native call)
 // ---------------------------------------------------------------------------
@@ -2033,6 +2582,38 @@ int64_t jpx_decode_image_baseline_sparse(
         reinterpret_cast<const uint8_t*>(P.dcs.data()),
         reinterpret_cast<const uint8_t*>(P.acs.data()),
         out, capacity, n_threads);
+}
+
+// v2-wire twin of the fused whole-image decode: same walk/eligibility,
+// same info/quants contract, split-stream output (see
+// jpx_decode_baseline_scan_sparse2). Returns the AC entry count.
+int64_t jpx_decode_image_baseline_sparse2(
+    const uint8_t* data, int64_t len,
+    int16_t* dc_out, uint8_t* counts_out, int64_t nb_capacity,
+    uint8_t* acpos_out, int8_t* acval_out, int64_t ac_capacity,
+    int64_t* exc_out, int64_t exc_capacity, int64_t* n_exc_out,
+    int32_t* info, uint16_t* quants,
+    int32_t n_threads) {
+    BaselinePlan P;
+    int64_t rc = walk_baseline_image(data, len, P, info, quants);
+    if (rc != 0) return rc;
+    {   // dc/counts are caller-sized; the walk fills `info`, so a -1
+        // lets the caller size both exactly and retry (v1 discipline).
+        int64_t bpm = 0;
+        for (int i = 0; i < P.n_comps; ++i) bpm += (int64_t)P.ch[i] * P.cv[i];
+        if (P.mcus_per_line * P.mcus_per_column * bpm > nb_capacity)
+            return -1;
+    }
+    return jpx_decode_baseline_scan_sparse2(
+        data,
+        P.starts.data(), P.ends.data(), (int32_t)P.starts.size(),
+        P.restart_interval,
+        P.mcus_per_line, P.mcus_per_column,
+        P.n_comps, P.ch, P.cv,
+        reinterpret_cast<const uint8_t*>(P.dcs.data()),
+        reinterpret_cast<const uint8_t*>(P.acs.data()),
+        dc_out, counts_out, acpos_out, acval_out, ac_capacity,
+        exc_out, exc_capacity, n_exc_out, n_threads);
 }
 
 }  // extern "C"

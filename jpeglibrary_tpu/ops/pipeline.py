@@ -262,6 +262,97 @@ def jitted_transform_mcu_inner(geometry: FrameGeometry, output: str = "rgb8", up
 
 
 @functools.lru_cache(maxsize=64)
+def jitted_transform_mcu2_inner(geometry: FrameGeometry, output: str = "rgb8",
+                                upsample: str = "duplicate", scale_n: int = 8):
+    """Un-jitted transform for the v2 split-stream wire format
+    (native.scanner.decode_image_sparse2): one flat uint8 buffer
+    ``[dc int16*NB][counts u8*NB][acpos u8*Bn][acval i8*Bn][exc i32*2*Be]``
+    at ~0.4-0.6x the v1 bytes. NB is a geometry constant; Bn/Be are
+    recovered from the (static) payload length (Be = Bn/64, so
+    K = 3*NB + 17*Bn/8). Densification: AC entries expand to absolute
+    positions via a cumsum/searchsorted segment expansion over the
+    per-block counts, scatter-add onto the dense grid, the rare
+    |AC| > 127 residuals scatter-add on top, and the dense DC plane
+    lands in column 0 — all fusable elementwise/scatter work ahead of
+    the same reshape + batched-IDCT pipeline as v1."""
+    import jax
+    import jax.numpy as jnp
+
+    mr = geometry.mcus_per_column
+    mc = geometry.mcus_per_line
+    comps = geometry.components
+    bpm = sum(c.h * c.v for c in comps)
+    cpm = 64 * bpm
+    nb = mr * mc * bpm
+
+    def fn(payload_u8, quants_stacked):
+        k = payload_u8.shape[0]
+        bn = (k - 3 * nb) * 8 // 17
+        be = bn // 64
+        dc = jax.lax.bitcast_convert_type(
+            payload_u8[: 2 * nb].reshape(nb, 2), jnp.int16
+        ).astype(jnp.int32)
+        counts = payload_u8[2 * nb : 3 * nb].astype(jnp.int32)
+        acpos = payload_u8[3 * nb : 3 * nb + bn].astype(jnp.int32)
+        acval = jax.lax.bitcast_convert_type(
+            payload_u8[3 * nb + bn : 3 * nb + 2 * bn], jnp.int8
+        ).astype(jnp.int32)
+        exc = jax.lax.bitcast_convert_type(
+            payload_u8[3 * nb + 2 * bn :].reshape(be, 2, 4), jnp.int32
+        )
+        # Segment expansion: scatter a marker at each block's first
+        # entry slot (exclusive cumsum of counts; zero-count blocks
+        # stack markers on the next block's slot) and prefix-sum — an
+        # O(Bn) alternative to a binary search per entry. Markers of
+        # blocks starting at/after the real-entry tail drop out of
+        # bounds, so bucket-padding entries inherit the last real
+        # block's id with (pos 0, val 0): a scatter-add of 0.
+        ends = jnp.cumsum(counts)
+        starts = ends - counts
+        seg = jnp.zeros((bn,), dtype=jnp.int32).at[starts].add(1)
+        block_id = jnp.cumsum(seg) - 1
+        block_id = jnp.clip(block_id, 0, nb - 1)
+        pos = block_id * 64 + acpos
+        dense = jnp.zeros((nb * 64,), dtype=jnp.int32).at[pos].add(acval)
+        dense = dense.at[exc[:, 0]].add(exc[:, 1])
+        dense = dense.reshape(nb, 64).at[:, 0].add(dc)
+        per_mcu = dense.reshape(mr * mc, cpm)
+        coeffs = []
+        off = 0
+        for c in comps:
+            size = c.h * c.v * 64
+            blk = jax.lax.slice_in_dim(per_mcu, off, off + size, axis=1)
+            blk = (
+                blk.reshape(mr, mc, c.v, c.h, 64)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(mr * c.v, mc * c.h, 64)
+            )
+            coeffs.append(blk)
+            off += size
+        quants = tuple(quants_stacked[i] for i in range(len(comps)))
+        if output == "rgb8":
+            return transform_to_rgb8(tuple(coeffs), quants, geometry, xp=jnp,
+                                     layout="chw", upsample=upsample,
+                                     scale_n=scale_n)
+        return transform_to_u16(tuple(coeffs), quants, geometry, xp=jnp)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=64)
+def jitted_transform_mcu2(geometry: FrameGeometry, output: str = "rgb8",
+                          upsample: str = "duplicate", scale_n: int = 8):
+    """Compiled single-image form of jitted_transform_mcu2_inner."""
+    from .. import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+
+    return jax.jit(jitted_transform_mcu2_inner(geometry, output, upsample, scale_n))
+
+
+@functools.lru_cache(maxsize=64)
 def jitted_transform_mcu(geometry: FrameGeometry, output: str = "rgb8", upsample: str = "duplicate",
                          scale_n: int = 8):
     """Compiled single-image form of jitted_transform_mcu_inner."""

@@ -97,6 +97,23 @@ def decode_batch_rgb(
 
         # Merged-scan payloads of one shape: ONE stacked vmapped call.
         if (
+            all(r.packed_mcu2 is not None for r in batch)
+            and len({r.packed_mcu2.shape for r in batch}) == 1
+        ):
+            quants = _stacked_quants(batch, geometry)
+            stacked = np.stack([r.packed_mcu2 for r in batch])
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                stacked = jax.device_put(stacked, NamedSharding(mesh, P("data")))
+            rgb = np.asarray(
+                _batched_mcu_transform2(geometry, scale_n)(stacked, quants)
+            )
+            rgb = np.moveaxis(rgb, 1, -1)  # planar CHW -> HWC
+            for j, i in enumerate(indices):
+                out[i] = rgb[j]
+            continue
+        if (
             all(r.packed_mcu is not None for r in batch)
             and len({r.packed_mcu.shape for r in batch}) == 1
         ):
@@ -232,6 +249,18 @@ def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2,
 
     def transform_group(scan_futs):
         ress = [f.result() for f in scan_futs]
+        if (
+            len(ress) > 1
+            and all(r.packed_mcu2 is not None for r in ress)
+            and len({r.geometry for r in ress}) == 1
+            and len({r.packed_mcu2.shape for r in ress}) == 1
+        ):
+            geo = ress[0].geometry
+            quants = _stacked_quants(ress, geo)
+            stacked = np.stack([r.packed_mcu2 for r in ress])
+            out = _batched_mcu_transform2(geo, scale_n)(stacked, quants)
+            jax.block_until_ready(out)
+            return [out[i] for i in range(len(ress))]
         groupable = (
             len(ress) > 1
             and all(r.packed_mcu is not None for r in ress)
@@ -273,6 +302,19 @@ def decode_stream_rgb(datas, *, depth: int = 2, scan_workers: int = 2,
         while inflight:
             for rgb in inflight.popleft().result():
                 yield rgb
+
+
+@functools.lru_cache(maxsize=64)
+def _batched_mcu_transform2(geometry, scale_n: int = 8):
+    """vmapped v2-wire transform: [B, K] uint8 payload batch ->
+    [B, 3, H, W] planar RGB (jit re-specializes per (B, bucket));
+    bounded like its v1 sibling."""
+    import jax
+
+    from ..ops.pipeline import jitted_transform_mcu2_inner
+
+    inner = jitted_transform_mcu2_inner(geometry, "rgb8", "duplicate", scale_n)
+    return jax.jit(jax.vmap(inner, in_axes=(0, 0)))
 
 
 @functools.lru_cache(maxsize=64)

@@ -216,7 +216,8 @@ def decode_rgb_sharded(data: bytes, mesh, *, axis: str = "stripe"):
 
     dec = JpegDecoder()
     dec.set_input(data)
-    res = dec.decode(sparse_direct=True)
+    # The stripe splitter consumes the v1 MCU-entry payload layout.
+    res = dec.decode(sparse_direct=True, wire="v1")
     if res.packed_mcu is not None:
         return _sharded_baseline_sparse(res, mesh, axis)
     if res.samples is not None:

@@ -42,7 +42,8 @@ def _decode_pair(data):
 @pytest.mark.parametrize("rel", BASELINE_CASES, ids=BASELINE_CASES)
 def test_sparse_direct_matches_dense(assets_dir, native_lib, rel):
     dense, sparse = _decode_pair((assets_dir / rel).read_bytes())
-    assert sparse.packed_mcu is not None
+    # the merged path now defaults to the v2 split-stream wire
+    assert sparse.packed_mcu is not None or sparse.packed_mcu2 is not None
     # coefficients densify lazily from the payload; must be bit-exact
     for k in dense.coefficients:
         np.testing.assert_array_equal(dense.coefficients[k], sparse.coefficients[k])
@@ -56,7 +57,7 @@ def test_sparse_direct_restart_segments(assets_dir, native_lib):
     rgb = jt.decode((assets_dir / "baseline/lake.jpg").read_bytes()).to_rgb8()
     data = encode_rgb(rgb, 75, restart_interval=5)
     dense, sparse = _decode_pair(data)
-    assert sparse.packed_mcu is not None
+    assert sparse.packed_mcu is not None or sparse.packed_mcu2 is not None
     for k in dense.coefficients:
         np.testing.assert_array_equal(dense.coefficients[k], sparse.coefficients[k])
 
@@ -142,7 +143,7 @@ def test_sparse_direct_long_flat_head_boundary_escape(native_lib):
     rgb[14 * 16 :] = rng.integers(0, 256, (4 * 16, w, 3), dtype=np.uint8)
     data = encode_rgb(rgb, 90, restart_interval=180)
     dense, sparse = _decode_pair(data)
-    assert sparse.packed_mcu is not None
+    assert sparse.packed_mcu is not None or sparse.packed_mcu2 is not None
     for k in dense.coefficients:
         np.testing.assert_array_equal(dense.coefficients[k], sparse.coefficients[k])
 
@@ -168,7 +169,7 @@ def test_speculative_single_span_multicomponent(assets_dir, native_lib, monkeypa
         monkeypatch.setenv("JPX_SPECULATIVE", "1")
         d = JpegDecoder(); d.set_input(data)
         spec = d.decode(sparse_direct=True)
-        assert spec.packed_mcu is not None
+        assert spec.packed_mcu is not None or spec.packed_mcu2 is not None
         for k in seq.coefficients:
             np.testing.assert_array_equal(
                 seq.coefficients[k], spec.coefficients[k], err_msg=subsampling

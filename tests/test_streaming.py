@@ -67,7 +67,7 @@ def test_streaming_bounded_memory_large_asset(assets_dir, native_lib):
     data = (assets_dir / "baseline/HETissueSlide.jpg").read_bytes()
     d = JpegDecoder()
     d.set_input(data)
-    res = d.decode(sparse_direct=True)
+    res = d.decode(sparse_direct=True, wire="v1")
     rgb_plane_bytes = res.width * res.height * 3
     payload_bytes = res.packed_mcu.nbytes
     stripe_rows = 16
