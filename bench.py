@@ -23,26 +23,36 @@ Methodology (fixed budget; no stopping rule references the target):
   budget elapses; nothing about when it stops depends on the values
   observed. The full window-rate distribution (p10/p50/p90/max) is
   reported, not just a best case.
-- In-run load probe. The shared 4-core host sees bursty tenant
+- In-run load probes. The shared 4-core host sees bursty tenant
   interference (4-10x swings within minutes). Each measurement window
-  is bracketed (before AND after) by timing single-threaded
-  libjpeg-turbo (via PIL) on the same asset; the per-window ratio
-  ours/turbo divides out the interference, so its median is a
-  load-immune figure of merit. BASELINE.md records turbo at ~162 MP/s
-  single-thread quiet on the round-2/3 host and 225-255 MP/s on the
-  round-4 host (faster hardware; ratios, not MP/s, compare across
-  rounds).
+  is bracketed (before AND after) by THREE probes: (a) single-threaded
+  libjpeg-turbo (via PIL) on the same asset — per-core availability;
+  (b) FOUR CONCURRENT turbo decodes (aggregate MP/s) — free-core
+  capacity. Round-5 A/B runs proved this is the dominant missed term:
+  multi-core tenant load collapses the 4-thread aggregate to 0.13-0.25x
+  its max while the single-thread probe stays at 0.65-0.85x, exactly
+  the windows where the 5-thread pipeline convoys (engine rate 4-10x
+  down, single-probe "quiet"); (c) a fixed 4 MB host->device put —
+  tunnel availability (the 1 MB put used through round 4 was
+  latency-dominated and noisier). The per-window ratio ours/turbo
+  divides out host interference, so its median is a load-immune figure
+  of merit. BASELINE.md records turbo at ~162 MP/s single-thread quiet
+  on the round-2/3 host and 225-255 MP/s on the round-4/5 host (faster
+  hardware; ratios, not MP/s, compare across rounds).
 - Quiet-window headline. The reported `value` is the median of our
-  windows whose bracketing turbo probes ran within 80% of the fastest
-  probe of the run AND whose bracketing device-transfer probes (a
-  fixed 1 MB host->device put — tunnel contention is invisible to the
-  host-CPU probe) ran within 50% of theirs. Both criteria reference
-  only PROBE rates — objective measures of host/tunnel availability
-  that never look at the engine's own numbers — so they cannot bias
-  the gate the way a target-conditioned stopping rule could. A probe
-  cannot run faster than its true quiet rate, so max-of-probes is a
-  lower-bound estimate of "quiet", and windows passing the filter are
-  ones where the engine actually had the host and the tunnel.
+  windows whose bracketing single-thread turbo probes ran within 80%
+  of the fastest probe of the run AND whose 4-thread aggregate probes
+  ran within 70% of theirs AND whose device-transfer probes ran within
+  60% of theirs (thresholds fixed up front; the parallel-probe 70% cut
+  separates cleanly from the measured tenant-load collapse to
+  0.13-0.25x, and the 4 MB put's lower variance allows 60% where the
+  old 1 MB put needed 50%). All criteria reference only PROBE rates —
+  objective measures of host/tunnel availability that never look at
+  the engine's own numbers — so they cannot bias the gate the way a
+  target-conditioned stopping rule could. A probe cannot run faster
+  than its true quiet rate, so max-of-probes is a lower-bound estimate
+  of "quiet", and windows passing the filter are ones where the engine
+  actually had the host cores and the tunnel.
 - Subprocess-chunked sweep (round-3 session-4 rework). The axon
   gRPC-tunnel device plugin used by this harness degrades host->device
   transfers ~7-10x permanently once a process has transferred ~1.8 GB
@@ -59,16 +69,22 @@ Methodology (fixed budget; no stopping rule references the target):
   persistent XLA compile cache makes child startup ~3-5 s.
 - All modes in one line. Progressive/lossless/arithmetic decode,
   encode (std + optimized + bufferless stream), and the optimizer are
-  measured after the sweep (in their own fresh children, same
-  bracketing discipline) and embedded under "modes" so the
-  driver-captured JSON carries the whole matrix, not just SOF0. Each
-  mode retries (bounded, probe-criterion only) until >= 3 quiet runs;
-  a mode with zero quiet runs reports quiet_p50 = null, never a
-  relabeled best (round-3 review fix). The "ref16" group adds the
-  reference benchmark's ACTUAL workload — ONE 4096x4096 ~16.8 MP q75
-  4:2:0 image (HETissueSlide tiled 2x2, DecoderBenchmark.cs:29-42) —
-  as single-image decode rows, with and without restart seams; the
-  no-restart row is the honest serial-entropy worst case.
+  measured in their own fresh children (same bracketing discipline)
+  and embedded under "modes" so the driver-captured JSON carries the
+  whole matrix, not just SOF0. Round-5 rework (review ask): mode
+  visits INTERLEAVE with the sweep chunks across the whole budget —
+  fixed-size visits (3 runs per mode) cycling the four groups between
+  chunks, so one loaded half-hour can no longer zero out a mode's
+  quiet evidence (round 4 had nine modes with n_quiet=0 from a single
+  tail block). A group stops being visited when every one of its
+  modes has >= 3 quiet runs against the running probe ceiling — a
+  probe-only criterion — or has hit the 21-run cap. A mode with zero
+  quiet runs still reports quiet_p50 = null, never a relabeled best.
+  The "ref16" group adds the reference benchmark's ACTUAL workload —
+  ONE 4096x4096 ~16.8 MP q75 4:2:0 image (HETissueSlide tiled 2x2,
+  DecoderBenchmark.cs:29-42) — as single-image decode rows, with and
+  without restart seams; the no-restart row is the honest
+  serial-entropy worst case.
 - Scaling-efficiency section ("scaling"): the BASELINE.json >= 80%
   frames/s gate, measured on an 8-virtual-CPU-device mesh (fixed
   batch, efficiency = T(1dev)/T(Ndev) = sharding overhead; all
@@ -120,18 +136,16 @@ VISITS_PER_CHUNK = 2
 # sparse-coefficient uploads at ~6 MB/image) per child process — fixed
 # up front, safely under the tunnel plugin's ~1.8 GB transfer cliff.
 
-MODE_RUNS = 7
-# Round-4 rework: a mode keeps running (bracketed, same discipline)
-# until at least MODE_QUIET_TARGET of its runs are quiet relative to
-# the group's own max probe, capped at MODE_RUNS_MAX attempts. Both
-# bounds are fixed up front and the retry criterion references only
-# PROBE rates (host availability), never the engine's numbers — the
-# round-3 capture had 0-3 quiet runs per mode under tenant load, far
-# too thin to substantiate (or refute) the interactive measurements.
+MODE_RUNS_VISIT = 3
+# Round-5 rework: modes run in fixed-size VISITS (3 bracketed runs per
+# mode per visit) interleaved between sweep chunks across the whole
+# budget. The parent keeps visiting a group while any of its modes has
+# fewer than MODE_QUIET_TARGET quiet runs against the running probe
+# ceiling (probe-only criterion) and fewer than MODE_RUNS_MAX total
+# runs. All bounds fixed up front; nothing references the engine's
+# own numbers.
 MODE_QUIET_TARGET = 3
 MODE_RUNS_MAX = 21
-
-_probe_ceiling = 0.0  # set by mode_chunk from the sweep's capture
 
 SCALING_DEVICES = (1, 2, 4, 8)
 SCALING_REPS = 7
@@ -159,6 +173,32 @@ def _turbo_probe(data, mp):
         img.load()
         best = max(best, mp / (time.perf_counter() - t0))
     return best
+
+
+_PAR_POOL = None
+
+
+def _par_turbo_probe(data, mp):
+    # Aggregate MP/s of FOUR CONCURRENT single-thread turbo decodes:
+    # free-core capacity. The round-5 A/B runs showed multi-core
+    # tenant load collapses this to 0.13-0.25x its max while the
+    # 1-thread probe stays "quiet" at 0.65-0.85x — exactly the windows
+    # where the multithreaded pipeline convoys. PIL releases the GIL
+    # in the decode, so 4 threads genuinely occupy 4 cores.
+    global _PAR_POOL
+    if _PAR_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _PAR_POOL = ThreadPoolExecutor(max_workers=4)
+    from PIL import Image
+
+    def one(_):
+        img = Image.open(io.BytesIO(data))
+        img.load()
+
+    t0 = time.perf_counter()
+    list(_PAR_POOL.map(one, range(4)))
+    return 4 * mp / (time.perf_counter() - t0)
 
 
 def _peak_rss_mb():
@@ -193,21 +233,23 @@ def sweep_chunk(work_dir: str) -> None:
     ]
     data = variants[0]
 
-    # Device-availability probe: a fixed 1 MB host->device transfer,
+    # Device-availability probe: a fixed 4 MB host->device transfer,
     # best-of-2, in MB/s. The tunnel to the chip is a shared resource
-    # the host-CPU turbo probe cannot see (tenant device traffic slows
-    # our uploads while leaving libjpeg-turbo untouched). Like the
-    # turbo probe, this is a standard-runtime operation that never
-    # references the engine's own numbers; max-of-probes is a
-    # lower-bound estimate of "tunnel quiet".
-    probe_buf = np.arange(1 << 20, dtype=np.uint8)
+    # the host-CPU probes cannot see (tenant device traffic slows our
+    # uploads while leaving libjpeg-turbo untouched). 4 MB approximates
+    # one image's actual payload (the 1 MB put used through round 4 was
+    # RPC-latency-dominated and ~2x noisier). Like the turbo probe,
+    # this is a standard-runtime operation that never references the
+    # engine's own numbers; max-of-probes is a lower-bound estimate of
+    # "tunnel quiet".
+    probe_buf = np.arange(4 << 20, dtype=np.uint8)
 
     def dev_probe():
         best = 0.0
         for _ in range(2):
             t0 = time.perf_counter()
             jax.block_until_ready(jax.device_put(probe_buf))
-            best = max(best, 1.0 / (time.perf_counter() - t0))
+            best = max(best, 4.0 / (time.perf_counter() - t0))
         return best
 
     # Warm: one pass per shape compiles exactly the grouped device
@@ -220,6 +262,7 @@ def sweep_chunk(work_dir: str) -> None:
         ):
             pass
     _turbo_probe(data, mp)
+    _par_turbo_probe(data, mp)
     dev_probe()
 
     windows = {i: [] for i in range(len(SHAPES))}
@@ -227,6 +270,7 @@ def sweep_chunk(work_dir: str) -> None:
         for si, (workers, dev_workers, group) in enumerate(SHAPES):
             for _ in range(WINDOWS_PER_VISIT):
                 turbo_before = _turbo_probe(data, mp)
+                par_before = _par_turbo_probe(data, mp)
                 dev_before = dev_probe()
                 batch = variants * WINDOW_REPEAT
                 t0 = time.perf_counter()
@@ -239,15 +283,17 @@ def sweep_chunk(work_dir: str) -> None:
                     pass
                 ours_mps = mp * len(batch) / (time.perf_counter() - t0)
                 turbo_after = _turbo_probe(data, mp)
+                par_after = _par_turbo_probe(data, mp)
                 dev_after = dev_probe()
                 # min of the bracketing probes = conservative "the host
-                # (resp. tunnel) was at least this available during the
-                # window".
+                # (resp. cores / tunnel) was at least this available
+                # during the window".
                 windows[si].append(
                     (
                         round(ours_mps, 3),
                         round(min(turbo_before, turbo_after), 3),
                         round(min(dev_before, dev_after), 3),
+                        round(min(par_before, par_after), 3),
                     )
                 )
     _emit(
@@ -263,57 +309,49 @@ def sweep_chunk(work_dir: str) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _mode_runs(name_fn_mp, data, asset_mp):
-    """Bracketed runs for each (name, fn, megapixels): returns raw
-    (rate, probe_min, probe_max) tuples; the parent applies the global
-    quiet scale.
-
-    Each mode runs MODE_RUNS times, then keeps retrying (up to
-    MODE_RUNS_MAX) while fewer than MODE_QUIET_TARGET runs are quiet
-    against the group's running max probe — a probe-only criterion, so
-    the stopping rule never references the engine's own numbers."""
+def _mode_runs(name_fn_mp, data, asset_mp, n_runs):
+    """One fixed-size VISIT: exactly ``n_runs`` bracketed runs per
+    (name, fn, megapixels). Returns raw (rate, turbo_min, turbo_max,
+    par_min, par_max) tuples; the PARENT accumulates visits across the
+    budget, decides (probe-criterion only) whether a group needs more,
+    and applies the global quiet scale at the end — so a loaded
+    half-hour cannot zero out a mode (round-4 capture had nine modes
+    with n_quiet=0 from a single tail block). The parallel 4-thread
+    probe brackets every run too: mode engines are multithreaded, so
+    free-core capacity is the availability signal that matters."""
     out = {}
-    # Seed with the sweep's observed probe ceiling (passed via
-    # probe_ceiling.json) so "quiet" means the same thing the parent's
-    # final gate applies — a uniformly loaded group otherwise
-    # self-certifies against its own depressed local max and stops
-    # retrying too early (observed: 7 runs, 0 globally-quiet).
-    probe_max = _probe_ceiling
     for name, fn, megapixels in name_fn_mp:
         fn()  # warm
         runs = []
-        while len(runs) < MODE_RUNS_MAX:
+        for _ in range(n_runs):
             before = _turbo_probe(data, asset_mp)
+            par_before = _par_turbo_probe(data, asset_mp)
             t0 = time.perf_counter()
             fn()
             rate = megapixels / (time.perf_counter() - t0)
             after = _turbo_probe(data, asset_mp)
-            probe_max = max(probe_max, before, after)
+            par_after = _par_turbo_probe(data, asset_mp)
             runs.append(
-                (round(rate, 3), round(min(before, after), 3), round(max(before, after), 3))
+                (
+                    round(rate, 3),
+                    round(min(before, after), 3),
+                    round(max(before, after), 3),
+                    round(min(par_before, par_after), 3),
+                    round(max(par_before, par_after), 3),
+                )
             )
-            if len(runs) >= MODE_RUNS:
-                n_quiet = sum(1 for _, pmin, _ in runs if pmin >= 0.8 * probe_max)
-                if n_quiet >= MODE_QUIET_TARGET:
-                    break
         out[name] = runs
     return out
 
 
-def mode_chunk(work_dir: str, group: str) -> None:
+def mode_chunk(work_dir: str, group: str, only: str = "",
+               n_runs: int = MODE_RUNS_VISIT) -> None:
     sys.path.insert(0, "/root/repo")
     import jpeglibrary_tpu as jt
 
     meta = json.load(open(os.path.join(work_dir, "meta.json")))
     mp = meta["mp"]
     data = open(os.path.join(work_dir, "v0.jpg"), "rb").read()
-    global _probe_ceiling
-    try:
-        _probe_ceiling = json.load(
-            open(os.path.join(work_dir, "probe_ceiling.json"))
-        )["turbo_max"] * 1.0
-    except OSError:
-        _probe_ceiling = 0.0
 
     if group == "encode":
         import numpy as np
@@ -419,7 +457,10 @@ def mode_chunk(work_dir: str, group: str) -> None:
     else:
         raise SystemExit(f"unknown mode group {group}")
 
-    _emit({"modes": _mode_runs(specs, data, mp), "peak_rss_mb": _peak_rss_mb()})
+    if only:
+        keep = set(only.split(","))
+        specs = [sp for sp in specs if sp[0] in keep]
+    _emit({"modes": _mode_runs(specs, data, mp, n_runs), "peak_rss_mb": _peak_rss_mb()})
 
 
 # ---------------------------------------------------------------------------
@@ -733,13 +774,78 @@ def main() -> None:
     # Mode children parallelize INTERNALLY (restart spans / scan
     # chains), so the sweep's 1-thread override must not leak to them.
 
-    # Fixed-budget sweep over fresh child processes. The deadline is
-    # wall-clock from here; a chunk is launched only while time
-    # remains, and at least one always runs so smoke budgets still
+    # Fixed-budget sweep over fresh child processes, with fixed-size
+    # mode-group VISITS interleaved between chunks (round-5 review ask:
+    # a loaded tail block zeroed out nine modes' quiet evidence in the
+    # round-4 capture; spreading visits across the budget makes that
+    # structurally impossible). A group is revisited while any of its
+    # modes has < MODE_QUIET_TARGET quiet runs against the RUNNING
+    # probe ceilings (probe-only criterion) and < MODE_RUNS_MAX runs.
+    # The deadline is wall-clock from here; at least one sweep chunk
+    # and one visit per group always run so smoke budgets still
     # produce a full JSON.
     windows = {shape: [] for shape in SHAPES}
     peaks = [_peak_rss_mb()]
     n_chunks = n_failed = 0
+    raw_modes = {}
+    mode_groups = ["encode", "decode", "thumbnail", "ref16"]
+    group_of = {}
+    visits = {g: 0 for g in mode_groups}
+    gi = 0
+
+    def running_ceilings():
+        turbo = max(
+            [0.0]
+            + [t for shape in SHAPES for (o, t, d, pr) in windows[shape]]
+            + [tmax for runs in raw_modes.values() for (_, _, tmax, _, _) in runs]
+        )
+        par = max(
+            [0.0]
+            + [pr for shape in SHAPES for (o, t, d, pr) in windows[shape]]
+            + [pmax for runs in raw_modes.values() for (_, _, _, _, pmax) in runs]
+        )
+        return turbo, par
+
+    def unsatisfied_modes(g):
+        names = [n for n, gg in group_of.items() if gg == g]
+        if not names:
+            return None  # group never ran: visit it whole
+        turbo_c, par_c = running_ceilings()
+        todo = []
+        for n in names:
+            runs = raw_modes.get(n, [])
+            if len(runs) >= MODE_RUNS_MAX:
+                continue
+            n_quiet = sum(
+                1
+                for (_, tmin, _, pmin, _) in runs
+                if tmin >= 0.8 * turbo_c and pmin >= 0.7 * par_c
+            )
+            if n_quiet < MODE_QUIET_TARGET:
+                todo.append(n)
+        return todo
+
+    def group_satisfied(g):
+        todo = unsatisfied_modes(g)
+        if todo is None:
+            return visits[g] > 0  # failed visit: don't spin on it
+        return not todo
+
+    def visit_group(g):
+        nonlocal gi
+        todo = unsatisfied_modes(g)
+        args = ["--mode-chunk", work_dir, g]
+        if todo:  # revisit: only the modes still short of quiet runs
+            args.append(",".join(todo))
+        res = _run_child(args, mode_env)
+        visits[g] += 1
+        if res is None:
+            return
+        for name, runs in res["modes"].items():
+            group_of[name] = g
+            raw_modes.setdefault(name, []).extend(tuple(r) for r in runs)
+        peaks.append(res.get("peak_rss_mb", 0.0))
+
     deadline = time.perf_counter() + SWEEP_BUDGET_S
     while n_chunks == 0 or time.perf_counter() < deadline - 10.0:
         res = _run_child(["--sweep-chunk", work_dir], sweep_env)
@@ -752,32 +858,61 @@ def main() -> None:
         for si, shape in enumerate(SHAPES):
             windows[shape].extend(tuple(w) for w in res["windows"][str(si)])
         peaks.append(res.get("peak_rss_mb", 0.0))
+        if time.perf_counter() >= deadline - 10.0:
+            break
+        # One mode visit between chunks: next unsatisfied group.
+        for _ in range(len(mode_groups)):
+            g = mode_groups[gi % len(mode_groups)]
+            gi += 1
+            if not group_satisfied(g):
+                visit_group(g)
+                break
+    # Guarantee every group at least one visit, then bounded catch-up
+    # for unsatisfied groups (caps fixed up front: MODE_RUNS_MAX runs
+    # per mode AND at most 0.5x the sweep budget of extra wall time —
+    # catch-up must not silently double the bench's footprint).
+    for g in mode_groups:
+        if visits[g] == 0:
+            visit_group(g)
+    catchup_deadline = time.perf_counter() + 0.5 * SWEEP_BUDGET_S
+    for _ in range(len(mode_groups) * (MODE_RUNS_MAX // MODE_RUNS_VISIT)):
+        if time.perf_counter() >= catchup_deadline:
+            break
+        todo = [g for g in mode_groups if not group_satisfied(g)]
+        if not todo:
+            break
+        visit_group(todo[0])
 
-    all_ours = sorted(o for shape in SHAPES for (o, t, d) in windows[shape])
-    all_ratio = sorted(o / t for shape in SHAPES for (o, t, d) in windows[shape])
+    all_ours = sorted(o for shape in SHAPES for (o, t, d, pr) in windows[shape])
+    all_ratio = sorted(o / t for shape in SHAPES for (o, t, d, pr) in windows[shape])
 
     # Quiet-window selection. The criteria are the PROBES' rates —
-    # objective measures of host / tunnel availability that do not
-    # reference the engine's own numbers, so the selection cannot bias
-    # the gate: a window is quiet when (a) single-threaded
+    # objective measures of host / core / tunnel availability that do
+    # not reference the engine's own numbers, so the selection cannot
+    # bias the gate: a window is quiet when (a) single-threaded
     # libjpeg-turbo ran within 80% of the fastest probe seen this run
     # (turbo cannot exceed its true quiet rate, so max-of-probes is a
-    # lower-bound estimate of it), AND (b) the fixed 1 MB host->device
-    # transfer probe ran within 50% of its run max (device-tunnel
-    # contention is invisible to the host-CPU probe; its variance is
-    # higher so the threshold is looser — both thresholds fixed up
-    # front, value-independent).
+    # lower-bound estimate of it), AND (b) the 4-thread aggregate
+    # turbo probe ran within 70% of its run max (multi-core tenant
+    # load — the round-5 A/B's dominant missed term — collapses it to
+    # 0.13-0.25x while (a) stays "quiet"), AND (c) the fixed 4 MB
+    # host->device transfer probe ran within 60% of its run max
+    # (device-tunnel contention is invisible to the host-CPU probes).
+    # All thresholds fixed up front, value-independent.
     turbo_max = max(
-        (t for shape in SHAPES for (o, t, d) in windows[shape]), default=1.0
+        (t for shape in SHAPES for (o, t, d, pr) in windows[shape]), default=1.0
     )
     dev_max = max(
-        (d for shape in SHAPES for (o, t, d) in windows[shape]), default=1.0
+        (d for shape in SHAPES for (o, t, d, pr) in windows[shape]), default=1.0
+    )
+    par_max = max(
+        (pr for shape in SHAPES for (o, t, d, pr) in windows[shape]), default=1.0
     )
     quiet = {
         shape: [
             o
-            for (o, t, d) in windows[shape]
-            if t >= 0.8 * turbo_max and d >= 0.5 * dev_max
+            for (o, t, d, pr) in windows[shape]
+            if t >= 0.8 * turbo_max and pr >= 0.7 * par_max and d >= 0.6 * dev_max
         ]
         for shape in SHAPES
     }
@@ -793,26 +928,12 @@ def main() -> None:
         # Degenerate run (no shape has a quiet window): fall back to the
         # best shape by median load-immune ratio.
         def shape_median_ratio(shape):
-            rs = sorted(o / t for (o, t, d) in windows[shape])
+            rs = sorted(o / t for (o, t, d, pr) in windows[shape])
             return rs[len(rs) // 2] if rs else 0.0
 
         best_shape = max(SHAPES, key=shape_median_ratio)
-        value = _pct(sorted(o for (o, t, d) in windows[best_shape]), 0.5)
-    best_ratio = sorted(o / t for (o, t, d) in windows[best_shape])
-
-    json.dump(
-        {"turbo_max": turbo_max},
-        open(os.path.join(work_dir, "probe_ceiling.json"), "w"),
-    )
-
-    # ---- per-mode matrix (fresh children; all numbers in the JSON) ----
-    raw_modes = {}
-    for group in ("encode", "decode", "thumbnail", "ref16"):
-        res = _run_child(["--mode-chunk", work_dir, group], mode_env)
-        if res is None:
-            continue
-        raw_modes.update(res["modes"])
-        peaks.append(res.get("peak_rss_mb", 0.0))
+        value = _pct(sorted(o for (o, t, d, pr) in windows[best_shape]), 0.5)
+    best_ratio = sorted(o / t for (o, t, d, pr) in windows[best_shape])
 
     # ---- scaling-efficiency harness (virtual CPU mesh; own child) ----
     scaling = None
@@ -827,16 +948,24 @@ def main() -> None:
         scaling = res["scaling"]
         peaks.append(res.get("peak_rss_mb", 0.0))
 
-    # Global availability scale: max probe seen anywhere this run
+    # Global availability scales: max probes seen anywhere this run
     # (sweep windows store min-of-bracket; modes report their max too).
     scale = max(
         [turbo_max]
-        + [pmax for runs in raw_modes.values() for (_, _, pmax) in runs]
+        + [tmax for runs in raw_modes.values() for (_, _, tmax, _, _) in runs]
+    )
+    par_scale = max(
+        [par_max]
+        + [pmax for runs in raw_modes.values() for (_, _, _, _, pmax) in runs]
     )
     modes = {}
     for name, runs in raw_modes.items():
-        rates = sorted(r for r, _, _ in runs)
-        quiet_rates = sorted(r for r, pmin, _ in runs if pmin >= 0.8 * scale)
+        rates = sorted(r for r, _, _, _, _ in runs)
+        quiet_rates = sorted(
+            r
+            for r, tmin, _, pmin, _ in runs
+            if tmin >= 0.8 * scale and pmin >= 0.7 * par_scale
+        )
         modes[name] = {
             "p50": round(rates[len(rates) // 2], 2),
             "best": round(rates[-1], 2),
@@ -863,11 +992,15 @@ def main() -> None:
             "p90": round(_pct(all_ours, 0.9), 3),
             "max": round(all_ours[-1] if all_ours else 0.0, 3),
             "turbo_mps_p50": round(
-                _pct(sorted(t for s in SHAPES for (_, t, _d) in windows[s]), 0.5), 3
+                _pct(sorted(t for s in SHAPES for (_, t, _d, _p) in windows[s]), 0.5), 3
             ),
             "turbo_mps_max": round(turbo_max, 3),
+            "turbo_par_p50": round(
+                _pct(sorted(p for s in SHAPES for (_, _t, _d, p) in windows[s]), 0.5), 3
+            ),
+            "turbo_par_max": round(par_max, 3),
             "dev_probe_p50": round(
-                _pct(sorted(d for s in SHAPES for (_, _t, d) in windows[s]), 0.5), 3
+                _pct(sorted(d for s in SHAPES for (_, _t, d, _p) in windows[s]), 0.5), 3
             ),
             "dev_probe_max": round(dev_max, 3),
             "n_windows": len(all_ours),
@@ -900,7 +1033,8 @@ if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--sweep-chunk":
         sweep_chunk(sys.argv[2])
     elif len(sys.argv) >= 4 and sys.argv[1] == "--mode-chunk":
-        mode_chunk(sys.argv[2], sys.argv[3])
+        mode_chunk(sys.argv[2], sys.argv[3],
+                   sys.argv[4] if len(sys.argv) > 4 else "")
     elif len(sys.argv) >= 3 and sys.argv[1] == "--scaling-chunk":
         scaling_chunk(sys.argv[2])
     else:
