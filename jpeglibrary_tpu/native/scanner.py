@@ -1686,6 +1686,90 @@ def encode_rgb_scan(
     return memoryview(out)[: int(written)].toreadonly()
 
 
+class RgbBandEncoder:
+    """Streaming twin of :func:`encode_rgb_scan`: encode an RGB image
+    band-at-a-time (jpx_encode_rgb_band) with the DC predictors and the
+    partial-byte bit remainder carried across bands, producing scan
+    bytes byte-identical to the whole-image fused encode. Bands must be
+    multiples of 8*max_v rows except the last; no restart intervals
+    (the staged streaming path keeps those — segments are byte-aligned
+    and need no carry)."""
+
+    def __init__(self, max_h: int, max_v: int, quants, tables):
+        from ..ops import color as color_ops
+        from ..ops.zigzag import ZIGZAG_TO_BLOCK
+
+        self._lib = build.load_library()
+        self.max_h = max_h
+        self.max_v = max_v
+        self._qs = [np.ascontiguousarray(q, dtype=np.float32) for q in quants]
+        self._zz = np.ascontiguousarray(ZIGZAG_TO_BLOCK, dtype=np.uint8)
+        self._consts = (ctypes.c_int32 * 8)(
+            color_ops._Y_R, color_ops._Y_G, color_ops._Y_B,
+            color_ops._CB_R, color_ops._CB_G, color_ops._CB_B,
+            color_ops._CR_G, color_ops._CR_B,
+        )
+        self._dc_codes = (ctypes.c_void_p * 3)()
+        self._dc_sizes = (ctypes.c_void_p * 3)()
+        self._ac_codes = (ctypes.c_void_p * 3)()
+        self._ac_sizes = (ctypes.c_void_p * 3)()
+        self._keepalive = []
+        for i, (dc, ac) in enumerate(tables):
+            dcc = np.ascontiguousarray(dc.codes, dtype=np.uint16)
+            dcs = np.ascontiguousarray(dc.sizes, dtype=np.uint8)
+            acc = np.ascontiguousarray(ac.codes, dtype=np.uint16)
+            acs = np.ascontiguousarray(ac.sizes, dtype=np.uint8)
+            self._keepalive += [dcc, dcs, acc, acs]
+            self._dc_codes[i] = dcc.ctypes.data_as(ctypes.c_void_p).value
+            self._dc_sizes[i] = dcs.ctypes.data_as(ctypes.c_void_p).value
+            self._ac_codes[i] = acc.ctypes.data_as(ctypes.c_void_p).value
+            self._ac_sizes[i] = acs.ctypes.data_as(ctypes.c_void_p).value
+        self._state = np.zeros(6, dtype=np.int64)
+
+    def encode_band(self, rgb_band: np.ndarray, *, is_last: bool):
+        """Encode one band of whole MCU rows (the last band may be
+        partial); returns the band's stuffed scan bytes."""
+        rgb_band = np.ascontiguousarray(rgb_band, dtype=np.uint8)
+        h, w = rgb_band.shape[:2]
+        mcl = -(-w // (8 * self.max_h))
+        mcc = -(-h // (8 * self.max_v))
+        bpm = self.max_h * self.max_v + 2
+        # Optimistic output capacity (raw band bytes; compressed bands
+        # are far smaller for natural content): on -1 retry at the
+        # worst case with the carried state restored, so the steady
+        # working set stays O(band).
+        caps = (h * w * 3 + 65536, mcl * mcc * bpm * 512 + 1024)
+        for attempt, cap in enumerate(caps):
+            saved = self._state.copy()
+            out = np.empty(cap, dtype=np.uint8)
+            written = self._lib.jpx_encode_rgb_band(
+                rgb_band.ctypes.data_as(ctypes.c_void_p), h, w,
+                self.max_h, self.max_v,
+                self._qs[0].ctypes.data_as(ctypes.c_void_p),
+                self._qs[1].ctypes.data_as(ctypes.c_void_p),
+                self._qs[2].ctypes.data_as(ctypes.c_void_p),
+                self._zz.ctypes.data_as(ctypes.c_void_p), self._consts,
+                self._dc_codes, self._dc_sizes,
+                self._ac_codes, self._ac_sizes,
+                self._state.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                1 if is_last else 0,
+                out.ctypes.data_as(ctypes.c_void_p), cap,
+                0,
+            )
+            if written != -1:
+                break
+            self._state[:] = saved
+        if written == -2:
+            from ..models.encoder import JpegEncodeError
+
+            raise JpegEncodeError(
+                "Huffman table has no code for an emitted symbol."
+            )
+        if written < 0:
+            raise RuntimeError("native band encode capacity exceeded")
+        return memoryview(out)[: int(written)].toreadonly()
+
+
 def encode_cmyk_scan(
     ink: np.ndarray,
     max_h: int,

@@ -91,11 +91,18 @@ def test_stream_bounded_memory():
         # Synthesize smooth rows on the fly; nothing image-sized ever
         # exists (smooth so the compressed OUTPUT — which any encoder
         # must hold — stays small and the measurement isolates the
-        # pipeline's working memory).
-        rows = np.arange(y0, y1, dtype=np.uint32)[:, None, None]
-        cols = np.arange(w, dtype=np.uint32)[None, :, None]
-        ch = np.arange(3, dtype=np.uint32)[None, None, :]
-        return (((rows + cols) // 32 + ch * 40) % 256).astype(np.uint8)
+        # pipeline's working memory). Lean temporaries: (rows+cols)//32
+        # <= 255 for w, h <= 4096, so uint16 math + uint8 wraparound
+        # reproduce the old uint32 formula without band-sized uint32
+        # intermediates (the reader's own allocations would otherwise
+        # dominate the measurement at larger default bands).
+        rows = np.arange(y0, y1, dtype=np.uint16)[:, None]
+        cols = np.arange(w, dtype=np.uint16)[None, :]
+        base = ((rows + cols) // 32).astype(np.uint8)
+        out = np.empty((y1 - y0, w, 3), np.uint8)
+        for c in range(3):
+            out[..., c] = base + np.uint8(40 * c)
+        return out
 
     tracemalloc.start()
     tracemalloc.reset_peak()
@@ -112,3 +119,58 @@ def test_stream_bounded_memory():
     got = out.to_rgb8()[:64].astype(np.int16)
     want = reader(0, 64).astype(np.int16)
     assert np.mean(np.abs(got - want)) < 6.0
+
+
+def test_rgb_stream_fused_band_path_identity():
+    """The fused band path (jpx_encode_rgb_band: one native call per
+    MCU-row band, DC predictors + bit-register remainder carried
+    across bands) must be byte-identical to the buffered fused encode
+    for every subsampling, across band sizes that exercise both the
+    single-chunk and the multi-chunk (threaded) band internals —
+    including the multi-chunk carry hand-off (a race found in round 5:
+    the outgoing predictor state was published by the last chunk while
+    the first chunk was still reading the incoming one)."""
+    import os
+
+    import numpy as np
+
+    from jpeglibrary_tpu.models.encoder import encode_rgb, encode_rgb_stream
+
+    rng = np.random.default_rng(23)
+    h, w = 530, 517
+    rgb = np.clip(
+        np.linspace(0, 255, w)[None, :, None] + rng.normal(0, 30, (h, w, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    for sub in ("420", "422", "444"):
+        ref = encode_rgb(rgb, 75, subsampling=sub)
+        for rows in ("1", "2", "32"):
+            os.environ["JPX_ENCODE_STRIPE_MCU_ROWS"] = rows
+            try:
+                got = encode_rgb_stream(
+                    lambda y0, y1: rgb[y0:y1], w, h, 75, subsampling=sub
+                )
+            finally:
+                del os.environ["JPX_ENCODE_STRIPE_MCU_ROWS"]
+            assert got == ref, (sub, rows)
+
+
+def test_rgb_stream_fused_multichunk_carry():
+    """Many small bands with threaded chunks inside each: the carry
+    chain (predictors + remainder bits) across >= 16 band boundaries."""
+    import numpy as np
+
+    from jpeglibrary_tpu.models.encoder import encode_rgb, encode_rgb_stream
+
+    rng = np.random.default_rng(29)
+    h, w = 16 * 18, 2048  # wide bands -> multi-chunk threading engages
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    ref = encode_rgb(rgb, 85)
+    import os
+
+    os.environ["JPX_ENCODE_STRIPE_MCU_ROWS"] = "1"  # 18 bands
+    try:
+        got = encode_rgb_stream(lambda y0, y1: rgb[y0:y1], w, h, 85)
+    finally:
+        del os.environ["JPX_ENCODE_STRIPE_MCU_ROWS"]
+    assert got == ref
