@@ -350,18 +350,17 @@ def _region_banded(
             resolved = resolve_scan_components(frame, sh)
         except Exception:
             return None
-        if len(resolved) > 1 or (
-            not progressive and len(frame.components) == 1
-        ):
-            # Interleaved walk on the frame MCU grid (a sequential
-            # single-component frame's grid IS the component grid).
+        if len(resolved) > 1 or not progressive:
+            # Frame-MCU-grid walk. Sequential scans ALWAYS walk the
+            # frame grid — including non-interleaved (Ns=1) scans of a
+            # multi-component frame, which the reference decodes with
+            # the same interleaved walk restricted to the scan's
+            # component (JpegArithmeticSequentialScanDecoder.cs:85-140
+            # uses the frame's _mcusPerLine with the component's full
+            # h x v blocks per MCU; the native walker mirrors it).
             if progressive and sh.start_of_spectral_selection != 0:
                 return None  # invalid stream; full decode raises
             grids.append((sh, ri_s, scan, mpl, mpl * mpc, None, mpc))
-        elif not progressive:
-            # Sequential non-interleaved scan of a multi-component
-            # frame: the native wrapper walks the frame grid only.
-            return None
         else:
             ci = resolved[0][0]
             cg = geo.components[ci]

@@ -346,3 +346,79 @@ def test_banded_fast_path_dri_change_before_refinement(rgb, arithmetic):
         assert np.array_equal(tile, full[y : y + h, x : x + w]), (
             arithmetic, x, y, w, h,
         )
+
+
+def _spliced_sof9_noninterleaved(rng, ri=40):
+    """A valid SOF9 stream with THREE NON-interleaved sequential scans
+    (one per 1x1 component), assembled from three grayscale SOF9
+    encodes of the planes: at 1x1 sampling a grayscale scan's
+    frame-MCU walk is identical to the non-interleaved scan's walk in
+    the merged frame (the reference decodes Ns=1 sequential scans with
+    the frame-grid walk, JpegArithmeticSequentialScanDecoder.cs:85-140),
+    so the scan bodies byte-transplant with only the SOS component
+    selector patched."""
+    from jpeglibrary_tpu.io.reader import parse_stream
+    from jpeglibrary_tpu.syntax.markers import Marker
+
+    h, w = 96, 160
+    planes = [
+        np.clip(
+            np.linspace(0, 255, w)[None, :] + rng.normal(0, 25, (h, w)),
+            0, 255,
+        ).astype(np.uint8)
+        for _ in range(3)
+    ]
+    grays = [
+        jt.encode_gray(p, 80, arithmetic=True, restart_interval=ri)
+        for p in planes
+    ]
+
+    def seg_bytes(data, marker):
+        for seg in parse_stream(data).segments:
+            if seg.marker == marker:
+                return data[seg.offset : seg.offset + 4 + len(seg.payload(data))]
+        return b""
+
+    sof = bytearray(
+        [0xFF, 0xC9, 0, 17, 8, h >> 8, h & 255, w >> 8, w & 255, 3,
+         1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    parts = [
+        b"\xff\xd8",
+        seg_bytes(grays[0], Marker.DQT),
+        seg_bytes(grays[0], Marker.DAC),
+        bytes(sof),
+        seg_bytes(grays[0], Marker.DRI),
+    ]
+    for ci, g in enumerate(grays):
+        st = parse_stream(g)
+        sos = next(seg for seg in st.segments if seg.marker == Marker.SOS)
+        body = bytearray(g[sos.offset : g.rfind(b"\xff\xd9")])
+        assert body[4] == 1  # Ns
+        body[5] = ci + 1  # component selector
+        parts.append(bytes(body))
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)
+
+
+def test_sof9_noninterleaved_scans_native_and_region(rng):
+    """Non-interleaved sequential arithmetic scans (round-4 review ask
+    #6): the native walker must match the pure-Python decoder bit-exact
+    and the banded region fast path must engage and equal the
+    full-decode crop."""
+    from jpeglibrary_tpu.models.decoder import JpegDecoder
+
+    spliced = _spliced_sof9_noninterleaved(rng)
+    d1 = JpegDecoder(); d1.set_input(spliced)
+    r_native = d1.decode(use_native=True)
+    d2 = JpegDecoder(); d2.set_input(spliced)
+    r_python = d2.decode(use_native=False)
+    for c in range(3):
+        assert np.array_equal(
+            r_native.coefficients[c], r_python.coefficients[c]
+        ), c
+    full = r_native.to_rgb8()
+    assert _fast(spliced, 24, 16, 64, 48) is not None
+    for (x, y, w, h) in [(24, 16, 64, 48), (0, 0, 16, 16), (130, 70, 30, 26)]:
+        tile = jt.decode_region(spliced, x, y, w, h)
+        assert np.array_equal(tile, full[y : y + h, x : x + w]), (x, y, w, h)
