@@ -399,6 +399,33 @@ def _assemble_v2_payload(dc, cnt, pos, val, exc, nb, n_ac, n_exc,
     return payload
 
 
+def v2_payload_bn(payload: np.ndarray, nb: int) -> int:
+    """AC bucket size of an assembled v2 payload (K = 3*NB + 17*Bn/8)."""
+    return (payload.shape[0] - 3 * nb) * 8 // 17
+
+
+def rebucket_v2_payload(payload: np.ndarray, nb: int, bn_new: int) -> np.ndarray:
+    """Re-assemble a v2 payload at a LARGER AC bucket (multi-image
+    batching pads every image to one shared width; unlike naive
+    zero-padding, the stream offsets must move with Bn). Zero padding
+    in every stream is a no-op on device (counts 0 / scatter-add 0)."""
+    bn = v2_payload_bn(payload, nb)
+    if bn_new == bn:
+        return payload
+    assert bn_new > bn and bn_new % 1024 == 0
+    be, be_new = bn // 64, bn_new // 64
+    out = np.zeros(3 * nb + 2 * bn_new + 8 * be_new, dtype=np.uint8)
+    out[: 3 * nb] = payload[: 3 * nb]
+    out[3 * nb : 3 * nb + bn] = payload[3 * nb : 3 * nb + bn]
+    out[3 * nb + bn_new : 3 * nb + bn_new + bn] = payload[
+        3 * nb + bn : 3 * nb + 2 * bn
+    ]
+    out[3 * nb + 2 * bn_new : 3 * nb + 2 * bn_new + 8 * be] = payload[
+        3 * nb + 2 * bn :
+    ]
+    return out
+
+
 def _frame_from_info(info, quants):
     """Frame/geometry/quant/adobe from the walk-filled info/quants
     (shared by the v1 and v2 fused wrappers)."""

@@ -106,6 +106,54 @@ def decode_batch_rgb_global(datas: Sequence[bytes], *, scan_workers=None):
     geometry = results[0].geometry
     if any(r.geometry != geometry for r in results[1:]):
         raise ValueError("decode_batch_rgb_global needs one shared geometry")
+    quants = _stacked_quants(results, geometry)
+
+    if all(r.packed_mcu2 is not None for r in results):
+        # v2 split-stream wire (0.4-0.6x the v1 bytes — the shard
+        # transfer is each process's dominant device cost): agree on
+        # one AC bucket via the same one-int allgather, re-bucket the
+        # local payloads to it (stream offsets move with Bn), and run
+        # the vmapped v2 transform SPMD over the global mesh.
+        bpm = sum(c.h * c.v for c in geometry.components)
+        nb = geometry.mcus_per_line * geometry.mcus_per_column * bpm
+        bns = [
+            native_scanner.v2_payload_bn(r.packed_mcu2, nb) for r in results
+        ]
+        bn = int(
+            multihost_utils.process_allgather(
+                np.asarray([max(bns)], dtype=np.int64)
+            ).max()
+        )
+        padded = np.stack(
+            [
+                native_scanner.rebucket_v2_payload(r.packed_mcu2, nb, bn)
+                for r in results
+            ]
+        )
+        width = padded.shape[1]
+        sh = NamedSharding(mesh, P("data"))
+        base = block.start
+
+        def payload2_cb(idx):
+            rows = idx[0].indices(n)
+            return padded[rows[0] - base : rows[1] - base][
+                (slice(None),) + tuple(idx[1:])
+            ]
+
+        def quants2_cb(idx):
+            rows = idx[0].indices(n)
+            return quants[rows[0] - base : rows[1] - base][
+                (slice(None),) + tuple(idx[1:])
+            ]
+
+        from .batch import _batched_mcu_transform2
+
+        payload = jax.make_array_from_callback((n, width), sh, payload2_cb)
+        qglob = jax.make_array_from_callback(
+            (n,) + quants.shape[1:], sh, quants2_cb
+        )
+        return _batched_mcu_transform2(geometry, 8)(payload, qglob)
+
     packs = [
         native_scanner.pack_sparse(
             [r.coefficients[c.component_index] for c in geometry.components]
@@ -121,7 +169,6 @@ def decode_batch_rgb_global(datas: Sequence[bytes], *, scan_workers=None):
     padded = np.zeros((len(packs), width), dtype=np.int16)
     for j, p in enumerate(packs):
         padded[j, : p.shape[0]] = p
-    quants = _stacked_quants(results, geometry)
 
     sh = NamedSharding(mesh, P("data"))
     base = block.start

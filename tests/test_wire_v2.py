@@ -175,3 +175,34 @@ def test_fuzz_differential(rng, rgb):
         q = [60, 75, 90, 97][i % 4]
         data = jt.encode_rgb(img, q, subsampling=sub, restart_interval=ri)
         _check_payload_pair(data)
+
+
+def test_global_batch_rebucket_mixed_content(rng):
+    """decode_batch_rgb_global on the v2 wire: images with DIFFERENT
+    AC buckets (smooth vs noise content) re-bucket to one shared width
+    (stream offsets move with Bn — naive zero-padding would corrupt
+    the layout) and every image decodes bit-identically to its
+    single-image decode."""
+    jax = pytest.importorskip("jax")
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device test mesh")
+    from jpeglibrary_tpu.parallel import decode_batch_rgb_global
+    from jpeglibrary_tpu.native import scanner as ns
+
+    h, w = 64, 96
+    smooth = np.clip(
+        np.linspace(0, 255, w)[None, :, None] + rng.normal(0, 4, (h, w, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    noise = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    datas = [jt.encode_rgb(smooth, 60), jt.encode_rgb(noise, 95)] * 4
+    r_a = jt.decode(datas[0], sparse_direct=True)
+    r_b = jt.decode(datas[1], sparse_direct=True)
+    assert r_a.packed_mcu2 is not None and r_b.packed_mcu2 is not None
+    assert r_a.packed_mcu2.shape != r_b.packed_mcu2.shape  # rebucketing real
+    batch = decode_batch_rgb_global(datas)
+    jax.block_until_ready(batch)
+    for i, d in enumerate(datas):
+        ref = jt.decode(d).to_rgb8()
+        got = np.moveaxis(np.asarray(batch[i]), 0, -1)
+        assert np.array_equal(got, ref), i
