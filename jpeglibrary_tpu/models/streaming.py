@@ -93,6 +93,83 @@ def split_payload_stripes(res, stripe_mcu_rows: int):
     return out.reshape(len(chunks), -1), geo, quants, heights
 
 
+def split_payload2_stripes(res, stripe_mcu_rows: int):
+    """v2-wire twin of :func:`split_payload_stripes`: slice a v2
+    split-stream payload into per-stripe v2 payloads. Blocks are
+    MCU-major, so a stripe is a contiguous block range — dc/counts
+    slice directly, the AC streams slice at cumsum(counts) boundaries,
+    and exceptions filter + rebase by the stripe's first coefficient.
+    Stripes share one uniform block count (trailing zero blocks pad
+    the short last stripe — zero DC + zero counts decode to zero
+    blocks) and one AC bucket, so a single compiled stripe transform
+    serves all of them. Returns (stripe_payloads [S, K] uint8,
+    geometry, quants, stripe_heights)."""
+    geo = res.geometry
+    payload = res.packed_mcu2
+    bpm = sum(c.h * c.v for c in geo.components)
+    nb = geo.mcus_per_line * geo.mcus_per_column * bpm
+    k = payload.shape[0]
+    bn = (k - 3 * nb) * 8 // 17
+    dc = payload[: 2 * nb].view(np.int16)
+    counts = payload[2 * nb : 3 * nb]
+    acpos = payload[3 * nb : 3 * nb + bn]
+    acval = payload[3 * nb + bn : 3 * nb + 2 * bn]
+    be = bn // 64
+    exc = payload[3 * nb + 2 * bn :].view(np.int32).reshape(be, 2)
+    exc_live = exc[exc[:, 1] != 0]
+    ends = np.cumsum(counts.astype(np.int64))
+
+    quants = np.stack(
+        [res.quant[c.component_index] for c in geo.components]
+    ).astype(np.int32)
+
+    bpr = geo.mcus_per_line * bpm  # blocks per MCU row
+    nb_stripe = stripe_mcu_rows * bpr  # uniform (last stripe zero-padded)
+    chunks = []
+    heights = []
+    px_per_row = 8 * geo.max_v
+    for r0 in range(0, geo.mcus_per_column, stripe_mcu_rows):
+        r1 = min(r0 + stripe_mcu_rows, geo.mcus_per_column)
+        b_lo, b_hi = r0 * bpr, r1 * bpr
+        e_lo = int(ends[b_lo - 1]) if b_lo else 0
+        e_hi = int(ends[b_hi - 1]) if b_hi else 0
+        sel = exc_live[
+            (exc_live[:, 0] >= b_lo * 64) & (exc_live[:, 0] < b_hi * 64)
+        ].copy()
+        sel[:, 0] -= b_lo * 64
+        chunks.append((b_lo, b_hi, e_lo, e_hi, sel))
+        heights.append(
+            min((r1 - r0) * px_per_row, geo.height - r0 * px_per_row)
+        )
+
+    from ..native.scanner import exception_capacity
+
+    need = max(
+        [e_hi - e_lo for (_b0, _b1, e_lo, e_hi, _x) in chunks] + [1]
+    )
+    need_exc = max(len(x) for (_b0, _b1, _e0, _e1, x) in chunks)
+    sbn = 1024
+    while sbn < need or exception_capacity(sbn) < need_exc:
+        sbn = (int(sbn * 1.5) + 1023) & ~1023
+    sbe = exception_capacity(sbn)
+    sk = 3 * nb_stripe + 2 * sbn + 8 * sbe
+    out = np.zeros((len(chunks), sk), dtype=np.uint8)
+    for i, (b_lo, b_hi, e_lo, e_hi, sel) in enumerate(chunks):
+        nblk = b_hi - b_lo
+        row = out[i]
+        row[: 2 * nblk] = dc[b_lo:b_hi].view(np.uint8)
+        row[2 * nb_stripe : 2 * nb_stripe + nblk] = counts[b_lo:b_hi]
+        n_ac = e_hi - e_lo
+        row[3 * nb_stripe : 3 * nb_stripe + n_ac] = acpos[e_lo:e_hi]
+        row[3 * nb_stripe + sbn : 3 * nb_stripe + sbn + n_ac] = acval[
+            e_lo:e_hi
+        ]
+        if len(sel):
+            ev = row[3 * nb_stripe + 2 * sbn :].view(np.int32).reshape(sbe, 2)
+            ev[: len(sel)] = sel
+    return out, geo, quants, heights
+
+
 def decode_rgb_stripes(
     data: bytes,
     *,

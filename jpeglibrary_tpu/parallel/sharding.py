@@ -216,13 +216,49 @@ def decode_rgb_sharded(data: bytes, mesh, *, axis: str = "stripe"):
 
     dec = JpegDecoder()
     dec.set_input(data)
-    # The stripe splitter consumes the v1 MCU-entry payload layout.
-    res = dec.decode(sparse_direct=True, wire="v1")
+    res = dec.decode(sparse_direct=True)
+    if res.packed_mcu2 is not None:
+        return _sharded_baseline_sparse2(res, mesh, axis)
     if res.packed_mcu is not None:
         return _sharded_baseline_sparse(res, mesh, axis)
     if res.samples is not None:
         return _sharded_lossless(res, mesh, axis)
     return _sharded_dense_coefficients(res, mesh, axis)
+
+
+def _sharded_baseline_sparse2(res, mesh, axis: str):
+    """Single-scan baseline on the v2 wire: per-stripe slices of the
+    split-stream payload (0.4-0.6x the v1 stripe transfer bytes)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..models.geometry import ceil_div
+    from ..models.streaming import _stripe_geometry, split_payload2_stripes
+    from ..ops.pipeline import jitted_transform_mcu2_inner
+
+    geo = res.geometry
+    S = mesh.shape[axis]
+    stripe_rows = ceil_div(geo.mcus_per_column, S)
+    payloads, geo, quants, heights = split_payload2_stripes(res, stripe_rows)
+    if payloads.shape[0] < S:  # short image: pad with empty stripes
+        pad = np.zeros(
+            (S - payloads.shape[0], payloads.shape[1]), dtype=np.uint8
+        )
+        payloads = np.concatenate([payloads, pad])
+        heights = heights + [0] * (S - len(heights))
+
+    sgeo = _stripe_geometry(geo, stripe_rows, stripe_rows * 8 * geo.max_v)
+    inner = jitted_transform_mcu2_inner(sgeo, "rgb8")
+    sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    fn = jax.jit(
+        jax.vmap(inner, in_axes=(0, None)),
+        in_shardings=(sh, rep),
+        out_shardings=sh,
+    )
+    out = fn(jax.device_put(payloads, sh), jnp.asarray(quants))
+    return out, heights
 
 
 def _sharded_baseline_sparse(res, mesh, axis: str):

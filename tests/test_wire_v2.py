@@ -206,3 +206,27 @@ def test_global_batch_rebucket_mixed_content(rng):
         ref = jt.decode(d).to_rgb8()
         got = np.moveaxis(np.asarray(batch[i]), 0, -1)
         assert np.array_equal(got, ref), i
+
+
+def test_stripe_splitter_v2(rng, rgb):
+    """split_payload2_stripes: each stripe's v2 payload must densify to
+    exactly the corresponding block rows of the whole payload (incl.
+    the |AC|>127 exceptions landing in the right stripe, rebased)."""
+    from jpeglibrary_tpu.models.streaming import split_payload2_stripes
+
+    data = jt.encode_rgb(rgb, 95, subsampling="444")  # exceptions present
+    res = jt.decode(data, sparse_direct=True)
+    assert res.packed_mcu2 is not None
+    geo = res.geometry
+    bpm = sum(c.h * c.v for c in geo.components)
+    nb = geo.mcus_per_line * geo.mcus_per_column * bpm
+    whole = _densify_v2(res.packed_mcu2, nb)
+    stripes, _geo, _q, heights = split_payload2_stripes(res, 3)
+    bpr = geo.mcus_per_line * bpm
+    nb_stripe = 3 * bpr
+    for i in range(stripes.shape[0]):
+        got = _densify_v2(stripes[i], nb_stripe)
+        b_lo = i * nb_stripe
+        n = min(nb_stripe, nb - b_lo) * 64
+        assert np.array_equal(got[:n], whole[b_lo * 64 : b_lo * 64 + n]), i
+        assert not got[n:].any()
