@@ -869,6 +869,7 @@ class JpegDecoder:
         coefficient_planes: Optional[Dict[int, np.ndarray]] = None
         sample_planes: Optional[Dict[int, np.ndarray]] = None
         sparse_payload: Optional[np.ndarray] = None
+        sparse_payload2: Optional[np.ndarray] = None
         # Quant table snapshot per component, captured at scan time the
         # way the reference dequantizes mid-scan.
         component_quant: Dict[int, np.ndarray] = {}
@@ -1008,11 +1009,30 @@ class JpegDecoder:
                             and sof_marker in (Marker.SOF0, Marker.SOF1)
                             and len(stream.scans) == 1
                         ):
+                            sparse_payload2 = None
                             try:
                                 from ..native import scanner as native_scanner
 
+                                if (
+                                    wire != "v1"
+                                    and os.environ.get("JPX_WIRE") != "1"
+                                ):
+                                    sparse_payload2 = (
+                                        native_scanner.decode_baseline_scan_sparse2(
+                                            data,
+                                            scan.spans,
+                                            frame,
+                                            scan_header,
+                                            self._dc_tables,
+                                            self._ac_tables,
+                                            self._restart_interval,
+                                            geometry,
+                                        )
+                                    )
                                 sparse_payload = (
-                                    native_scanner.decode_baseline_scan_sparse(
+                                    None
+                                    if sparse_payload2 is not None
+                                    else native_scanner.decode_baseline_scan_sparse(
                                         data,
                                         scan.spans,
                                         frame,
@@ -1024,8 +1044,11 @@ class JpegDecoder:
                                     )
                                 )
                             except ImportError:
-                                sparse_payload = None
-                            if sparse_payload is not None:
+                                sparse_payload = sparse_payload2 = None
+                            if (
+                                sparse_payload is not None
+                                or sparse_payload2 is not None
+                            ):
                                 # Snapshot quantization tables the way
                                 # _decode_scan does, then skip the dense
                                 # scan entirely.
@@ -1087,6 +1110,7 @@ class JpegDecoder:
             coefficient_planes is None
             and sample_planes is None
             and sparse_payload is None
+            and sparse_payload2 is None
         ):
             raise ValueError("No image data decoded.")
 
@@ -1112,12 +1136,14 @@ class JpegDecoder:
         quant_by_comp = {
             idx: component_quant[idx].astype(np.int32) for idx in component_quant
         }
+        have_sparse = sparse_payload is not None or sparse_payload2 is not None
         return DecodeResult(
             frame=frame,
             geometry=geometry,
-            coefficients=None if sparse_payload is not None else coefficient_planes,
+            coefficients=None if have_sparse else coefficient_planes,
             quant=quant_by_comp,
             packed_mcu=sparse_payload,
+            packed_mcu2=sparse_payload2,
             xp=xp,
             adobe_transform=self._adobe_transform,
             errors=errors,

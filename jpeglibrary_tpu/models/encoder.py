@@ -711,7 +711,7 @@ class JpegEncoder:
             band = np.ascontiguousarray(
                 self._input_rgb_reader(y0, y1), dtype=np.uint8
             )
-            if band.shape[:2] != (y1 - y0, self._width) or band.shape[2] != 3:
+            if band.ndim != 3 or band.shape != (y1 - y0, self._width, 3):
                 raise JpegEncodeError("RGB reader returned a wrong-shape band.")
             writer.write_bytes(
                 band_enc.encode_band(band, is_last=y1 == self._height)

@@ -8870,7 +8870,14 @@ int64_t jpx_encode_rgb_band(
         }
         ck.bits = rp.finish_unstuffed();
         if (ck.bits < 0) ck.status = -1;
-        if (t == T - 1) {
+        // Publish the band-final predictors from the chunk that ENDS
+        // the band. NOT "t == T-1": ceil-division chunking can leave
+        // trailing EMPTY chunks (e.g. mcc=16, T=12 -> step=2 covers
+        // the band by chunk 7), and an empty last chunk would return
+        // above without publishing — every later band would then
+        // encode wrong DC diffs (silent corruption on hosts whose
+        // thread count doesn't divide the band's MCU rows).
+        if (ck.s1 == c.mcc) {
             preds_out[0] = preds[0];
             preds_out[1] = preds[1];
             preds_out[2] = preds[2];

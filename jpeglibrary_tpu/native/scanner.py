@@ -319,8 +319,16 @@ def decode_image_sparse2(data: bytes, *, bucket_factor: float = 1.5):
     # from the walk-filled dimensions.
     ac_cap = max(1 << 20, len(data) + 4096)
     nb_cap = 1 << 20
+    # Exception scratch scales with the input: a decline on overflow
+    # would silently RERUN the whole entropy decode on the v1 wire —
+    # a 2x latency cliff on exactly the most expensive images. One
+    # pair per 8 compressed bytes is ~10x the worst |AC|>127 density
+    # measured on natural images at q95+.
+    exc_cap = max(65536, len(data) // 8)
     for _ in range(2):
-        dc_sc, cnt_sc, pos_sc, val_sc, exc_sc = _v2_scratch(nb_cap, ac_cap)
+        dc_sc, cnt_sc, pos_sc, val_sc, exc_sc = _v2_scratch(
+            nb_cap, ac_cap, exc_cap
+        )
         n_exc = ctypes.c_int64(0)
         written = lib.jpx_decode_image_baseline_sparse2(
             buf.ctypes.data_as(ctypes.c_void_p), buf.shape[0],
@@ -358,18 +366,23 @@ def decode_image_sparse2(data: bytes, *, bucket_factor: float = 1.5):
 _V2_SCRATCH = threading.local()
 
 
-def _v2_scratch(nb_cap: int, ac_cap: int):
+def _v2_scratch(nb_cap: int, ac_cap: int, exc_cap: int = 65536):
     """Per-thread persistent scratch for the v2 native call (the
     pattern _pack_scratch uses: gigantic buffers are not re-faulted
     per image; oversized ones are released)."""
     cur = getattr(_V2_SCRATCH, "bufs", None)
-    if cur is not None and cur[0].shape[0] >= nb_cap and cur[2].shape[0] >= ac_cap:
+    if (
+        cur is not None
+        and cur[0].shape[0] >= nb_cap
+        and cur[2].shape[0] >= ac_cap
+        and cur[4].shape[0] >= 2 * exc_cap
+    ):
         return cur
     dc = np.empty(nb_cap, dtype=np.int16)
     cnt = np.empty(nb_cap, dtype=np.uint8)
     pos = np.empty(ac_cap, dtype=np.uint8)
     val = np.empty(ac_cap, dtype=np.int8)
-    exc = np.empty(2 * 65536, dtype=np.int64)
+    exc = np.empty(2 * exc_cap, dtype=np.int64)
     bufs = (dc, cnt, pos, val, exc)
     if ac_cap <= (64 << 20):  # retention cap, like _pack_scratch
         _V2_SCRATCH.bufs = bufs
@@ -617,6 +630,104 @@ def decode_baseline_scan_sparse(
     packed[:n_entries] = out[:n_entries]
     packed[n_entries:] = 0  # (0, 0) no-op padding entries
     return packed.reshape(-1)
+
+
+def decode_baseline_scan_sparse2(
+    data: bytes,
+    spans: Sequence[EntropySpan],
+    frame: FrameHeader,
+    scan: ScanHeader,
+    dc_tables: Dict[int, HuffmanDecodingTable],
+    ac_tables: Dict[int, HuffmanDecodingTable],
+    restart_interval: int,
+    geometry: FrameGeometry = None,
+    *,
+    bucket_factor: float = 1.5,
+):
+    """v2-wire twin of :func:`decode_baseline_scan_sparse` for the
+    staged container path (streams the fused whole-image walk
+    declines): same eligibility, split-stream payload out. Returns the
+    flat uint8 payload or ``None`` (caller falls back to the v1 wire /
+    dense path)."""
+    lib = build.load_library()
+    from ..models.huffman_baseline import JpegDecodeError
+
+    geo = geometry or frame_geometry(frame)
+    resolved = resolve_scan_components(frame, scan)
+    if [ci for ci, _, _ in resolved] != list(range(len(frame.components))):
+        return None
+    if len(resolved) == 1:
+        cg = geo.components[0]
+        if cg.h != 1 or cg.v != 1:
+            return None
+
+    n = len(resolved)
+    comp_h = (ctypes.c_int32 * n)()
+    comp_v = (ctypes.c_int32 * n)()
+    dc_blob = bytearray()
+    ac_blob = bytearray()
+    bpm = 0
+    for i, (comp_index, fc, sc) in enumerate(resolved):
+        dc = dc_tables.get(sc.dc_table_selector)
+        ac = ac_tables.get(sc.ac_table_selector)
+        if dc is None or ac is None:
+            raise JpegDecodeError(
+                f"Huffman table of component {comp_index} is not defined."
+            )
+        cg = geo.components[comp_index]
+        comp_h[i] = cg.h
+        comp_v[i] = cg.v
+        dc_blob += pack_huffman_table(dc)
+        ac_blob += pack_huffman_table(ac)
+        bpm += cg.h * cg.v
+
+    total_mcus = geo.mcus_per_line * geo.mcus_per_column
+    validate_restart_spans(spans, restart_interval, total_mcus)
+    nb = total_mcus * bpm
+    n_spans = len(spans)
+    starts, ends, _span_keep = _span_ptrs(spans)
+    buf = np.frombuffer(data, dtype=np.uint8)
+
+    ac_cap = max(1 << 20, len(data) + 4096)
+    exc_cap = max(65536, len(data) // 8)
+    for attempt in range(2):
+        dc_sc, cnt_sc, pos_sc, val_sc, exc_sc = _v2_scratch(
+            max(nb + 64, 1 << 20), ac_cap, exc_cap
+        )
+        n_exc = ctypes.c_int64(0)
+        written = lib.jpx_decode_baseline_scan_sparse2(
+            buf.ctypes.data_as(ctypes.c_void_p),
+            starts, ends, n_spans,
+            restart_interval,
+            geo.mcus_per_line, geo.mcus_per_column,
+            n,
+            comp_h, comp_v,
+            bytes(dc_blob), bytes(ac_blob),
+            dc_sc.ctypes.data_as(ctypes.c_void_p),
+            cnt_sc.ctypes.data_as(ctypes.c_void_p),
+            pos_sc.ctypes.data_as(ctypes.c_void_p),
+            val_sc.ctypes.data_as(ctypes.c_void_p), ac_cap,
+            exc_sc.ctypes.data_as(ctypes.c_void_p),
+            exc_sc.shape[0] // 2, ctypes.byref(n_exc),
+            default_threads(),
+        )
+        if written != -1:
+            break
+        ac_cap = nb * 63 + 4096
+    if written == -2:
+        from ..syntax.huffman import JpegHuffmanError
+
+        raise JpegHuffmanError("Invalid Huffman code encountered.")
+    if written == -3:
+        raise JpegDecodeError("The bit stream ended prematurely.")
+    if written < 0:
+        return None
+    if int(n_exc.value) > exc_sc.shape[0] // 2:
+        return None  # beyond even the scratch: v1 wire
+    return _assemble_v2_payload(
+        dc_sc, cnt_sc, pos_sc, val_sc, exc_sc, nb, int(written),
+        int(n_exc.value), bucket_factor,
+    )
 
 
 def decode_progressive_chains(
@@ -1753,9 +1864,12 @@ class RgbBandEncoder:
             self._ac_sizes[i] = acs.ctypes.data_as(ctypes.c_void_p).value
         self._state = np.zeros(6, dtype=np.int64)
 
-    def encode_band(self, rgb_band: np.ndarray, *, is_last: bool):
+    def encode_band(self, rgb_band: np.ndarray, *, is_last: bool,
+                    n_threads: int = 0):
         """Encode one band of whole MCU rows (the last band may be
-        partial); returns the band's stuffed scan bytes."""
+        partial); returns the band's stuffed scan bytes. ``n_threads``
+        0 = all hardware threads (tests force specific counts to
+        exercise the empty-trailing-chunk chunking shapes)."""
         rgb_band = np.ascontiguousarray(rgb_band, dtype=np.uint8)
         h, w = rgb_band.shape[:2]
         mcl = -(-w // (8 * self.max_h))
@@ -1781,7 +1895,7 @@ class RgbBandEncoder:
                 self._state.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 1 if is_last else 0,
                 out.ctypes.data_as(ctypes.c_void_p), cap,
-                0,
+                n_threads,
             )
             if written != -1:
                 break

@@ -108,7 +108,18 @@ def decode_batch_rgb_global(datas: Sequence[bytes], *, scan_workers=None):
         raise ValueError("decode_batch_rgb_global needs one shared geometry")
     quants = _stacked_quants(results, geometry)
 
-    if all(r.packed_mcu2 is not None for r in results):
+    local_v2 = all(r.packed_mcu2 is not None for r in results)
+    # Branch agreement must be GLOBAL: a process whose image declined
+    # the v2 packer would otherwise allgather a pack width where the
+    # others expect an AC bucket, and the processes would then dispatch
+    # different SPMD programs on one mesh (mismatched collectives ->
+    # distributed hang). One extra one-int allgather settles it.
+    all_v2 = bool(
+        multihost_utils.process_allgather(
+            np.asarray([1 if local_v2 else 0], dtype=np.int64)
+        ).min()
+    )
+    if all_v2:
         # v2 split-stream wire (0.4-0.6x the v1 bytes — the shard
         # transfer is each process's dominant device cost): agree on
         # one AC bucket via the same one-int allgather, re-bucket the

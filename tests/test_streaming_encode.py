@@ -156,21 +156,41 @@ def test_rgb_stream_fused_band_path_identity():
 
 
 def test_rgb_stream_fused_multichunk_carry():
-    """Many small bands with threaded chunks inside each: the carry
-    chain (predictors + remainder bits) across >= 16 band boundaries."""
+    """The band encoder's threaded internals across band boundaries,
+    at thread counts that produce EVERY chunking shape — including
+    trailing EMPTY chunks (ceil-division: e.g. 16 MCU rows at T=12
+    covers the band by chunk 7; a round-5 review found the outgoing
+    predictor state was published by chunk index T-1, which an empty
+    tail chunk never reached -> silent corruption on 9-15-thread
+    hosts). Byte-identity against the whole-image fused scan for
+    T in {1, 3, 4, 12}."""
     import numpy as np
 
-    from jpeglibrary_tpu.models.encoder import encode_rgb, encode_rgb_stream
+    from jpeglibrary_tpu.models.encoder import (
+        _configure_rgb_encoder, encode_rgb,
+    )
+    from jpeglibrary_tpu.native import scanner as ns
 
     rng = np.random.default_rng(29)
-    h, w = 16 * 18, 2048  # wide bands -> multi-chunk threading engages
+    h, w = 16 * 48, 512
     rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-    ref = encode_rgb(rgb, 85)
-    import os
 
-    os.environ["JPX_ENCODE_STRIPE_MCU_ROWS"] = "1"  # 18 bands
-    try:
-        got = encode_rgb_stream(lambda y0, y1: rgb[y0:y1], w, h, 85)
-    finally:
-        del os.environ["JPX_ENCODE_STRIPE_MCU_ROWS"]
-    assert got == ref
+    enc = _configure_rgb_encoder(85, "420")
+    qbi = {t.identifier: t for t in enc._quant_tables}
+    quants = [qbi[c.quantization_table_id].elements for c in enc._components]
+    tables = [
+        (enc._huffman_tables[(True, c.dc_table_id)],
+         enc._huffman_tables[(False, c.ac_table_id)])
+        for c in enc._components
+    ]
+    ref = bytes(ns.encode_rgb_scan(rgb, 2, 2, quants, tables))
+    for nt in (1, 3, 4, 12):
+        be = ns.RgbBandEncoder(2, 2, quants, tables)
+        parts = []
+        for y0 in range(0, h, 256):  # 16 MCU rows per band
+            y1 = min(h, y0 + 256)
+            parts.append(
+                bytes(be.encode_band(rgb[y0:y1], is_last=y1 == h,
+                                     n_threads=nt))
+            )
+        assert b"".join(parts) == ref, nt

@@ -230,3 +230,27 @@ def test_stripe_splitter_v2(rng, rgb):
         n = min(nb_stripe, nb - b_lo) * 64
         assert np.array_equal(got[:n], whole[b_lo * 64 : b_lo * 64 + n]), i
         assert not got[n:].any()
+
+
+def test_staged_path_v2(rng):
+    """Streams the fused whole-image walk declines (DNL deferred
+    height) still get the v2 wire via the per-scan merged decode, with
+    JPX_WIRE=1 pinning v1 there too."""
+    from jpeglibrary_tpu.models.encoder import encode_rgb_stripes
+
+    img = np.clip(
+        np.linspace(0, 255, 96)[None, :, None] + rng.normal(0, 25, (80, 96, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    data = encode_rgb_stripes(iter([img[:32], img[32:64], img[64:]]), 96, 80)
+    r = jt.decode(data, sparse_direct=True)
+    assert r.packed_mcu2 is not None and r.packed_mcu is None
+    ref = jt.decode(data)
+    for c in ref.coefficients:
+        assert np.array_equal(r.coefficients[c], ref.coefficients[c]), c
+    os.environ["JPX_WIRE"] = "1"
+    try:
+        r1 = jt.decode(data, sparse_direct=True)
+    finally:
+        del os.environ["JPX_WIRE"]
+    assert r1.packed_mcu is not None and r1.packed_mcu2 is None
