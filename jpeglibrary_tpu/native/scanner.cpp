@@ -1562,11 +1562,18 @@ int64_t jpx_decode_baseline_scan_sparse(
     const int64_t total_mcus = mcus_per_line * mcus_per_column;
 
     if (restart_interval <= 0 || n_spans == 1) {
-        // Single span: no restart seam. Try the speculative single-pass
-        // parallel path first (JPX_SPECULATIVE=0 disables); -6 means it
-        // could not synchronize and the sequential decode runs below.
+        // Single span: no restart seam. With a DECLARED restart
+        // interval the one span still covers at most `ri` MCUs — a
+        // truncated restart stream must decode its surviving span and
+        // stop, exactly like the dense path's per-span task list
+        // (decoding `total_mcus` from it would run into the 1-padding
+        // and raise where the dense path tolerates the truncation).
+        int64_t span_mcus = restart_interval > 0
+                                ? std::min<int64_t>(restart_interval,
+                                                    total_mcus)
+                                : total_mcus;
         SpanTask t{data + span_starts[0], span_ends[0] - span_starts[0],
-                   0, total_mcus};
+                   0, span_mcus};
         {
             const char* spec_env = std::getenv("JPX_SPECULATIVE");
             bool allow_spec = !(spec_env && spec_env[0] == '0');
@@ -1574,7 +1581,7 @@ int64_t jpx_decode_baseline_scan_sparse(
             int nt0 = n_threads > 0 ? n_threads : (hw0 > 0 ? hw0 : 1);
             if (allow_spec && nt0 > 2) {
                 int64_t n = decode_span_sparse_speculative(
-                    t.data, t.len, total_mcus, comps.data(), n_comps, cpm,
+                    t.data, t.len, span_mcus, comps.data(), n_comps, cpm,
                     comp_off, out, capacity, nt0);
                 if (n != -6) return n;
             }
@@ -2111,8 +2118,15 @@ int64_t jpx_decode_baseline_scan_sparse2(
     };
 
     if (restart_interval <= 0 || n_spans == 1) {
+        // See the v1 twin: a declared restart interval caps the one
+        // span's MCU budget (tolerated-truncation parity with the
+        // dense per-span task list).
+        int64_t span_mcus = restart_interval > 0
+                                ? std::min<int64_t>(restart_interval,
+                                                    total_mcus)
+                                : total_mcus;
         SpanTask t{data + span_starts[0], span_ends[0] - span_starts[0],
-                   0, total_mcus};
+                   0, span_mcus};
         {
             const char* spec_env = std::getenv("JPX_SPECULATIVE");
             bool allow_spec = !(spec_env && spec_env[0] == '0');
@@ -2121,7 +2135,7 @@ int64_t jpx_decode_baseline_scan_sparse2(
             if (allow_spec && nt0 > 2) {
                 std::vector<int64_t> exc;
                 int64_t n = decode_span_sparse_speculative2(
-                    t.data, t.len, total_mcus, comps.data(), n_comps, cpm,
+                    t.data, t.len, span_mcus, comps.data(), n_comps, cpm,
                     comp_off, dc_out, counts_out, acpos_out, acval_out,
                     ac_capacity, exc, nt0);
                 if (n != -6) {

@@ -173,3 +173,28 @@ def test_fuzz_transform_rot90(native_lib, assets_dir):
         jt.decode(out).to_rgb8()  # output must be decodable
         n_ok += 1
     assert n_ok >= 3
+
+
+def test_fuzz_truncations_restart_stream(native_lib, assets_dir):
+    """Truncations of a RESTART stream (round-5 fuzz finding: a stream
+    truncated to its first surviving span made the sparse single-span
+    branch decode the WHOLE image's MCU budget from it — running into
+    the 1-padding and raising where the dense per-span task list
+    tolerates the truncation). Disposition and coefficients must match
+    the dense path for every cut."""
+    from jpeglibrary_tpu.models.encoder import encode_rgb
+
+    rgb = jt.decode((assets_dir / "baseline/lake.jpg").read_bytes()).to_rgb8()
+    data = encode_rgb(rgb[:200, :300], 75, restart_interval=3)
+    rng = np.random.default_rng(2)
+    cuts = [int(rng.integers(2, len(data))) for _ in range(40)]
+    # the exact shape of the round-5 finding: cut just past an RSTn
+    cuts += [data.find(b"\xff\xd0") + 2]
+    for cut in cuts:
+        mutated = data[:cut]
+        kind_f, out_f = _decode_outcome(mutated, sparse_direct=True)
+        kind_d, out_d = _decode_outcome(mutated, sparse_direct=False)
+        assert kind_f == kind_d, (cut, kind_f, out_f, kind_d, out_d)
+        if kind_f == "ok" and out_f is not None and out_d is not None:
+            for k in out_d:
+                np.testing.assert_array_equal(out_f[k], out_d[k])
