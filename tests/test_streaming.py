@@ -85,6 +85,22 @@ def test_streaming_bounded_memory_large_asset(assets_dir, native_lib):
     np.testing.assert_array_equal(stitched, ref)
 
 
+def test_stripes_v1_wire_fallback(assets_dir, native_lib, monkeypatch):
+    """JPX_WIRE=1 pins the v1 MCU-entry payload; the streaming walk must
+    take the v1 branch and produce pixels identical to the v2 branch."""
+    from jpeglibrary_tpu.models.streaming import decode_rgb_stripes
+
+    data = (assets_dir / "baseline/lake.jpg").read_bytes()
+    v2 = [np.asarray(s) for _, s in
+          decode_rgb_stripes(data, stripe_mcu_rows=8, device=False)]
+    monkeypatch.setenv("JPX_WIRE", "1")
+    v1 = [np.asarray(s) for _, s in
+          decode_rgb_stripes(data, stripe_mcu_rows=8, device=False)]
+    assert len(v1) == len(v2)
+    for a, b in zip(v1, v2):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_streaming_consumer_callback(assets_dir, native_lib):
     from jpeglibrary_tpu.models.streaming import decode_rgb_streaming
 
