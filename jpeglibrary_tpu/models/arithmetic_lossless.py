@@ -28,6 +28,17 @@ with a two-dimensional conditioning state):
 - Restart: registers, statistics, predictors and the conditioning
   history all reset — segments are fully independent (the property the
   framework's restart-parallel decoders rely on in every other mode).
+
+Conformance caveat (carried since round 3): T.81 spells out the 5x5
+(Qa, Qb) conditioning STATE for H.2 but not a normative flat index
+order for the statistics area, and no public codec or conformance
+stream implements SOF11 to cross-validate against. The layout here —
+``base = 4 * (Qb * 5 + Qa)`` with bins (S0, SS, SP, SN), one X/M
+magnitude ladder per Db-size class selected by ``Qb >= 3`` (large) —
+is therefore self-chosen (any consistent enumeration yields a valid
+QM-coded stream; encoder and decoder just have to agree). If a T.81
+H.2 conformance stream ever surfaces, re-check the (Qa, Qb) -> base
+mapping and the magnitude bin-set selection rule first.
 """
 
 from __future__ import annotations
