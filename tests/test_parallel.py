@@ -166,3 +166,32 @@ def test_batch_mixed_quality_same_geometry():
     ]
     for got, expect in zip(stream, singles * 2):
         np.testing.assert_array_equal(got, expect)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_stream_depth_preserves_order(depth):
+    """The in-flight bound (default 4 since round 5 — measured to
+    absorb sync-point stalls) must never affect output values or
+    order, at any depth, including depth > len(batch)."""
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.parallel.batch import decode_stream_rgb
+
+    rng = np.random.default_rng(11)
+    imgs = [
+        np.clip(
+            np.linspace(0, 255, 96)[None, :, None]
+            + rng.normal(0, 10 + 4 * i, (80, 96, 3)),
+            0, 255,
+        ).astype(np.uint8)
+        for i in range(3)
+    ]
+    datas = [jt.encode_rgb(im, q) for im, q in zip(imgs, (90, 50, 25))]
+    singles = [jt.decode(d).to_rgb8() for d in datas]
+    outs = [
+        np.moveaxis(np.asarray(o), 0, -1)
+        for o in decode_stream_rgb(datas * 2, depth=depth, scan_workers=2,
+                                   device_workers=2)
+    ]
+    assert len(outs) == 6
+    for got, expect in zip(outs, singles * 2):
+        np.testing.assert_array_equal(got, expect)
