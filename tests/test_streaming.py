@@ -193,3 +193,40 @@ def test_lossless_rows_bounded_memory(native_lib):
 
     full = jt.decode(data)
     assert checksum == int(full.samples[0].sum())
+
+
+@pytest.mark.parametrize(
+    "h,w,sub,ri",
+    [
+        (41, 57, "420", 0),    # odd dims, partial tail stripe
+        (64, 48, "422", 7),    # max_v=1 grid, restart seams mid-stripe
+        (129, 96, "444", 11),  # 1x1 sampling, odd height
+        (24, 200, "420", 3),   # fewer MCU rows than one stripe
+    ],
+)
+def test_stripes_random_geometries(native_lib, h, w, sub, ri):
+    """The v2 stripe walk must stitch bit-exact to the jitted full
+    decode across sampling layouts, odd dimensions, restart seams, and
+    images shorter than one stripe."""
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.models.decoder import JpegDecoder
+    from jpeglibrary_tpu.models.streaming import decode_rgb_stripes
+
+    rng = np.random.default_rng(h * 1000 + w)
+    img = np.clip(
+        np.linspace(0, 255, w)[None, :, None]
+        + rng.normal(0, 20, (h, w, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    data = jt.encode_rgb(img, 80, subsampling=sub, restart_interval=ri)
+
+    d = JpegDecoder()
+    d.set_input(data)
+    res = d.decode(sparse_direct=True)
+    assert res.packed_mcu2 is not None  # the walk must ride v2
+    ref = np.asarray(res.to_rgb8_device())
+
+    rows = [s for _, s in decode_rgb_stripes(data, stripe_mcu_rows=4,
+                                             device=False)]
+    stitched = np.concatenate(rows, axis=1)
+    np.testing.assert_array_equal(stitched, ref)
