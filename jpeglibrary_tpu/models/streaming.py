@@ -105,12 +105,13 @@ def split_payload2_stripes(res, stripe_mcu_rows: int):
     blocks) and one AC bucket, so a single compiled stripe transform
     serves all of them. Returns (stripe_payloads [S, K] uint8,
     geometry, quants, stripe_heights)."""
+    from ..native.scanner import exception_capacity, v2_payload_bn
+
     geo = res.geometry
     payload = res.packed_mcu2
     bpm = sum(c.h * c.v for c in geo.components)
     nb = geo.mcus_per_line * geo.mcus_per_column * bpm
-    k = payload.shape[0]
-    bn = (k - 3 * nb) * 8 // 17
+    bn = v2_payload_bn(payload, nb)
     dc = payload[: 2 * nb].view(np.int16)
     counts = payload[2 * nb : 3 * nb]
     acpos = payload[3 * nb : 3 * nb + bn]
@@ -142,8 +143,6 @@ def split_payload2_stripes(res, stripe_mcu_rows: int):
         heights.append(
             min((r1 - r0) * px_per_row, geo.height - r0 * px_per_row)
         )
-
-    from ..native.scanner import exception_capacity
 
     need = max(
         [e_hi - e_lo for (_b0, _b1, e_lo, e_hi, _x) in chunks] + [1]
@@ -232,9 +231,13 @@ def _stripes_from_payload2(res, stripe_mcu_rows: int, device: bool):
     """v2-wire stripe walk: uniform stripe payloads (the tail stripe is
     zero-block padded by split_payload2_stripes), so ONE compiled
     transform serves every stripe; the tail's grid-pad rows are cropped
-    to the true height before delivery."""
+    to the true height before delivery. Images shorter than one stripe
+    clamp the stripe height — padding a 2-MCU-row image to a 16-row
+    stripe program would pay 8x the transform and transfer for rows
+    that crop away."""
     from ..ops.pipeline import jitted_transform_mcu2
 
+    stripe_mcu_rows = min(stripe_mcu_rows, res.geometry.mcus_per_column)
     stripes_arr, geo, quants, heights = split_payload2_stripes(
         res, stripe_mcu_rows
     )

@@ -53,6 +53,36 @@ def _stacked_quants(batch, geometry) -> np.ndarray:
     ).astype(np.int32)
 
 
+def _device_color_ok(r) -> bool:
+    """The stacked/grouped device transforms apply the YCbCr->RGB
+    matrix — the same coverage as DecodeResult.to_rgb8_device. RGB-coded
+    and CMYK/YCCK streams must NOT ride them (silently mis-colored
+    output otherwise)."""
+    return r.color_transform in ("ycbcr", "gray")
+
+
+def _stack_payloads2(batch, geometry) -> Optional[np.ndarray]:
+    """Stack same-geometry v2 payloads into one [B, K] uint8 batch,
+    re-bucketing to the group's largest AC bucket (zero padding in
+    every stream is a device no-op) — same-geometry images routinely
+    carry different AC densities, so requiring byte-identical shapes
+    would send the common heterogeneous batch down the dense re-pack
+    path. Returns None when any image lacks a v2 payload."""
+    if not all(r.packed_mcu2 is not None for r in batch):
+        return None
+    from ..native import scanner as native_scanner
+
+    bpm = sum(c.h * c.v for c in geometry.components)
+    nb = geometry.mcus_per_line * geometry.mcus_per_column * bpm
+    bn = max(native_scanner.v2_payload_bn(r.packed_mcu2, nb) for r in batch)
+    return np.stack(
+        [
+            native_scanner.rebucket_v2_payload(r.packed_mcu2, nb, bn)
+            for r in batch
+        ]
+    )
+
+
 def decode_batch_rgb(
     datas: Sequence[bytes],
     *,
@@ -95,13 +125,30 @@ def decode_batch_rgb(
                 out[i] = rgb_i
             continue
 
-        # Merged-scan payloads of one shape: ONE stacked vmapped call.
-        if (
-            all(r.packed_mcu2 is not None for r in batch)
-            and len({r.packed_mcu2.shape for r in batch}) == 1
-        ):
+        # RGB-coded / CMYK / YCCK streams: the host writers know the
+        # stream's color interpretation; the stacked device transforms
+        # below apply the YCbCr matrix unconditionally.
+        host_only = [i for i in indices if not _device_color_ok(results[i])]
+        if host_only:
+            for i in host_only:
+                r = results[i]
+                if scale_n != 8 and r.color_transform == "rgb":
+                    out[i] = r.to_rgb8_scaled(scale)
+                elif scale_n != 8:
+                    out[i] = r.to_rgb8()[:: 8 // scale_n, :: 8 // scale_n]
+                else:
+                    out[i] = r.to_rgb8()
+            indices = [i for i in indices if _device_color_ok(results[i])]
+            if not indices:
+                continue
+            batch = [results[i] for i in indices]
+
+        # Merged-scan v2 payloads: ONE stacked vmapped call (mixed AC
+        # buckets re-bucket to the group max).
+        stacked2 = _stack_payloads2(batch, geometry)
+        if stacked2 is not None:
             quants = _stacked_quants(batch, geometry)
-            stacked = np.stack([r.packed_mcu2 for r in batch])
+            stacked = stacked2
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -254,22 +301,26 @@ def decode_stream_rgb(datas, *, depth: int = 4, scan_workers: int = 2,
 
     def transform_group(scan_futs):
         ress = [f.result() for f in scan_futs]
-        if (
+        # The grouped branches require the YCbCr/gray interpretation
+        # (same coverage as to_rgb8_device, which the per-image path
+        # enforces by raising); RGB-coded and CMYK streams fall through
+        # to one_rgb and get its error.
+        grouped_ok = (
             len(ress) > 1
-            and all(r.packed_mcu2 is not None for r in ress)
+            and all(_device_color_ok(r) for r in ress)
             and len({r.geometry for r in ress}) == 1
-            and len({r.packed_mcu2.shape for r in ress}) == 1
-        ):
+        )
+        if grouped_ok:
             geo = ress[0].geometry
-            quants = _stacked_quants(ress, geo)
-            stacked = np.stack([r.packed_mcu2 for r in ress])
-            out = _batched_mcu_transform2(geo, scale_n)(stacked, quants)
-            jax.block_until_ready(out)
-            return [out[i] for i in range(len(ress))]
+            stacked2 = _stack_payloads2(ress, geo)
+            if stacked2 is not None:
+                quants = _stacked_quants(ress, geo)
+                out = _batched_mcu_transform2(geo, scale_n)(stacked2, quants)
+                jax.block_until_ready(out)
+                return [out[i] for i in range(len(ress))]
         groupable = (
-            len(ress) > 1
+            grouped_ok
             and all(r.packed_mcu is not None for r in ress)
-            and len({r.geometry for r in ress}) == 1
             and len({r.packed_mcu.shape for r in ress}) == 1
         )
         if groupable:

@@ -195,3 +195,69 @@ def test_stream_depth_preserves_order(depth):
     assert len(outs) == 6
     for got, expect in zip(outs, singles * 2):
         np.testing.assert_array_equal(got, expect)
+
+
+def test_batch_rgb_coded_stream_uses_host_colors():
+    """RGB-coded baseline JPEGs (Adobe transform 0 / R,G,B component
+    ids) must NOT ride the stacked YCbCr device transform: the batch
+    API falls back to the host writer (round-5 review finding — the
+    grouped v2 branch silently mis-colored them)."""
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.models.encoder import JpegEncoder
+    from jpeglibrary_tpu.parallel.batch import decode_batch_rgb, decode_stream_rgb
+    from jpeglibrary_tpu.syntax import huffman_standard
+    from jpeglibrary_tpu.syntax.quantization import (
+        scale_by_quality,
+        standard_luminance_table,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+    enc = JpegEncoder()
+    enc.set_quantization_table(scale_by_quality(standard_luminance_table(0), 95))
+    enc.set_huffman_table(True, 0, huffman_standard.dc_luminance())
+    enc.set_huffman_table(False, 0, huffman_standard.ac_luminance())
+    for i, cid in enumerate((0x52, 0x47, 0x42)):  # 'R','G','B' ids
+        enc.add_component(cid, 0, 0, 0, 1, 1)
+    enc.set_input([img[..., i] for i in range(3)])
+    data = enc.encode()
+    res = jt.decode(data)
+    assert res.color_transform == "rgb"
+    expect = res.to_rgb8()
+
+    outs = decode_batch_rgb([data, data])
+    for o in outs:
+        np.testing.assert_array_equal(np.asarray(o), expect)
+
+    # the streaming pipeline's per-image contract is to raise (same as
+    # to_rgb8_device); the grouped branch must not silently bypass it
+    with pytest.raises(ValueError):
+        list(decode_stream_rgb([data, data], group=2))
+
+
+def test_batch_mixed_ac_density_rides_stacked_v2():
+    """Same-geometry images with different AC densities (different
+    payload bucket sizes) must still batch into ONE stacked v2 call via
+    re-bucketing, not fall to the dense host re-pack path."""
+    import jpeglibrary_tpu as jt
+    from jpeglibrary_tpu.parallel.batch import (
+        _stack_payloads2,
+        decode_batch_rgb,
+        scan_images,
+    )
+
+    rng = np.random.default_rng(9)
+    flat = np.full((64, 64, 3), 128, dtype=np.uint8)
+    noisy = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    datas = [jt.encode_rgb(flat, 95), jt.encode_rgb(noisy, 95)]
+    results = scan_images(datas)
+    if any(r.packed_mcu2 is None for r in results):
+        pytest.skip("v2 wire unavailable (no native scanner)")
+    assert results[0].packed_mcu2.shape != results[1].packed_mcu2.shape
+    stacked = _stack_payloads2(results, results[0].geometry)
+    assert stacked is not None and stacked.shape[0] == 2
+
+    singles = [jt.decode(d).to_rgb8() for d in datas]
+    outs = decode_batch_rgb(datas)
+    for got, expect in zip(outs, singles):
+        np.testing.assert_array_equal(np.asarray(got), expect)
