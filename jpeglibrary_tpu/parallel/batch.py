@@ -388,27 +388,6 @@ def _batched_mcu_transform(geometry, scale_n: int = 8):
     return jax.jit(jax.vmap(inner, in_axes=(0, 0)))
 
 
-def encode_batch_rgb(images, quality: int = 75, *, subsampling: str = "420",
-                     optimize_coding: bool = False, max_workers: Optional[int] = None):
-    """Encode a batch of RGB arrays concurrently (the DP-encode analogue
-    of decode_batch_rgb): the per-image native transform + emission
-    stages release the GIL, so images parallelize across host threads.
-    Returns the JPEG byte strings in input order."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    from ..models.encoder import encode_rgb
-
-    def one(rgb):
-        return encode_rgb(
-            rgb, quality, subsampling=subsampling, optimize_coding=optimize_coding
-        )
-
-    if len(images) == 1:
-        return [one(images[0])]
-    with ThreadPoolExecutor(max_workers=max_workers or 2) as pool:
-        return list(pool.map(one, images))
-
-
 @functools.lru_cache(maxsize=64)
 def _batched_transform_delta(geometry, scale_n: int = 8):
     """vmapped delta-sparse transform: [B, n, 2] int16 packed batch ->
