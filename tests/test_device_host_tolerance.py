@@ -12,11 +12,12 @@ numpy (FMA contraction / vectorization order), and
 ``decode_stage.dequantize_idct_shift`` rounds with rint — so a sample
 whose true IDCT value sits exactly on a .5 razor edge can round the
 other way. Measured on photographic content (lake.jpg re-encoded q85):
-~1.8e-5 of pixels differ, sample-domain |diff| == 1 LSB, RGB |diff|
-<= 2 after the chroma matrix (Cb->B coefficient 1.772 amplifies a
-1-LSB chroma tie to 2 RGB levels). Example: the first differing pixel's
-Cr sample computes to -7.4999995 in numpy and the other side of -7.5
-in the full-shape XLA program.
+XLA:CPU flips 3 of 2.36M pixels (maxabs 1); the TPU Pallas folded-
+matmul path flips 43 (~1.8e-5, maxabs 2 RGB levels after the chroma
+matrix — the Cb->B coefficient 1.772 amplifies a 1-LSB chroma tie to
+2). Example: the first differing pixel's Cr sample computes to
+-7.4999995 in numpy and the other side of -7.5 in the full-shape XLA
+program.
 
 This is NOT a per-backend tolerance the serving contract hides behind:
 within one compiled program the output is deterministic, and the
